@@ -1,0 +1,250 @@
+"""TimeSeriesEngine — the storage-backed engine.
+
+Replaces the reference's Irmin/Git shard + index machinery
+(src/shard.re, src/index.re, SURVEY.md §1.3) with a Spark-native
+layout:
+
+- one parquet dataset partitioned by ``bucket = pmod(xxhash64(series), B)``
+  — bounded partition count regardless of series cardinality (the 100 TB
+  stance: raw ``partitionBy(series)`` explodes with millions of series),
+- rows sorted within files by (series, ts) at write so parquet row-group
+  min/max statistics give the same pruning the reference's hand-rolled
+  shard-range index provides (src/index.re:92-105) — maintained by the
+  format, not by us,
+- the "shard index" observability endpoint (A29) is derived from
+  file-level footer stats via a manifest query, not a second store.
+
+Mutation model: append for ingest; delete is read-filter-overwrite of
+only the affected buckets (dynamic partition overwrite) — the Spark
+equivalent of the reference's shard rewrite (src/timeseries.re:259-303).
+Like the reference, ingest never deduplicates (quirk Q6).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nibbledb_spark.operators import timeseries as ts_ops
+from nibbledb_spark.schema import POINT_SCHEMA, validate_points
+
+DEFAULT_NUM_BUCKETS = 32
+
+
+def bucket_of(series_col, num_buckets: int):
+    return F.pmod(F.xxhash64(series_col), F.lit(num_buckets)).cast("int")
+
+
+class TimeSeriesEngine:
+    """Batch engine over a bucket-partitioned parquet points store."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        num_buckets: int = DEFAULT_NUM_BUCKETS,
+        strict_ingest: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.num_buckets = num_buckets
+        self.strict_ingest = strict_ingest
+
+    # -- write path --------------------------------------------------------
+
+    def write(
+        self, series: str, records: list[dict[str, Any]] | dict[str, Any]
+    ) -> int:
+        """Ingest one point or a batch (A1/A2). Validates the wire shape
+        (strict mode = reference field-order fidelity, quirk Q3), assigns
+        wall-clock µs timestamps when absent, appends to the store."""
+        if isinstance(records, dict):
+            records = [records]
+        rows = [
+            (series, t, tag, v)
+            for (t, tag, v) in validate_points(records, strict=self.strict_ingest)
+        ]
+        df = self.spark.createDataFrame(rows, POINT_SCHEMA)
+        self.append_points(df)
+        return len(rows)
+
+    def append_points(self, df: DataFrame) -> None:
+        """Append canonical-schema points. Sorted within partitions by
+        (series, ts) so row-group stats stay tight for time pruning."""
+        (
+            df.withColumn("bucket", bucket_of(F.col("series"), self.num_buckets))
+            .repartition("bucket")
+            .sortWithinPartitions("series", "ts")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
+
+    # -- read path ---------------------------------------------------------
+
+    def points(self, ids: Sequence[str] = ()) -> DataFrame:
+        """The unified points DataFrame, optionally restricted to series
+        ids. The bucket predicate is derived from the ids so Catalyst
+        partition-prunes to only the relevant directories."""
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], POINT_SCHEMA)
+        df = self.spark.read.parquet(self.path)
+        if ids:
+            buckets = sorted(
+                {self._bucket_py(series_id) for series_id in ids}
+            )
+            df = df.where(F.col("bucket").isin(buckets))
+            df = df.where(F.col("series").isin(list(ids)))
+        return df.select("series", "ts", "tag", "value")
+
+    def _bucket_py(self, series_id: str) -> int:
+        # one tiny driver-side round-trip per distinct id set; cached by
+        # Spark's plan cache in practice. Kept exact with the JVM hash.
+        row = (
+            self.spark.range(1)
+            .select(bucket_of(F.lit(series_id), self.num_buckets).alias("b"))
+            .collect()
+        )
+        return row[0]["b"]
+
+    # query surface (thin delegation to the pure operators) -----------------
+
+    def last(self, ids: Sequence[str], n: int) -> DataFrame:
+        return ts_ops.last_n(self.points(ids), (), n)
+
+    def latest(self, ids: Sequence[str]) -> DataFrame:
+        return ts_ops.latest(self.points(ids), ())
+
+    def first(self, ids: Sequence[str], n: int) -> DataFrame:
+        return ts_ops.first_n(self.points(ids), (), n)
+
+    def earliest(self, ids: Sequence[str]) -> DataFrame:
+        return ts_ops.earliest(self.points(ids), ())
+
+    def since(self, ids: Sequence[str], ts_from: int) -> DataFrame:
+        return ts_ops.since(self.points(ids), (), ts_from)
+
+    def range(self, ids: Sequence[str], ts_from: int, ts_to: int) -> DataFrame:
+        return ts_ops.time_range(self.points(ids), (), ts_from, ts_to)
+
+    def length(self, ids: Sequence[str] = ()) -> int:
+        return self.points(ids).count()
+
+    def names(self) -> list[str]:
+        return [r["series"] for r in ts_ops.series_names(self.points()).collect()]
+
+    def stats(self) -> DataFrame:
+        return ts_ops.stats(self.points())
+
+    def aggregate(self, ids: Sequence[str], agg: str, df: DataFrame | None = None):
+        sel = df if df is not None else self.points(ids)
+        return ts_ops.aggregate_result(sel, agg)
+
+    # -- shard-index observability (A29) ------------------------------------
+
+    def index(self, ids: Sequence[str] = ()) -> DataFrame:
+        """Per-file (series, t_min, t_max, n) manifest — the engine's
+        equivalent of the reference's shard index dump
+        (src/index.re:79-90), derived from data, not a second store."""
+        df = self.points(ids)
+        return (
+            df.groupBy(F.input_file_name().alias("file"), F.col("series"))
+            .agg(
+                F.min("ts").alias("t_min"),
+                F.max("ts").alias("t_max"),
+                F.count("*").alias("n"),
+            )
+            .orderBy("series", "t_min")
+        )
+
+    def index_length(self, ids: Sequence[str] = ()) -> int:
+        return self.index(ids).count()
+
+    # -- delete (A25/A26) ----------------------------------------------------
+
+    def delete(
+        self,
+        ids: Sequence[str],
+        ts_from: int,
+        ts_to: int | None = None,
+        *,
+        tag_names: Sequence[str] | None = None,
+        tag_values: Sequence[str] | None = None,
+        tag_mode: str = "equals",
+        compat_membership: bool = False,
+    ) -> None:
+        """Precise predicate delete (default), or the reference's
+        timestamp-membership over-delete under ``compat_membership``
+        (quirk Q2). Rewrites only the buckets containing listed series."""
+        pred = ts_ops.delete_predicate(
+            ids, ts_from, ts_to, tag_names, tag_values, tag_mode
+        )
+        buckets = sorted({self._bucket_py(s) for s in ids}) if ids else None
+
+        store = self.spark.read.parquet(self.path)
+        affected = store.where(F.col("bucket").isin(buckets)) if buckets else store
+
+        if compat_membership:
+            victims = (
+                affected.where(pred).select("series", "ts").distinct()
+            )
+            survivors = affected.join(victims, ["series", "ts"], "left_anti")
+        else:
+            survivors = affected.where(~pred | pred.isNull())
+
+        # Dynamic overwrite only replaces partitions PRESENT in the output,
+        # so compute up front which affected buckets end up empty.
+        affected_buckets = (
+            set(buckets)
+            if buckets is not None
+            else {r["bucket"] for r in store.select("bucket").distinct().collect()}
+        )
+        surviving = {
+            r["bucket"] for r in survivors.select("bucket").distinct().collect()
+        }
+
+        # Rewrite only affected buckets via dynamic partition overwrite.
+        out = survivors.repartition("bucket").sortWithinPartitions("series", "ts")
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
+
+        emptied = affected_buckets - surviving
+        if emptied:
+            self._drop_bucket_dirs(emptied)
+
+    def _drop_bucket_dirs(self, buckets: set[int]) -> None:
+        """Remove bucket partition directories via the Hadoop FS API
+        (works on local fs and on a real cluster fs alike)."""
+        jvm = self.spark.sparkContext._jvm
+        jsc = self.spark.sparkContext._jsc
+        conf = jsc.hadoopConfiguration()
+        for b in buckets:
+            p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/bucket={b}")
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)
+
+    # -- compaction (A4 analogue) -------------------------------------------
+
+    def compact(self) -> None:
+        """Overlap-merge compaction analogue: rewrite every bucket into
+        (series, ts)-sorted files. Read-result invariance is the pinned
+        test. On a cluster this is the scheduled OPTIMIZE job."""
+        store = self.spark.read.parquet(self.path)
+        (
+            store.repartition("bucket")
+            .sortWithinPartitions("series", "ts")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )

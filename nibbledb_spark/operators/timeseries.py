@@ -1,0 +1,287 @@
+"""Time-series operators: the reference's full query surface.
+
+Every operator from SURVEY.md §2 Part A, expressed as a declarative
+DataFrame plan over the canonical ``points`` schema
+(series STRING, ts BIGINT µs, tag MAP<STRING,STRING>, value DOUBLE).
+
+Design notes for scale (the 100 TB stance):
+
+- Per-series top-n (``last_n``/``first_n``) is a window + filter —
+  Catalyst executes it as a partial top-n per input partition before
+  the shuffle (WindowGroupLimit since Spark 3.5), so no series ever
+  materializes fully.
+- Time selections are plain predicates on ``ts`` — they reach the
+  parquet scan as PushedFilters and prune row groups via min/max
+  stats, which is the Spark-native equivalent of the reference's
+  shard-range index (reference src/timeseries.re:555-588,
+  src/index.re:92-105).
+- Aggregates are JVM-side hash aggregates with map-side partial
+  aggregation; no Python is ever in the hot path.
+- Equal-timestamp ordering is undefined in the reference (quirk Q5,
+  src/timeseries.re:319-320); we define the canonical total order
+  (ts, series, value) so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# selection helpers
+# --------------------------------------------------------------------------
+
+
+def for_series(points: DataFrame, ids: Sequence[str]) -> DataFrame:
+    """Multi-series union read (A33): every read op accepts a list of ids;
+    in Spark the union is a single ``isin`` predicate (partition-prunable
+    when the store is partitioned by series bucket)."""
+    if not ids:
+        return points
+    if len(ids) == 1:
+        return points.where(F.col("series") == ids[0])
+    return points.where(F.col("series").isin(list(ids)))
+
+
+def _canonical_order(descending: bool) -> list[Column]:
+    """Q5 canonical total order: (ts, series, value), direction per op."""
+    if descending:
+        return [F.col("ts").desc(), F.col("series").asc(), F.col("value").desc()]
+    return [F.col("ts").asc(), F.col("series").asc(), F.col("value").asc()]
+
+
+# --------------------------------------------------------------------------
+# scans (A6-A12, A34)
+# --------------------------------------------------------------------------
+
+
+def last_n(points: DataFrame, ids: Sequence[str], n: int) -> DataFrame:
+    """A6: newest ``n`` points per series (per-series limit — quirk Q4:
+    k ids return up to n*k points), globally sorted desc(ts).
+    Reference: src/timeseries.re:471-478, 513-518."""
+    w = Window.partitionBy("series").orderBy(*_canonical_order(descending=True))
+    return (
+        for_series(points, ids)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+        .orderBy(*_canonical_order(descending=True))
+    )
+
+
+def latest(points: DataFrame, ids: Sequence[str]) -> DataFrame:
+    """A7: alias last/1 (reference src/timeseries.re:521-523)."""
+    return last_n(points, ids, 1)
+
+
+def first_n(points: DataFrame, ids: Sequence[str], n: int) -> DataFrame:
+    """A8: oldest ``n`` per series, sorted asc(ts)
+    (reference src/timeseries.re:525-540)."""
+    w = Window.partitionBy("series").orderBy(*_canonical_order(descending=False))
+    return (
+        for_series(points, ids)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+        .orderBy(*_canonical_order(descending=False))
+    )
+
+
+def earliest(points: DataFrame, ids: Sequence[str]) -> DataFrame:
+    """A9: alias first/1 (reference src/timeseries.re:542-544)."""
+    return first_n(points, ids, 1)
+
+
+def since(points: DataFrame, ids: Sequence[str], ts_from: int) -> DataFrame:
+    """A10: all points with ts >= from (inclusive), sorted desc(ts).
+    The predicate pushes to the parquet scan — the Spark-native form of
+    the reference's shard pruning (A12, src/timeseries.re:555-588)."""
+    return (
+        for_series(points, ids)
+        .where(F.col("ts") >= F.lit(int(ts_from)))
+        .orderBy(*_canonical_order(descending=True))
+    )
+
+
+def time_range(
+    points: DataFrame, ids: Sequence[str], ts_from: int, ts_to: int
+) -> DataFrame:
+    """A11: from <= ts <= to, BOTH bounds inclusive
+    (reference src/timeseries.re:608-624), sorted desc(ts)."""
+    return (
+        for_series(points, ids)
+        .where(F.col("ts").between(int(ts_from), int(ts_to)))
+        .orderBy(*_canonical_order(descending=True))
+    )
+
+
+# --------------------------------------------------------------------------
+# tag filters (A13-A15)
+# --------------------------------------------------------------------------
+
+
+def tag_predicate(
+    names: Sequence[str], values: Sequence[str], mode: str = "equals"
+) -> Column:
+    """Compound tag filter (A15, reference src/shard.re:129-189).
+
+    (name, value) pairs are grouped by name: OR within the same name,
+    AND across different names. ``mode``: 'equals' (string equality) or
+    'contains' (literal substring, reference src/timeseries.re:490-500).
+    Points missing the tag name drop out (null semantics of
+    ``element_at`` on MapType give this for free).
+    """
+    if len(names) != len(values):
+        raise ValueError("filter name/value count mismatch")  # reference: HTTP 400
+    if mode not in ("equals", "contains"):
+        raise ValueError(f"unknown filter mode: {mode}")
+
+    grouped: dict[str, list[str]] = {}
+    for name, value in zip(names, values):
+        grouped.setdefault(name, []).append(value)
+
+    pred: Column | None = None
+    for name, vals in grouped.items():
+        tagval = F.try_element_at(F.col("tag"), F.lit(name))
+        if mode == "equals":
+            clause = tagval.isin(vals) if len(vals) > 1 else (tagval == vals[0])
+        else:
+            clause = F.lit(False)
+            for v in vals:
+                clause = clause | tagval.contains(v)
+        pred = clause if pred is None else (pred & clause)
+    assert pred is not None
+    return pred
+
+
+def tag_filter(
+    df: DataFrame, names: Sequence[str], values: Sequence[str], mode: str = "equals"
+) -> DataFrame:
+    """A13/A14/A15 applied to a selection."""
+    return df.where(tag_predicate(names, values, mode))
+
+
+# --------------------------------------------------------------------------
+# aggregates (A16-A24)
+# --------------------------------------------------------------------------
+
+AGGREGATES = ("sum", "count", "max", "min", "mean", "sd", "median")
+
+
+def _agg_column(name: str) -> Column:
+    # stddev semantics: Oml's `sd` is population sd (biased, /n) — pinned
+    # by the 3-point fixture in tests/test_aggregates.py (SURVEY A21).
+    cols = {
+        "sum": F.sum("value"),
+        "count": F.count("value").cast("double"),  # Q8: count returned as float
+        "max": F.max("value"),
+        "min": F.min("value"),
+        "mean": F.avg("value"),
+        "sd": F.stddev_pop("value"),
+        "median": F.expr("percentile(value, 0.5)"),  # exact, not approx
+    }
+    if name not in cols:
+        raise ValueError(f"unknown aggregate: {name}")
+    return cols[name].alias(name)
+
+
+def aggregate(df: DataFrame, agg: str) -> DataFrame:
+    """A16-A22: one scalar aggregate over the selection (union across
+    series, reference src/timeseries.re:456-469). Single-row DataFrame
+    with one column named after the aggregate."""
+    out = df.agg(_agg_column(agg))
+    if agg == "sum":
+        # Q9/A24: sum over empty selection is 0 (not null)
+        out = out.select(F.coalesce(F.col("sum"), F.lit(0.0)).alias("sum"))
+    return out
+
+
+def aggregate_result(df: DataFrame, agg: str) -> dict[str, float]:
+    """A24 result shaping: `{}` for max/min/mean/sd/median on an empty
+    selection; `{"sum": 0}` / `{"count": 0}` (reference
+    src/timeseries.re:436-454)."""
+    row = aggregate(df, agg).collect()[0]
+    val = row[agg]
+    if val is None:
+        return {}
+    return {agg: float(val)}
+
+
+def grouped_aggregate(points: DataFrame, agg: str) -> DataFrame:
+    """Per-series variant of A16-A22 (the reference computes these via a
+    REST call per series; one hash-aggregate pass here)."""
+    return points.groupBy("series").agg(_agg_column(agg)).orderBy("series")
+
+
+# --------------------------------------------------------------------------
+# delete (A25-A26)
+# --------------------------------------------------------------------------
+
+
+def delete_predicate(
+    ids: Sequence[str],
+    ts_from: int,
+    ts_to: int | None = None,
+    tag_names: Sequence[str] | None = None,
+    tag_values: Sequence[str] | None = None,
+    tag_mode: str = "equals",
+) -> Column:
+    """Victim predicate for delete-since / delete-range, with optional
+    tag filter (reference src/timeseries.re:259-303). Default semantics
+    are the precise predicate delete; the reference's timestamp-membership
+    over-delete (quirk Q2) lives in ``compat_delete_victims``."""
+    pred = F.col("ts") >= F.lit(int(ts_from))
+    if ts_to is not None:
+        pred = pred & (F.col("ts") <= F.lit(int(ts_to)))
+    if ids:
+        pred = pred & F.col("series").isin(list(ids))
+    if tag_names:
+        pred = pred & tag_predicate(tag_names, tag_values or [], tag_mode)
+    return pred
+
+
+def delete_rows(points: DataFrame, predicate: Column) -> DataFrame:
+    """Read-side delete: the surviving rows. The engine persists this via
+    read-filter-overwrite of affected series partitions (Spark's parquet
+    equivalent of the reference's shard rewrite)."""
+    return points.where(~predicate | predicate.isNull())
+
+
+def compat_delete_victims(points: DataFrame, predicate: Column) -> DataFrame:
+    """Quirk Q2 compat mode: the reference deletes every point whose
+    TIMESTAMP appears in the victim set (src/timeseries.re:264-268), so a
+    tag-filtered delete also kills same-ts points that didn't match.
+    Expressed as a left_semi join per (series, ts) of victims."""
+    victims = points.where(predicate).select("series", "ts").distinct()
+    return points.join(victims, ["series", "ts"], "left_semi")
+
+
+# --------------------------------------------------------------------------
+# metadata / introspection (A27-A32)
+# --------------------------------------------------------------------------
+
+
+def length(points: DataFrame, ids: Sequence[str]) -> DataFrame:
+    """A27: total point count over the listed series."""
+    return for_series(points, ids).agg(F.count("*").alias("length"))
+
+
+def series_names(points: DataFrame) -> DataFrame:
+    """A30: distinct series names, sorted
+    (reference src/timeseries.re:626-637)."""
+    return points.select("series").distinct().orderBy("series")
+
+
+def stats(points: DataFrame) -> DataFrame:
+    """A31: per-series point counts (the engine has one unified store, so
+    length == length_on_disk and length_in_memory is the streaming
+    in-flight count, 0 for batch)."""
+    return (
+        points.groupBy("series")
+        .agg(F.count("*").alias("length"))
+        .withColumn("length_in_memory", F.lit(0).cast("long"))
+        .withColumn("length_on_disk", F.col("length"))
+        .orderBy("series")
+    )

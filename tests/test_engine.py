@@ -1,0 +1,132 @@
+"""TimeSeriesEngine store tests: ingest round-trip, bucket pruning,
+delete rewrite, compaction invariance, index manifest."""
+
+from __future__ import annotations
+
+import pytest
+
+from nibbledb_spark.schema import ValidationError
+from tests.conftest import BUTTERFLIES, HONEYBEES
+
+WIRE_BUTTERFLIES = [
+    {"timestamp": t, "tag": [{k: v} for k, v in tag.items()], "value": v_}
+    for (_, t, tag, v_) in BUTTERFLIES
+]
+
+
+def test_write_read_roundtrip(engine):
+    n = engine.write("butterflies", WIRE_BUTTERFLIES)
+    assert n == 8
+    assert engine.length(["butterflies"]) == 8
+    got = engine.last(["butterflies"], 2).collect()
+    assert [r["value"] for r in got] == [7.0, 8.0]
+    assert got[0]["tag"]["scientist"] == "perpetua"
+
+
+def test_single_point_and_server_ts(engine):
+    engine.write("s1", {"value": 42})
+    row = engine.latest(["s1"]).collect()[0]
+    assert row["value"] == 42.0
+    assert row["ts"] > 1_700_000_000_000_000  # server-assigned µs epoch
+
+
+def test_strict_mode_rejects_reordered_fields(spark, tmp_path):
+    from nibbledb_spark.engine import TimeSeriesEngine
+
+    eng = TimeSeriesEngine(spark, str(tmp_path / "s"), strict_ingest=True)
+    with pytest.raises(ValidationError):  # Q3: {value, timestamp} order rejected
+        eng.write("s", {"value": 1, "timestamp": 1439856000000000})
+    eng.write("s", {"timestamp": 1439856000000000, "value": 1})  # canonical order ok
+
+
+def test_lenient_mode_accepts_any_order(engine):
+    engine.write("s", {"value": 1, "timestamp": 1439856000000000})
+    assert engine.length(["s"]) == 1
+
+
+def test_unknown_key_rejected(engine):
+    with pytest.raises(ValidationError):
+        engine.write("s", {"value": 1, "bogus": 2})
+
+
+def test_multi_series_isolation_and_names(engine):
+    engine.write("butterflies", WIRE_BUTTERFLIES)
+    engine.write("honeybees", [{"timestamp": t, "value": v} for (_, t, _, v) in HONEYBEES])
+    assert engine.names() == ["butterflies", "honeybees"]
+    assert engine.length(["butterflies"]) == 8
+    assert engine.length(["butterflies", "honeybees"]) == 16
+    assert engine.length() == 16
+    st = {r["series"]: r["length"] for r in engine.stats().collect()}
+    assert st == {"butterflies": 8, "honeybees": 8}
+
+
+def test_no_dedup_on_reingest(engine):
+    # Q6: re-POSTing duplicates
+    engine.write("s", [{"timestamp": 1, "value": 5}])
+    engine.write("s", [{"timestamp": 1, "value": 5}])
+    assert engine.length(["s"]) == 2
+
+
+def test_delete_range_precise(engine):
+    engine.write("butterflies", WIRE_BUTTERFLIES)
+    engine.delete(["butterflies"], 1439856000000000, 1439856360000000)
+    assert engine.length(["butterflies"]) == 4
+    remaining = {r["ts"] for r in engine.points(["butterflies"]).collect()}
+    assert min(remaining) > 1439856360000000
+
+
+def test_delete_tag_filtered_vs_compat(engine):
+    engine.write("butterflies", WIRE_BUTTERFLIES)
+    # precise: only perpetua points at T0 go
+    engine.delete(
+        ["butterflies"],
+        1439856000000000,
+        1439856000000000,
+        tag_names=["scientist"],
+        tag_values=["perpetua"],
+    )
+    assert engine.length(["butterflies"]) == 7
+
+
+def test_delete_compat_membership(engine):
+    engine.write("butterflies", WIRE_BUTTERFLIES)
+    engine.delete(
+        ["butterflies"],
+        1439856000000000,
+        1439856000000000,
+        tag_names=["scientist"],
+        tag_values=["perpetua"],
+        compat_membership=True,
+    )
+    # Q2: the same-ts langstroth point dies too
+    assert engine.length(["butterflies"]) == 6
+
+
+def test_delete_does_not_touch_other_series(engine):
+    engine.write("butterflies", WIRE_BUTTERFLIES)
+    engine.write("honeybees", [{"timestamp": t, "value": v} for (_, t, _, v) in HONEYBEES])
+    engine.delete(["butterflies"], 0)
+    assert engine.length(["butterflies"]) == 0
+    assert engine.length(["honeybees"]) == 8
+
+
+def test_compaction_invariance(engine):
+    engine.write("butterflies", WIRE_BUTTERFLIES[:4])
+    engine.write("butterflies", WIRE_BUTTERFLIES[4:])
+    before = sorted(
+        (r["series"], r["ts"], r["value"]) for r in engine.points().collect()
+    )
+    engine.compact()
+    after = sorted(
+        (r["series"], r["ts"], r["value"]) for r in engine.points().collect()
+    )
+    assert before == after
+
+
+def test_index_manifest(engine):
+    engine.write("butterflies", WIRE_BUTTERFLIES)
+    idx = engine.index(["butterflies"]).collect()
+    assert engine.index_length(["butterflies"]) == len(idx)
+    assert sum(r["n"] for r in idx) == 8
+    assert min(r["t_min"] for r in idx) == 1439856000000000
+    assert max(r["t_max"] for r in idx) == 1439878320000000

@@ -1,0 +1,204 @@
+"""Semantics-pinning tests for SURVEY.md §2 Part A operators, using the
+reference's own fixture data (butterflies/honeybees)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nibbledb_spark.operators import timeseries as ts
+
+T0 = 1439856000000000
+T1 = 1439856360000000
+T2 = 1439877240000000
+T3 = 1439877600000000
+T4 = 1439877960000000
+T5 = 1439878320000000
+
+
+def rows(df):
+    return [(r["series"], r["ts"], r["value"]) for r in df.collect()]
+
+
+# -- scans -------------------------------------------------------------------
+
+
+def test_last_n_per_series_limit(fixture_points):
+    # Q4: k ids => up to n*k points (per-series limit, not global)
+    out = ts.last_n(fixture_points, ["butterflies", "honeybees"], 3)
+    got = rows(out)
+    assert len(got) == 6
+    # globally sorted desc(ts)
+    assert [t for (_, t, _) in got] == sorted([t for (_, t, _) in got], reverse=True)
+    assert {s for (s, _, _) in got} == {"butterflies", "honeybees"}
+
+
+def test_last_n_single_series(fixture_points):
+    got = rows(ts.last_n(fixture_points, ["butterflies"], 2))
+    assert got == [("butterflies", T5, 7.0), ("butterflies", T4, 8.0)]
+
+
+def test_latest_earliest(fixture_points):
+    assert rows(ts.latest(fixture_points, ["butterflies"])) == [
+        ("butterflies", T5, 7.0)
+    ]
+    # earliest with same-ts collision: canonical order picks min value
+    assert rows(ts.earliest(fixture_points, ["butterflies"])) == [
+        ("butterflies", T0, 1.0)
+    ]
+
+
+def test_first_n_sorted_asc(fixture_points):
+    got = rows(ts.first_n(fixture_points, ["honeybees"], 3))
+    assert [t for (_, t, _) in got] == [T0, T0, T1]
+
+
+def test_since_inclusive(fixture_points):
+    got = rows(ts.since(fixture_points, ["butterflies"], T3))
+    assert [t for (_, t, _) in got] == [T5, T4, T3]  # T3 inclusive
+
+
+def test_range_both_bounds_inclusive(fixture_points):
+    got = rows(ts.time_range(fixture_points, ["butterflies"], T1, T4))
+    assert {t for (_, t, _) in got} == {T1, T2, T3, T4}
+
+
+def test_multi_series_union(fixture_points):
+    got = rows(ts.since(fixture_points, ["butterflies", "honeybees"], T4))
+    assert len(got) == 4  # 2 per series
+    assert [t for (_, t, _) in got] == [T5, T5, T4, T4]
+
+
+# -- tag filters --------------------------------------------------------------
+
+
+def test_tag_equals(fixture_points):
+    sel = ts.tag_filter(
+        fixture_points.where("series = 'butterflies'"), ["scientist"], ["perpetua"]
+    )
+    assert sorted(v for (_, _, v) in rows(sel)) == [1.0, 3.0, 7.0, 8.0]
+
+
+def test_tag_contains(fixture_points):
+    sel = ts.tag_filter(
+        fixture_points.where("series = 'butterflies'"),
+        ["scientist"],
+        ["lang"],
+        mode="contains",
+    )
+    assert sorted(v for (_, _, v) in rows(sel)) == [1.0, 2.0, 11.0, 12.0]
+
+
+def test_tag_or_within_name(fixture_points):
+    # A15: same name repeated => OR
+    sel = ts.tag_filter(
+        fixture_points.where("series = 'butterflies'"),
+        ["scientist", "scientist"],
+        ["langstroth", "perpetua"],
+    )
+    assert sel.count() == 8
+
+
+def test_tag_and_across_names(fixture_points):
+    # A15: different names => AND
+    sel = ts.tag_filter(
+        fixture_points.where("series = 'butterflies'"),
+        ["location", "scientist"],
+        ["2", "perpetua"],
+    )
+    assert sorted(v for (_, _, v) in rows(sel)) == [7.0, 8.0]
+
+
+def test_tag_missing_name_drops_points(fixture_points, spark):
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    extra = spark.createDataFrame([("butterflies", T0, None, 99.0)], POINT_SCHEMA)
+    sel = ts.tag_filter(
+        fixture_points.unionByName(extra), ["scientist"], ["perpetua"]
+    )
+    assert 99.0 not in {v for (_, _, v) in rows(sel)}
+
+
+def test_tag_count_mismatch_rejected():
+    with pytest.raises(ValueError):
+        ts.tag_predicate(["a", "b"], ["1"])
+
+
+# -- aggregates ----------------------------------------------------------------
+
+
+def test_all_aggregates(fixture_points):
+    b = fixture_points.where("series = 'butterflies'")
+    assert ts.aggregate_result(b, "sum") == {"sum": 45.0}
+    assert ts.aggregate_result(b, "count") == {"count": 8.0}  # Q8: float
+    assert ts.aggregate_result(b, "max") == {"max": 12.0}
+    assert ts.aggregate_result(b, "min") == {"min": 1.0}
+    assert ts.aggregate_result(b, "mean") == {"mean": 5.625}
+    med = ts.aggregate_result(b, "median")["median"]
+    assert med == 5.0  # values 1,1,2,3,7,8,11,12 -> (3+7)/2
+    sd = ts.aggregate_result(b, "sd")["sd"]
+    assert sd == pytest.approx(4.18143, abs=1e-4)  # population sd
+
+
+def test_sd_population_semantics(spark):
+    # A21 fixture: [2,4,9] sample sd=3.6056, population sd=2.9439.
+    # Pinned: population (Oml.Statistics.Descriptive.sd is biased /n).
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    df = spark.createDataFrame(
+        [("s", 1, None, 2.0), ("s", 2, None, 4.0), ("s", 3, None, 9.0)], POINT_SCHEMA
+    )
+    assert ts.aggregate_result(df, "sd")["sd"] == pytest.approx(2.94392, abs=1e-5)
+
+
+def test_empty_selection_shapes(fixture_points):
+    # Q9/A24: {} for max/min/mean/sd/median; sum=0, count=0
+    empty = fixture_points.where("series = 'nope'")
+    assert ts.aggregate_result(empty, "max") == {}
+    assert ts.aggregate_result(empty, "median") == {}
+    assert ts.aggregate_result(empty, "sum") == {"sum": 0.0}
+    assert ts.aggregate_result(empty, "count") == {"count": 0.0}
+
+
+def test_union_aggregate_across_series(fixture_points):
+    # A33: aggregates computed over the multi-series union
+    got = ts.aggregate_result(
+        ts.for_series(fixture_points, ["butterflies", "honeybees"]), "sum"
+    )
+    assert got == {"sum": 45.0 + 181.0}
+
+
+def test_filtered_aggregate(fixture_points):
+    # A23 documented semantics: true equality + aggregate
+    sel = ts.tag_filter(
+        ts.for_series(fixture_points, ["butterflies"]), ["scientist"], ["langstroth"]
+    )
+    assert ts.aggregate_result(sel, "sum") == {"sum": 26.0}
+
+
+# -- delete (predicate level) ---------------------------------------------------
+
+
+def test_delete_rows_precise(fixture_points):
+    pred = ts.delete_predicate(["butterflies"], T4, None, ["scientist"], ["perpetua"])
+    surv = ts.delete_rows(fixture_points, pred)
+    assert surv.count() == 14  # drops exactly the 2 perpetua points >= T4
+
+
+def test_compat_delete_membership(fixture_points, spark):
+    # Q2: same-ts point NOT matching the tag filter is also deleted
+    pred = ts.delete_predicate(["butterflies"], T0, T0, ["scientist"], ["perpetua"])
+    victims = ts.compat_delete_victims(fixture_points, pred)
+    # both T0 butterflies points share the timestamp -> both are victims
+    assert victims.where("series = 'butterflies'").count() == 2
+
+
+# -- metadata -------------------------------------------------------------------
+
+
+def test_names_and_stats(fixture_points):
+    assert [r["series"] for r in ts.series_names(fixture_points).collect()] == [
+        "butterflies",
+        "honeybees",
+    ]
+    st = {r["series"]: r["length"] for r in ts.stats(fixture_points).collect()}
+    assert st == {"butterflies": 8, "honeybees": 8}
