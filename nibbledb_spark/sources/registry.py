@@ -37,14 +37,22 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 def points_from_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """events.parquet -> canonical points schema.
 
-    ts is cast to epoch µs on read (events.ts is ns in the file; Spark
-    truncates to µs — declared oracle queries cast identically on the
-    DuckDB side, see FIXTURES.md timestamp caution).
+    ts is cast to epoch µs on read. events.ts is TIMESTAMP(NANOS) in the
+    file; with ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as
+    int64 ns and we floor-divide to µs — the same truncation DuckDB's
+    µs-precision TIMESTAMP applies at scan (FIXTURES.md timestamp caution).
     """
     ev = load_table(spark, "events", sf_dir)
+    ts_type = dict(ev.dtypes)["ts"]
+    # integer div: ns epoch > 2^53 would lose precision through a double
+    ts_us = (
+        F.expr("CAST(ts div 1000 AS BIGINT)")
+        if ts_type == "bigint"
+        else F.unix_micros(F.col("ts"))
+    )
     return ev.select(
         F.col("event_type").alias("series"),
-        F.unix_micros(F.col("ts")).alias("ts"),
+        ts_us.alias("ts"),
         F.from_json(F.col("props"), "map<string,string>").alias("tag"),
         F.col("value").alias("value"),
     )

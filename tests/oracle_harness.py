@@ -1,0 +1,111 @@
+"""Local mimic of the driver's DuckDB-oracle differential check.
+
+For each name in ``__spark_entry__.queries()``: run the Spark query at
+sf0.01, run the matching ``oracle_sql()`` on DuckDB over the same
+parquet tables, and compare row count + column names + an
+order-insensitive multiset of stringified rows (columns sorted by name,
+like the driver). Exact value match — stricter than any plausible
+driver canonicalization, so passing here is the safe side.
+
+Usage:  python tests/oracle_harness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from collections import Counter
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _canon_value(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0.0:
+            return "0"  # normalize -0.0
+        # repr round-trips doubles exactly; bit-identical values match
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_value(v[k])}" for k in sorted(v)) + "}"
+    return str(v)
+
+
+def canon_rows(columns: list[str], rows: list[tuple]) -> Counter:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return Counter(
+        "\x1f".join(_canon_value(row[i]) for i in order) for row in rows
+    )
+
+
+def run_duckdb(sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def compare(name: str, spark, queries, oracles) -> tuple[bool, str]:
+    sdf = queries[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in oracles:
+        return True, f"rows-only ({len(srows)} rows, no oracle declared)"
+    ocols, orows = run_duckdb(oracles[name])
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"row count spark={len(srows)} duckdb={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
+    if not problems:
+        sc, oc = canon_rows(scols, srows), canon_rows(ocols, orows)
+        if sc != oc:
+            only_s = list((sc - oc).keys())[:3]
+            only_o = list((oc - sc).keys())[:3]
+            problems.append(f"values differ; spark-only={only_s} duckdb-only={only_o}")
+    if problems:
+        return False, "; ".join(problems)
+    return True, f"match ({len(srows)} rows)"
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from nibbledb_spark.session import get_spark
+
+    spark = get_spark("oracle_harness", shuffle_partitions=8)
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    names = sys.argv[1:] or list(queries)
+    failed = []
+    for name in names:
+        try:
+            ok, msg = compare(name, spark, queries, oracles)
+        except Exception as exc:  # noqa: BLE001
+            ok, msg = False, f"EXCEPTION {type(exc).__name__}: {exc}"
+        status = "OK  " if ok else "FAIL"
+        print(f"{status} {name}: {msg}")
+        if not ok:
+            failed.append(name)
+    print(f"\n{len(names) - len(failed)}/{len(names)} matched")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
