@@ -445,3 +445,483 @@ def date_trunc_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (shuffle dedup)."""
     return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Part B — batch 2: full capability matrix
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "scan_checksum",
+    """
+SELECT COUNT(*) AS n_rows,
+       SUM(l_orderkey) AS key_sum,
+       CAST(MIN(epoch_us(l_shipdate)) AS BIGINT) AS min_ship_us,
+       CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
+FROM lineitem
+""",
+)
+def scan_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File source sanity: full-scan count + integer checksum."""
+    li = _t(spark, sf_dir, "lineitem")
+    # l_shipdate is TIMESTAMP_NTZ; session tz is pinned UTC so the cast
+    # to TIMESTAMP is wall-clock-identical and epoch_us matches DuckDB
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_orderkey").alias("key_sum"),
+        F.unix_micros(F.min("l_shipdate").cast("timestamp")).alias("min_ship_us"),
+        F.unix_micros(F.max("l_shipdate").cast("timestamp")).alias("max_ship_us"),
+    )
+
+
+@declared(
+    "join_lineitem_orders_smj",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_lineitem_orders_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large sort-merge join (merge hint pins SMJ so the plan is
+    the one a 100 TB run would pick — both sides too big to broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev.cast("decimal(25,6)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@declared(
+    "join_lineitem_part_broadcast",
+    """
+SELECT p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def join_lineitem_part_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim broadcast join: part ships to every executor, no shuffle
+    of the big side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("gross"),
+        )
+    )
+
+
+@declared(
+    "join_theta_nation_region",
+    """
+SELECT n_name, r_name FROM nation, region WHERE n_regionkey <> r_regionkey
+""",
+)
+def join_theta_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join via nested-loop over two tiny dims."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.crossJoin(r).where(F.col("n_regionkey") != F.col("r_regionkey")).select(
+        "n_name", "r_name"
+    )
+
+
+@declared(
+    "join_outer_order_histogram",
+    """
+SELECT n_orders, COUNT(*) AS n_customers FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY n_orders
+""",
+)
+def join_outer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving order-less customers (n_orders = 0)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@declared(
+    "join_semi_customers_with_orders",
+    """
+SELECT COUNT(*) AS n_customers FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+@declared(
+    "range_join_shipped_90d",
+    """
+SELECT o_orderstatus, COUNT(*) AS n_shipped
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderstatus
+""",
+)
+def range_join_shipped_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: equi key + time-band predicate (hash join + band
+    filter — linear in matches, never |L|x|R|)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_shipped"))
+    )
+
+
+@declared(
+    "asof_last_purchase_before_click",
+    """
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, p.ts AS last_purchase_ts
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+""",
+)
+def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every click, the most recent purchase ts (<=) by
+    the same user — union + last(ignoreNulls) window, one shuffle."""
+    from nibbledb_spark.operators.asof import asof_join
+    from nibbledb_spark.sources.registry import points_from_events
+
+    ev = points_from_events(spark, sf_dir).withColumn(
+        "event_id", F.lit(None).cast("long")
+    )
+    # rebuild with event_id from the raw table (points view drops it)
+    raw = _t(spark, sf_dir, "events")
+    ts_us = F.expr("CAST(ts div 1000 AS BIGINT)")
+    clicks = raw.where(F.col("event_type") == "click").select(
+        "user_id", ts_us.alias("ts"), "event_id"
+    )
+    purchases = raw.where(F.col("event_type") == "purchase").select(
+        "user_id", ts_us.alias("ts")
+    )
+    joined = asof_join(
+        clicks, purchases, ["user_id"], value_cols=["ts"], suffix="_p"
+    )
+    return joined.select("event_id", F.col("ts_p").alias("last_purchase_ts"))
+
+
+@declared(
+    "rollup_customers_region_nation",
+    """
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def rollup_customers_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: (region, nation) -> (region) -> grand total."""
+    c = _t(spark, sf_dir, "customer").select("c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@declared(
+    "cube_orders_status_priority",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube: all 4 grouping-set combinations."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@declared(
+    "grouping_sets_revenue",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@declared(
+    "count_distinct_customers",
+    """
+SELECT COUNT(DISTINCT o_custkey) AS n_custkeys, COUNT(*) AS n_orders FROM orders
+""",
+)
+def count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct (expand + two-phase agg in Spark)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@declared("approx_distinct_parts")  # APPROX class: rows-only check, no oracle
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct; validated against the exact count with
+    a 5% relative bound (tests/test_queries.py), never hash-matched."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+
+
+@declared(
+    "moving_avg_7d",
+    """
+WITH daily AS (
+  SELECT event_type AS series, STRFTIME(ts, '%Y-%m-%d') AS day,
+         SUM(CAST(value AS DECIMAL(25,6))) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT series, day,
+       CAST(SUM(total) OVER w AS DOUBLE) / COUNT(total) OVER w AS avg_7d
+FROM daily
+WINDOW w AS (PARTITION BY series ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate window frame: 7-day moving average of daily totals.
+    Decimal inside the frame => association-order-independent exactness
+    (DuckDB's segment-tree window sums would drift on doubles)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.timestamp_micros(F.expr("CAST(ts div 1000 AS BIGINT)")), "yyyy-MM-dd")
+    daily = (
+        ev.groupBy(F.col("event_type").alias("series"), day.alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("total"))
+    )
+    w = Window.partitionBy("series").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "series",
+        "day",
+        (F.sum("total").over(w).cast("double") / F.count("total").over(w)).alias(
+            "avg_7d"
+        ),
+    )
+
+
+@declared(
+    "setop_intersect",
+    """
+SELECT COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey FROM orders
+)
+""",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: building-segment customers who placed orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    ordered = o.select(F.col("o_custkey").alias("k"))
+    return building.intersect(ordered).agg(F.count("*").alias("n"))
+
+
+@declared(
+    "setop_except",
+    """
+SELECT COUNT(*) AS n FROM (
+  SELECT c_custkey FROM customer
+  EXCEPT
+  SELECT o_custkey FROM orders
+)
+""",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who never ordered (set difference)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.select(F.col("c_custkey").alias("k"))
+        .exceptAll(o.select(F.col("o_custkey").alias("k")).distinct())
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@declared(
+    "string_funcs_part",
+    """
+SELECT p_partkey,
+       REGEXP_EXTRACT(p_type, '^(\\w+)', 1) AS type_head,
+       LOWER(p_brand) AS brand_lower,
+       LENGTH(p_name) AS name_len,
+       SUBSTRING(p_name, 1, 5) AS name_head,
+       CONCAT(p_brand, ':', p_type) AS brand_type
+FROM part WHERE p_size >= 40
+""",
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function catalog: regexp/lower/length/substr/concat."""
+    p = _t(spark, sf_dir, "part")
+    return p.where(F.col("p_size") >= 40).select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@declared(
+    "math_funcs_lineitem",
+    """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_quantity - 25) AS qty_dev,
+       SQRT(l_quantity) AS qty_sqrt,
+       ROUND(LN(l_extendedprice), 9) AS price_ln,
+       l_discount * l_discount AS disc_sq,
+       CAST(FLOOR(l_tax * 100) AS BIGINT) AS tax_pct,
+       CAST(CEIL(l_quantity / 10) AS BIGINT) AS qty_decile
+FROM lineitem WHERE l_orderkey < 200
+""",
+)
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math catalog: abs/sqrt/ln/floor/ceil (sqrt is IEEE-exact; ln
+    rounded to absorb last-ulp libm differences)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") < 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 9).alias("price_ln"),
+        (F.col("l_discount") * F.col("l_discount")).alias("disc_sq"),
+        F.floor(F.col("l_tax") * 100).alias("tax_pct"),
+        F.ceil(F.col("l_quantity") / 10).alias("qty_decile"),
+    )
+
+
+@declared(
+    "json_map_events",
+    """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
+""",
+)
+def json_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON + map functions: parse props, extract, cast, filter."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        ev.select(
+            "event_id",
+            k.alias("k_str"),
+            k.cast("int").alias("k_int"),
+        )
+        .where(F.col("k_int") >= 95)
+    )
+
+
+@declared(
+    "pivot_events_weekday",
+    """
+SELECT CAST(isodow(ts) - 1 AS INTEGER) AS weekday,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+FROM events GROUP BY 1
+""",
+)
+def pivot_events_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts by weekday x type (missing combos => 0)."""
+    ev = _t(spark, sf_dir, "events")
+    wd = F.weekday(F.timestamp_micros(F.expr("CAST(ts div 1000 AS BIGINT)")))
+    out = (
+        ev.groupBy(wd.alias("weekday"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .count()
+    )
+    return out.select(
+        "weekday",
+        F.coalesce("click", F.lit(0)).alias("click"),
+        F.coalesce("view", F.lit(0)).alias("view"),
+        F.coalesce("purchase", F.lit(0)).alias("purchase"),
+    )
+
+
+@declared(
+    "mad_per_series",
+    _POINTS_CTE + "SELECT series, MAD(value) AS mad FROM points GROUP BY series",
+)
+def mad_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation grouped UDAF via applyInPandas (the
+    Arrow-batched slow path — the only Python in the declared set)."""
+    import pandas as pd
+
+    pts = points_from_events(spark, sf_dir).select("series", "value")
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["value"].median()
+        return pd.DataFrame(
+            {"series": [pdf["series"].iloc[0]], "mad": [(pdf["value"] - med).abs().median()]}
+        )
+
+    return pts.groupBy("series").applyInPandas(mad, schema="series string, mad double")
