@@ -1,0 +1,118 @@
+"""Multimodal column plumbing (SURVEY.md §2 Part C).
+
+Media (image/audio/video) rides as opaque ``binary`` payload columns
+with a typed metadata struct. The Spark-side plumbing — schema,
+partition sizing, Arrow batch shape through ``mapInPandas`` — is real
+and tested; the actual codec work is stubbed (decode libs are not in
+this container) behind ``NotImplementedError`` or a clearly-marked
+deterministic fake so the pipeline shape can be exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# canonical media schema: payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURES_SCHEMA = "media_id long, kind string, feature array<float>"
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decoder entry point — image libs are not in this container.
+
+    STUB: raises. Swap in PIL/torchvision decode on a real cluster.
+    """
+    raise NotImplementedError("image decode requires codec libs not in this image")
+
+
+def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a learned embedding: bytes -> sha256
+    stream -> dim floats in [-1, 1). Keeps the distributed plumbing and
+    batch shapes real while the codec is stubbed."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.sha256(payload + counter.to_bytes(4, "big")).digest()
+        for i in range(0, 32, 4):
+            if len(out) >= dim:
+                break
+            v = int.from_bytes(h[i : i + 4], "big")
+            out.append((v / 2**32) * 2.0 - 1.0)
+        counter += 1
+    return out
+
+
+def extract_features(media: DataFrame, *, batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — the shape a real image/audio encoder plugs into.
+    Each batch is a pandas DataFrame; the UDF returns (media_id, kind,
+    feature[FEATURE_DIM])."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": [
+                        _fake_feature(bytes(p)) if p is not None else None
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=_FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plan: one output row per sampled frame
+    timestamp, derived from meta.duration_ms — the decode itself is
+    stubbed, the row explosion (the part that matters for partition
+    sizing at scale) is real."""
+    n_frames = (F.col("meta.duration_ms") / every_ms).cast("int")
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            (F.col("frame_idx") * every_ms).alias("frame_ts_ms"),
+        )
+    )
+
+
+def payload_fingerprint(media: DataFrame) -> DataFrame:
+    """Exact binary fingerprint (md5 of payload) — dedup key for media."""
+    return media.select(
+        "media_id", "kind", F.md5(F.col("payload")).alias("payload_fp")
+    )

@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2
+Part C): tokenization, quality scoring, language-ID heuristic, document
+fingerprinting.
+
+All hot paths are JVM-side array/string expressions (split / transform /
+aggregate) — no Python UDFs — so they codegen and scale linearly with
+executors. Every function is deterministic so results are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# whitespace tokenization — the engine's canonical token stream
+TOKEN_RE = r"\s+"
+
+# tiny per-language marker inventories for the lang-id heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+# deterministic preference order for score ties
+LANG_ORDER = ("en", "de", "fr", "es")
+
+STOPWORDS = LANG_MARKERS["en"] + ("to", "in", "that", "it", "for")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace token array."""
+    return F.split(F.col(col) if isinstance(col, str) else col, TOKEN_RE)
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: counts, distinct counts, mean token
+    length (exact integer ratios -> deterministic doubles)."""
+    w = tokens(text_col)
+    n = F.size(w)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_uniq_tokens"),
+        (
+            F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / n
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: type-token ratio, stopword ratio, and a
+    blended score. The formula is fixed and documented so downstream
+    filters are reproducible."""
+    w = tokens(text_col)
+    n = F.size(w)
+    uniq_ratio = F.size(F.array_distinct(w)).cast("double") / n
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (uniq_ratio * 0.5 + stop_ratio * 0.5).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic. CJK codepoints force ``zh``;
+    otherwise the language with the most marker hits wins, ties broken
+    by the fixed LANG_ORDER. Deterministic by construction."""
+    w = tokens(text_col)
+
+    # NB: higher-order-function lambdas must have exactly one parameter —
+    # PySpark binds a Column per named parameter (a default like
+    # ``m=markers`` would silently receive the element index).
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    best = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = [scores[o] for o in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]]
+        cond = None
+        for o in later:
+            c = scores[lang] >= o
+            cond = c if cond is None else (cond & c)
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+    return docs.select(
+        "doc_id", F.when(has_cjk, F.lit("zh")).otherwise(best).alias("lang_pred")
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: exact (md5 of raw text) and content (md5 of
+    the sorted distinct token set — invariant to word order/repetition).
+    The content fingerprint is the key for order-insensitive exact dedup."""
+    w = tokens(text_col)
+    return docs.select(
+        "doc_id",
+        F.md5(F.col(text_col).cast("binary")).alias("exact_fp"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(w))).cast("binary")
+        ).alias("content_fp"),
+    )

@@ -925,3 +925,330 @@ def mad_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return pts.groupBy("series").applyInPandas(mad, schema="series string, mad double")
+
+
+# ---------------------------------------------------------------------------
+# Part C — LLM-data-pipeline extensions (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+# DuckDB-side helpers mirrored from operators/text.py + operators/dedup.py.
+_TOKS = "string_split_regex(text, '\\s+')"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(w)-1), i -> w[i]||' '||w[i+1]||' '||w[i+2]))"
+)
+_STOPWORDS_SQL = "('the','a','of','and','is','to','in','that','it','for')"
+
+
+@declared(
+    "text_token_stats",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(list_distinct(w)) AS n_uniq_tokens,
+       CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_token_len
+FROM t
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over the documents table (JVM array expressions)."""
+    from nibbledb_spark.operators.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+@declared(
+    "text_quality",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
+       CAST(len(list_filter(w, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(w) AS stopword_ratio,
+       (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5
+         + (CAST(len(list_filter(w, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(w)) * 0.5
+         AS quality_score
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: type-token ratio + stopword ratio blend."""
+    from nibbledb_spark.operators.text import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(lang: str) -> str:
+    from nibbledb_spark.operators.text import LANG_MARKERS
+
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(w, x -> x IN ({markers})))"
+
+
+@declared(
+    "text_lang_id",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
+SELECT doc_id,
+       CASE
+         WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         WHEN {_lang_score_sql('en')} >= {_lang_score_sql('de')}
+          AND {_lang_score_sql('en')} >= {_lang_score_sql('fr')}
+          AND {_lang_score_sql('en')} >= {_lang_score_sql('es')} THEN 'en'
+         WHEN {_lang_score_sql('de')} >= {_lang_score_sql('fr')}
+          AND {_lang_score_sql('de')} >= {_lang_score_sql('es')} THEN 'de'
+         WHEN {_lang_score_sql('fr')} >= {_lang_score_sql('es')} THEN 'fr'
+         ELSE 'es'
+       END AS lang_pred
+FROM t
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language-ID heuristic (deterministic argmax)."""
+    from nibbledb_spark.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@declared(
+    "text_fingerprints",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
+SELECT doc_id,
+       md5(text) AS exact_fp,
+       md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS content_fp
+FROM t
+""",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + order-invariant content fingerprints."""
+    from nibbledb_spark.operators.text import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@declared(
+    "dedup_exact",
+    """
+SELECT md5(text) AS dup_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one winner per md5(text) group (hash shuffle, not
+    payload shuffle)."""
+    from nibbledb_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), ["text"])
+
+
+@declared(
+    "dedup_content",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents)
+SELECT md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS dup_key,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM t GROUP BY 1
+""",
+)
+def dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive dedup on the content fingerprint."""
+    from nibbledb_spark.operators.text import fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        fingerprints(docs)
+        .groupBy(F.col("content_fp").alias("dup_key"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _sig_sql(num_hashes: int = 8) -> str:
+    mins = ", ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{j}:'||x)), 'min')"
+        for j in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+@declared(
+    "minhash_signatures",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t)
+SELECT doc_id, {_sig_sql()} AS sig FROM sh
+""",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signatures (md5-portable, no explode/shuffle)."""
+    from nibbledb_spark.operators.dedup import minhash_signature, shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", minhash_signature(shingles("text")).alias("sig")
+    )
+
+
+def _lsh_pairs_sql() -> str:
+    bands = ", ".join(
+        f"md5(sig[{2*b+1}]||'|'||sig[{2*b+2}])" for b in range(4)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+sig AS (SELECT doc_id, s, {_sig_sql()} AS sig FROM sh),
+bands AS (
+  SELECT doc_id, u.b, [{bands}][u.b + 1] AS bucket
+  FROM sig, (SELECT unnest([0,1,2,3]) AS b) u
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT c.id1, c.id2,
+       CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+         / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) AS jaccard
+FROM cand c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id
+WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+         / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) >= 0.8
+"""
+
+
+@declared("lsh_near_dup_pairs", _lsh_pairs_sql())
+def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: band-bucket candidates + exact
+    Jaccard verify on candidates only (never all-pairs). The md5-based
+    signatures make the whole pipeline deterministic, so the oracle
+    replicates it exactly."""
+    from nibbledb_spark.operators.dedup import near_dup_pairs_minhash
+
+    return near_dup_pairs_minhash(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM t)
+SELECT doc_id, {votes} AS simhash FROM h GROUP BY doc_id
+"""
+
+
+@declared("simhash_docs", _simhash_sql())
+def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (md5-derived token hashes, signed bit
+    votes — single pass, engine-portable)."""
+    from nibbledb_spark.operators.dedup import simhash_docs
+
+    return simhash_docs(_t(spark, sf_dir, "documents"))
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Explicit left-assoc sum chain == Spark's F.aggregate left fold."""
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return f"({terms})"
+
+
+@declared(
+    "embed_norms",
+    f"""
+SELECT vec_id, len(embedding) AS dim,
+       SQRT({_dot_sql('embedding', 'embedding')}) AS l2_norm
+FROM embeddings
+""",
+)
+def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over embeddings: dimension + L2 norm (left-fold
+    double arithmetic, bit-reproducible)."""
+    from nibbledb_spark.operators.similarity import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        l2_norm(F.col("embedding")).alias("l2_norm"),
+    )
+
+
+@declared(
+    "embed_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv')} / (SQRT({_dot_sql('qv', 'qv')}) * SQRT({_dot_sql('cv', 'cv')})) AS cos_sim
+  FROM c, q WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+""",
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k cosine: broadcast queries, no corpus
+    shuffle, per-partition partial top-k."""
+    from nibbledb_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.where(F.col("vec_id") < 5), 3)
+
+
+@declared(
+    "embed_near_dup_pairs",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       {_dot_sql('a.embedding', 'b.embedding')}
+         / (SQRT({_dot_sql('a.embedding', 'a.embedding')})
+            * SQRT({_dot_sql('b.embedding', 'b.embedding')})) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_dot_sql('a.embedding', 'b.embedding')}
+         / (SQRT({_dot_sql('a.embedding', 'a.embedding')})
+            * SQRT({_dot_sql('b.embedding', 'b.embedding')})) >= 0.4
+""",
+)
+def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold (brute-force
+    baseline; srp_topk is the LSH-bucketed scale path)."""
+    from nibbledb_spark.operators.similarity import near_dup_pairs_cosine
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return near_dup_pairs_cosine(e, 0.4)
+
+
+@declared("srp_ann_topk")  # APPROX class: rows-only; recall checked in pytest
+def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via signed-random-projection buckets (scale path)."""
+    from nibbledb_spark.operators.similarity import srp_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return srp_topk(e, e.where(F.col("vec_id") < 5), 3, dim=64)
+
+
+@declared(
+    "multimodal_payload_fp",
+    "SELECT doc_id AS media_id, 'text' AS kind, md5(text) AS payload_fp FROM documents",
+)
+def multimodal_payload_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: documents.text as an opaque binary payload
+    -> md5 fingerprint (the media dedup key)."""
+    from nibbledb_spark.operators.multimodal import payload_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return payload_fingerprint(media)

@@ -1,0 +1,155 @@
+"""Part C extension operators: dedup / similarity / text / multimodal
+invariants that the SQL oracle can't express (recall bounds, plumbing
+shapes, stub behavior)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_keeps_one_per_group(spark, docs):
+    from nibbledb_spark.operators.dedup import exact_dedup
+
+    doubled = docs.unionByName(docs)  # every doc duplicated
+    out = exact_dedup(doubled, ["text"])
+    assert out.count() == docs.count()
+    assert out.agg(F.max("n_copies")).collect()[0][0] == 2
+    # keep_id is the min doc_id of each group
+    assert out.agg(F.min("keep_id")).collect()[0][0] == 0
+
+
+def test_minhash_identical_docs_same_signature(spark, docs):
+    from nibbledb_spark.operators.dedup import minhash_signature, shingles
+
+    sig = docs.select(
+        "doc_id", minhash_signature(shingles("text")).alias("sig")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    same_text = (
+        docs.alias("x")
+        .join(docs.alias("y"), F.expr("x.text = y.text AND x.doc_id < y.doc_id"))
+        .select(F.col("x.doc_id").alias("id1"), F.col("y.doc_id").alias("id2"))
+    )
+    mismatched = (
+        same_text.join(a, F.col("id1") == F.col("a.doc_id"))
+        .join(b, F.col("id2") == F.col("b.doc_id"))
+        .where(F.col("a.sig") != F.col("b.sig"))
+    )
+    assert mismatched.count() == 0
+
+
+def test_lsh_finds_planted_near_dups(spark):
+    # sf0.01 documents contain 25 planted pairs with 3-gram jaccard >= 0.8;
+    # the deterministic md5 minhash + 4x2 banding must recover all of them
+    from nibbledb_spark.operators.dedup import near_dup_pairs_minhash
+
+    docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = near_dup_pairs_minhash(docs01, threshold=0.8)
+    assert pairs.count() == 25
+
+
+def test_simhash_near_dups_close_hamming(spark):
+    from nibbledb_spark.operators.dedup import near_dup_pairs_minhash, simhash_docs
+
+    docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = near_dup_pairs_minhash(docs01, threshold=0.8)
+    sh = simhash_docs(docs01)
+    a = sh.withColumnRenamed("doc_id", "id1").withColumnRenamed("simhash", "h1")
+    b = sh.withColumnRenamed("doc_id", "id2").withColumnRenamed("simhash", "h2")
+    joined = pairs.join(a, "id1").join(b, "id2")
+    ham = joined.select(
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("d")
+    )
+    # near-dup docs should agree on most simhash bits (32-bit hash)
+    assert ham.agg(F.max("d")).collect()[0][0] <= 8
+
+
+def test_srp_recall_against_exact(spark, embeddings):
+    from nibbledb_spark.operators.similarity import cosine_topk, srp_topk
+
+    q = embeddings.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(embeddings, q, 5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in srp_topk(
+            embeddings, q, 5, dim=64, n_planes=3, n_tables=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random vectors: 4 tables x 3 planes probe ~40% of the corpus; the
+    # planes are fixed so this recall is deterministic, not flaky
+    assert recall >= 0.3
+    # approx results are a subset of valid neighbors (sane ids, no self)
+    assert all(qid != nid for qid, nid in approx)
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark, embeddings):
+    from nibbledb_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(embeddings, embeddings.where(F.col("vec_id") == 0), 3).collect()
+    assert len(out) == 3
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    sims = [r["cos_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_multimodal_feature_plumbing(spark, docs):
+    from nibbledb_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        frame_sample,
+        payload_fingerprint,
+    )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(5000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    row = feats.first()
+    assert len(row["feature"]) == FEATURE_DIM
+    assert feats.count() == docs.count()
+    # deterministic: same payload -> same feature
+    f2 = extract_features(media).where(F.col("media_id") == row["media_id"]).first()
+    assert list(f2["feature"]) == list(row["feature"])
+
+    fp = payload_fingerprint(media)
+    assert fp.where(F.col("payload_fp").isNull()).count() == 0
+
+    video = media.withColumn("kind", F.lit("video"))
+    frames = frame_sample(video, every_ms=1000)
+    per_doc = frames.groupBy("media_id").count().agg(F.min("count"), F.max("count"))
+    lo, hi = per_doc.collect()[0]
+    assert lo == hi == 5  # 5000ms / 1000ms
+
+
+def test_decode_stub_raises(spark):
+    from nibbledb_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
