@@ -1252,3 +1252,85 @@ def multimodal_payload_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
     )
     return payload_fingerprint(media)
+
+
+# ---------------------------------------------------------------------------
+# STREAM-class window operators, declared on the batch frame (the stream
+# runs the identical plan; convergence is pinned in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+_US_HOUR = 3_600_000_000
+
+
+@declared(
+    "stream_tumbling_counts",
+    _POINTS_CTE
+    + f"""
+SELECT series,
+       (ts // {6 * _US_HOUR}) * {6 * _US_HOUR} AS window_start_us,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM points GROUP BY 1, 2
+""",
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6h windows: F.window() vs explicit epoch-floor math."""
+    from nibbledb_spark.streaming.ingest import windowed_counts
+
+    return windowed_counts(points_from_events(spark, sf_dir), "6 hours")
+
+
+@declared(
+    "stream_sliding_counts",
+    _POINTS_CTE
+    + f"""
+SELECT series, window_start_us, COUNT(*) AS n
+FROM (
+  SELECT series,
+         (ts // {_US_HOUR}) * {_US_HOUR} - u.j * {_US_HOUR} AS window_start_us
+  FROM points, (SELECT unnest([0, 1]) AS j) u
+)
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h size, 1h slide): every point lands in two
+    overlapping windows."""
+    pts = points_from_events(spark, sf_dir)
+    return (
+        pts.withColumn("__ts", F.timestamp_micros(F.col("ts")))
+        .groupBy("series", F.window("__ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("series", F.unix_micros(F.col("w.start")).alias("window_start_us"), "n")
+    )
+
+
+@declared(
+    "stream_session_windows",
+    _POINTS_CTE
+    + f"""
+, brk AS (
+  SELECT series, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > {_US_HOUR} THEN 1 ELSE 0 END AS is_new
+  FROM points
+  WINDOW w AS (PARTITION BY series ORDER BY ts)
+), sess AS (
+  SELECT series, ts,
+         SUM(is_new) OVER (PARTITION BY series ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM brk
+)
+SELECT series,
+       MIN(ts) AS session_start_us,
+       MAX(ts) + {_US_HOUR} AS session_end_us,
+       COUNT(*) AS n
+FROM sess GROUP BY series, sid
+""",
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (1h inactivity gap): F.session_window vs the
+    lag/gap-cumsum formulation."""
+    from nibbledb_spark.streaming.ingest import session_windows
+
+    return session_windows(points_from_events(spark, sf_dir), "1 hour")

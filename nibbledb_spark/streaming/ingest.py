@@ -1,0 +1,157 @@
+"""Streaming ingest: the Spark-native replacement for the reference's
+write buffer + flush machinery (SURVEY.md §3.1; reference src/membuf.re,
+src/timeseries.re:158-168).
+
+Mapping:
+
+- per-series FIFO buffer + size-triggered spill  ->  micro-batches
+  (``maxFilesPerTrigger`` / trigger interval control batch sizing)
+- explicit ``/ctl/ts/sync`` flush (A5)           ->  ``availableNow``
+  drain / ``processAllAvailable()``
+- overlap-merge compaction on spill (A4)         ->  engine.compact()
+  scheduled job; read results are invariant either way
+- late data: the reference accepts arbitrarily late points
+  (src/timeseries.re:119-156) — therefore the ingest path uses NO
+  watermark by default; windowed aggregations accept one explicitly.
+
+The sink is ``foreachBatch`` -> ``TimeSeriesEngine.append_points`` —
+the same bucket-partitioned store batch writes use, so batch and
+streaming ingest converge to identical state (the STREAM parity class
+convergence tests pin this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from nibbledb_spark.engine import TimeSeriesEngine
+
+# raw event schema of the driver's events table (ts as int64 ns — see
+# sources/registry.py on nanosAsLong)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_to_points(df: DataFrame) -> DataFrame:
+    """events wire shape -> canonical points (same mapping as the batch
+    reader so streaming and batch ingest are bit-identical)."""
+    return df.select(
+        F.col("event_type").alias("series"),
+        F.expr("CAST(ts div 1000 AS BIGINT)").alias("ts"),
+        F.from_json(F.col("props"), "map<string,string>").alias("tag"),
+        F.col("value").alias("value"),
+    )
+
+
+class StreamingIngest:
+    """File-source streaming ingest into a TimeSeriesEngine store."""
+
+    def __init__(self, engine: TimeSeriesEngine, checkpoint_dir: str) -> None:
+        self.engine = engine
+        self.checkpoint_dir = checkpoint_dir
+        self._query: StreamingQuery | None = None
+
+    def start_replay(
+        self,
+        source_dir: str,
+        *,
+        glob: str = "events.parquet",
+        max_files_per_trigger: int | None = None,
+        dedup: bool = False,
+    ) -> StreamingQuery:
+        """Replay parquet files through the streaming path (availableNow:
+        process everything then stop — the A5 'sync' semantics).
+
+        ``dedup=True`` enables streaming exact dedup on
+        (series, ts, value) — the opt-in extension; the reference never
+        deduplicates (quirk Q6), so default is off.
+        """
+        spark: SparkSession = self.engine.spark
+        reader = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", glob)
+        )
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        stream = events_to_points(reader.parquet(source_dir))
+        if dedup:
+            stream = stream.dropDuplicates(["series", "ts", "value"])
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            self.engine.append_points(batch_df)
+
+        self._query = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return self._query
+
+    def sync(self, timeout_s: float | None = None) -> None:
+        """A5: drain everything in flight (GET /ctl/ts/sync analogue)."""
+        if self._query is not None:
+            self._query.awaitTermination(timeout_s)
+
+
+def windowed_counts(
+    points: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling/sliding window aggregation over a points stream (or a
+    batch DataFrame — same plan, which is what the convergence tests
+    exploit). Emits (series, window_start_us, n, sum_value).
+
+    ``watermark`` bounds state for true streaming; None matches the
+    reference's accept-arbitrarily-late semantics.
+    """
+    ts_ts = F.timestamp_micros(F.col("ts"))
+    df = points.withColumn("__ts", ts_ts)
+    if watermark is not None:
+        df = df.withWatermark("__ts", watermark)
+    win = F.window(F.col("__ts"), window, slide) if slide else F.window(F.col("__ts"), window)
+    return (
+        df.groupBy(F.col("series"), win.alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "series",
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    points: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Session windows per series keyed by activity gaps."""
+    df = points.withColumn("__ts", F.timestamp_micros(F.col("ts")))
+    if watermark is not None:
+        df = df.withWatermark("__ts", watermark)
+    return (
+        df.groupBy(F.col("series"), F.session_window(F.col("__ts"), gap).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "series",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n",
+        )
+    )

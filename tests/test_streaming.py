@@ -1,0 +1,92 @@
+"""STREAM parity class: streaming result over a finite replayed input
+must equal the batch query on the same input (SURVEY.md §2 legend)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nibbledb_spark.engine import TimeSeriesEngine
+from nibbledb_spark.sources.registry import points_from_events
+from nibbledb_spark.streaming.ingest import (
+    StreamingIngest,
+    session_windows,
+    windowed_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    return sorted(
+        (r["series"], r["ts"], r["value"]) for r in df.select("series", "ts", "value").collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def batch_points(spark):
+    return points_from_events(spark, SF).cache()
+
+
+def test_streaming_ingest_converges_to_batch(spark, tmp_path, batch_points):
+    eng = TimeSeriesEngine(spark, str(tmp_path / "store"), num_buckets=4)
+    ingest = StreamingIngest(eng, str(tmp_path / "ckpt"))
+    q = ingest.start_replay(SF)
+    ingest.sync()
+    assert not q.isActive  # availableNow drains then stops
+    assert _sorted_rows(eng.points()) == _sorted_rows(batch_points)
+
+
+def test_streaming_ingest_with_dedup(spark, tmp_path):
+    # replay the same source twice WITH the opt-in dedup: second pass may
+    # re-append (new checkpoint) but within-stream dedup keeps one copy
+    eng = TimeSeriesEngine(spark, str(tmp_path / "store"), num_buckets=4)
+    ingest = StreamingIngest(eng, str(tmp_path / "ckpt"))
+    ingest.start_replay(SF, dedup=True)
+    ingest.sync()
+    n = eng.points().count()
+    distinct_n = (
+        points_from_events(eng.spark, SF)
+        .dropDuplicates(["series", "ts", "value"])
+        .count()
+    )
+    assert n == distinct_n
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path, batch_points):
+    # batch side: the same plan applied to the static frame
+    batch = {
+        (r["series"], r["window_start_us"]): (r["n"], r["sum_value"])
+        for r in windowed_counts(batch_points, "6 hours").collect()
+    }
+
+    # streaming side: replay through a memory sink in complete mode
+    from nibbledb_spark.streaming.ingest import EVENTS_SCHEMA, events_to_points
+
+    stream = events_to_points(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    agg = windowed_counts(stream, "6 hours")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_conv")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["series"], r["window_start_us"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_conv").collect()
+    }
+    assert streamed == batch
+
+
+def test_session_windows_batch_shape(spark, batch_points):
+    out = session_windows(batch_points, "1 hour")
+    row = out.first()
+    assert row["session_end_us"] > row["session_start_us"]
+    assert out.agg(F.sum("n")).collect()[0][0] == batch_points.count()
