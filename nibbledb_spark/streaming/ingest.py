@@ -127,7 +127,12 @@ def windowed_counts(
         df.groupBy(F.col("series"), win.alias("w"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("sum_value"),
+            # scaled-long sum: exact, order-independent, codegen fast path
+            (
+                F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("sum_value"),
         )
         .select(
             "series",

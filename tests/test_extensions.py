@@ -54,12 +54,25 @@ def test_minhash_identical_docs_same_signature(spark, docs):
 
 def test_lsh_finds_planted_near_dups(spark):
     # sf0.01 documents contain 25 planted pairs with 3-gram jaccard >= 0.8;
-    # the deterministic md5 minhash + 4x2 banding must recover all of them
-    from nibbledb_spark.operators.dedup import near_dup_pairs_minhash
+    # the deterministic md5 minhash + 4x2 banding must recover all of them —
+    # and the array-HOF reference path and the row-oriented fast path must
+    # return the identical pair set
+    from nibbledb_spark.operators.dedup import (
+        near_dup_pairs_minhash,
+        near_dup_pairs_minhash_fast,
+    )
 
     docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    pairs = near_dup_pairs_minhash(docs01, threshold=0.8)
-    assert pairs.count() == 25
+    slow = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in near_dup_pairs_minhash(docs01, threshold=0.8).collect()
+    }
+    fast = {
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in near_dup_pairs_minhash_fast(docs01, threshold=0.8).collect()
+    }
+    assert slow == fast
+    assert len(fast) == 25
 
 
 def test_simhash_near_dups_close_hamming(spark):
