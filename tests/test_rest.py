@@ -1,0 +1,222 @@
+"""REST façade tests: the reference's route table (src/main.re:175-202)
+driven end-to-end through Router.handle, wire-format in/out, plus one
+live ThreadingHTTPServer smoke test.
+
+Fixture payloads mirror the reference's test/butterflies.json wire shape
+(µs timestamps, tag assoc-lists, same-ts collisions)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from nibbledb_spark.rest import Router, serve
+
+BFLY = [
+    {"timestamp": 1439856000000000, "tag": [{"location": "1"}, {"scientist": "langstroth"}], "value": 12},
+    {"timestamp": 1439856000000000, "tag": [{"location": "1"}, {"scientist": "perpetua"}], "value": 1},
+    {"timestamp": 1439856360000000, "tag": [{"location": "1"}, {"scientist": "langstroth"}], "value": 11},
+    {"timestamp": 1439856360000000, "tag": [{"location": "1"}, {"scientist": "perpetua"}], "value": 3},
+    {"timestamp": 1439877240000000, "tag": [{"location": "2"}, {"scientist": "langstroth"}], "value": 2},
+    {"timestamp": 1439877600000000, "tag": [{"location": "2"}, {"scientist": "langstroth"}], "value": 1},
+    {"timestamp": 1439877960000000, "tag": [{"location": "2"}, {"scientist": "perpetua"}], "value": 8},
+    {"timestamp": 1439878320000000, "tag": [{"location": "2"}, {"scientist": "perpetua"}], "value": 7},
+]
+BEES = [
+    {"timestamp": 1439856000000000, "tag": [{"location": "1"}, {"scientist": "langstroth"}], "value": 23},
+    {"timestamp": 1439856000000000, "tag": [{"location": "1"}, {"scientist": "perpetua"}], "value": 30},
+    {"timestamp": 1439856360000000, "tag": [{"location": "1"}, {"scientist": "langstroth"}], "value": 28},
+    {"timestamp": 1439856360000000, "tag": [{"location": "1"}, {"scientist": "perpetua"}], "value": 28},
+]
+
+
+@pytest.fixture()
+def router(engine):
+    r = Router(engine)
+    assert r.handle("POST", "/ts/butterflies", json.dumps(BFLY))[0] == 200
+    assert r.handle("POST", "/ts/honeybees", json.dumps(BEES))[0] == 200
+    return r
+
+
+def get(router, path):
+    status, body = router.handle_json("GET", path)
+    assert status == 200, body
+    return body
+
+
+def test_post_single_and_array(router):
+    # single object, server-assigned timestamp
+    status, _ = router.handle("POST", "/ts/extra", json.dumps({"value": 42}))
+    assert status == 200
+    assert get(router, "/ts/extra/length") == {"length": 1}
+
+
+def test_post_malformed_400(router):
+    for bad in ["not json", json.dumps({"nope": 1}), json.dumps({"value": "x"}), None]:
+        status, body = router.handle("POST", "/ts/x", bad)
+        assert status == 400 and body.startswith("Error:")
+
+
+def test_last_latest_first_earliest(router):
+    last2 = get(router, "/ts/butterflies/last/2")
+    assert [p["timestamp"] for p in last2] == [1439878320000000, 1439877960000000]
+    assert last2[0]["value"] == 7.0
+    assert last2[0]["tag"] == [{"location": "2"}, {"scientist": "perpetua"}]
+    assert get(router, "/ts/butterflies/latest") == last2[:1]
+    first1 = get(router, "/ts/butterflies/first/1")
+    assert first1[0]["timestamp"] == 1439856000000000
+    assert get(router, "/ts/butterflies/earliest") == first1
+
+
+def test_last_multi_series_is_per_series(router):
+    # quirk Q4: n per series, union, desc ts
+    out = get(router, "/ts/butterflies,honeybees/last/2")
+    assert len(out) == 4
+    ts = [p["timestamp"] for p in out]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_since_and_range_inclusive(router):
+    since = get(router, "/ts/butterflies/since/1439877600000000")
+    assert [p["value"] for p in since] == [7.0, 8.0, 1.0]  # desc, inclusive
+    rng = get(router, "/ts/butterflies/range/1439856000000000/1439856360000000")
+    assert len(rng) == 4  # both bounds inclusive
+    assert [p["timestamp"] for p in rng] == sorted(
+        (p["timestamp"] for p in rng), reverse=True
+    )
+
+
+def test_tag_filters(router):
+    eq = get(router, "/ts/butterflies/last/8/filter/scientist/equals/perpetua")
+    assert [p["value"] for p in eq] == [7.0, 8.0, 3.0, 1.0]
+    sub = get(router, "/ts/butterflies/last/8/filter/scientist/contains/lang")
+    assert len(sub) == 4
+    # compound: OR within name, AND across names
+    both = get(
+        router,
+        "/ts/butterflies/last/8/filter/scientist,scientist,location/equals/perpetua,langstroth,2",
+    )
+    assert len(both) == 4
+    # count mismatch -> 400
+    status, _ = router.handle("GET", "/ts/butterflies/last/8/filter/a,b/equals/1")
+    assert status == 400
+
+
+def test_filter_applies_after_topn(router):
+    # reference semantics: top-n first, then filter the fetched rows
+    out = get(router, "/ts/butterflies/last/2/filter/scientist/equals/langstroth")
+    assert out == []  # newest 2 are both perpetua
+
+
+def test_aggregates(router):
+    assert get(router, "/ts/butterflies/last/8/sum") == {"sum": 45.0}
+    assert get(router, "/ts/butterflies/last/8/count") == {"count": 8.0}
+    assert get(router, "/ts/butterflies,honeybees/last/8/count") == {"count": 12.0}
+    assert get(router, "/ts/butterflies/last/8/max") == {"max": 12.0}
+    assert get(router, "/ts/butterflies/last/8/min") == {"min": 1.0}
+    assert get(router, "/ts/butterflies/last/8/mean") == {"mean": 45.0 / 8}
+    med = get(router, "/ts/butterflies/last/8/median")
+    assert med["median"] == 5.0
+    sd = get(router, "/ts/butterflies/last/8/sd")["sd"]
+    assert sd == pytest.approx(4.181432170919432)  # population sd (A21)
+
+
+def test_empty_aggregate_shapes(router):
+    # quirk Q9: {} for max/min/mean/sd/median, 0 for sum/count
+    base = "/ts/butterflies/since/9999999999999999"
+    assert get(router, base + "/max") == {}
+    assert get(router, base + "/median") == {}
+    assert get(router, base + "/sum") == {"sum": 0.0}
+    assert get(router, base + "/count") == {"count": 0.0}
+
+
+def test_filtered_aggregate_and_q1_compat(engine):
+    r = Router(engine)
+    r.handle("POST", "/ts/b", json.dumps(BFLY))
+    path = "/ts/b/last/8/filter/scientist/equals/lang/mean"
+    # default: true equality -> no 'lang' scientist -> empty mean
+    assert r.handle_json("GET", path)[1] == {}
+    # compat_q1: equals+agg degrades to contains, matching the reference
+    rq = Router(engine, compat_q1=True)
+    status, out = rq.handle_json("GET", path)
+    assert out == {"mean": pytest.approx((12 + 11 + 2 + 1) / 4)}
+
+
+def test_delete_since_range_and_filtered(router):
+    router.handle("DELETE", "/ts/honeybees/since/1439856360000000")
+    assert get(router, "/ts/honeybees/length") == {"length": 2}
+    router.handle(
+        "DELETE", "/ts/butterflies/range/0/9999999999999999/filter/location/equals/2"
+    )
+    assert get(router, "/ts/butterflies/length") == {"length": 4}
+    # aggregate as delete-xargs is a 400
+    status, _ = router.handle("DELETE", "/ts/butterflies/since/0/mean")
+    assert status == 400
+
+
+def test_lengths_memory_disk(engine):
+    r = Router(engine, max_buffer_size=6, shard_size=4)
+    r.handle("POST", "/ts/b", json.dumps(BFLY))  # 8 >= 6 -> spills 4 twice? no: 8->spill 4, 4 left
+    mem = get(r, "/ts/b/memory/length")["length"]
+    disk = get(r, "/ts/b/disk/length")["length"]
+    assert mem + disk == 8 and disk >= 4
+    assert get(r, "/ts/b/length") == {"length": 8}
+    status, _ = r.handle("GET", "/ctl/ts/sync")
+    assert status == 200
+    assert get(r, "/ts/b/memory/length") == {"length": 0}
+    assert get(r, "/ts/b/disk/length") == {"length": 8}
+
+
+def test_index_and_metadata(router):
+    get(router, "/ts/butterflies/length")  # force flush
+    idx = get(router, "/ts/butterflies/index")
+    assert list(idx) == ["butterflies"]
+    assert all(t1 <= t2 for t1, t2 in idx["butterflies"])
+    n = get(router, "/ts/butterflies/index/length")["length"]
+    assert n == len(idx["butterflies"])
+    assert get(router, "/info/ts/names") == {"timeseries": ["butterflies", "honeybees"]}
+    assert get(router, "/info/status") == {"status": "ok"}
+    stats = get(router, "/info/ts/stats")
+    assert [list(d)[0] for d in stats] == [
+        "length", "length_in_memory", "length_on_disk", "length_of_index",
+    ]
+    assert {"butterflies": 8} in stats[0]["length"]
+
+
+def test_unknown_routes_400(router):
+    for meth, path in [
+        ("GET", "/nope"),
+        ("GET", "/ts/x/bogus"),
+        ("GET", "/ts/x/last/2/filter/a/startswith/b"),
+        ("DELETE", "/ts/x/last/2"),
+        ("PUT", "/ts/x"),
+    ]:
+        status, body = router.handle(meth, path)
+        assert status == 400 and body.startswith("Error:"), (meth, path)
+
+
+def test_full_uri_routing(router):
+    # quirk Q10: reference matches the tail of the full split URI
+    out = get(router, "http://localhost:8000/ts/butterflies/last/1")
+    assert out[0]["value"] == 7.0
+
+
+def test_live_http_server(engine):
+    import urllib.request
+
+    router = Router(engine)
+    server = serve(router, port=0)
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/ts/live", data=json.dumps(BFLY[:2]).encode(), method="POST"
+        )
+        assert urllib.request.urlopen(req).status == 200
+        with urllib.request.urlopen(f"{base}/ts/live/length") as resp:
+            assert json.loads(resp.read()) == {"length": 2}
+        with urllib.request.urlopen(f"{base}/info/status") as resp:
+            assert json.loads(resp.read()) == {"status": "ok"}
+    finally:
+        server.shutdown()
