@@ -59,14 +59,73 @@ def sf_of(path: str) -> float:
         return -1.0
 
 
-def time_spark(spark, fn, runs: int = 1) -> float:
-    best = None
+def time_spark(spark, fn, runs: int = 5) -> float:
+    samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn(spark, SF_DIR).collect()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return best
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def scale_trend(spark) -> None:
+    """Time the flagship aggregation on lineitem unioned x1/x4/x10 (same
+    driver parquet read repeatedly — no synthesized data) on Spark and
+    DuckDB, to show where the fixed-overhead-vs-throughput crossover
+    sits. Diagnostics only (stderr)."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    path = os.path.join(SF_DIR, "lineitem.parquet")
+    for mult in (1, 4, 10):
+        li = None
+        for _ in range(mult):
+            d = spark.read.parquet(path)
+            li = d if li is None else li.unionAll(d)
+        q = (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")).alias("sq"),
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+                    ).cast("long")
+                ).alias("sdp"),
+                F.count("*").alias("n"),
+            )
+        )
+        q.collect()  # warm
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q.collect()
+            samples.append(time.perf_counter() - t0)
+        sp = statistics.median(samples)
+
+        con = duckdb.connect()
+        union = " UNION ALL ".join(
+            [f"SELECT * FROM read_parquet('{path}')"] * mult
+        )
+        sql = f"""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(FLOOR(l_quantity*100+0.5) AS BIGINT)) AS sq,
+               SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*10000+0.5) AS BIGINT)) AS sdp,
+               COUNT(*) AS n
+        FROM ({union}) WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY 1, 2"""
+        con.execute(sql).fetchall()  # warm
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            samples.append(time.perf_counter() - t0)
+        duck = statistics.median(samples)
+        log(
+            f"scale x{mult:<2} (~{600_000 * mult:>8,} rows): "
+            f"spark {sp:.3f}s  duckdb {duck:.3f}s  ratio {sp / duck:.2f}x"
+        )
 
 
 def main() -> int:
@@ -76,13 +135,18 @@ def main() -> int:
     baseline = "--baseline" in sys.argv
     spark = get_spark("bench")
 
+    if "--scale-trend" in sys.argv:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        scale_trend(spark)
+        return 0
+
     # warm the JVM/session so the first measured query isn't paying startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        fn(spark, SF_DIR).count()  # warm (parquet footers, code cache)
+        fn(spark, SF_DIR).collect()  # warm the exact plan (codegen compile, footers)
         timings[name] = round(time_spark(spark, fn), 4)
         log(f"spark {name}: {timings[name]:.3f}s")
 

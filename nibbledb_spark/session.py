@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Respect the advisory partition size when coalescing instead of
+        # maximizing parallelism: fewer tiny post-shuffle tasks at small
+        # scale, and the Spark-docs-recommended setting when advisory
+        # size is tuned for the cluster.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
