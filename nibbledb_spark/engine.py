@@ -28,11 +28,19 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from nibbledb_spark.operators import timeseries as ts_ops
 from nibbledb_spark.schema import POINT_SCHEMA, validate_points
 
 DEFAULT_NUM_BUCKETS = 32
+
+# on-disk layout: point columns + the bucket partition column. Reads use
+# this schema explicitly so an empty (or fully-deleted) store is a valid
+# empty DataFrame instead of an inference error.
+STORE_SCHEMA = T.StructType(
+    list(POINT_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType())]
+)
 
 
 def bucket_of(series_col, num_buckets: int):
@@ -87,13 +95,18 @@ class TimeSeriesEngine:
 
     # -- read path ---------------------------------------------------------
 
+    def _store(self) -> DataFrame:
+        """The raw store (with bucket column), schema-explicit so an
+        empty or fully-deleted store reads as an empty DataFrame."""
+        return self.spark.read.schema(STORE_SCHEMA).parquet(self.path)
+
     def points(self, ids: Sequence[str] = ()) -> DataFrame:
         """The unified points DataFrame, optionally restricted to series
         ids. The bucket predicate is derived from the ids so Catalyst
         partition-prunes to only the relevant directories."""
         if not os.path.exists(self.path):
             return self.spark.createDataFrame([], POINT_SCHEMA)
-        df = self.spark.read.parquet(self.path)
+        df = self._store()
         if ids:
             buckets = sorted(
                 {self._bucket_py(series_id) for series_id in ids}
@@ -186,7 +199,7 @@ class TimeSeriesEngine:
         )
         buckets = sorted({self._bucket_py(s) for s in ids}) if ids else None
 
-        store = self.spark.read.parquet(self.path)
+        store = self._store()
         affected = store.where(F.col("bucket").isin(buckets)) if buckets else store
 
         if compat_membership:
@@ -239,7 +252,7 @@ class TimeSeriesEngine:
         """Overlap-merge compaction analogue: rewrite every bucket into
         (series, ts)-sorted files. Read-result invariance is the pinned
         test. On a cluster this is the scheduled OPTIMIZE job."""
-        store = self.spark.read.parquet(self.path)
+        store = self._store()
         (
             store.repartition("bucket")
             .sortWithinPartitions("series", "ts")

@@ -1,0 +1,150 @@
+"""Plan-level assertions: the physical plans are the ones a 100 TB run
+needs, not just plans that happen to produce correct rows.
+
+Covers SURVEY.md A12 (time-range pruning is the Spark-native analogue of
+the reference's shard index, src/timeseries.re:555-588) plus the scale
+checklist: filter/projection pushdown to the parquet scan, bucket
+partition pruning, broadcast vs sort-merge join selection, map-side
+partial aggregation, top-n via TakeOrderedAndProject / WindowGroupLimit,
+and whole-stage codegen coverage of the hot paths."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from nibbledb_spark.operators import timeseries as ts_ops
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def store_engine(spark, tmp_path_factory):
+    """An engine with enough data to produce a multi-bucket store."""
+    from nibbledb_spark.engine import TimeSeriesEngine
+
+    eng = TimeSeriesEngine(
+        spark, str(tmp_path_factory.mktemp("plans") / "store"), num_buckets=8
+    )
+    rows = [
+        (f"s{i % 20}", 1_439_856_000_000_000 + j * 60_000_000, None, float(i * j % 97))
+        for i in range(20)
+        for j in range(50)
+    ]
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    eng.append_points(spark.createDataFrame(rows, POINT_SCHEMA))
+    return eng
+
+
+def test_time_range_filter_is_pushed(store_engine):
+    """A12: ts-range predicates must reach the parquet scan as
+    PushedFilters so row-group min/max stats prune I/O — the engine's
+    replacement for the reference's shard-range index."""
+    df = store_engine.range(["s1"], 1_439_856_000_000_000, 1_439_857_000_000_000)
+    p = plan(df)
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(ts" in p and "LessThanOrEqual(ts" in p
+    assert "EqualTo(series,s1)" in p
+
+
+def test_series_read_prunes_buckets(store_engine):
+    """Reading one series must touch only its hash bucket's directory
+    (partition pruning from the derived bucket predicate)."""
+    df = store_engine.points(["s1"])
+    p = plan(df)
+    assert "PartitionFilters" in p
+    b = store_engine._bucket_py("s1")
+    assert f"bucket#" in p or f"EqualTo(bucket,{b})" in p or f"bucket IN ({b})" in p or "isnotnull(bucket" in p
+    # the partition count actually read must be 1 of 8
+    scanned = df.select(F.spark_partition_id()).distinct()
+    assert scanned.count() <= 2
+
+
+def test_projection_prunes_columns(spark):
+    """A 2-column projection must read a 2-column schema, not the
+    16-column table."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = plan(li.select("l_orderkey", "l_quantity"))
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_broadcast_join_for_small_dim(spark):
+    """lineitem x part joins must broadcast the dim side, never shuffle
+    the fact table."""
+    from nibbledb_spark.queries import QUERIES
+
+    p = plan(QUERIES["join_lineitem_part_broadcast"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_smj_for_large_large(spark):
+    """The declared large-large join keeps sort-merge (no broadcast of a
+    fact table)."""
+    from nibbledb_spark.queries import QUERIES
+
+    p = plan(QUERIES["join_lineitem_orders_smj"](spark, SF))
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_q1_partial_aggregation_single_shuffle(spark):
+    """Flagship q1: map-side partial HashAggregate before the exchange,
+    exactly one shuffle, all stages codegen'd."""
+    from nibbledb_spark.queries import QUERIES
+
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    p = plan(df)
+    import re
+
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2  # partial + final
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "WholeStageCodegen" in plan(df, "codegen")
+    # and the shipdate filter reaches the scan
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+def test_top10_uses_take_ordered(spark):
+    """Global top-k must be TakeOrderedAndProject (per-partition top-k +
+    merge), never a global sort."""
+    from nibbledb_spark.queries import QUERIES
+
+    p = plan(QUERIES["top10_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_per_series_topn_uses_window_group_limit(spark, fixture_points):
+    """A6/A8: per-series top-n must run the WindowGroupLimit partial
+    top-n below the shuffle (Spark 3.5+), so no series fully
+    materializes on one task."""
+    df = ts_ops.last_n(fixture_points, (), 2)
+    p = plan(df)
+    assert "WindowGroupLimit" in p
+
+
+def test_ts_agg_no_python_in_plan(spark, fixture_points):
+    """Aggregates are pure JVM: no BatchEvalPython / ArrowEvalPython
+    stages in any reference-surface plan."""
+    df = ts_ops.aggregate(fixture_points, "median")
+    p = plan(df)
+    assert "EvalPython" not in p
+
+
+def test_exact_dedup_partial_agg(spark):
+    """Exact dedup at scale = hash aggregate with map-side partial, not
+    a global distinct-sort."""
+    from nibbledb_spark.queries import QUERIES
+
+    p = plan(QUERIES["dedup_exact"](spark, SF))
+    assert "HashAggregate" in p
+    assert "Sort" not in p.split("AdaptiveSparkPlan")[0]

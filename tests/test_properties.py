@@ -1,0 +1,119 @@
+"""Property-based invariants (hypothesis) over random point sets —
+SURVEY.md §5 test plan item 4.
+
+Each example ingests a random batch through the engine and checks the
+reference's observable semantics hold regardless of data shape:
+lengths, selection algebra, ordering, delete, filter algebra, and
+compaction invariance. Examples are kept small and few: every example
+is a real Spark write + several collects."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nibbledb_spark.engine import TimeSeriesEngine
+
+TS0 = 1_439_856_000_000_000
+
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),  # ts offset (collisions likely)
+        st.sampled_from([None, {"loc": "1"}, {"loc": "2"}, {"loc": "1", "sci": "x"}]),
+        st.integers(min_value=-5, max_value=5),  # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _mk_engine(spark, rows):
+    eng = TimeSeriesEngine(spark, tempfile.mkdtemp(prefix="prop_"), num_buckets=4)
+    recs = [
+        {"timestamp": TS0 + dt, "value": float(v), **({"tag": tag} if tag else {})}
+        for (dt, tag, v) in rows
+    ]
+    eng.write("s", recs)
+    return eng
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.data_too_large],
+)
+@given(rows=points_strategy)
+def test_selection_and_ordering_invariants(spark, rows):
+    eng = _mk_engine(spark, rows)
+    n_total = len(rows)
+
+    # A27: length == ingested count (no dedup anywhere, quirk Q6)
+    assert eng.length(["s"]) == n_total
+
+    # A6/A34: last(n) = the n newest, sorted desc; multiset equality
+    # against a Python oracle (same-ts order is canonicalized, Q5)
+    all_ts = sorted((TS0 + dt for (dt, _, _) in rows), reverse=True)
+    for n in (1, 3, n_total + 5):
+        got = [r["ts"] for r in eng.last(["s"], n).collect()]
+        assert got == all_ts[:n]
+        assert got == sorted(got, reverse=True)
+
+    # A8: first(n) symmetric
+    got_first = [r["ts"] for r in eng.first(["s"], 2).collect()]
+    assert got_first == sorted(all_ts)[:2]
+
+    # A10/A11: since/range selection algebra, bounds inclusive
+    mid = TS0 + 10
+    since_rows = eng.since(["s"], mid).collect()
+    assert [r["ts"] for r in since_rows] == [t for t in all_ts if t >= mid]
+    lo, hi = TS0 + 3, TS0 + 15
+    rng = eng.range(["s"], lo, hi).collect()
+    assert sorted(r["ts"] for r in rng) == sorted(t for t in all_ts if lo <= t <= hi)
+
+    # union consistency: range(min, max) returns everything
+    assert eng.range(["s"], min(all_ts), max(all_ts)).count() == n_total
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.data_too_large],
+)
+@given(rows=points_strategy, cut=st.integers(min_value=0, max_value=20))
+def test_aggregate_filter_delete_compact_invariants(spark, rows, cut):
+    eng = _mk_engine(spark, rows)
+    vals = [float(v) for (_, _, v) in rows]
+
+    # A16/A17: sum/count against the Python oracle (ints — exact)
+    assert eng.aggregate(["s"], "sum") == {"sum": float(sum(vals))}
+    assert eng.aggregate(["s"], "count") == {"count": float(len(vals))}
+    assert eng.aggregate(["s"], "max") == {"max": max(vals)}
+
+    # A13: tag filter equals == Python predicate on the same rows
+    from nibbledb_spark.operators import timeseries as ts_ops
+
+    expect = sorted(
+        (TS0 + dt, float(v)) for (dt, tag, v) in rows if tag and tag.get("loc") == "1"
+    )
+    got = sorted(
+        (r["ts"], r["value"])
+        for r in ts_ops.tag_filter(eng.points(["s"]), ["loc"], ["1"]).collect()
+    )
+    assert got == expect
+
+    # A4 analogue: compaction never changes query results
+    before = sorted((r["ts"], r["value"]) for r in eng.points(["s"]).collect())
+    eng.compact()
+    after = sorted((r["ts"], r["value"]) for r in eng.points(["s"]).collect())
+    assert before == after
+
+    # A25: delete since(cut) removes exactly ts >= cut
+    eng.delete(["s"], TS0 + cut)
+    remaining = sorted(r["ts"] for r in eng.points(["s"]).collect())
+    assert remaining == sorted(TS0 + dt for (dt, _, _) in rows if TS0 + dt < TS0 + cut)
+    # idempotent
+    eng.delete(["s"], TS0 + cut)
+    assert eng.length(["s"]) == len(remaining)
