@@ -34,6 +34,79 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# ---------------------------------------------------------------------------
+# generic format support (SURVEY.md §2 Part B "file sources"/"sinks")
+# ---------------------------------------------------------------------------
+# The reference ingests/emits JSON-over-HTTP only (src/main.re:60-67); the
+# engine reads and writes the canonical points table in any of Spark's
+# first-class columnar/text formats. CSV cannot carry a MAP column, so the
+# tag map is serialized to a JSON string on write and parsed back on read —
+# lossless for string->string tags.
+
+FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_points(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Write canonical-schema points to ``path`` in ``fmt``."""
+    if fmt not in FORMATS:
+        raise KeyError(f"unknown format: {fmt}")
+    if fmt == "csv":
+        df = df.withColumn("tag", F.to_json(F.col("tag")))
+        df.write.mode(mode).option("header", "true").csv(path)
+        return
+    df.write.mode(mode).format(fmt).save(path)
+
+
+def read_points(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read a points dataset written by :func:`write_points` back into the
+    canonical schema, whatever the on-disk format."""
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    if fmt not in FORMATS:
+        raise KeyError(f"unknown format: {fmt}")
+    if fmt == "csv":
+        csv_schema = "series string, ts bigint, tag string, value double"
+        raw = spark.read.option("header", "true").schema(csv_schema).csv(path)
+        return raw.select(
+            "series",
+            "ts",
+            F.from_json(F.col("tag"), "map<string,string>").alias("tag"),
+            "value",
+        )
+    if fmt == "json":
+        # explicit schema: no inference pass, stable types on empty input
+        return spark.read.schema(POINT_SCHEMA).json(path)
+    return spark.read.format(fmt).load(path).select("series", "ts", "tag", "value")
+
+
+def stream_points(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    """Streaming file source over a drop directory of points files — the
+    engine's analogue of the reference's HTTP ingest endpoint feeding the
+    write buffer (SURVEY.md A1-A3). Pair with
+    ``StreamingIngest.start_replay``'s foreachBatch sink."""
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    reader = spark.readStream.schema(POINT_SCHEMA)
+    if fmt == "csv":
+        csv_schema = "series string, ts bigint, tag string, value double"
+        return (
+            spark.readStream.option("header", "true")
+            .schema(csv_schema)
+            .csv(path)
+            .select(
+                "series",
+                "ts",
+                F.from_json(F.col("tag"), "map<string,string>").alias("tag"),
+                "value",
+            )
+        )
+    if fmt == "json":
+        return reader.json(path)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    raise KeyError(f"unknown streaming format: {fmt}")
+
+
 def points_from_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """events.parquet -> canonical points schema.
 
