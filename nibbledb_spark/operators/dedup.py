@@ -376,3 +376,58 @@ def near_dup_pairs_minhash_fast(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every candidate pair.
+
+    Candidate generation is the shingle equi-join itself (two docs pair
+    only if they share >= 1 shingle), so the all-pairs cross product
+    never materializes; the intersection count then falls out of the
+    same join. ``max_doc_freq`` drops shingles present in more than
+    that many documents before the join — the standard stop-shingle
+    blocking cap that bounds the join's group sizes at corpus scale
+    (NOTE: changes semantics from exact to filtered-exact; leave None
+    for oracle-exact results).
+    """
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("id").alias("id1"), F.col("shingle").alias("s"))
+    s2 = sh.select(F.col("id").alias("id2"), F.col("shingle").alias("s"))
+    inter = (
+        s1.join(s2, "s")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    z1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(z1, "id1")
+        .join(z2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -168,3 +168,96 @@ def srp_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruned scale path
+# ---------------------------------------------------------------------------
+# Coarse quantizer: every corpus vector is assigned to its nearest
+# centroid (the inverted list); a query scores only the lists of its
+# ``nprobe`` nearest centroids, so exact scoring touches ~nprobe/K of the
+# corpus instead of all of it. At 100 TB the assignment is a one-off
+# broadcast-join materialization (re-usable across queries, repartitioned
+# by list id), and probing is a broadcast of the (tiny) query set against
+# only the probed lists. Centroids here are taken deterministically from
+# the corpus (lowest ids) so results are oracle-reproducible; swap in
+# sampled k-means centroids for production recall without touching the
+# plan shape.
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """(id, cid) inverted-list assignment: nearest centroid by cosine,
+    ties to the lowest centroid id. Centroids are broadcast; the corpus
+    never shuffles."""
+    scored = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).crossJoin(
+        F.broadcast(
+            centroids.select(F.col(cid_col).alias("cid"), F.col(cvec_col).alias("cv"))
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.select("id", "cid", cosine(F.col("v"), F.col("cv")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "cid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` nearest inverted lists per
+    query, exact cosine within them. Returns
+    (query_id, neighbor_id, rank, cos_sim) like :func:`cosine_topk`."""
+    centroids = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    inv = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qs = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "qv", "cid", cosine(F.col("qv"), F.col("cvec")).alias("cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cand = (
+        inv.join(F.broadcast(probes), "cid")
+        .where(F.col("id") != F.col("query_id"))
+        .join(c, F.col("id") == F.col("neighbor_id"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

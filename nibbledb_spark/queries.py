@@ -1153,6 +1153,31 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_minhash_fast(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+@declared(
+    "ngram_jaccard_pairs",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM t),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter) AS jaccard
+FROM inter JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
+WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter) >= 0.5
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs; candidates come from the
+    shared-shingle equi-join itself (never an all-pairs product)."""
+    from nibbledb_spark.operators.dedup import ngram_jaccard_pairs as op
+
+    return op(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def _simhash_sql(bits: int = 32) -> str:
     votes = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
@@ -1262,6 +1287,61 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return srp_topk(e, e.where(F.col("vec_id") < 5), 3, dim=64)
+
+
+@declared(
+    "ivf_ann_topk",
+    f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8),
+corp AS (SELECT vec_id, embedding FROM embeddings),
+asg AS (
+  SELECT id, cid FROM (
+    SELECT corp.vec_id AS id, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY corp.vec_id
+             ORDER BY {_dot_sql('corp.embedding', 'cent.cvec')}
+                      / (SQRT({_dot_sql('corp.embedding', 'corp.embedding')})
+                         * SQRT({_dot_sql('cent.cvec', 'cent.cvec')})) DESC,
+                      cent.cid ASC) AS rn
+    FROM corp, cent) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_dot_sql('q.qv', 'cent.cvec')}
+                      / (SQRT({_dot_sql('q.qv', 'q.qv')})
+                         * SQRT({_dot_sql('cent.cvec', 'cent.cvec')})) DESC,
+                      cent.cid ASC) AS rn
+    FROM q, cent) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         {_dot_sql('p.qv', 'c.embedding')}
+           / (SQRT({_dot_sql('p.qv', 'p.qv')})
+              * SQRT({_dot_sql('c.embedding', 'c.embedding')})) AS cos_sim
+  FROM probes p JOIN asg a USING (cid) JOIN corp c ON c.vec_id = a.id
+  WHERE a.id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+""",
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse-quantized inverted lists, nprobe=2 of 8): the
+    partition-pruned scale path for similarity search. Deterministic
+    corpus-derived centroids make the full pipeline oracle-replicable."""
+    from nibbledb_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.where(F.col("vec_id") < 5), 3, n_centroids=8, nprobe=2)
 
 
 @declared(

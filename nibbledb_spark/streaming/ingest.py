@@ -160,3 +160,95 @@ def session_windows(
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+SERIES_STATS_SCHEMA = (
+    "series string, n long, total double, vmin double, vmax double, "
+    "last_ts long, ewma double"
+)
+_STATE_SCHEMA = (
+    "n long, total double, vmin double, vmax double, last_ts long, ewma double"
+)
+
+
+def stateful_series_stats(points: DataFrame, *, alpha: float = 0.2) -> DataFrame:
+    """Per-series running profile as a custom stateful streaming operator
+    (`applyInPandasWithState`): count, sum, min, max, newest ts, and an
+    exponentially-weighted moving average over the time-ordered values.
+
+    This is the extension analogue of the reference's per-series
+    in-memory state (the membuf disk-range cache, SURVEY.md A35,
+    src/membufq.re) — but as managed, checkpointed streaming state that
+    survives restarts and scales out by the group key. State per series
+    is O(1); the shuffle is one exchange on `series`. Each micro-batch
+    is processed in ts order, so the EWMA is deterministic whenever
+    batch boundaries respect time order (the replay path's availableNow
+    single batch trivially does).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        (series,) = key
+        if state.exists:
+            n, total, vmin, vmax, last_ts, ewma = state.get
+        else:
+            n, total, vmin, vmax, last_ts, ewma = 0, 0.0, None, None, None, None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "value"])
+            vals = pdf["value"].to_numpy()
+            ts = pdf["ts"].to_numpy()
+            if len(vals) == 0:
+                continue
+            n += len(vals)
+            total += float(vals.sum())
+            bmin, bmax = float(vals.min()), float(vals.max())
+            vmin = bmin if vmin is None else min(vmin, bmin)
+            vmax = bmax if vmax is None else max(vmax, bmax)
+            last_ts = int(ts[-1]) if last_ts is None else max(last_ts, int(ts[-1]))
+            for v in vals:  # O(batch) scalar recurrence — inherently serial
+                ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
+        state.update((n, total, vmin, vmax, last_ts, ewma))
+        yield pd.DataFrame(
+            [
+                {
+                    "series": series,
+                    "n": n,
+                    "total": total,
+                    "vmin": vmin,
+                    "vmax": vmax,
+                    "last_ts": last_ts,
+                    "ewma": ewma,
+                }
+            ]
+        )
+
+    return points.groupBy("series").applyInPandasWithState(
+        update,
+        SERIES_STATS_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def series_stats_batch(pdf, alpha: float = 0.2):
+    """The batch oracle for stateful_series_stats: identical recurrence
+    over a pandas frame of one series, time-ordered."""
+    pdf = pdf.sort_values(["ts", "value"])
+    ewma = None
+    for v in pdf["value"]:
+        ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
+    return {
+        "n": len(pdf),
+        "total": float(pdf["value"].sum()),
+        "vmin": float(pdf["value"].min()),
+        "vmax": float(pdf["value"].max()),
+        "last_ts": int(pdf["ts"].max()),
+        "ewma": ewma,
+    }

@@ -90,3 +90,46 @@ def test_session_windows_batch_shape(spark, batch_points):
     row = out.first()
     assert row["session_end_us"] > row["session_start_us"]
     assert out.agg(F.sum("n")).collect()[0][0] == batch_points.count()
+
+
+def test_stateful_series_stats_converges(spark, tmp_path, batch_points):
+    """Custom stateful operator (applyInPandasWithState): final per-series
+    state after an availableNow replay equals the batch recurrence."""
+    from nibbledb_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        events_to_points,
+        series_stats_batch,
+        stateful_series_stats,
+    )
+
+    stream = events_to_points(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    q = (
+        stateful_series_stats(stream, alpha=0.2)
+        .writeStream.format("memory")
+        .queryName("series_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["series"]: r.asDict()
+        for r in spark.sql(
+            # newest state row per series (update mode re-emits on change)
+            """SELECT * FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY series ORDER BY n DESC) rn
+                 FROM series_stats) WHERE rn = 1"""
+        ).collect()
+    }
+    pdf = batch_points.toPandas()
+    for series, grp in pdf.groupby("series"):
+        want = series_stats_batch(grp, alpha=0.2)
+        have = got[series]
+        for k in ("n", "total", "vmin", "vmax", "last_ts"):
+            assert have[k] == pytest.approx(want[k]), (series, k)
+        assert have["ewma"] == pytest.approx(want["ewma"], rel=1e-12), series
