@@ -299,6 +299,12 @@ def lsh_candidate_pairs_fast(
 ) -> DataFrame:
     """Row-oriented LSH banding (same semantics as lsh_candidate_pairs)."""
     sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=shingle_n)
+    return _lsh_candidates_from_sh(sh, num_hashes, band_size)
+
+
+def _lsh_candidates_from_sh(
+    sh: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
     sig = minhash_rows(sh, num_hashes)
     n_bands = num_hashes // band_size
     bands = sig.select(
@@ -342,16 +348,15 @@ def near_dup_pairs_minhash_fast(
 ) -> DataFrame:
     """Row-oriented MinHash-LSH near-dup pipeline: candidates from
     banding, exact Jaccard by counting shared shingle ROWS per candidate
-    pair (an equi-join, never an array intersect of re-built sets)."""
-    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=shingle_n)
-    cands = lsh_candidate_pairs_fast(
-        docs,
-        id_col=id_col,
-        text_col=text_col,
-        shingle_n=shingle_n,
-        num_hashes=num_hashes,
-        band_size=band_size,
-    )
+    pair (an equi-join, never an array intersect of re-built sets).
+
+    The shingle table feeds four plan branches (signatures, sizes, and
+    both sides of the intersection join); Spark recomputes unshared
+    branches, so it is persisted for the life of this plan — the in-plan
+    analogue of materializing the shingle table once per corpus, which
+    is what a 100 TB dedup run does anyway."""
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=shingle_n).persist()
+    cands = _lsh_candidates_from_sh(sh, num_hashes, band_size)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     s1 = sh.select(F.col("id").alias("id1"), F.col("shingle").alias("s"))
     s2 = sh.select(F.col("id").alias("id2"), F.col("shingle").alias("s"))
@@ -398,7 +403,7 @@ def ngram_jaccard_pairs(
     (NOTE: changes semantics from exact to filtered-exact; leave None
     for oracle-exact results).
     """
-    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n).persist()
     if max_doc_freq is not None:
         keep = (
             sh.groupBy("shingle")
