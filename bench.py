@@ -42,8 +42,13 @@ HEADLINE = [
     "stream_tumbling_counts",
     "dedup_exact",
     "lsh_near_dup_pairs",
+    "ngram_jaccard_pairs",
     "embed_cosine_topk",
+    "ivf_ann_topk",
     "text_quality",
+    "asof_last_purchase_before_click",
+    "rollup_customers_region_nation",
+    "moving_avg_7d",
 ]
 
 

@@ -116,3 +116,63 @@ def payload_fingerprint(media: DataFrame) -> DataFrame:
     return media.select(
         "media_id", "kind", F.md5(F.col("payload")).alias("payload_fp")
     )
+
+
+_RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<mime:string,width:int,height:int,duration_ms:bigint>"
+)
+
+
+def resize_images(
+    media: DataFrame, *, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Image resize via Arrow-batched ``mapInPandas`` — the standard
+    pre-processing step before a vision encoder.
+
+    The real pixel work is STUBBED (no codec libs in this container):
+    ``decode_image`` raises, and the fake path derives a deterministic
+    payload of exactly ``width*height*3`` bytes from the source bytes via
+    sha256 expansion, updating ``meta.width/height`` — so output schema,
+    row sizes (the thing that matters for partition/memory sizing at
+    scale), and batch shapes are all real. Swap the marked block for a
+    PIL/torchvision resize on a real cluster.
+    """
+    target_len = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload = []
+            out_meta = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                if p is None:
+                    out_payload.append(None)
+                    out_meta.append(m)
+                    continue
+                # --- STUB: real implementation decodes + resamples ---
+                # img = decode_image(bytes(p)); img = img.resize((w, h))
+                buf = bytearray()
+                counter = 0
+                src = bytes(p)
+                while len(buf) < target_len:
+                    buf += hashlib.sha256(
+                        src + counter.to_bytes(4, "big")
+                    ).digest()
+                    counter += 1
+                out_payload.append(bytes(buf[:target_len]))
+                # ----------------------------------------------------
+                meta = dict(m) if m is not None else {}
+                meta["width"], meta["height"] = width, height
+                out_meta.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.where(F.col("kind") == "image").mapInPandas(
+        run, schema=_RESIZED_SCHEMA
+    )

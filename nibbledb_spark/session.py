@@ -33,6 +33,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 
+    # Executor Python workers must be able to import this package, or every
+    # pandas-UDF/mapInPandas operator dies with ModuleNotFoundError when the
+    # driver script runs outside the repo directory. Local mode: export the
+    # package parent on PYTHONPATH before the JVM launches. Real cluster:
+    # executorEnv only helps if the path exists on the executors — ship the
+    # package with --py-files / pip install there instead.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -51,6 +64,7 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as raw int64 ns and convert explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -166,3 +166,29 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_multimodal_resize_plumbing(spark, docs):
+    from nibbledb_spark.operators.multimodal import resize_images
+
+    media = docs.limit(20).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(0).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    out = resize_images(media, width=8, height=8)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["payload"]) == 8 * 8 * 3  # exact target byte size
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 8
+        assert r["meta"]["mime"] == "image/fake"  # untouched metadata kept
+    # deterministic per payload
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, width=8, height=8).collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in rows)
