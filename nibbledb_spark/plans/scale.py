@@ -1,0 +1,88 @@
+"""Scale toolkit: the plan-shaping moves a 100 TB deployment leans on.
+
+- **Bucketing** (`bucket_table`): persist a table hash-bucketed and
+  sorted by its join key. Two tables bucketed the same way co-locate:
+  Spark joins them bucket-to-bucket with NO exchange on either side —
+  the shuffle that dominates repeated fact-fact joins disappears from
+  every downstream query. This is the materialized analogue of the
+  engine's bucket-partitioned point store (engine.py).
+- **Salting** (`salted_join`): for the skewed-key join AQE can't fully
+  save (one key holding a double-digit percentage of rows), split each
+  hot left row into one of S salt lanes and replicate the right side S
+  ways. Turns one straggler task into S even ones at the cost of an
+  S-times-larger build side — the standard trade when the build side is
+  small and the probe side is skewed.
+- **Inspection** (`plan_string`, `exchange_count`): assertions for
+  tests/ops — shuffles are a budget, so count them.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (what ``df.explain`` prints)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the physical plan."""
+    return len(re.findall(r"\(\d+\) Exchange", plan_string(df)))
+
+
+def bucket_table(
+    df: DataFrame,
+    name: str,
+    keys: Sequence[str],
+    num_buckets: int = 64,
+    *,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a catalog table hash-bucketed (and sorted) by
+    ``keys``. Joins/aggregations between tables bucketed identically on
+    the join key run with zero exchanges (and, when sorted, zero sorts)
+    — pay the shuffle once at write, never again at read."""
+    keys = list(keys)
+    writer = df.write.mode(mode).bucketBy(num_buckets, keys[0], *keys[1:])
+    if sort:
+        writer = writer.sortBy(keys[0], *keys[1:])
+    writer.format("parquet").saveAsTable(name)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting for skew.
+
+    Left rows are spread across ``salt`` lanes by a deterministic hash
+    of the full row (so the hot key's rows land in different tasks);
+    the right side is replicated once per lane. Correct for any join
+    type whose semantics survive right-side replication partitioned by
+    lane (inner/left); result equals ``left.join(right, on, how)``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    on = list(on)
+    lane = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_s = left.withColumn("__lane", lane.cast("int"))
+    r_s = right.withColumn(
+        "__lane", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l_s.join(r_s, on + ["__lane"], how)
+    return out.drop("__lane")

@@ -1,0 +1,87 @@
+"""Scale toolkit tests: bucketed co-located joins eliminate exchanges;
+salted joins produce identical results to plain joins while spreading a
+hot key across tasks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nibbledb_spark.plans.scale import (
+    bucket_table,
+    exchange_count,
+    plan_string,
+    salted_join,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark):
+    # warehouse.dir is static config — tables land in the session default
+    # (./spark-warehouse); dropped again below
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    bucket_table(li, "li_b", ["l_orderkey"], 8)
+    bucket_table(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "ord_b",
+        ["l_orderkey"],
+        8,
+    )
+    yield li, orders
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    li, orders = bucketed
+    a = spark.table("li_b")
+    b = spark.table("ord_b")
+    joined = a.join(b, "l_orderkey")
+    assert exchange_count(joined) == 0  # co-located: no shuffle either side
+    # and it's still correct
+    plain = li.join(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"
+    )
+    assert joined.count() == plain.count()
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, bucketed):
+    grouped = spark.table("li_b").groupBy("l_orderkey").agg(F.sum("l_quantity"))
+    assert exchange_count(grouped) == 0  # bucketing satisfies the distribution
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = spark.read.parquet(f"{SF}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    plain = li.join(part, "l_partkey")
+    salted = salted_join(li, part, ["l_partkey"], salt=8)
+    assert salted.count() == plain.count()
+    # spot-check content equality on an aggregate
+    agg = lambda df: sorted(  # noqa: E731
+        (r["l_partkey"], r["n"], round(r["q"], 6))
+        for r in df.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+        .collect()
+    )
+    assert agg(salted) == agg(plain)
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("zz", 3)], "k string, v int"
+    )
+    right = spark.createDataFrame([("a", 10.0)], "k string, w double")
+    out = salted_join(left, right, ["k"], salt=4, how="left")
+    rows = sorted((r["k"], r["v"], r["w"]) for r in out.collect())
+    assert rows == [("a", 1, 10.0), ("a", 2, 10.0), ("zz", 3, None)]
