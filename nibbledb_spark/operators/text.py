@@ -33,9 +33,18 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.col(col) if isinstance(col, str) else col, TOKEN_RE)
 
 
+# GPT-2-style pre-tokenizer approximation: contractions, space-prefixed
+# letter runs, digit runs, punctuation runs. Restricted to constructs both
+# Java regex (Spark) and RE2 (DuckDB oracle) support identically — no
+# lookahead, ASCII classes.
+BPE_ISH_RE = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document token statistics: counts, distinct counts, mean token
-    length (exact integer ratios -> deterministic doubles)."""
+    """Per-document token statistics: whitespace token counts, distinct
+    counts, mean token length (exact integer ratios -> deterministic
+    doubles), and a BPE-ish subword count from the GPT-2-style
+    pre-tokenizer regex — the cheap LLM-token-budget estimator."""
     w = tokens(text_col)
     n = F.size(w)
     return docs.select(
@@ -46,6 +55,7 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
             / n
         ).alias("mean_token_len"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_RE)).alias("n_bpe_tokens"),
     )
 
 

@@ -967,16 +967,18 @@ _STOPWORDS_SQL = "('the','a','of','and','is','to','in','that','it','for')"
 @declared(
     "text_token_stats",
     f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents)
+WITH t AS (SELECT doc_id, text, {_TOKS} AS w FROM documents)
 SELECT doc_id,
        len(w) AS n_tokens,
        len(list_distinct(w)) AS n_uniq_tokens,
-       CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_token_len
+       CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_token_len,
+       len(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS n_bpe_tokens
 FROM t
 """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting over the documents table (JVM array expressions)."""
+    """Token counting over the documents table (JVM array expressions);
+    n_bpe_tokens is the GPT-2-style pre-tokenizer subword count."""
     from nibbledb_spark.operators.text import token_stats
 
     return token_stats(_t(spark, sf_dir, "documents"))
