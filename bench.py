@@ -133,6 +133,33 @@ def scale_trend(spark) -> None:
         )
 
 
+def ingest_throughput(spark) -> None:
+    """Replay the sf events table through the streaming ingest path and
+    report points/s (BASELINE.md: context vs the reference's one-
+    serialized-HTTP-request-at-a-time ceiling). Diagnostics to stderr."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.engine import TimeSeriesEngine
+    from nibbledb_spark.streaming.ingest import StreamingIngest
+
+    work = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        eng = TimeSeriesEngine(spark, os.path.join(work, "store"))
+        ing = StreamingIngest(eng, os.path.join(work, "ckpt"))
+        t0 = time.perf_counter()
+        ing.start_replay(SF_DIR)
+        ing.sync()
+        dt = time.perf_counter() - t0
+        n = eng.points().count()
+        log(
+            f"streaming ingest: {n:,} points in {dt:.2f}s = "
+            f"{n / dt:,.0f} points/s (availableNow replay, incl. store write)"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     from nibbledb_spark.queries import ORACLE, QUERIES
     from nibbledb_spark.session import get_spark
@@ -143,6 +170,11 @@ def main() -> int:
     if "--scale-trend" in sys.argv:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         scale_trend(spark)
+        return 0
+
+    if "--ingest" in sys.argv:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        ingest_throughput(spark)
         return 0
 
     # warm the JVM/session so the first measured query isn't paying startup

@@ -248,14 +248,26 @@ class TimeSeriesEngine:
 
     # -- compaction (A4 analogue) -------------------------------------------
 
-    def compact(self) -> None:
+    def compact(self, *, files_per_bucket: int = 1) -> None:
         """Overlap-merge compaction analogue: rewrite every bucket into
         (series, ts)-sorted files. Read-result invariance is the pinned
-        test. On a cluster this is the scheduled OPTIMIZE job."""
+        test. On a cluster this is the scheduled OPTIMIZE job.
+
+        ``files_per_bucket`` bounds output file size at scale: rows
+        split deterministically by series hash within each bucket, so
+        each file still holds contiguous (series, ts) runs and row-group
+        pruning stays tight. Appends between compactions create small
+        files; this job re-tightens the layout."""
         store = self._store()
+        if files_per_bucket > 1:
+            split = F.pmod(F.xxhash64("series"), F.lit(files_per_bucket))
+            out = store.repartition(
+                self.num_buckets * files_per_bucket, "bucket", split
+            )
+        else:
+            out = store.repartition("bucket")
         (
-            store.repartition("bucket")
-            .sortWithinPartitions("series", "ts")
+            out.sortWithinPartitions("series", "ts")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")

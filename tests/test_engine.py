@@ -130,3 +130,28 @@ def test_index_manifest(engine):
     assert sum(r["n"] for r in idx) == 8
     assert min(r["t_min"] for r in idx) == 1439856000000000
     assert max(r["t_max"] for r in idx) == 1439878320000000
+
+
+def test_compaction_file_sizing(spark, engine):
+    """Appends create one file per bucket per write; compact() merges
+    them, and files_per_bucket>1 splits deterministically by series hash
+    (file-size bound at scale) — results invariant throughout."""
+    import glob
+
+    for i in range(4):  # 4 small appends
+        engine.write("butterflies", WIRE_BUTTERFLIES[2 * i : 2 * i + 2])
+    engine.write("honeybees", [{"timestamp": t, "value": v} for (_, t, _, v) in HONEYBEES])
+
+    def n_files():
+        return len(glob.glob(f"{engine.path}/bucket=*/part-*.parquet"))
+
+    before_rows = sorted(
+        (r["series"], r["ts"], r["value"]) for r in engine.points().collect()
+    )
+    many = n_files()
+    engine.compact()
+    assert n_files() < many  # small files merged (one per live bucket)
+    engine.compact(files_per_bucket=2)
+    assert sorted(
+        (r["series"], r["ts"], r["value"]) for r in engine.points().collect()
+    ) == before_rows
