@@ -285,3 +285,81 @@ def stats(points: DataFrame) -> DataFrame:
         .withColumn("length_on_disk", F.col("length"))
         .orderBy("series")
     )
+
+
+# --------------------------------------------------------------------------
+# resample / gap-fill / interpolate (tsdb extension; not in the reference)
+# --------------------------------------------------------------------------
+
+
+def resample(
+    points: DataFrame,
+    every_us: int,
+    *,
+    fill: str | None = None,
+    value_scale: int = 6,
+) -> DataFrame:
+    """Downsample to fixed buckets of ``every_us`` µs per series
+    (bucket mean), optionally filling empty buckets.
+
+    ``fill``: None (skip empty buckets) | 'prev' (last observation
+    carried forward) | 'linear' (interpolate between neighboring
+    observed buckets). The bucket grid spans each series' observed
+    range, so fills are always bounded by real observations.
+
+    Scale shape: one hash aggregate on (series, bucket); the fill pass
+    is two window functions over (series, bucket) — a single shuffle,
+    no Python anywhere. Bucket means use scaled-long sums
+    (order-independent exact, ``value_scale`` decimal digits) so
+    results are reproducible on any partitioning and oracle-matchable.
+    """
+    m = float(10**value_scale)
+    tb = (F.col("ts") - F.pmod(F.col("ts"), F.lit(every_us))).alias("bucket_us")
+    agg = points.groupBy(F.col("series"), tb).agg(
+        (
+            F.sum(F.floor(F.col("value") * m + F.lit(0.5)).cast("long")).cast("double")
+            / m
+            / F.count("*")
+        ).alias("value"),
+        F.count("*").alias("n"),
+    )
+    if fill is None:
+        return agg.orderBy("series", "bucket_us")
+    if fill not in ("prev", "linear"):
+        raise ValueError(f"unknown fill mode: {fill}")
+
+    rng = agg.groupBy("series").agg(
+        F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi")
+    )
+    grid = rng.select(
+        "series",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(every_us))
+        ).alias("bucket_us"),
+    )
+    j = grid.join(agg, ["series", "bucket_us"], "left").select(
+        "series",
+        "bucket_us",
+        F.col("value").alias("v"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    w = Window.partitionBy("series").orderBy("bucket_us")
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    if fill == "prev":
+        out_v = F.coalesce(F.col("v"), prev_v)
+    else:
+        obs_b = F.when(F.col("v").isNotNull(), F.col("bucket_us"))
+        prev_b = F.last(obs_b, ignorenulls=True).over(back)
+        next_v = F.first("v", ignorenulls=True).over(fwd)
+        next_b = F.first(obs_b, ignorenulls=True).over(fwd)
+        frac = (F.col("bucket_us") - prev_b).cast("double") / (
+            next_b - prev_b
+        ).cast("double")
+        out_v = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+            prev_v + (next_v - prev_v) * frac
+        )
+    return j.select(
+        "series", "bucket_us", out_v.alias("value"), "n"
+    ).orderBy("series", "bucket_us")

@@ -279,6 +279,58 @@ def ts_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.series_names(pts)
 
 
+_RESAMPLE_US = 3_600_000_000  # 1 hour
+
+
+@declared(
+    "ts_resample_linear",
+    _POINTS_CTE
+    + f"""
+, agg AS (
+  SELECT series, ts - (ts % {_RESAMPLE_US}) AS bucket_us,
+         CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS v,
+         COUNT(*) AS n
+  FROM points GROUP BY 1, 2
+),
+rng AS (SELECT series, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM agg GROUP BY 1),
+grid AS (SELECT series, unnest(generate_series(lo, hi, {_RESAMPLE_US})) AS bucket_us FROM rng),
+j AS (
+  SELECT g.series, g.bucket_us, a.v, COALESCE(a.n, 0) AS n FROM grid g
+  LEFT JOIN agg a ON a.series = g.series AND a.bucket_us = g.bucket_us
+),
+f AS (
+  SELECT series, bucket_us, v, n,
+         last_value(v IGNORE NULLS) OVER (PARTITION BY series ORDER BY bucket_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN bucket_us END IGNORE NULLS)
+           OVER (PARTITION BY series ORDER BY bucket_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+         first_value(v IGNORE NULLS) OVER (PARTITION BY series ORDER BY bucket_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN bucket_us END IGNORE NULLS)
+           OVER (PARTITION BY series ORDER BY bucket_us
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+  FROM j
+)
+SELECT series, bucket_us,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(bucket_us - prev_b AS DOUBLE) / CAST(next_b - prev_b AS DOUBLE))
+       END AS value,
+       n
+FROM f
+""",
+)
+def ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to 1h buckets (exact scaled-long means) with linear
+    interpolation across empty buckets — the tsdb downsample/gap-fill
+    extension (one hash agg + one window shuffle, no Python)."""
+    from nibbledb_spark.operators.timeseries import resample
+
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    return resample(pts, _RESAMPLE_US, fill="linear")
+
+
 # ---------------------------------------------------------------------------
 # Part B — relational surface (first batch)
 # ---------------------------------------------------------------------------

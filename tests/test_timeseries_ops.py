@@ -202,3 +202,26 @@ def test_names_and_stats(fixture_points):
     ]
     st = {r["series"]: r["length"] for r in ts.stats(fixture_points).collect()}
     assert st == {"butterflies": 8, "honeybees": 8}
+
+
+def test_resample_fill_modes(spark):
+    from nibbledb_spark.operators import timeseries as ts_ops
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    pts = spark.createDataFrame(
+        [("s", 0, None, 10.0), ("s", 25, None, 20.0), ("s", 45, None, 40.0)],
+        POINT_SCHEMA,
+    )
+    # buckets of 10µs: observed at 0, 20, 40 -> gaps at 10, 30
+    none = ts_ops.resample(pts, 10).collect()
+    assert [(r["bucket_us"], r["value"], r["n"]) for r in none] == [
+        (0, 10.0, 1), (20, 20.0, 1), (40, 40.0, 1),
+    ]
+    prev = ts_ops.resample(pts, 10, fill="prev").collect()
+    assert [(r["bucket_us"], r["value"], r["n"]) for r in prev] == [
+        (0, 10.0, 1), (10, 10.0, 0), (20, 20.0, 1), (30, 20.0, 0), (40, 40.0, 1),
+    ]
+    lin = ts_ops.resample(pts, 10, fill="linear").collect()
+    assert [(r["bucket_us"], r["value"]) for r in lin] == [
+        (0, 10.0), (10, 15.0), (20, 20.0), (30, 30.0), (40, 40.0),
+    ]
