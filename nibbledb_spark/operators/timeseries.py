@@ -363,3 +363,26 @@ def resample(
     return j.select(
         "series", "bucket_us", out_v.alias("value"), "n"
     ).orderBy("series", "bucket_us")
+
+
+def delta(points: DataFrame, *, per_second: bool = False) -> DataFrame:
+    """Per-series successive differences (counter delta), optionally
+    normalized to a per-second rate over the elapsed µs. First point of
+    each series has no predecessor and is dropped. One window shuffle on
+    (series, ts); ties broken by value for determinism (Q5 canonical
+    order)."""
+    w = Window.partitionBy("series").orderBy(F.col("ts").asc(), F.col("value").asc())
+    prev_v = F.lag("value").over(w)
+    prev_t = F.lag("ts").over(w)
+    d = F.col("value") - prev_v
+    out = points.select(
+        "series",
+        "ts",
+        (
+            (d * F.lit(1_000_000.0) / (F.col("ts") - prev_t).cast("double"))
+            if per_second
+            else d
+        ).alias("delta"),
+        (F.col("ts") - prev_t).alias("elapsed_us"),
+    )
+    return out.where(F.col("delta").isNotNull())

@@ -279,6 +279,27 @@ def ts_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_ops.series_names(pts)
 
 
+@declared(
+    "ts_delta",
+    _POINTS_CTE
+    + """
+, o AS (
+  SELECT series, ts, value,
+         lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+  FROM points WINDOW w AS (PARTITION BY series ORDER BY ts ASC, value ASC)
+)
+SELECT series, ts, value - pv AS delta, ts - pt AS elapsed_us
+FROM o WHERE pv IS NOT NULL
+""",
+)
+def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series counter deltas (lag window; tsdb extension)."""
+    from nibbledb_spark.operators.timeseries import delta
+
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    return delta(pts)
+
+
 _RESAMPLE_US = 3_600_000_000  # 1 hour
 
 
