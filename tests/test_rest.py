@@ -220,3 +220,30 @@ def test_live_http_server(engine):
             assert json.loads(resp.read()) == {"status": "ok"}
     finally:
         server.shutdown()
+
+
+def test_router_never_crashes_on_arbitrary_paths(engine):
+    """Fuzz the route table: any path/method yields 200 or a clean 400
+    'Error:' body — never an unhandled exception (the reference's catch-
+    all at src/main.re:216-223)."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    router = Router(engine)
+    router.handle("POST", "/ts/s", json.dumps({"value": 1}))
+    segments = [
+        "ts", "info", "ctl", "s", "last", "first", "since", "range", "filter",
+        "equals", "contains", "sum", "mean", "bogus", "0", "-1", "2", "1e9",
+        "", "names", "stats", "status", "sync", "length", "index", "memory",
+        "disk", "a,b", "..", "%20", "🦋",
+    ]
+    methods = ["GET", "POST", "DELETE", "PUT"]
+    for _ in range(300):
+        depth = rng.randint(1, 7)
+        path = "/" + "/".join(rng.choice(segments) for _ in range(depth))
+        body = rng.choice([None, "junk", json.dumps({"value": 2})])
+        status, text = router.handle(rng.choice(methods), path, body)
+        assert status in (200, 400), (path, status)
+        if status == 400:
+            assert text.startswith("Error:")
