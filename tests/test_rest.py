@@ -247,3 +247,54 @@ def test_router_never_crashes_on_arbitrary_paths(engine):
         assert status in (200, 400), (path, status)
         if status == 400:
             assert text.startswith("Error:")
+
+
+def test_concurrent_http_clients(engine):
+    """Concurrent writers+readers against the live server: the buffer
+    lock serializes mutation (the reference serializes EVERYTHING,
+    src/main.re:225-227 — we only serialize writes) and every response
+    stays well-formed."""
+    import threading
+    import urllib.request
+
+    router = Router(engine)
+    server = serve(router, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    errors: list = []
+
+    def writer(series: str):
+        try:
+            for i in range(5):
+                req = urllib.request.Request(
+                    f"{base}/ts/{series}",
+                    data=json.dumps({"timestamp": 1000 + i, "value": float(i)}).encode(),
+                    method="POST",
+                )
+                assert urllib.request.urlopen(req).status == 200
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def reader():
+        try:
+            for _ in range(5):
+                with urllib.request.urlopen(f"{base}/info/ts/names") as r:
+                    json.loads(r.read())
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    try:
+        threads = [threading.Thread(target=writer, args=(f"s{i}",)) for i in range(4)]
+        threads += [threading.Thread(target=reader) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        with urllib.request.urlopen(f"{base}/ctl/ts/sync") as r:
+            assert r.status == 200
+        total = json.loads(
+            urllib.request.urlopen(f"{base}/ts/s0,s1,s2,s3/length").read()
+        )
+        assert total == {"length": 20}
+    finally:
+        server.shutdown()
