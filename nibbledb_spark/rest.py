@@ -87,11 +87,15 @@ class Router:
         max_buffer_size: int = DEFAULT_MAX_BUFFER_SIZE,
         shard_size: int = DEFAULT_SHARD_SIZE,
         compat_q1: bool = False,
+        compat_q2: bool = False,
     ) -> None:
         self.engine = engine
         self.max_buffer_size = max_buffer_size
         self.shard_size = shard_size
         self.compat_q1 = compat_q1
+        # quirk Q2: timestamp-membership over-delete (reference
+        # src/timeseries.re:264-268); default is precise predicate delete
+        self.compat_q2 = compat_q2
         # per-series FIFO of (ts, tag, value) — reference src/membufq.re
         self._buffer: dict[str, list[tuple[int, dict | None, float]]] = {}
         self._lock = threading.Lock()
@@ -212,7 +216,13 @@ class Router:
             values = values_s.split(",")
         try:
             self.engine.delete(
-                ids, ts_from, ts_to, tag_names=names, tag_values=values, tag_mode=mode
+                ids,
+                ts_from,
+                ts_to,
+                tag_names=names,
+                tag_values=values,
+                tag_mode=mode,
+                compat_membership=self.compat_q2,
             )
         except ValueError as e:
             raise RouteError(str(e)) from e

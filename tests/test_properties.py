@@ -117,3 +117,36 @@ def test_aggregate_filter_delete_compact_invariants(spark, rows, cut):
     # idempotent
     eng.delete(["s"], TS0 + cut)
     assert eng.length(["s"]) == len(remaining)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    record=st.fixed_dictionaries(
+        {},
+        optional={
+            "timestamp": st.one_of(st.integers(min_value=0, max_value=2**52), st.text(max_size=3)),
+            "tag": st.one_of(
+                st.none(),
+                st.lists(st.dictionaries(st.text(max_size=3), st.text(max_size=3), max_size=2), max_size=3),
+                st.dictionaries(st.text(max_size=3), st.text(max_size=3), max_size=2),
+                st.integers(),
+            ),
+            "value": st.one_of(st.floats(allow_nan=False, allow_infinity=False), st.integers(), st.text(max_size=3)),
+            "junk": st.integers(),
+        },
+    )
+)
+def test_wire_validation_total(record):
+    """validate_point either returns a canonical (ts, tag, value) triple
+    or raises ValidationError — never any other exception, in both
+    modes (pure driver-side check, no Spark)."""
+    from nibbledb_spark.schema import ValidationError, validate_point
+
+    for strict in (False, True):
+        try:
+            ts, tag, value = validate_point(record, strict=strict)
+        except ValidationError:
+            continue
+        assert isinstance(ts, int)
+        assert tag is None or isinstance(tag, dict)
+        assert isinstance(value, float)

@@ -298,3 +298,22 @@ def test_concurrent_http_clients(engine):
         assert total == {"length": 20}
     finally:
         server.shutdown()
+
+
+def test_delete_q2_compat_membership(engine):
+    """Q2 compat: tag-filtered delete also removes same-timestamp points
+    that did NOT match the filter (reference src/timeseries.re:264-268);
+    default router deletes precisely."""
+    precise = Router(engine)
+    precise.handle("POST", "/ts/p", json.dumps(BFLY))
+    precise.handle("DELETE", "/ts/p/range/0/9999999999999999/filter/scientist/equals/perpetua")
+    # precise: only the 4 perpetua points die
+    assert precise.handle_json("GET", "/ts/p/length")[1] == {"length": 4}
+
+    compat = Router(engine, compat_q2=True)
+    compat.handle("POST", "/ts/q", json.dumps(BFLY))
+    compat.handle("DELETE", "/ts/q/range/0/9999999999999999/filter/scientist/equals/perpetua")
+    # membership: langstroth points sharing ts 1439856000000000 and
+    # 1439856360000000 with perpetua victims die too -> only the two
+    # location-2 langstroth points (unique ts) survive
+    assert compat.handle_json("GET", "/ts/q/length")[1] == {"length": 2}
