@@ -49,6 +49,7 @@ HEADLINE = [
     "asof_last_purchase_before_click",
     "rollup_customers_region_nation",
     "moving_avg_7d",
+    "clean_corpus",
 ]
 
 

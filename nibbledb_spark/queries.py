@@ -1442,6 +1442,62 @@ def multimodal_payload_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs the identical plan; convergence is pinned in tests/test_streaming.py)
 # ---------------------------------------------------------------------------
 
+@declared(
+    "clean_corpus",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS w FROM documents),
+q AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         CAST(len(list_filter(w, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(w) AS stopword_ratio
+  FROM t
+),
+l AS (
+  SELECT doc_id,
+       CASE
+         WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         WHEN {_lang_score_sql('en')} >= {_lang_score_sql('de')}
+          AND {_lang_score_sql('en')} >= {_lang_score_sql('fr')}
+          AND {_lang_score_sql('en')} >= {_lang_score_sql('es')} THEN 'en'
+         WHEN {_lang_score_sql('de')} >= {_lang_score_sql('fr')}
+          AND {_lang_score_sql('de')} >= {_lang_score_sql('es')} THEN 'de'
+         WHEN {_lang_score_sql('fr')} >= {_lang_score_sql('es')} THEN 'fr'
+         ELSE 'es'
+       END AS lang_pred
+  FROM t
+),
+keep0 AS (
+  SELECT t.doc_id, t.text FROM t
+  JOIN q ON q.doc_id = t.doc_id
+  JOIN l ON l.doc_id = t.doc_id
+  WHERE q.n_tokens >= 10 AND q.stopword_ratio >= 0.03 AND l.lang_pred = 'en'
+),
+ex AS (SELECT MIN(doc_id) AS doc_id FROM keep0 GROUP BY text),
+sh AS (
+  SELECT tt.doc_id, unnest({_SHINGLES}) AS s
+  FROM (SELECT e.doc_id, {_TOKS} AS w FROM documents d JOIN ex e ON e.doc_id = d.doc_id) tt
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+removed AS (
+  SELECT DISTINCT id2 AS doc_id
+  FROM inter JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
+  WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter) >= 0.5
+)
+SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+""",
+)
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning (quality -> lang -> exact dedup ->
+    near-dup removal) as ONE declarative plan, oracle-audited."""
+    from nibbledb_spark.operators.pipeline import clean_corpus as op
+
+    return op(_t(spark, sf_dir, "documents"))
+
+
 _US_HOUR = 3_600_000_000
 
 
