@@ -192,3 +192,23 @@ def test_multimodal_resize_plumbing(spark, docs):
     # deterministic per payload
     again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, width=8, height=8).collect()}
     assert all(bytes(r["payload"]) == again[r["media_id"]] for r in rows)
+
+
+def test_ivf_finds_planted_twins(spark, embeddings):
+    """IVF ANN recall floor: an exact duplicate vector (cos=1) must be
+    assigned to the same inverted list as its twin, so nprobe>=1 always
+    surfaces it at rank 1."""
+    from nibbledb_spark.operators.similarity import ivf_topk
+
+    base = embeddings.select("vec_id", "embedding").limit(100)
+    twins = base.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(twins)
+    queries = corpus.where(F.col("vec_id") >= 10_000)
+    out = ivf_topk(corpus, queries, 1, n_centroids=8, nprobe=2)
+    rows = {r["query_id"]: (r["neighbor_id"], r["cos_sim"]) for r in out.collect()}
+    assert len(rows) == 10
+    for qid, (nid, cos) in rows.items():
+        assert nid == qid - 10_000, (qid, nid)
+        assert cos == pytest.approx(1.0, abs=1e-12)
