@@ -1498,6 +1498,59 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(_t(spark, sf_dir, "documents"))
 
 
+_PROFILE_COL_SQL = """
+SELECT '{c}' AS column, COUNT(*) AS n,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s, CAST(MAX({c}) AS VARCHAR) AS max_s
+FROM documents"""
+
+
+@declared(
+    "profile_documents",
+    " UNION ALL ".join(
+        _PROFILE_COL_SQL.format(c=c)
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    ),
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the documents table in one
+    aggregation pass (count/null/exact-distinct/min/max)."""
+    from nibbledb_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents"))
+
+
+@declared(
+    "window_rank_family",
+    """
+SELECT o_custkey, o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+""",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile together (Part B ranking-window row),
+    unique-key tiebreak for determinism."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 _US_HOUR = 3_600_000_000
 
 
