@@ -214,13 +214,27 @@ def main() -> int:
                 con.execute(ORACLE[name]).fetchall()
                 samples.append(time.perf_counter() - t0)
             duck = statistics.median(samples)
+            # prepared-statement analogue: plan built once, executed 5x —
+            # isolates execution throughput from per-call planning cost
+            df = QUERIES[name](spark, SF_DIR)
+            df.collect()
+            prep_samples = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                df.collect()
+                prep_samples.append(time.perf_counter() - t0)
+            prep = statistics.median(prep_samples)
             ratio = timings[name] / duck if duck > 0 else float("inf")
-            rows.append((name, duck, timings[name], ratio))
-            log(f"duckdb {name}: {duck:.3f}s (ratio {ratio:.2f}x)")
-        log("\n| query | duckdb_s | spark_s | ratio |")
-        log("|---|---|---|---|")
-        for name, duck, sp, ratio in rows:
-            log(f"| {name} | {duck:.3f} | {sp:.3f} | {ratio:.2f} |")
+            pratio = prep / duck if duck > 0 else float("inf")
+            rows.append((name, duck, timings[name], prep, ratio, pratio))
+            log(f"duckdb {name}: {duck:.3f}s (ratio {ratio:.2f}x, prepared {pratio:.2f}x)")
+        log("\n| query | duckdb_s | spark_s | spark_prepared_s | ratio | prepared_ratio |")
+        log("|---|---|---|---|---|---|")
+        for name, duck, sp, prep, ratio, pratio in rows:
+            log(
+                f"| {name} | {duck:.3f} | {sp:.3f} | {prep:.3f} "
+                f"| {ratio:.2f} | {pratio:.2f} |"
+            )
 
     print(
         json.dumps(
