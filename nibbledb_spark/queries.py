@@ -1551,6 +1551,48 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for t in names:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@declared(
+    "subquery_exists_big_spenders",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def subquery_exists_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the engine's SQL surface — Catalyst
+    rewrites it to a left-semi join (same plan as the DataFrame form)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """SELECT c_custkey, c_name FROM customer c
+           WHERE EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 400000)"""
+    )
+
+
+@declared(
+    "subquery_scalar_above_avg",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 1.6 * (SELECT AVG(o_totalprice) FROM orders)
+""",
+)
+def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery via spark.sql (single reusable
+    subquery result broadcast into the filter)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_totalprice > 1.6 * (SELECT AVG(o_totalprice) FROM orders)"""
+    )
+
+
 _US_HOUR = 3_600_000_000
 
 
