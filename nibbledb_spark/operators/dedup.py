@@ -436,3 +436,58 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: fingerprints sharing any of
+    ``n_bands`` contiguous bit bands become candidates (two fingerprints
+    within Hamming distance < n_bands MUST share a band — pigeonhole),
+    verified by exact popcount of the XOR. The band join replaces the
+    all-pairs Hamming comparison, same blocking idea as MinHash-LSH."""
+    band_bits = bits // n_bands
+    sh = simhash_docs(docs, id_col=id_col, text_col=text_col)
+    bands = sh.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.select(
+            "id1",
+            "id2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1593,6 +1593,30 @@ def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "simhash_near_dup_pairs",
+    f"""
+WITH sh AS ({_simhash_sql()}),
+bands AS (
+  SELECT doc_id AS id, simhash, b.band,
+         (simhash // CAST(POWER(2, b.band * 8) AS BIGINT)) % 256 AS key
+  FROM sh, (SELECT unnest([0,1,2,3]) AS band) b
+),
+cands AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2, a.simhash AS h1, b.simhash AS h2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming
+FROM cands WHERE bit_count(xor(h1, h2)) <= 3
+""",
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-blocked near-dup pairs, exact popcount verify."""
+    from nibbledb_spark.operators.dedup import simhash_near_dup_pairs as op
+
+    return op(_t(spark, sf_dir, "documents"))
+
+
 _US_HOUR = 3_600_000_000
 
 
