@@ -12,6 +12,12 @@ Two paths:
   deterministic hyperplanes; candidates share a signature bucket, and
   exact scoring runs per-bucket only. At 100 TB the bucket join
   replaces the |Q|x|C| cross product with |Q|+|C| shuffled rows.
+
+Pattern references (PAPERS.md; public retrieved corpus): partitioned
+top-k similarity with per-partition pruning follows REPOSE (ICDE 2021)
+and the streaming similarity-search partitioning of EDBT 2019; the
+incremental top-k session pattern (EDBT 2020) motivates the
+prepared-plan reuse measured in bench.py.
 """
 
 from __future__ import annotations

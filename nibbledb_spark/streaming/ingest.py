@@ -18,6 +18,11 @@ The sink is ``foreachBatch`` -> ``TimeSeriesEngine.append_points`` —
 the same bucket-partitioned store batch writes use, so batch and
 streaming ingest converge to identical state (the STREAM parity class
 convergence tests pin this).
+
+The micro-batch model and the batch/streaming plan-equivalence this
+module leans on are the Structured Streaming design (SIGMOD 2018,
+PAPERS.md) — the convergence tests are exactly its prefix-consistency
+guarantee exercised end-to-end.
 """
 
 from __future__ import annotations
