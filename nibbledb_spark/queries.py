@@ -300,6 +300,30 @@ def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta(pts)
 
 
+@declared(
+    "ts_quantiles",
+    _POINTS_CTE
+    + """
+SELECT series,
+       QUANTILE_CONT(value, 0.25) AS p25,
+       QUANTILE_CONT(value, 0.5) AS p50,
+       QUANTILE_CONT(value, 0.75) AS p75,
+       QUANTILE_CONT(value, 0.95) AS p95
+FROM points GROUP BY series
+""",
+)
+def ts_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-series quantile summary (single sort-based aggregate;
+    percentile() is exact interpolated, matching QUANTILE_CONT)."""
+    pts = points_from_events(spark, sf_dir)
+    return pts.groupBy("series").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+
+
 _RESAMPLE_US = 3_600_000_000  # 1 hour
 
 

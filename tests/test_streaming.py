@@ -133,3 +133,19 @@ def test_stateful_series_stats_converges(spark, tmp_path, batch_points):
         for k in ("n", "total", "vmin", "vmax", "last_ts"):
             assert have[k] == pytest.approx(want[k]), (series, k)
         assert have["ewma"] == pytest.approx(want["ewma"], rel=1e-12), series
+
+
+def test_replay_restart_is_exactly_once(spark, tmp_path, batch_points):
+    """Exactly-once ingest: re-running the replay against the SAME
+    checkpoint appends nothing (the sink's micro-batch epochs are
+    already committed), so restarts never duplicate points."""
+    eng = TimeSeriesEngine(spark, str(tmp_path / "store"), num_buckets=4)
+    ingest = StreamingIngest(eng, str(tmp_path / "ckpt"))
+    ingest.start_replay(SF)
+    ingest.sync()
+    n1 = eng.points().count()
+    assert n1 == batch_points.count()
+    ingest2 = StreamingIngest(eng, str(tmp_path / "ckpt"))  # same checkpoint
+    ingest2.start_replay(SF)
+    ingest2.sync()
+    assert eng.points().count() == n1  # no duplicates on restart
