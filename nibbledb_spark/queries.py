@@ -689,6 +689,38 @@ def join_outer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "join_full_outer_key_coverage",
+    """
+SELECT
+  SUM(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS n_both,
+  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_customer_only,
+  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orders_only
+FROM (SELECT DISTINCT o_custkey FROM orders) o
+FULL OUTER JOIN customer ON c_custkey = o_custkey
+""",
+)
+def join_full_outer_key_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join coverage summary: customers with orders, without
+    orders, and (per referential integrity, zero) orphan order keys."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(
+                F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_both"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "n_customer_only"
+        ),
+        F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0)).alias(
+            "n_orders_only"
+        ),
+    )
+
+
+@declared(
     "join_semi_customers_with_orders",
     """
 SELECT COUNT(*) AS n_customers FROM customer
