@@ -25,16 +25,30 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: Sequence[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` per key (backward as-of, inclusive).
+    """For each left row, attach the nearest right row per key:
+    ``direction='backward'`` (default) the most recent with
+    ``right.ts <= left.ts``; ``'forward'`` the earliest with
+    ``right.ts >= left.ts``; ``'nearest'`` whichever of the two is
+    closer in absolute time (ties to the backward side).
 
     Implementation: tag both sides, union on (key, ts), then
     ``last(value, ignoreNulls)`` over a window ordered by
-    (ts, side-marker) with an unbounded-preceding frame. Right rows
-    sort before left rows at equal ts, so an equal-timestamp right row
-    IS visible to the left row (<=, matching e.g. DuckDB ASOF JOIN).
+    (ts, side-marker) with an unbounded-preceding frame — and the
+    mirrored frame for forward. Right rows sort before left rows at
+    equal ts, so an equal-timestamp right row IS visible to the left
+    row (<=, matching e.g. DuckDB ASOF JOIN). One shuffle on the key,
+    a single pass per direction, no per-key quadratic blow-up.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction}")
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on,
+            left_ts=left_ts, right_ts=right_ts,
+            value_cols=value_cols, suffix=suffix,
+        )
     on = list(on)
     if value_cols is None:
         value_cols = [
@@ -57,16 +71,69 @@ def asof_join(
         *[F.col(c).alias(o) for c, o in zip(value_cols, out_cols)],
     ).select(*l_side.columns)  # align column order for the union
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # right rows (__side=0) sort before left at equal ts => inclusive <=
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = F.last
+    else:  # forward: earliest right with ts >= left ts (inclusive)
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = F.first
     filled = r_side.unionByName(l_side).select(
         *[c for c in l_side.columns if c not in out_cols],
-        *[F.last(o, ignorenulls=True).over(w).alias(o) for o in out_cols],
+        *[pick(o, ignorenulls=True).over(w).alias(o) for o in out_cols],
     )
     return filled.where(F.col("__side") == 1).drop("__t", "__side")
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str] | None,
+    suffix: str,
+) -> DataFrame:
+    """nearest = run backward and forward passes, keep the closer match
+    (backward wins ties). The right-side timestamp rides along as an
+    extra value column so closeness is computable."""
+    on = list(on)
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in on and c != right_ts]
+    r = right.withColumn("__rts", F.col(right_ts))
+    vcols = list(value_cols) + ["__rts"]
+    back = asof_join(
+        left, r, on, left_ts=left_ts, right_ts=right_ts,
+        value_cols=vcols, suffix="__b", direction="backward",
+    )
+    both = asof_join(
+        back, r, on, left_ts=left_ts, right_ts=right_ts,
+        value_cols=vcols, suffix="__f", direction="forward",
+    )
+    d_b = F.col(left_ts) - F.col("__rts__b")
+    d_f = F.col("__rts__f") - F.col(left_ts)
+    use_b = F.col("__rts__b").isNotNull() & (
+        F.col("__rts__f").isNull() | (d_b <= d_f)
+    )
+    out = both.select(
+        *[c for c in left.columns],
+        *[
+            F.when(use_b, F.col(f"{c}__b")).otherwise(F.col(f"{c}__f")).alias(
+                f"{c}{suffix}"
+            )
+            for c in value_cols
+        ],
+    )
+    return out
 
 
 def range_join(

@@ -225,3 +225,28 @@ def test_resample_fill_modes(spark):
     assert [(r["bucket_us"], r["value"]) for r in lin] == [
         (0, 10.0), (10, 15.0), (20, 20.0), (30, 30.0), (40, 40.0),
     ]
+
+
+def test_asof_join_directions(spark):
+    from nibbledb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 25), ("k", 40)], "k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 5, 1.0), ("k", 20, 2.0), ("k", 41, 3.0)], "k string, ts long, v double"
+    )
+
+    def vals(direction):
+        out = asof_join(left, right, ["k"], direction=direction)
+        return {r["ts"]: r["v_asof"] for r in out.collect()}
+
+    assert vals("backward") == {10: 1.0, 25: 2.0, 40: 2.0}
+    assert vals("forward") == {10: 2.0, 25: 3.0, 40: 3.0}
+    # nearest: 10 -> 5 (d5) vs 20 (d10) => 1.0; 25 -> 20 (d5) vs 41 (d16)
+    # => 2.0; 40 -> 20 (d20) vs 41 (d1) => 3.0
+    assert vals("nearest") == {10: 1.0, 25: 2.0, 40: 3.0}
+    # equal-ts inclusivity both directions
+    eq = spark.createDataFrame([("k", 20)], "k string, ts long")
+    assert asof_join(eq, right, ["k"], direction="backward").collect()[0]["v_asof"] == 2.0
+    assert asof_join(eq, right, ["k"], direction="forward").collect()[0]["v_asof"] == 2.0
