@@ -324,6 +324,49 @@ def ts_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "interval_overlap_series_days",
+    _POINTS_CTE
+    + f"""
+, iv AS (
+  SELECT series, CAST(ts // 86400000000 AS BIGINT) AS day,
+         MIN(ts) AS t_min, MAX(ts) AS t_max
+  FROM points GROUP BY 1, 2
+)
+SELECT a.series AS series1, a.day AS day1, b.series AS series2, b.day AS day2
+FROM iv a JOIN iv b
+  ON a.t_min <= b.t_max AND b.t_min <= a.t_max
+ AND (a.series < b.series OR (a.series = b.series AND a.day < b.day))
+""",
+)
+def interval_overlap_series_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap join over per-(series, day) activity intervals — the
+    reference's shard-overlap predicate as a bucket-blocked join."""
+    from nibbledb_spark.operators.asof import interval_join
+
+    pts = points_from_events(spark, sf_dir)
+    iv = pts.groupBy(
+        "series", (F.col("ts") / 86_400_000_000).cast("long").alias("day")
+    ).agg(F.min("ts").alias("t_min"), F.max("ts").alias("t_max"))
+    a = iv.select(
+        F.col("series").alias("series1"), F.col("day").alias("day1"),
+        F.col("t_min").alias("t_min"), F.col("t_max").alias("t_max"),
+    )
+    b = iv.select(
+        F.col("series").alias("series2"), F.col("day").alias("day2"),
+        F.col("t_min").alias("t_min2"), F.col("t_max").alias("t_max2"),
+    )
+    out = interval_join(
+        a, b,
+        left_bounds=("t_min", "t_max"),
+        right_bounds=("t_min2", "t_max2"),
+    )
+    return out.where(
+        (F.col("series1") < F.col("series2"))
+        | ((F.col("series1") == F.col("series2")) & (F.col("day1") < F.col("day2")))
+    ).select("series1", "day1", "series2", "day2")
+
+
 _RESAMPLE_US = 3_600_000_000  # 1 hour
 
 
