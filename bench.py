@@ -161,6 +161,52 @@ def ingest_throughput(spark) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def engine_read_bench(spark) -> None:
+    """Time the reference query surface against the engine's own
+    bucket-partitioned store (ingested once from the sf events table) —
+    the real tsdb read path with partition pruning + row-group stats,
+    rather than the per-query events->points mapping the declared
+    queries use. Diagnostics to stderr."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.engine import TimeSeriesEngine
+    from nibbledb_spark.sources.registry import points_from_events
+
+    work = tempfile.mkdtemp(prefix="bench_engine_")
+    try:
+        eng = TimeSeriesEngine(spark, os.path.join(work, "store"))
+        pts = points_from_events(spark, SF_DIR)
+        t0 = time.perf_counter()
+        eng.append_points(pts)
+        log(f"engine store build: {time.perf_counter() - t0:.2f}s")
+        series = eng.names()
+        one, many = series[0], series[: min(3, len(series))]
+        lo, hi = [
+            (r["mn"], r["mx"])
+            for r in pts.selectExpr("min(ts) AS mn", "max(ts) AS mx").collect()
+        ][0]
+        mid = (lo + hi) // 2
+        cases = {
+            "last_100": lambda: eng.last(many, 100).collect(),
+            "latest": lambda: eng.latest([one]).collect(),
+            "since_mid": lambda: eng.since([one], mid).count(),
+            "range_mid": lambda: eng.range(many, mid, hi).count(),
+            "agg_median": lambda: eng.aggregate([one], "median"),
+            "length": lambda: eng.length(many),
+        }
+        for name, fn in cases.items():
+            fn()
+            samples = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                fn()
+                samples.append(time.perf_counter() - t0)
+            log(f"engine {name}: {statistics.median(samples):.3f}s")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     from nibbledb_spark.queries import ORACLE, QUERIES
     from nibbledb_spark.session import get_spark
@@ -176,6 +222,11 @@ def main() -> int:
     if "--ingest" in sys.argv:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         ingest_throughput(spark)
+        return 0
+
+    if "--engine" in sys.argv:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        engine_read_bench(spark)
         return 0
 
     # warm the JVM/session so the first measured query isn't paying startup

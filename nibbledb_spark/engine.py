@@ -62,6 +62,7 @@ class TimeSeriesEngine:
         self.path = path
         self.num_buckets = num_buckets
         self.strict_ingest = strict_ingest
+        self._bucket_cache: dict[str, int] = {}
 
     # -- write path --------------------------------------------------------
 
@@ -116,14 +117,19 @@ class TimeSeriesEngine:
         return df.select("series", "ts", "tag", "value")
 
     def _bucket_py(self, series_id: str) -> int:
-        # one tiny driver-side round-trip per distinct id set; cached by
-        # Spark's plan cache in practice. Kept exact with the JVM hash.
+        # one tiny driver-side round-trip per distinct NEW id (memoized
+        # thereafter). Kept exact with the JVM hash by asking the JVM.
+        cached = self._bucket_cache.get(series_id)
+        if cached is not None:
+            return cached
         row = (
             self.spark.range(1)
             .select(bucket_of(F.lit(series_id), self.num_buckets).alias("b"))
             .collect()
         )
-        return row[0]["b"]
+        b = row[0]["b"]
+        self._bucket_cache[series_id] = b
+        return b
 
     # query surface (thin delegation to the pure operators) -----------------
 
