@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nibbledb_spark.operators.dedup import ngram_jaccard_pairs
-from nibbledb_spark.operators.text import lang_id, quality_scores
+from nibbledb_spark.operators.text import STOPWORDS, lang_pred_col, tokens
 
 
 def clean_corpus(
@@ -44,17 +44,19 @@ def clean_corpus(
     Scale shape: two hash aggregates (quality+dedup), one shingle
     equi-join for near-dups — all shuffles keyed, nothing quadratic.
     """
-    q = quality_scores(docs, text_col).select(
-        id_col, "n_tokens", "stopword_ratio"
+    # quality + language are row-local expressions: ONE projection over
+    # the corpus, no joins, no extra scans (exchange budget pinned in
+    # tests/test_plans.py)
+    w = tokens(text_col)
+    n = F.size(w)
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / n
     )
-    lg = lang_id(docs, text_col).select(id_col, "lang_pred")
     keep0 = (
-        docs.join(q, id_col)
-        .join(lg, id_col)
-        .where(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("stopword_ratio") >= min_stopword_ratio)
-            & (F.col("lang_pred") == lang)
+        docs.where(
+            (n >= min_tokens)
+            & (stop_ratio >= min_stopword_ratio)
+            & (lang_pred_col(text_col) == lang)
         )
         .select(id_col, text_col)
     )

@@ -78,11 +78,13 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language-ID heuristic. CJK codepoints force ``zh``;
-    otherwise the language with the most marker hits wins, ties broken
-    by the fixed LANG_ORDER. Deterministic by construction."""
-    w = tokens(text_col)
+def lang_pred_col(text_col: Column | str = "text") -> Column:
+    """Language prediction as a row-local Column (composable without a
+    join). CJK codepoints force ``zh``; otherwise the language with the
+    most marker hits wins, ties broken by the fixed LANG_ORDER.
+    Deterministic by construction."""
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    w = tokens(text)
 
     # NB: higher-order-function lambdas must have exactly one parameter —
     # PySpark binds a Column per named parameter (a default like
@@ -91,7 +93,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         return F.size(F.filter(w, lambda x: x.isin(*markers)))
 
     scores = {lang: marker_count(m) for lang, m in LANG_MARKERS.items()}
-    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    has_cjk = text.rlike(r"[一-鿿]")
     best = F.lit(LANG_ORDER[-1])
     for lang in reversed(LANG_ORDER[:-1]):
         later = [scores[o] for o in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]]
@@ -100,9 +102,12 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
             c = scores[lang] >= o
             cond = c if cond is None else (cond & c)
         best = F.when(cond, F.lit(lang)).otherwise(best)
-    return docs.select(
-        "doc_id", F.when(has_cjk, F.lit("zh")).otherwise(best).alias("lang_pred")
-    )
+    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic (see lang_pred_col)."""
+    return docs.select("doc_id", lang_pred_col(text_col).alias("lang_pred"))
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:

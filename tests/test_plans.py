@@ -148,3 +148,21 @@ def test_exact_dedup_partial_agg(spark):
     p = plan(QUERIES["dedup_exact"](spark, SF))
     assert "HashAggregate" in p
     assert "Sort" not in p.split("AdaptiveSparkPlan")[0]
+
+
+def test_new_operator_shuffle_budgets(spark):
+    """Shuffle budgets of the tsdb/pipeline extensions — a regression
+    here means an operator grew a shuffle it doesn't need."""
+    from nibbledb_spark.plans.scale import exchange_count
+    from nibbledb_spark.queries import QUERIES
+
+    budgets = {
+        "ts_delta": 1,              # one window shuffle
+        "ts_quantiles": 1,          # one hash aggregate
+        "ts_resample_linear": 3,    # agg + grid join + window
+        "interval_overlap_series_days": 4,  # agg + bucket join + distinct + order
+        "clean_corpus": 9,          # fused filters + dedup + shingle joins
+    }
+    for name, budget in budgets.items():
+        got = exchange_count(QUERIES[name](spark, SF))
+        assert got <= budget, (name, got, budget)
