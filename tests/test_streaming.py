@@ -149,3 +149,64 @@ def test_replay_restart_is_exactly_once(spark, tmp_path, batch_points):
     ingest2.start_replay(SF)
     ingest2.sync()
     assert eng.points().count() == n1  # no duplicates on restart
+
+
+def test_watermark_drops_late_data_but_default_keeps_it(spark, tmp_path):
+    """Late-data policy (SURVEY.md §7.3): with an explicit watermark,
+    points older than the lateness bound arriving in a later micro-batch
+    are DROPPED from the windowed aggregation; the no-watermark default
+    (reference semantics: arbitrarily late accepted, src/timeseries.re:
+    119-156) keeps them."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from nibbledb_spark.schema import POINT_SCHEMA
+    from nibbledb_spark.streaming.ingest import windowed_counts
+
+    hour_us = 3_600_000_000
+    t0 = 1_700_000_000_000_000
+    fresh = [("s", t0 + 10 * hour_us + i, None, 1.0) for i in range(3)]
+    late = [("s", t0 + i, None, 1.0) for i in range(2)]  # 10h late
+
+    def run(watermark, name):
+        # two explicitly-sequenced micro-batches: fresh data first (sets
+        # the watermark), then the late file
+        src = str(tmp_path / f"drop_{name}")
+        os.makedirs(src)
+        spark.createDataFrame(fresh, POINT_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/f1.parquet"
+        )
+        stream = spark.readStream.schema(POINT_SCHEMA).parquet(src + "/*")
+        q = (
+            windowed_counts(stream, "1 hour", watermark=watermark)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 1: advances watermark
+            spark.createDataFrame(late, POINT_SCHEMA).coalesce(1).write.parquet(
+                f"{src}/f2.parquet"
+            )
+            q.processAllAvailable()  # batch 2: late rows vs watermark
+        finally:
+            q.stop()
+        return {
+            r["window_start_us"]: r["n"]
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    late_win = t0 - (t0 % hour_us)
+    fresh_win = (t0 + 10 * hour_us) - ((t0 + 10 * hour_us) % hour_us)
+
+    strict = run("30 minutes", "wm_strict")
+    assert late_win not in strict  # late window dropped
+    assert strict[fresh_win] == 3
+
+    lenient = run(None, "wm_default")
+    assert lenient[late_win] == 2  # late points kept (reference semantics)
+    assert lenient[fresh_win] == 3
