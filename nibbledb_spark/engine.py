@@ -63,6 +63,34 @@ class TimeSeriesEngine:
         self.num_buckets = num_buckets
         self.strict_ingest = strict_ingest
         self._bucket_cache: dict[str, int] = {}
+        # A store written with B buckets MUST be read with B buckets or
+        # bucket pruning silently misses data: the store's own metadata
+        # wins over the constructor argument.
+        stored = self._read_meta()
+        if stored is not None and stored != num_buckets:
+            self.num_buckets = stored
+
+    _META_FILE = "_nibbledb_meta.json"
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, self._META_FILE)
+
+    def _read_meta(self) -> int | None:
+        try:
+            with open(self._meta_path()) as f:
+                import json
+
+                return int(json.load(f)["num_buckets"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _write_meta(self) -> None:
+        if not os.path.exists(self._meta_path()):
+            os.makedirs(self.path, exist_ok=True)
+            import json
+
+            with open(self._meta_path(), "w") as f:
+                json.dump({"num_buckets": self.num_buckets}, f)
 
     # -- write path --------------------------------------------------------
 
@@ -84,7 +112,11 @@ class TimeSeriesEngine:
 
     def append_points(self, df: DataFrame) -> None:
         """Append canonical-schema points. Sorted within partitions by
-        (series, ts) so row-group stats stay tight for time pruning."""
+        (series, ts) so row-group stats stay tight for time pruning.
+        First write stamps the store's bucket-count metadata (underscore
+        prefix keeps it invisible to Spark's file listing; swap the
+        open() for the Hadoop FS API on a non-local store)."""
+        self._write_meta()
         (
             df.withColumn("bucket", bucket_of(F.col("series"), self.num_buckets))
             .repartition("bucket")

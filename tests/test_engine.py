@@ -155,3 +155,18 @@ def test_compaction_file_sizing(spark, engine):
     assert sorted(
         (r["series"], r["ts"], r["value"]) for r in engine.points().collect()
     ) == before_rows
+
+
+def test_store_bucket_count_is_sticky(spark, tmp_path):
+    """Reopening a store with a different num_buckets must not silently
+    prune the wrong buckets: the store's own metadata wins."""
+    from nibbledb_spark.engine import TimeSeriesEngine
+
+    path = str(tmp_path / "sticky")
+    eng = TimeSeriesEngine(spark, path, num_buckets=8)
+    eng.write("butterflies", WIRE_BUTTERFLIES)
+
+    reopened = TimeSeriesEngine(spark, path, num_buckets=32)  # wrong arg
+    assert reopened.num_buckets == 8  # metadata overrides
+    assert reopened.length(["butterflies"]) == 8
+    assert reopened.last(["butterflies"], 1).count() == 1
