@@ -37,3 +37,29 @@ def test_srp_ann_results_are_valid_neighbors(spark):
         items.sort()
         sims = [s for _, s in items]
         assert sims == sorted(sims, reverse=True), q  # rank order == cosine order
+
+
+def test_ann_recall_floors_on_random_corpus(spark):
+    """Deterministic recall@5 of the ANN paths vs exact top-5, measured
+    on the driver's UNIFORM-RANDOM embeddings — ANN's worst case (no
+    cluster structure for buckets to exploit). Pinned at measured
+    floors: IVF nprobe=2/8 ~0.52, nprobe=4/8 ~0.77; SRP ~0.11 on this
+    corpus (signed-random-projection buckets only help when neighbors
+    share high cosine — see the planted-twin tests for the clustered
+    case, where both paths hit rank-1). Everything is deterministic, so
+    these are regression floors, not statistical hopes."""
+    from pyspark.sql import functions as F
+
+    from nibbledb_spark.operators.similarity import cosine_topk, ivf_topk, srp_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 50)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(e, q, 5).collect()}
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    assert recall(ivf_topk(e, q, 5, n_centroids=8, nprobe=2)) >= 0.50
+    assert recall(ivf_topk(e, q, 5, n_centroids=8, nprobe=4)) >= 0.75
+    assert recall(srp_topk(e, q, 5, dim=64)) >= 0.10
