@@ -122,3 +122,35 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct(w))).cast("binary")
         ).alias("content_fp"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Split documents into consecutive ``max_tokens``-token chunks —
+    the packing step before sequence-length-bounded training. One
+    posexplode + hash aggregate on (id, chunk_id); chunk text is the
+    space-joined token run, chunk boundaries are deterministic token
+    indices (no Python, no re-tokenization downstream drift)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    # collect_list order is undefined post-shuffle: gather (pos, tok)
+    # structs and array_sort (sorts by pos, the first field) so chunk
+    # text is deterministic
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+    )
+    return (
+        toks.withColumn("chunk_id", (F.col("pos") / max_tokens).cast("long"))
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.concat_ws(" ", ordered).alias("chunk_text"),
+        )
+    )

@@ -1716,6 +1716,29 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(_t(spark, sf_dir, "documents"))
 
 
+@declared(
+    "chunk_documents_64",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         unnest(range(0, CAST(CEIL(len(w) / 64.0) AS BIGINT))) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       LEAST((chunk_id + 1) * 64, len(w)) - chunk_id * 64 AS n_tokens,
+       array_to_string(w[chunk_id * 64 + 1 : LEAST((chunk_id + 1) * 64, len(w))], ' ') AS chunk_text
+FROM c
+""",
+)
+def chunk_documents_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking (64-token windows) — the packing step of a
+    training pipeline, deterministic chunk boundaries and text."""
+    from nibbledb_spark.operators.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), max_tokens=64)
+
+
 _US_HOUR = 3_600_000_000
 
 
