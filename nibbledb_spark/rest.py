@@ -257,6 +257,54 @@ class Router:
         rows = self.engine.index([series]).collect()
         return {series: [[r["t_min"], r["t_max"]] for r in rows]}
 
+    # -- extension routes (beyond the reference grammar) ---------------------
+
+    def _extension(self, ids_s: str, verb: str, rest: list[str]) -> Any:
+        """`/x/ts/:ids/...` — the engine's tsdb extensions over REST:
+        resample/:every_us[/:fill], delta[/rate], quantiles. Not part of
+        the reference surface; namespaced under /x/ to keep the
+        reference grammar intact."""
+        from nibbledb_spark.operators.timeseries import delta, resample
+
+        ids = ids_s.split(",")
+        self._flush(ids)
+        pts = self.engine.points(ids)
+        try:
+            if verb == "resample" and rest:
+                fill = rest[1] if len(rest) > 1 else None
+                out = resample(pts, int(rest[0]), fill=fill)
+                return [
+                    {
+                        "series": r["series"],
+                        "bucket_us": r["bucket_us"],
+                        "value": r["value"],
+                        "n": r["n"],
+                    }
+                    for r in out.collect()
+                ]
+            if verb == "delta":
+                per_second = rest == ["rate"]
+                if rest and not per_second:
+                    raise RouteError("unknown path")
+                out = delta(pts, per_second=per_second)
+                return [
+                    {"series": r["series"], "ts": r["ts"], "delta": r["delta"]}
+                    for r in out.collect()
+                ]
+            if verb == "quantiles" and not rest:
+                from pyspark.sql import functions as F
+
+                row = pts.agg(
+                    *[
+                        F.expr(f"percentile(value, {q})").alias(name)
+                        for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p95", 0.95))
+                    ]
+                ).collect()[0]
+                return {} if row["p50"] is None else {k: row[k] for k in ("p25", "p50", "p75", "p95")}
+        except ValueError as e:
+            raise RouteError(str(e)) from e
+        raise RouteError("unknown path")
+
     # -- the route table (reference src/main.re:175-202) ---------------------
 
     def handle(self, method: str, path: str, body: str | None = None) -> tuple[int, str]:
@@ -309,6 +357,8 @@ class Router:
                     return {"length": self.engine.index_length(id_list)}
                 if verb == "index" and not rest:
                     return self._index(ids)
+            if p[:2] == ["x", "ts"] and len(p) >= 4:
+                return self._extension(p[2], p[3], p[4:])
             if p == ["info", "ts", "names"]:
                 return self._names()
             if p == ["info", "ts", "stats"]:

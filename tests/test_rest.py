@@ -317,3 +317,21 @@ def test_delete_q2_compat_membership(engine):
     # 1439856360000000 with perpetua victims die too -> only the two
     # location-2 langstroth points (unique ts) survive
     assert compat.handle_json("GET", "/ts/q/length")[1] == {"length": 2}
+
+
+def test_extension_routes(router):
+    # resample with linear fill over butterflies (6-minute buckets)
+    out = get(router, "/x/ts/butterflies/resample/360000000/linear")
+    assert all(set(r) == {"series", "bucket_us", "value", "n"} for r in out)
+    assert [r["bucket_us"] for r in out] == sorted(r["bucket_us"] for r in out)
+    gaps = [r for r in out if r["n"] == 0]
+    assert gaps and all(r["value"] is not None for r in gaps)  # interpolated
+
+    deltas = get(router, "/x/ts/butterflies/delta")
+    assert len(deltas) == 7  # 8 points -> 7 successive diffs
+
+    q = get(router, "/x/ts/butterflies,honeybees/quantiles")
+    assert set(q) == {"p25", "p50", "p75", "p95"}
+    # bad fill mode / unknown verb are clean 400s
+    assert router.handle("GET", "/x/ts/butterflies/resample/1000/cubic")[0] == 400
+    assert router.handle("GET", "/x/ts/butterflies/spline")[0] == 400
