@@ -232,6 +232,10 @@ class TimeSeriesEngine:
         """Precise predicate delete (default), or the reference's
         timestamp-membership over-delete under ``compat_membership``
         (quirk Q2). Rewrites only the buckets containing listed series."""
+        if not os.path.exists(self.path):
+            # nothing flushed yet: deleting nonexistent series is 200 OK in
+            # the reference, not a crash (mirror points()'s guard)
+            return
         pred = ts_ops.delete_predicate(
             ids, ts_from, ts_to, tag_names, tag_values, tag_mode
         )
@@ -295,7 +299,14 @@ class TimeSeriesEngine:
         split deterministically by series hash within each bucket, so
         each file still holds contiguous (series, ts) runs and row-group
         pruning stays tight. Appends between compactions create small
-        files; this job re-tightens the layout."""
+        files; this job re-tightens the layout.
+
+        Durability note: the overwrite commits after all tasks finish, but
+        a mid-commit failure is not atomic across buckets (no Irmin-style
+        transactional store here); recovery relies on the filesystem
+        snapshot/backup layer, or a Delta-backed store (NOTES.md item 5)."""
+        if not os.path.exists(self.path):
+            return  # empty store: nothing to compact
         store = self._store()
         if files_per_bucket > 1:
             split = F.pmod(F.xxhash64("series"), F.lit(files_per_bucket))

@@ -45,6 +45,11 @@ def declared(name: str, sql: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # external harnesses run these in a plain session; make the nanos
+    # timestamp conf hold there too (see registry.ensure_session_confs)
+    from nibbledb_spark.sources.registry import ensure_session_confs
+
+    ensure_session_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -623,7 +628,7 @@ def distinct_mktsegments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_checksum",
     """
 SELECT COUNT(*) AS n_rows,
-       SUM(l_orderkey) AS key_sum,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
        CAST(MIN(epoch_us(l_shipdate)) AS BIGINT) AS min_ship_us,
        CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
 FROM lineitem
@@ -735,9 +740,9 @@ def join_outer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_full_outer_key_coverage",
     """
 SELECT
-  SUM(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS n_both,
-  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_customer_only,
-  SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orders_only
+  CAST(SUM(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_only,
+  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_only
 FROM (SELECT DISTINCT o_custkey FROM orders) o
 FULL OUTER JOIN customer ON c_custkey = o_custkey
 """,
@@ -822,12 +827,7 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
     """As-of join: for every click, the most recent purchase ts (<=) by
     the same user — union + last(ignoreNulls) window, one shuffle."""
     from nibbledb_spark.operators.asof import asof_join
-    from nibbledb_spark.sources.registry import points_from_events
 
-    ev = points_from_events(spark, sf_dir).withColumn(
-        "event_id", F.lit(None).cast("long")
-    )
-    # rebuild with event_id from the raw table (points view drops it)
     raw = _t(spark, sf_dir, "events")
     ts_us = F.expr("CAST(ts div 1000 AS BIGINT)")
     clicks = raw.where(F.col("event_type") == "click").select(

@@ -310,7 +310,10 @@ class Router:
     def handle(self, method: str, path: str, body: str | None = None) -> tuple[int, str]:
         try:
             result = self._dispatch(method.upper(), _split_path(path), body)
-        except RouteError as e:
+        except (RouteError, ValueError, IndexError) as e:
+            # ValueError/IndexError: malformed numeric path segments
+            # (GET /ts/x/last/abc) — the reference's Failure catch-all
+            # answers 400 (src/main.re:216-223) rather than crashing.
             return 400, f"Error:{e}\n"
         if result is None:
             return 200, ""

@@ -28,9 +28,41 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any plain SparkSession able to read the testdata.
+
+    events.parquet carries a TIMESTAMP(NANOS) column, which Spark rejects
+    with PARQUET_TYPE_ILLEGAL unless ``spark.sql.legacy.parquet.nanosAsLong``
+    is on (runtime-settable). Sessions built via get_spark() already have it;
+    external harnesses construct their own session, so set it on every load
+    path rather than relying on builder confs.
+    """
+    for key, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # DuckDB oracles treat naive timestamps as UTC; pin the session the
+        # same way so epoch/cast results agree regardless of host timezone.
+        ("spark.sql.session.timeZone", "UTC"),
+        # Arrow batch transfer for the pandas-UDF operators (mad, stateful).
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # already set via builder, or a session that forbids runtime set
+    try:
+        # Untouched 200-partition default in a plain session: wrong at both
+        # ends of the scale. Only replace the known default — never override
+        # a deliberate setting (get_spark or a user conf).
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 8))
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table: {name}")
+    ensure_session_confs(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

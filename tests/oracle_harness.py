@@ -7,7 +7,14 @@ order-insensitive multiset of stringified rows (columns sorted by name,
 like the driver). Exact value match — stricter than any plausible
 driver canonicalization, so passing here is the safe side.
 
-Usage:  python tests/oracle_harness.py [name ...]
+Usage:  python tests/oracle_harness.py [--plain] [--exec-only] [name ...]
+
+``--plain`` replicates the DRIVER's environment: a bare
+``SparkSession.builder.master(local[N])`` with NONE of the engine's
+builder confs (no nanosAsLong, no UTC pin, no Arrow) — every query must
+set what it needs at runtime (registry.ensure_session_confs) or it fails
+here exactly as it fails in CORRECTNESS_r*.json. ``--exec-only`` skips
+the DuckDB compare and just proves each query runs and collects.
 """
 
 from __future__ import annotations
@@ -62,12 +69,12 @@ def run_duckdb(sql: str):
     return cols, cur.fetchall()
 
 
-def compare(name: str, spark, queries, oracles) -> tuple[bool, str]:
+def compare(name: str, spark, queries, oracles, exec_only: bool = False) -> tuple[bool, str]:
     sdf = queries[name](spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
-    if name not in oracles:
-        return True, f"rows-only ({len(srows)} rows, no oracle declared)"
+    if exec_only or name not in oracles:
+        return True, f"rows-only ({len(srows)} rows{'' if name in oracles else ', no oracle declared'})"
     ocols, orows = run_duckdb(oracles[name])
     problems = []
     if len(srows) != len(orows):
@@ -88,15 +95,32 @@ def compare(name: str, spark, queries, oracles) -> tuple[bool, str]:
 def main() -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
-    from nibbledb_spark.session import get_spark
 
-    spark = get_spark("oracle_harness", shuffle_partitions=8)
+    argv = sys.argv[1:]
+    plain = "--plain" in argv
+    exec_only = "--exec-only" in argv
+    names = [a for a in argv if not a.startswith("--")]
+
+    if plain:
+        # the driver's session: bare builder, no engine confs at all
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle_harness_plain")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        from nibbledb_spark.session import get_spark
+
+        spark = get_spark("oracle_harness", shuffle_partitions=8)
     queries, oracles = entry.queries(), entry.oracle_sql()
-    names = sys.argv[1:] or list(queries)
+    names = names or list(queries)
     failed = []
     for name in names:
         try:
-            ok, msg = compare(name, spark, queries, oracles)
+            ok, msg = compare(name, spark, queries, oracles, exec_only=exec_only)
         except Exception as exc:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION {type(exc).__name__}: {exc}"
         status = "OK  " if ok else "FAIL"

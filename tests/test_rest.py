@@ -335,3 +335,28 @@ def test_extension_routes(router):
     # bad fill mode / unknown verb are clean 400s
     assert router.handle("GET", "/x/ts/butterflies/resample/1000/cubic")[0] == 400
     assert router.handle("GET", "/x/ts/butterflies/spline")[0] == 400
+
+
+def test_malformed_numeric_segments_are_400(router):
+    # reference answers 400 via its Failure catch-all (src/main.re:216-223);
+    # int() ValueError must not escape the router as a crash
+    for method, path in [
+        ("GET", "/ts/butterflies/last/abc"),
+        ("GET", "/ts/butterflies/since/foo"),
+        ("GET", "/ts/butterflies/range/1/bar"),
+        ("DELETE", "/ts/butterflies/since/nope"),
+        ("DELETE", "/ts/butterflies/range/x/y"),
+        ("GET", "/x/ts/butterflies/resample/zz/linear"),
+    ]:
+        status, body = router.handle(method, path)
+        assert status == 400, (method, path, body)
+        assert body.startswith("Error:")
+
+
+def test_delete_on_fresh_store_is_ok(engine):
+    # nothing ever flushed: reference returns 200 OK for deleting
+    # nonexistent series, and compaction of an empty store is a no-op
+    engine.delete(["ghost"], 0, None)
+    engine.compact()
+    r = Router(engine)
+    assert r.handle("DELETE", "/ts/ghost/since/0")[0] == 200
