@@ -230,7 +230,49 @@ def simhash(text_col: Column | str, bits: int = SIMHASH_BITS) -> Column:
 def simhash_docs(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    return docs.select(F.col(id_col), simhash(text_col).alias("simhash"))
+    """Fingerprint every document. Row-oriented fast path (see
+    simhash_rows); ``simhash()`` above is the array-HOF reference
+    implementation of the identical function."""
+    return simhash_rows(docs, id_col=id_col, text_col=text_col)
+
+
+def simhash_rows(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Row-oriented SimHash: explode tokens -> one hash aggregate with
+    ``bits`` conditional-sum votes -> sign bits. Every operator stays in
+    whole-stage codegen (the interpreted F.aggregate HOF formulation
+    measured ~20x slower at sf0.1 — NOTES.md). Bit-identical to
+    :func:`simhash`; token-less docs keep fingerprint 0 via the left
+    join (explode drops them)."""
+    t = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = t.select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0)
+        )
+    sigs = h.groupBy(id_col).agg(*votes).select(id_col, fp.alias("simhash"))
+    return (
+        docs.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(id_col, F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 # ---------------------------------------------------------------------------

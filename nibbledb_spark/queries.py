@@ -329,6 +329,32 @@ def ts_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# APPROX class: no oracle (sketch output is engine-specific); the driver
+# records a rows-only check and pytest pins the error bound against the
+# exact variant (tests/test_extensions.py::test_approx_quantiles_bound).
+@declared("ts_quantiles_approx")
+def ts_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for per-series quantiles: approx_percentile's
+    sketch keeps fixed memory per group, where exact percentile()
+    buffers every value of a series on one executor — a memory cliff
+    for a billion-point series. Same output shape as ts_quantiles."""
+    pts = points_from_events(spark, sf_dir)
+    q = F.expr(
+        "approx_percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)"
+    )
+    return (
+        pts.groupBy("series")
+        .agg(q.alias("q"))
+        .select(
+            "series",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+            F.col("q")[3].alias("p95"),
+        )
+    )
+
+
 @declared(
     "interval_overlap_series_days",
     _POINTS_CTE

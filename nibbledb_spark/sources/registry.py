@@ -139,7 +139,28 @@ def stream_points(spark: SparkSession, path: str, fmt: str = "json") -> DataFram
     raise KeyError(f"unknown streaming format: {fmt}")
 
 
-def points_from_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+# Parsed-points cache: the whole ts surface derives from one projection of
+# events (JSON props -> map). Re-running the parse per query is pure fixed
+# cost, so the view is persisted once per (session, sf_dir) — the local-mode
+# analogue of materializing the points table once per corpus, which is what
+# a 100 TB deployment does as an ETL step anyway (the reference holds its
+# points natively in its store). Bounded: one entry per sf_dir actually
+# queried; clear_points_cache() unpersists.
+_POINTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def clear_points_cache() -> None:
+    for df in _POINTS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _POINTS_CACHE.clear()
+
+
+def points_from_events(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, *, cached: bool = True
+) -> DataFrame:
     """events.parquet -> canonical points schema.
 
     ts is cast to epoch µs on read. events.ts is TIMESTAMP(NANOS) in the
@@ -147,6 +168,9 @@ def points_from_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Dat
     int64 ns and we floor-divide to µs — the same truncation DuckDB's
     µs-precision TIMESTAMP applies at scan (FIXTURES.md timestamp caution).
     """
+    key = (id(spark), os.path.abspath(sf_dir))
+    if cached and key in _POINTS_CACHE:
+        return _POINTS_CACHE[key]
     ev = load_table(spark, "events", sf_dir)
     ts_type = dict(ev.dtypes)["ts"]
     # integer div: ns epoch > 2^53 would lose precision through a double
@@ -155,9 +179,13 @@ def points_from_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Dat
         if ts_type == "bigint"
         else F.unix_micros(F.col("ts"))
     )
-    return ev.select(
+    pts = ev.select(
         F.col("event_type").alias("series"),
         ts_us.alias("ts"),
         F.from_json(F.col("props"), "map<string,string>").alias("tag"),
         F.col("value").alias("value"),
     )
+    if cached:
+        pts = pts.persist()
+        _POINTS_CACHE[key] = pts
+    return pts

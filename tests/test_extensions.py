@@ -212,3 +212,27 @@ def test_ivf_finds_planted_twins(spark, embeddings):
     for qid, (nid, cos) in rows.items():
         assert nid == qid - 10_000, (qid, nid)
         assert cos == pytest.approx(1.0, abs=1e-12)
+
+
+def test_approx_quantiles_bound(spark):
+    """Scale-path quantiles (approx_percentile sketch) must track the
+    exact interpolated percentile within 5% of each series' spread —
+    the pinned APPROX-class error bound for ts_quantiles_approx."""
+    from nibbledb_spark.queries import ts_quantiles, ts_quantiles_approx
+
+    exact = {r["series"]: r for r in ts_quantiles(spark, SF).collect()}
+    approx = {r["series"]: r for r in ts_quantiles_approx(spark, SF).collect()}
+    assert set(exact) == set(approx)
+    from nibbledb_spark.sources.registry import points_from_events
+
+    spread = {
+        r["series"]: (r["hi"] - r["lo"]) or 1.0
+        for r in points_from_events(spark, SF)
+        .groupBy("series")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for s, ex in exact.items():
+        for p in ("p25", "p50", "p75", "p95"):
+            err = abs(ex[p] - approx[s][p])
+            assert err <= 0.05 * spread[s], (s, p, err, spread[s])
