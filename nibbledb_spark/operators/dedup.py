@@ -445,15 +445,20 @@ def ngram_jaccard_pairs(
     (NOTE: changes semantics from exact to filtered-exact; leave None
     for oracle-exact results).
     """
-    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n).persist()
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
     if max_doc_freq is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_doc_freq)
-            .select("shingle")
+        # doc-freq filter as a count-over-window: ONE exchange on
+        # `shingle` (vs agg + join-back = three), and the output stays
+        # hash-partitioned on the self-join key
+        from pyspark.sql import Window
+
+        wdf = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(wdf))
+            .where(F.col("__df") <= max_doc_freq)
+            .drop("__df")
         )
-        sh = sh.join(keep, "shingle")
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     s1 = sh.select(F.col("id").alias("id1"), F.col("shingle").alias("s"))
     s2 = sh.select(F.col("id").alias("id2"), F.col("shingle").alias("s"))

@@ -20,6 +20,16 @@ from pyspark.sql import functions as F
 from nibbledb_spark.operators.dedup import ngram_jaccard_pairs
 from nibbledb_spark.operators.text import STOPWORDS, lang_pred_col, tokens
 
+# Stop-shingle doc-frequency cap, ON by default. A shingle shared by d
+# documents contributes d*(d-1)/2 rows to the candidate join; boilerplate
+# shingles (license headers, nav chrome) reach millions of docs at corpus
+# scale and make the join group quadratic. 256 bounds any one shingle's
+# contribution at ~32k pairs while leaving genuinely discriminative
+# shingles (the ones that signal near-duplication) untouched. The cap is
+# deterministic (a doc-freq filter), so the DuckDB oracle models it
+# exactly — capped != approximate.
+DEFAULT_MAX_SHINGLE_DF = 256
+
 
 def clean_corpus(
     docs: DataFrame,
@@ -30,6 +40,7 @@ def clean_corpus(
     min_stopword_ratio: float = 0.03,
     lang: str = "en",
     near_dup_threshold: float = 0.5,
+    max_shingle_doc_freq: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Surviving document ids after the four cleaning stages.
 
@@ -40,6 +51,15 @@ def clean_corpus(
     - exact dedup: one winner (min id) per identical text;
     - near-dup: for every exact-surviving pair with trigram Jaccard >=
       ``near_dup_threshold``, the higher id is dropped.
+
+    ``max_shingle_doc_freq`` (default :data:`DEFAULT_MAX_SHINGLE_DF`) drops
+    shingles present in more than that many documents before the candidate
+    join — the skew guard that keeps the near-dup stage linear-ish at
+    100 TB. Jaccard is then computed over the capped shingle universe
+    (sizes and intersections both exclude hot shingles), which the oracle
+    SQL replicates term for term. Pass ``None`` for the uncapped exact
+    variant (the ``ngram_jaccard_pairs`` declared query keeps that
+    semantics).
 
     Scale shape: two hash aggregates (quality+dedup), one shingle
     equi-join for near-dups — all shuffles keyed, nothing quadratic.
@@ -62,7 +82,11 @@ def clean_corpus(
     )
     exact = keep0.groupBy(text_col).agg(F.min(id_col).alias(id_col))
     pairs = ngram_jaccard_pairs(
-        exact, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
+        exact,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=near_dup_threshold,
+        max_doc_freq=max_shingle_doc_freq,
     )
     removed = pairs.select(F.col("id2").alias(id_col)).distinct()
     return (

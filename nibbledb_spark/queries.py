@@ -1161,6 +1161,8 @@ _SHINGLES = (
 )
 _STOPWORDS_SQL = "('the','a','of','and','is','to','in','that','it','for')"
 
+from nibbledb_spark.operators.pipeline import DEFAULT_MAX_SHINGLE_DF as _MAX_SHINGLE_DF  # noqa: E402
+
 
 @declared(
     "text_token_stats",
@@ -1597,9 +1599,17 @@ keep0 AS (
   WHERE q.n_tokens >= 10 AND q.stopword_ratio >= 0.03 AND l.lang_pred = 'en'
 ),
 ex AS (SELECT MIN(doc_id) AS doc_id FROM keep0 GROUP BY text),
-sh AS (
+sh0 AS (
   SELECT tt.doc_id, unnest({_SHINGLES}) AS s
   FROM (SELECT e.doc_id, {_TOKS} AS w FROM documents d JOIN ex e ON e.doc_id = d.doc_id) tt
+),
+-- stop-shingle doc-frequency cap (pipeline.DEFAULT_MAX_SHINGLE_DF):
+-- hot boilerplate shingles are dropped BEFORE sizes/intersections, so
+-- Jaccard is over the capped universe on both engines
+sh AS (
+  SELECT sh0.doc_id, sh0.s FROM sh0
+  JOIN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= {_MAX_SHINGLE_DF}) hot
+    ON hot.s = sh0.s
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (

@@ -236,3 +236,54 @@ def test_approx_quantiles_bound(spark):
         for p in ("p25", "p50", "p75", "p95"):
             err = abs(ex[p] - approx[s][p])
             assert err <= 0.05 * spread[s], (s, p, err, spread[s])
+
+
+# ---------------------------------------------------------------------------
+# stop-shingle cap (skew guard for the near-dup join at corpus scale)
+# ---------------------------------------------------------------------------
+
+
+def _skewed_corpus(spark, n_docs: int = 50):
+    """Every doc shares one boilerplate sentence (hot shingles, df=n_docs);
+    each has a unique tail — except docs 0 and 1, which share a rare tail
+    (the planted near-dup detectable from low-df shingles alone)."""
+    boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = []
+    for i in range(n_docs):
+        tail = "kilo lima mike november oscar" if i <= 1 else f"uniq{i}a uniq{i}b uniq{i}c uniq{i}d uniq{i}e"
+        rows.append((i, f"{boiler} {tail}"))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_stop_shingle_cap_drops_hot_join_groups(spark):
+    """With the cap on, boilerplate-only pairs vanish (their shared
+    shingles exceed the doc-freq cap) while the planted rare-tail pair
+    survives at Jaccard 1.0 over the capped universe. Uncapped, every
+    pair of the 50 docs is a candidate — the quadratic blow-up the cap
+    exists to prevent."""
+    from nibbledb_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _skewed_corpus(spark)
+    capped = ngram_jaccard_pairs(docs, threshold=0.99, max_doc_freq=5).collect()
+    assert [(r["id1"], r["id2"]) for r in capped] == [(0, 1)]
+    assert capped[0]["jaccard"] == pytest.approx(1.0)
+
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=None)
+    # all C(50,2) pairs share >=1 (boilerplate) shingle: the candidate set
+    # is quadratic in the hot-shingle doc count
+    assert uncapped.count() == 50 * 49 // 2
+
+
+def test_clean_corpus_default_cap_matches_exact_at_test_scale(spark):
+    """DEFAULT_MAX_SHINGLE_DF=256 never binds on the sf0.001 documents
+    table (no trigram appears in >256 docs), so the default-capped
+    production path returns byte-identical survivors to the uncapped
+    exact variant — the cap only changes results where it actually
+    guards against skew."""
+    from nibbledb_spark.operators.pipeline import clean_corpus
+    from nibbledb_spark.queries import _t
+
+    docs = _t(spark, SF, "documents")
+    capped = [r["doc_id"] for r in clean_corpus(docs).collect()]
+    exact = [r["doc_id"] for r in clean_corpus(docs, max_shingle_doc_freq=None).collect()]
+    assert capped == exact and len(capped) > 0

@@ -161,7 +161,9 @@ def test_new_operator_shuffle_budgets(spark):
         "ts_quantiles": 1,          # one hash aggregate
         "ts_resample_linear": 3,    # agg + grid join + window
         "interval_overlap_series_days": 4,  # agg + bucket join + distinct + order
-        "clean_corpus": 9,          # fused filters + dedup + shingle joins
+        "clean_corpus": 10,         # fused filters + dedup + shingle joins
+                                    # + one window exchange for the
+                                    # stop-shingle doc-freq cap
     }
     for name, budget in budgets.items():
         got = exchange_count(QUERIES[name](spark, SF))
