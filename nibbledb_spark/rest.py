@@ -385,9 +385,60 @@ class Router:
         raise RouteError("unknown method")
 
 
-def serve(router: Router, host: str = "127.0.0.1", port: int = 8000):
+class SignalFlusher:
+    """Flush-on-signal hooks (reference src/main.re:310-317: TERM/INT/HUP
+    each flush every buffered series before exit).
+
+    The handler flushes all buffers, shuts the server down if one was
+    given, then chains to the previously-installed handler — process-exit
+    disposition stays with the embedder (the reference exits 0; a library
+    must not kill its host process). ``restore()`` reinstates the prior
+    handlers. Signal handlers can only be installed from the main thread;
+    install from elsewhere raises ``ValueError`` (stdlib behavior).
+    """
+
+    def __init__(self, router: Router, server=None, signals=None) -> None:
+        import signal as _signal
+
+        self.router = router
+        self.server = server
+        self.flushed: list[int] = []  # signums handled, for observability
+        if signals is None:
+            signals = (_signal.SIGTERM, _signal.SIGINT, _signal.SIGHUP)
+        self._previous = {}
+        for s in signals:
+            self._previous[s] = _signal.signal(s, self._handle)
+
+    def _handle(self, signum, frame) -> None:
+        self.router._flush()
+        self.flushed.append(signum)
+        if self.server is not None:
+            # serve_forever runs on its own thread, so a direct shutdown()
+            # from the handler cannot deadlock
+            self.server.shutdown()
+        prev = self._previous.get(signum)
+        if callable(prev):
+            prev(signum, frame)
+
+    def restore(self) -> None:
+        import signal as _signal
+
+        for s, h in self._previous.items():
+            _signal.signal(s, h)
+
+
+def serve(
+    router: Router,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    *,
+    install_signals: bool = False,
+):
     """Stdlib HTTP wrapper (reference default port 8000, src/main.re:8).
-    Returns the started ThreadingHTTPServer; call .shutdown() to stop."""
+    Returns the started ThreadingHTTPServer; call .shutdown() to stop.
+    ``install_signals=True`` registers the reference's flush-on-
+    TERM/INT/HUP hooks (src/main.re:310-317) for the server's lifetime;
+    the :class:`SignalFlusher` is exposed as ``server.signal_flusher``."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
@@ -417,4 +468,5 @@ def serve(router: Router, host: str = "127.0.0.1", port: int = 8000):
     server = ThreadingHTTPServer((host, port), Handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
+    server.signal_flusher = SignalFlusher(router, server) if install_signals else None
     return server

@@ -360,3 +360,32 @@ def test_delete_on_fresh_store_is_ok(engine):
     engine.compact()
     r = Router(engine)
     assert r.handle("DELETE", "/ts/ghost/since/0")[0] == 200
+
+
+def test_signal_flush_hooks(engine):
+    """Reference parity src/main.re:310-317: TERM/INT/HUP flush every
+    buffered series. Pinned by raising SIGTERM in-process: the buffered
+    points must land in the store, the server must shut down, and the
+    previously-installed handler must be restored afterwards."""
+    import signal
+
+    from nibbledb_spark.rest import serve
+
+    prev = signal.getsignal(signal.SIGTERM)
+    router = Router(engine)
+    server = serve(router, port=0, install_signals=True)
+    try:
+        router.handle("POST", "/ts/sigflush", json.dumps(BFLY))
+        assert router._buffered(["sigflush"]) == len(BFLY)  # still buffered
+
+        signal.raise_signal(signal.SIGTERM)
+
+        assert router._buffered(["sigflush"]) == 0
+        assert server.signal_flusher.flushed == [signal.SIGTERM]
+        # points are durably in the store, readable without the buffer
+        status, body = Router(engine).handle("GET", "/ts/sigflush/length")
+        assert status == 200 and json.loads(body) == {"length": len(BFLY)}
+    finally:
+        server.signal_flusher.restore()
+        server.shutdown()
+        assert signal.getsignal(signal.SIGTERM) is prev
