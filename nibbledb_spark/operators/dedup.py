@@ -538,3 +538,39 @@ def simhash_near_dup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination: flag training documents sharing >=
+    ``min_overlap`` distinct n-gram shingles with any eval document.
+
+    Returns (train_id, eval_id, n_shared) per contaminated pair — the
+    audit trail a training run needs before dropping the train docs
+    (``.select('train_id').distinct()`` is the kill list).
+
+    Scale shape: the eval set is small by construction (benchmarks are
+    thousands of docs, the corpus is billions), so its shingle table is
+    BROADCAST and the train corpus never shuffles — contamination
+    checking is a map-side join over the training scan, then one keyed
+    aggregate on the (train, eval) pair.
+    """
+    tr = shingle_rows(train, id_col=id_col, text_col=text_col, n=n).select(
+        F.col("id").alias("train_id"), "shingle"
+    )
+    ev = shingle_rows(eval_set, id_col=id_col, text_col=text_col, n=n).select(
+        F.col("id").alias("eval_id"), "shingle"
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+    )

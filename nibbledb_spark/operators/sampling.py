@@ -1,0 +1,120 @@
+"""Deterministic sampling operators for training-data pipelines
+(SURVEY.md §2 Part C extensions).
+
+Data mixing for LLM training needs *reproducible* samples: the same
+corpus and the same rates must select the same documents on every run,
+on any engine, at any parallelism. All operators here therefore sample
+by content-free key hashing (md5 of the stringified key), never by RNG —
+no seed plumbing, no partition-order sensitivity, and the DuckDB oracle
+replicates every selection bit for bit.
+
+The hash predicate is a plain lexicographic compare on the md5 hex
+prefix: lowercase hex sorts in numeric order ('0'..'9' < 'a'..'f'), so
+``substr(md5(key), 1, 4) < '4000'`` keeps exactly the 25% of keys whose
+first 16 hash bits fall below 0x4000. That is a row-local filter —
+pushed to the scan, no shuffle, no state — which is what a sampling
+stage must be at 100 TB.
+
+The reference (jptmoore/nibbledb) has no sampling surface; this is part
+of the north-star extension scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# hex digits of md5 prefix used for rate thresholds: 4 -> 16-bit buckets,
+# i.e. rate granularity 1/65536
+_PREFIX_LEN = 4
+_BUCKETS = 16 ** _PREFIX_LEN
+
+
+def rate_threshold(rate: float) -> str:
+    """Hex threshold string t such that P(md5_prefix < t) == rate (to
+    1/65536 granularity). Shared by the Spark and oracle sides.
+
+    rate 1.0 returns 'g': lexicographically after every lowercase-hex
+    prefix (a 5-char '10000' would sort BEFORE most 4-char prefixes and
+    silently keep ~6% of rows).
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1]: {rate}")
+    bucket = int(rate * _BUCKETS)
+    if bucket >= _BUCKETS:
+        return "g"
+    return format(bucket, f"0{_PREFIX_LEN}x")
+
+
+def _hash_prefix(key: Column) -> Column:
+    return F.substring(F.md5(key.cast("string")), 1, _PREFIX_LEN)
+
+
+def sample_uniform(
+    df: DataFrame, rate: float, *, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by key hash.
+
+    Row-local predicate: no shuffle, survives repartitioning, and the
+    complement (``>= threshold``) is exactly the held-out set.
+    """
+    return df.where(_hash_prefix(F.col(key_col)) < rate_threshold(rate))
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    (e.g. keep 100% of curated sources, 10% of web crawl).
+
+    ``rates`` maps stratum value -> keep fraction; strata not listed get
+    ``default_rate``. Still one row-local predicate: the stratum column
+    picks the threshold via CASE, the key hash decides membership.
+    """
+    thr: Column = F.lit(rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = (
+            F.when(F.col(stratum_col) == value, F.lit(rate_threshold(rate)))
+            .otherwise(thr)
+        )
+    return df.where(_hash_prefix(F.col(key_col)) < thr)
+
+
+def sample_exact_k(df: DataFrame, k: int, *, key_col: str = "doc_id") -> DataFrame:
+    """Exactly-k uniform sample: the k smallest key hashes.
+
+    Deterministic and engine-independent like the rate samplers, but
+    with an exact cardinality. Physical plan is TakeOrderedAndProject
+    (per-partition top-k, then a k-row merge on the driver side of the
+    exchange) — never a global sort.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    return df.orderBy(h.asc(), F.col(key_col).asc()).limit(k)
+
+
+def sample_quota_per_group(
+    df: DataFrame,
+    n: int,
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``n`` rows per group, chosen by smallest key hash — quota
+    sampling (cap any one source's contribution to a training mix).
+
+    One hash-partitioned window by group; the rank filter drops
+    everything past the quota before any downstream stage sees it.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

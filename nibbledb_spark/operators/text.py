@@ -124,6 +124,27 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def heavy_hitter_tokens(
+    docs: DataFrame, k: int = 20, *, text_col: str = "text"
+) -> DataFrame:
+    """Top-k most frequent tokens across the corpus (vocabulary heavy
+    hitters — stopword discovery, boilerplate detection, tokenizer-merge
+    seeding).
+
+    Shape at scale: posexplode-free flat explode, map-side partial count
+    per token, one keyed shuffle for the final counts, then
+    TakeOrderedAndProject for the top-k — never a global sort of the
+    vocabulary. Ties break lexicographically for determinism.
+    """
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     *,

@@ -1850,3 +1850,140 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nibbledb_spark.streaming.ingest import session_windows
 
     return session_windows(points_from_events(spark, sf_dir), "1 hour")
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline extensions round 2: deterministic sampling, sequence
+# packing, vocabulary heavy hitters, eval-set decontamination
+# ---------------------------------------------------------------------------
+
+from nibbledb_spark.operators.sampling import rate_threshold as _rt  # noqa: E402
+
+# declared mixing policy: keep all of src1, half of src2, 10% of the rest
+_STRAT_RATES = {"src1": 1.0, "src2": 0.5}
+_STRAT_DEFAULT = 0.10
+
+
+@declared(
+    "sample_stratified_sources",
+    f"""
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE source
+        WHEN 'src1' THEN '{_rt(1.0)}'
+        WHEN 'src2' THEN '{_rt(0.5)}'
+        ELSE '{_rt(0.10)}'
+      END
+""",
+)
+def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sampling (data mixing): md5-prefix
+    threshold per stratum, a row-local predicate with no shuffle and no
+    RNG — the same documents survive on every engine and every run."""
+    from nibbledb_spark.operators.sampling import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_stratified(
+        docs, _STRAT_RATES, stratum_col="source", default_rate=_STRAT_DEFAULT
+    ).select("doc_id", "lang", "source")
+
+
+@declared(
+    "sample_quota_per_source",
+    """
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= 5
+""",
+)
+def sample_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: at most 5 docs per source, chosen by smallest key
+    hash — caps any one source's contribution to a training mix."""
+    from nibbledb_spark.operators.sampling import sample_quota_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_quota_per_group(docs, 5, group_col="source").select(
+        "doc_id", "source"
+    )
+
+
+@declared(
+    "pack_sequences_512",
+    f"""
+WITH t AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
+), p AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_offset
+  FROM t
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       start_offset // 512 AS pack_id,
+       (start_offset + n_tokens - 1) // 512 != start_offset // 512 AS straddles
+FROM p
+""",
+)
+def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing at a 512-token budget: one exclusive prefix-sum
+    window per source gives every document its offset, pack id, and
+    boundary-straddle flag in the concatenated token stream."""
+    from nibbledb_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), 512)
+
+
+@declared(
+    "heavy_hitter_tokens",
+    f"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 token frequencies (vocabulary heavy hitters):
+    map-side partial counts + TakeOrderedAndProject, never a global
+    sort of the vocabulary."""
+    from nibbledb_spark.operators.text import heavy_hitter_tokens as op
+
+    return op(_t(spark, sf_dir, "documents"), 20)
+
+
+@declared(
+    "decontaminate_ngrams",
+    f"""
+WITH ev0 AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id < 20
+), tr0 AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id >= 20
+), ev AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM ev0),
+   tr AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM tr0)
+SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS n_shared
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+""",
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs (doc_id >= 20) sharing >= 3
+    trigram shingles with any eval doc (doc_id < 20). The eval shingle
+    table is broadcast, so the training corpus never shuffles."""
+    from nibbledb_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("doc_id") >= 20),
+        docs.where(F.col("doc_id") < 20),
+        min_overlap=3,
+    )

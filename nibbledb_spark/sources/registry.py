@@ -28,6 +28,9 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_CONFED_SESSIONS: set[int] = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Make any plain SparkSession able to read the testdata.
 
@@ -35,8 +38,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
     with PARQUET_TYPE_ILLEGAL unless ``spark.sql.legacy.parquet.nanosAsLong``
     is on (runtime-settable). Sessions built via get_spark() already have it;
     external harnesses construct their own session, so set it on every load
-    path rather than relying on builder confs.
+    path rather than relying on builder confs. Memoized per session — each
+    conf.set is a Py4J round-trip, and this runs on every table load.
     """
+    if id(spark) in _CONFED_SESSIONS:
+        return
+    _CONFED_SESSIONS.add(id(spark))
     for key, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         # DuckDB oracles treat naive timestamps as UTC; pin the session the

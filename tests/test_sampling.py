@@ -1,0 +1,125 @@
+"""Deterministic sampling + sequence packing + decontamination semantics
+(operators/sampling.py, operators/packing.py, dedup.decontaminate) —
+invariants the SQL oracle can't express: determinism across calls,
+complement partitioning, quota bounds, offset contiguity, planted
+contamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_uniform_sample_deterministic_and_partitioning(spark, docs):
+    from nibbledb_spark.operators.sampling import rate_threshold, sample_uniform
+
+    total = docs.count()
+    kept = sample_uniform(docs, 0.25)
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in sample_uniform(docs, 0.25).select("doc_id").collect())
+    assert ids1 == ids2  # same sample on every run
+
+    # complement predicate yields exactly the held-out set
+    held = docs.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+        >= rate_threshold(0.25)
+    )
+    assert kept.count() + held.count() == total
+
+    # md5 prefixes are uniform: 25% +/- a generous binomial tolerance
+    assert 0.15 <= len(ids1) / total <= 0.35
+
+    # monotone: a larger rate strictly contains a smaller one
+    ids50 = {r["doc_id"] for r in sample_uniform(docs, 0.5).select("doc_id").collect()}
+    assert set(ids1) <= ids50
+
+
+def test_rate_threshold_edges(spark, docs):
+    from nibbledb_spark.operators.sampling import sample_uniform
+
+    assert sample_uniform(docs, 1.0).count() == docs.count()
+    assert sample_uniform(docs, 0.0).count() == 0
+    with pytest.raises(ValueError):
+        sample_uniform(docs, 1.5).count()
+
+
+def test_stratified_rates_apply_per_stratum(spark, docs):
+    from nibbledb_spark.operators.sampling import sample_stratified
+
+    out = sample_stratified(
+        docs, {"src1": 1.0}, stratum_col="source", default_rate=0.0
+    )
+    # rate-1.0 stratum keeps every row, rate-0 default keeps none
+    assert out.count() == docs.where(F.col("source") == "src1").count()
+    assert out.where(F.col("source") != "src1").count() == 0
+
+
+def test_exact_k_and_quota(spark, docs):
+    from nibbledb_spark.operators.sampling import (
+        sample_exact_k,
+        sample_quota_per_group,
+    )
+
+    assert sample_exact_k(docs, 7).count() == 7
+    # deterministic: same 7 ids
+    a = {r["doc_id"] for r in sample_exact_k(docs, 7).collect()}
+    b = {r["doc_id"] for r in sample_exact_k(docs, 7).collect()}
+    assert a == b
+
+    quota = sample_quota_per_group(docs, 3, group_col="source")
+    per = quota.groupBy("source").count().collect()
+    assert all(r["count"] <= 3 for r in per)
+    # groups with >= 3 docs hit the quota exactly
+    big = {
+        r["source"]
+        for r in docs.groupBy("source").count().where("count >= 3").collect()
+    }
+    got = {r["source"]: r["count"] for r in per}
+    assert all(got[s] == 3 for s in big)
+
+
+def test_pack_sequences_offsets_contiguous(spark, docs):
+    from nibbledb_spark.operators.packing import pack_sequences
+
+    out = pack_sequences(docs, 512).collect()
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in rows:
+            assert r["start_offset"] == offset  # exclusive prefix sum
+            assert r["pack_id"] == offset // 512
+            ends_in = (offset + r["n_tokens"] - 1) // 512
+            assert r["straddles"] == (ends_in != r["pack_id"])
+            offset += r["n_tokens"]
+
+
+def test_decontaminate_planted_overlap(spark):
+    from nibbledb_spark.operators.dedup import decontaminate
+
+    phrase = "one two three four five six seven"  # 7 tokens -> 5 trigrams
+    train = spark.createDataFrame(
+        [
+            (100, f"completely unrelated filler text here {phrase}"),
+            (101, "nothing shared with the eval set at all today"),
+        ],
+        "doc_id int, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(1, f"{phrase} and some eval only suffix words")],
+        "doc_id int, text string",
+    )
+    out = decontaminate(train, eval_set, min_overlap=3).collect()
+    assert [(r["train_id"], r["eval_id"]) for r in out] == [(100, 1)]
+    # the 5 trigrams fully inside the shared phrase are counted; boundary
+    # trigrams differ between the two contexts
+    assert out[0]["n_shared"] == 5
