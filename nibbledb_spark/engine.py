@@ -14,10 +14,13 @@ layout:
 - the "shard index" observability endpoint (A29) is derived from
   file-level footer stats via a manifest query, not a second store.
 
-Mutation model: append for ingest; delete is read-filter-overwrite of
-only the affected buckets (dynamic partition overwrite) — the Spark
-equivalent of the reference's shard rewrite (src/timeseries.re:259-303).
-Like the reference, ingest never deduplicates (quirk Q6).
+Mutation model: append for ingest; delete/compact rewrite only the
+affected buckets via a STAGED SWAP (write survivors to a sibling staging
+dir, then flip each bucket directory with atomic FS renames — see
+_staged_swap) — the Spark equivalent of the reference's shard rewrite
+(src/timeseries.re:259-303), with per-bucket atomicity standing in for
+Irmin's transactional store. Like the reference, ingest never
+deduplicates (quirk Q6).
 """
 
 from __future__ import annotations
@@ -69,6 +72,8 @@ class TimeSeriesEngine:
         stored = self._read_meta()
         if stored is not None and stored != num_buckets:
             self.num_buckets = stored
+        # heal any bucket swap interrupted by a crash (see _staged_swap)
+        self._recover_staged_swap()
 
     _META_FILE = "_nibbledb_meta.json"
 
@@ -252,41 +257,89 @@ class TimeSeriesEngine:
         else:
             survivors = affected.where(~pred | pred.isNull())
 
-        # Dynamic overwrite only replaces partitions PRESENT in the output,
-        # so compute up front which affected buckets end up empty.
+        # The staged swap never reads and overwrites the same path: compute
+        # which buckets the rewrite touches, write survivors to a sibling
+        # staging dir, then flip bucket directories with atomic renames.
         affected_buckets = (
             set(buckets)
             if buckets is not None
             else {r["bucket"] for r in store.select("bucket").distinct().collect()}
         )
-        surviving = {
-            r["bucket"] for r in survivors.select("bucket").distinct().collect()
-        }
-
-        # Rewrite only affected buckets via dynamic partition overwrite.
         out = survivors.repartition("bucket").sortWithinPartitions("series", "ts")
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(self.path)
-        )
+        self._staged_swap(out, affected_buckets)
 
-        emptied = affected_buckets - surviving
-        if emptied:
-            self._drop_bucket_dirs(emptied)
+    # -- staged bucket swap (durability) ------------------------------------
+    # The reference's Irmin store commits shard rewrites transactionally
+    # (src/shard.re:26-34). A plain-parquet overwrite of the path being
+    # lazily read is NOT that: a mid-commit failure can lose surviving rows
+    # of rewritten buckets. The staged protocol restores per-bucket
+    # atomicity with nothing but FS renames (atomic on local fs and HDFS):
+    #
+    #   1. write the rewritten buckets under <path>.__staging__ (a separate
+    #      job — the store itself is only read, never written);
+    #   2. per affected bucket: rename the live dir into <path>.__trash__,
+    #      then rename the staged dir into place;
+    #   3. drop trash + staging.
+    #
+    # Every bucket is wholly old or wholly new at all times. A crash
+    # between the two renames leaves the bucket parked in trash, and
+    # _recover_staged_swap (run at engine construction and before every
+    # swap) renames it back. Cross-bucket transactionality — all buckets
+    # flip together or not at all — still needs a log-backed table format
+    # (Delta; NOTES.md item 5), which slots in at exactly these two
+    # methods.
 
-    def _drop_bucket_dirs(self, buckets: set[int]) -> None:
-        """Remove bucket partition directories via the Hadoop FS API
-        (works on local fs and on a real cluster fs alike)."""
+    def _fs(self):
         jvm = self.spark.sparkContext._jvm
-        jsc = self.spark.sparkContext._jsc
-        conf = jsc.hadoopConfiguration()
-        for b in buckets:
-            p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/bucket={b}")
-            fs = p.getFileSystem(conf)
-            if fs.exists(p):
-                fs.delete(p, True)
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(self.path)
+        return jvm, path.getFileSystem(conf)
+
+    def _staging_dir(self) -> str:
+        return self.path.rstrip("/") + ".__staging__"
+
+    def _trash_dir(self) -> str:
+        return self.path.rstrip("/") + ".__trash__"
+
+    def _staged_swap(self, out: DataFrame, affected_buckets: set[int]) -> None:
+        """Write ``out``'s buckets to staging, then atomically flip each
+        affected bucket directory into the store. Buckets absent from
+        ``out`` (all rows deleted) are dropped."""
+        self._recover_staged_swap()  # heal any earlier interrupted swap
+        jvm, fs = self._fs()
+        P = jvm.org.apache.hadoop.fs.Path
+        staging, trash = self._staging_dir(), self._trash_dir()
+        fs.delete(P(staging), True)
+        out.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        fs.mkdirs(P(trash))
+        for b in sorted(affected_buckets):
+            live, staged = P(f"{self.path}/bucket={b}"), P(f"{staging}/bucket={b}")
+            if fs.exists(live):
+                fs.rename(live, P(f"{trash}/bucket={b}"))
+            if fs.exists(staged):
+                fs.rename(staged, live)
+        fs.delete(P(trash), True)
+        fs.delete(P(staging), True)
+
+    def _recover_staged_swap(self) -> None:
+        """Crash recovery: restore any bucket parked in trash whose live
+        dir is missing (crash between the two renames), then clear
+        leftover staging/trash. Idempotent; cheap when nothing to do."""
+        if not (
+            os.path.exists(self._trash_dir()) or os.path.exists(self._staging_dir())
+        ):
+            return  # fast path without JVM round-trips
+        jvm, fs = self._fs()
+        P = jvm.org.apache.hadoop.fs.Path
+        trash = P(self._trash_dir())
+        if fs.exists(trash):
+            for status in fs.listStatus(trash):
+                name = status.getPath().getName()
+                live = P(f"{self.path}/{name}")
+                if name.startswith("bucket=") and not fs.exists(live):
+                    fs.rename(status.getPath(), live)
+            fs.delete(trash, True)
+        fs.delete(P(self._staging_dir()), True)
 
     # -- compaction (A4 analogue) -------------------------------------------
 
@@ -301,13 +354,13 @@ class TimeSeriesEngine:
         pruning stays tight. Appends between compactions create small
         files; this job re-tightens the layout.
 
-        Durability note: the overwrite commits after all tasks finish, but
-        a mid-commit failure is not atomic across buckets (no Irmin-style
-        transactional store here); recovery relies on the filesystem
-        snapshot/backup layer, or a Delta-backed store (NOTES.md item 5)."""
+        Durability: staged bucket swap (see _staged_swap) — every bucket
+        directory is wholly old or wholly new at any instant; an
+        interrupted swap is healed on the next engine construction."""
         if not os.path.exists(self.path):
             return  # empty store: nothing to compact
         store = self._store()
+        affected = {r["bucket"] for r in store.select("bucket").distinct().collect()}
         if files_per_bucket > 1:
             split = F.pmod(F.xxhash64("series"), F.lit(files_per_bucket))
             out = store.repartition(
@@ -315,10 +368,4 @@ class TimeSeriesEngine:
             )
         else:
             out = store.repartition("bucket")
-        (
-            out.sortWithinPartitions("series", "ts")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(self.path)
-        )
+        self._staged_swap(out.sortWithinPartitions("series", "ts"), affected)

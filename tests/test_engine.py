@@ -170,3 +170,53 @@ def test_store_bucket_count_is_sticky(spark, tmp_path):
     assert reopened.num_buckets == 8  # metadata overrides
     assert reopened.length(["butterflies"]) == 8
     assert reopened.last(["butterflies"], 1).count() == 1
+
+
+def test_staged_swap_crash_recovery(spark, tmp_path):
+    """A crash between the two renames of the staged bucket swap parks
+    the live bucket dir in trash. Engine construction must rename it
+    back (the interrupted delete simply never happened) and clear the
+    staging/trash remnants."""
+    import os
+    import shutil
+
+    from nibbledb_spark.engine import TimeSeriesEngine
+
+    store = str(tmp_path / "store")
+    eng = TimeSeriesEngine(spark, store, num_buckets=4)
+    eng.write("crashy", [{"timestamp": 1000 + i, "value": float(i)} for i in range(8)])
+    before = eng.length(["crashy"])
+    assert before == 8
+
+    # simulate the torn state: live bucket dir moved to trash, staging
+    # left behind, live dir gone
+    b = eng._bucket_py("crashy")
+    live = os.path.join(store, f"bucket={b}")
+    trash = eng._trash_dir()
+    os.makedirs(trash, exist_ok=True)
+    shutil.move(live, os.path.join(trash, f"bucket={b}"))
+    os.makedirs(eng._staging_dir(), exist_ok=True)
+    assert not os.path.exists(live)  # the torn state is real
+
+    healed = TimeSeriesEngine(spark, store)
+    assert healed.length(["crashy"]) == before
+    assert not os.path.exists(eng._trash_dir())
+    assert not os.path.exists(eng._staging_dir())
+
+
+def test_staged_swap_leaves_no_remnants(spark, tmp_path):
+    """Successful delete/compact leaves no staging or trash dirs."""
+    import os
+
+    from nibbledb_spark.engine import TimeSeriesEngine
+
+    store = str(tmp_path / "store")
+    eng = TimeSeriesEngine(spark, store, num_buckets=4)
+    eng.write("s1", [{"timestamp": 1000 + i, "value": float(i)} for i in range(6)])
+    eng.write("s2", [{"timestamp": 2000 + i, "value": float(i)} for i in range(6)])
+    eng.delete(["s1"], 1000, 1002)
+    assert eng.length(["s1"]) == 3 and eng.length(["s2"]) == 6
+    eng.compact()
+    assert eng.length(["s1"]) == 3 and eng.length(["s2"]) == 6
+    assert not os.path.exists(eng._staging_dir())
+    assert not os.path.exists(eng._trash_dir())
