@@ -94,3 +94,45 @@ def clean_corpus(
         .join(removed, id_col, "left_anti")
         .orderBy(id_col)
     )
+
+
+def prep_training_mix(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    budget: int = 512,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.25,
+    **clean_kwargs,
+) -> DataFrame:
+    """The full training-data prep pass as ONE declarative plan:
+
+        clean_corpus (quality -> lang -> exact dedup -> near-dup)
+        -> stratified sampling (deterministic md5-threshold mixing)
+        -> sequence packing (per-source token-budget offsets)
+
+    Returns per surviving sampled document its packing coordinates
+    (n_tokens, start_offset, pack_id, straddles). Every stage is
+    deterministic, so the composition is replicated in DuckDB SQL and
+    hash-audited end-to-end — the same auditability story as
+    clean_corpus, extended to the mix that actually reaches training.
+    """
+    from nibbledb_spark.operators.packing import pack_sequences
+    from nibbledb_spark.operators.sampling import sample_stratified
+
+    surviving = clean_corpus(
+        docs, id_col=id_col, text_col=text_col, **clean_kwargs
+    )
+    kept = docs.join(surviving, id_col, "left_semi")
+    sampled = sample_stratified(
+        kept,
+        rates or {},
+        stratum_col=source_col,
+        key_col=id_col,
+        default_rate=default_rate,
+    )
+    return pack_sequences(
+        sampled, budget, id_col=id_col, text_col=text_col, group_col=source_col
+    )

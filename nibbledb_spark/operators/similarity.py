@@ -267,3 +267,49 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def near_dup_pairs_srp(
+    corpus: DataFrame,
+    threshold: float,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 4,
+) -> DataFrame:
+    """SRP-bucketed near-duplicate pairs — the scale path for
+    :func:`near_dup_pairs_cosine`.
+
+    Candidates are pairs sharing an SRP signature bucket in ANY of
+    ``n_tables`` hash tables; exact cosine runs on candidates only. The
+    |C|² cross product becomes L self-equi-joins on a b-bit key: at
+    100 TB the per-bucket group sizes (|C| / 2^b expected) bound the
+    join, and the miss probability for a pair at angle θ is
+    ((1 - (1-θ/π)^b))^L — tune (b, L) to the threshold. APPROX class:
+    output ⊆ the exact variant, recall pinned in pytest, never
+    hash-matched.
+    """
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pairs = None
+    for t in range(n_tables):
+        sig = srp_signature(F.col("v"), dim, n_planes, plane_offset=t * n_planes)
+        tagged = base.select("id", "v", sig.alias("sig"))
+        a = tagged.select(
+            F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("sig").alias("s")
+        )
+        b = tagged.select(
+            F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("sig").alias("s")
+        )
+        hit = a.join(b, "s").where(F.col("id1") < F.col("id2")).select(
+            "id1", "id2", "v1", "v2"
+        )
+        pairs = hit if pairs is None else pairs.unionByName(hit)
+    return (
+        pairs.dropDuplicates(["id1", "id2"])
+        .select(
+            "id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

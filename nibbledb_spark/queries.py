@@ -1569,9 +1569,9 @@ def multimodal_payload_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs the identical plan; convergence is pinned in tests/test_streaming.py)
 # ---------------------------------------------------------------------------
 
-@declared(
-    "clean_corpus",
-    f"""
+# clean_corpus CTE chain, shared by the clean_corpus oracle and the
+# composed prep_training_mix oracle: `surv` is the survivor doc_id set
+_CLEAN_CORPUS_CTES = f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS w FROM documents),
 q AS (
   SELECT doc_id, len(w) AS n_tokens,
@@ -1621,9 +1621,15 @@ removed AS (
   SELECT DISTINCT id2 AS doc_id
   FROM inter JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
   WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter) >= 0.5
-)
-SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM removed)
-""",
+),
+surv AS (
+  SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+)"""
+
+
+@declared(
+    "clean_corpus",
+    _CLEAN_CORPUS_CTES + "\nSELECT doc_id FROM surv",
 )
 def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus cleaning (quality -> lang -> exact dedup ->
@@ -1987,3 +1993,56 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") < 20),
         min_overlap=3,
     )
+
+
+@declared(
+    "prep_training_mix",
+    _CLEAN_CORPUS_CTES
+    + f"""
+, kept AS (
+  SELECT d.doc_id, d.source, len({_TOKS.replace('text', 'd.text')}) AS n_tokens
+  FROM documents d JOIN surv ON surv.doc_id = d.doc_id
+  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+        CASE d.source
+          WHEN 'src1' THEN '{_rt(1.0)}'
+          WHEN 'src2' THEN '{_rt(0.5)}'
+          ELSE '{_rt(0.25)}'
+        END
+), p AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start_offset
+  FROM kept
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       start_offset // 512 AS pack_id,
+       (start_offset + n_tokens - 1) // 512 != start_offset // 512 AS straddles
+FROM p
+""",
+)
+def prep_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-prep pass as ONE plan: clean_corpus survivors ->
+    deterministic stratified mixing -> per-source sequence packing, all
+    hash-audited end-to-end against the composed DuckDB SQL."""
+    from nibbledb_spark.operators.pipeline import prep_training_mix as op
+
+    return op(
+        _t(spark, sf_dir, "documents"),
+        rates=_STRAT_RATES,
+        default_rate=0.25,
+    )
+
+
+@declared("embed_near_dup_pairs_srp")  # APPROX: rows-only; subset+recall in pytest
+def embed_near_dup_pairs_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed embedding near-dup pairs — the scale path for
+    embed_near_dup_pairs (candidates from LSH buckets, exact cosine
+    verify on candidates only)."""
+    from nibbledb_spark.operators.similarity import near_dup_pairs_srp
+
+    # cos 0.4 is a wide angle (θ≈66°, per-plane agreement p≈0.63): short
+    # 4-bit signatures over 8 tables keep P(miss) = (1-p^4)^8 ≈ 0.25
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return near_dup_pairs_srp(e, 0.4, dim=64, n_planes=4, n_tables=8)

@@ -377,3 +377,26 @@ def test_srp_statistical_recall(spark, clustered_ann):
     ).collect()
     r = _mean_recall(out, truth, 5)
     assert r >= 0.9, f"SRP mean recall@5 = {r:.3f}"
+
+
+def test_srp_near_dup_subset_and_clustered_recall(spark, clustered_ann):
+    """SRP-bucketed near-dup output is always a subset of the exact
+    variant (LSH only prunes candidates); on the clustered corpus it
+    must recover >= 90% of the true pairs at cos >= 0.9."""
+    from nibbledb_spark.operators.similarity import (
+        near_dup_pairs_cosine,
+        near_dup_pairs_srp,
+    )
+
+    corpus, _, _ = clustered_ann
+    sub = corpus.where(F.col("vec_id") < 400)
+    exact = {
+        (r["id1"], r["id2"]) for r in near_dup_pairs_cosine(sub, 0.9).collect()
+    }
+    approx = {
+        (r["id1"], r["id2"])
+        for r in near_dup_pairs_srp(sub, 0.9, dim=64, n_planes=8, n_tables=8).collect()
+    }
+    assert approx <= exact
+    assert len(exact) > 0
+    assert len(approx) / len(exact) >= 0.9

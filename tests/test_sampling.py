@@ -123,3 +123,19 @@ def test_decontaminate_planted_overlap(spark):
     # the 5 trigrams fully inside the shared phrase are counted; boundary
     # trigrams differ between the two contexts
     assert out[0]["n_shared"] == 5
+
+
+def test_prep_training_mix_composes_stages(spark, docs):
+    """The composed plan must equal running the three stages by hand."""
+    from nibbledb_spark.operators.packing import pack_sequences
+    from nibbledb_spark.operators.pipeline import clean_corpus, prep_training_mix
+    from nibbledb_spark.operators.sampling import sample_stratified
+
+    mix = prep_training_mix(docs, rates={"src1": 1.0}, default_rate=0.25)
+    surv = clean_corpus(docs)
+    kept = docs.join(surv, "doc_id", "left_semi")
+    sampled = sample_stratified(kept, {"src1": 1.0}, default_rate=0.25)
+    manual = pack_sequences(sampled, 512)
+    got = sorted(tuple(r) for r in mix.collect())
+    want = sorted(tuple(r) for r in manual.collect())
+    assert got == want and len(got) > 0
