@@ -38,16 +38,38 @@ from nibbledb_spark.schema import POINT_SCHEMA, validate_points
 
 DEFAULT_NUM_BUCKETS = 32
 
-# on-disk layout: point columns + the bucket partition column. Reads use
-# this schema explicitly so an empty (or fully-deleted) store is a valid
+# µs per day; the `day` partition column is ts div DAY_US (days since
+# epoch). Two-level layout bucket=N/day=M: series-hash bounds the
+# partition count in one dimension, day gives DIRECTORY-level time
+# pruning that survives compaction — after merging a bucket into few
+# files, row-group ts stats alone would cover the whole history, but the
+# day dirs keep range scans proportional to the window queried. This is
+# the scale analogue of the reference's shard-range index
+# (src/index.re:92-105): maintained by the layout, consulted by Catalyst
+# partition pruning, no second store.
+DAY_US = 86_400_000_000
+
+# on-disk layout: point columns + the partition columns. Reads use this
+# schema explicitly so an empty (or fully-deleted) store is a valid
 # empty DataFrame instead of an inference error.
 STORE_SCHEMA = T.StructType(
-    list(POINT_SCHEMA.fields) + [T.StructField("bucket", T.IntegerType())]
+    list(POINT_SCHEMA.fields)
+    + [T.StructField("bucket", T.IntegerType()), T.StructField("day", T.IntegerType())]
 )
+
+# layout v2 = bucket/day two-level partitioning; v1 stores (bucket only)
+# are not silently mixed — the store's meta pins its layout.
+STORE_LAYOUT = 2
 
 
 def bucket_of(series_col, num_buckets: int):
     return F.pmod(F.xxhash64(series_col), F.lit(num_buckets)).cast("int")
+
+
+def day_of(ts_col):
+    # floor division (matches Python's // used for read-side bounds;
+    # double intermediate is exact: |day| < 2^26)
+    return F.floor(ts_col / F.lit(DAY_US)).cast("int")
 
 
 class TimeSeriesEngine:
@@ -68,10 +90,17 @@ class TimeSeriesEngine:
         self._bucket_cache: dict[str, int] = {}
         # A store written with B buckets MUST be read with B buckets or
         # bucket pruning silently misses data: the store's own metadata
-        # wins over the constructor argument.
-        stored = self._read_meta()
-        if stored is not None and stored != num_buckets:
-            self.num_buckets = stored
+        # wins over the constructor argument. Same for the partition
+        # layout version (a v1 bucket-only store must not be read or
+        # appended with day-partition assumptions).
+        meta = self._read_meta()
+        if meta is not None:
+            stored = meta.get("num_buckets")
+            if stored is not None and stored != num_buckets:
+                self.num_buckets = int(stored)
+            self.layout = int(meta.get("layout", 1))
+        else:
+            self.layout = STORE_LAYOUT
         # heal any bucket swap interrupted by a crash (see _staged_swap)
         self._recover_staged_swap()
 
@@ -80,13 +109,13 @@ class TimeSeriesEngine:
     def _meta_path(self) -> str:
         return os.path.join(self.path, self._META_FILE)
 
-    def _read_meta(self) -> int | None:
+    def _read_meta(self) -> dict | None:
         try:
             with open(self._meta_path()) as f:
                 import json
 
-                return int(json.load(f)["num_buckets"])
-        except (OSError, ValueError, KeyError):
+                return dict(json.load(f))
+        except (OSError, ValueError):
             return None
 
     def _write_meta(self) -> None:
@@ -95,7 +124,12 @@ class TimeSeriesEngine:
             import json
 
             with open(self._meta_path(), "w") as f:
-                json.dump({"num_buckets": self.num_buckets}, f)
+                json.dump(
+                    {"num_buckets": self.num_buckets, "layout": self.layout}, f
+                )
+
+    def _partition_cols(self) -> list[str]:
+        return ["bucket", "day"] if self.layout >= 2 else ["bucket"]
 
     # -- write path --------------------------------------------------------
 
@@ -117,17 +151,21 @@ class TimeSeriesEngine:
 
     def append_points(self, df: DataFrame) -> None:
         """Append canonical-schema points. Sorted within partitions by
-        (series, ts) so row-group stats stay tight for time pruning.
-        First write stamps the store's bucket-count metadata (underscore
-        prefix keeps it invisible to Spark's file listing; swap the
-        open() for the Hadoop FS API on a non-local store)."""
+        (series, ts) so row-group stats stay tight for time pruning; the
+        day partition column gives directory-level time pruning on top
+        (see DAY_US). First write stamps the store's bucket-count +
+        layout metadata (underscore prefix keeps it invisible to Spark's
+        file listing; swap the open() for the Hadoop FS API on a
+        non-local store)."""
         self._write_meta()
+        out = df.withColumn("bucket", bucket_of(F.col("series"), self.num_buckets))
+        if self.layout >= 2:
+            out = out.withColumn("day", day_of(F.col("ts")))
         (
-            df.withColumn("bucket", bucket_of(F.col("series"), self.num_buckets))
-            .repartition("bucket")
+            out.repartition("bucket")
             .sortWithinPartitions("series", "ts")
             .write.mode("append")
-            .partitionBy("bucket")
+            .partitionBy(*self._partition_cols())
             .parquet(self.path)
         )
 
@@ -138,12 +176,25 @@ class TimeSeriesEngine:
         empty or fully-deleted store reads as an empty DataFrame."""
         return self.spark.read.schema(STORE_SCHEMA).parquet(self.path)
 
-    def points(self, ids: Sequence[str] = ()) -> DataFrame:
+    def points(
+        self,
+        ids: Sequence[str] = (),
+        *,
+        ts_from: int | None = None,
+        ts_to: int | None = None,
+    ) -> DataFrame:
         """The unified points DataFrame, optionally restricted to series
-        ids. The bucket predicate is derived from the ids so Catalyst
-        partition-prunes to only the relevant directories."""
+        ids and/or a time window. The bucket predicate is derived from
+        the ids and the day predicate from the ts bounds, so Catalyst
+        partition-prunes BOTH dimensions to only the relevant
+        directories before any file is opened."""
         if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], POINT_SCHEMA)
+            df = self.spark.createDataFrame([], POINT_SCHEMA)
+            if ts_from is not None:
+                df = df.where(F.col("ts") >= ts_from)
+            if ts_to is not None:
+                df = df.where(F.col("ts") <= ts_to)
+            return df
         df = self._store()
         if ids:
             buckets = sorted(
@@ -151,6 +202,14 @@ class TimeSeriesEngine:
             )
             df = df.where(F.col("bucket").isin(buckets))
             df = df.where(F.col("series").isin(list(ids)))
+        if ts_from is not None:
+            if self.layout >= 2:
+                df = df.where(F.col("day") >= ts_from // DAY_US)
+            df = df.where(F.col("ts") >= ts_from)
+        if ts_to is not None:
+            if self.layout >= 2:
+                df = df.where(F.col("day") <= ts_to // DAY_US)
+            df = df.where(F.col("ts") <= ts_to)
         return df.select("series", "ts", "tag", "value")
 
     def _bucket_py(self, series_id: str) -> int:
@@ -183,10 +242,12 @@ class TimeSeriesEngine:
         return ts_ops.earliest(self.points(ids), ())
 
     def since(self, ids: Sequence[str], ts_from: int) -> DataFrame:
-        return ts_ops.since(self.points(ids), (), ts_from)
+        return ts_ops.since(self.points(ids, ts_from=ts_from), (), ts_from)
 
     def range(self, ids: Sequence[str], ts_from: int, ts_to: int) -> DataFrame:
-        return ts_ops.time_range(self.points(ids), (), ts_from, ts_to)
+        return ts_ops.time_range(
+            self.points(ids, ts_from=ts_from, ts_to=ts_to), (), ts_from, ts_to
+        )
 
     def length(self, ids: Sequence[str] = ()) -> int:
         return self.points(ids).count()
@@ -310,7 +371,7 @@ class TimeSeriesEngine:
         P = jvm.org.apache.hadoop.fs.Path
         staging, trash = self._staging_dir(), self._trash_dir()
         fs.delete(P(staging), True)
-        out.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+        out.write.mode("overwrite").partitionBy(*self._partition_cols()).parquet(staging)
         fs.mkdirs(P(trash))
         for b in sorted(affected_buckets):
             live, staged = P(f"{self.path}/bucket={b}"), P(f"{staging}/bucket={b}")

@@ -143,7 +143,7 @@ def test_compaction_file_sizing(spark, engine):
     engine.write("honeybees", [{"timestamp": t, "value": v} for (_, t, _, v) in HONEYBEES])
 
     def n_files():
-        return len(glob.glob(f"{engine.path}/bucket=*/part-*.parquet"))
+        return len(glob.glob(f"{engine.path}/bucket=*/day=*/part-*.parquet"))
 
     before_rows = sorted(
         (r["series"], r["ts"], r["value"]) for r in engine.points().collect()
