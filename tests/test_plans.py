@@ -161,9 +161,13 @@ def test_new_operator_shuffle_budgets(spark):
         "ts_quantiles": 1,          # one hash aggregate
         "ts_resample_linear": 3,    # agg + grid join + window
         "interval_overlap_series_days": 4,  # agg + bucket join + distinct + order
-        "clean_corpus": 10,         # fused filters + dedup + shingle joins
-                                    # + one window exchange for the
-                                    # stop-shingle doc-freq cap
+        "clean_corpus": 13,         # fused filters + dedup + shingle joins;
+                                    # the stop-shingle cap's hot-set agg
+                                    # subtree prints under each of its 3
+                                    # broadcast uses (runtime reuses the
+                                    # exchange; rows shuffled = distinct
+                                    # shingles after map-side combine,
+                                    # never the full shingle table)
     }
     for name, budget in budgets.items():
         got = exchange_count(QUERIES[name](spark, SF))
