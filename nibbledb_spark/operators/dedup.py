@@ -576,3 +576,48 @@ def decontaminate(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_overlap)
     )
+
+
+def near_dup_components(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id, component) for EVERY document: the transitive closure of
+    the exact n-gram-Jaccard near-dup relation, labeled by the minimum
+    doc id of each cluster. Docs with no near-dup are their own
+    singleton component.
+
+    This is the dedup POLICY layer the pairwise queries can't express:
+    a~b and b~c place all three in one component even when a~c is below
+    threshold, so "keep id == component" retains exactly one canonical
+    doc per cluster (pairwise higher-id dropping can delete every
+    representative of a chained cluster, or keep two docs that are
+    near-dups of the same survivor).
+
+    Scale shape: the pair join is the capped shingle equi-join
+    (``ngram_jaccard_pairs``); the closure is hash-min label
+    propagation, O(diameter) keyed shuffles over the PAIR list — which
+    is orders smaller than the corpus (most docs have no near-dup).
+    """
+    from nibbledb_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        max_doc_freq=max_doc_freq,
+    )
+    comp = connected_components(pairs, "id1", "id2")
+    return docs.select(F.col(id_col)).join(
+        comp, docs[id_col] == comp["node"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+    )

@@ -1380,6 +1380,47 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@declared(
+    "near_dup_components",
+    f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM t),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
+  WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+""",
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup relation: every document
+    labeled with its cluster's min doc id (hash-min label propagation;
+    operators/graph.py). The oracle walks the same closure with a
+    recursive CTE. This is the dedup POLICY layer — 'keep doc_id ==
+    component' retains exactly one canonical doc per near-dup cluster,
+    which pairwise higher-id dropping cannot guarantee on chains."""
+    from nibbledb_spark.operators.dedup import near_dup_components as op
+
+    return op(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def _simhash_sql(bits: int = 32) -> str:
     votes = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"

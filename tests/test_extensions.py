@@ -400,3 +400,67 @@ def test_srp_near_dup_subset_and_clustered_recall(spark, clustered_ann):
     assert approx <= exact
     assert len(exact) > 0
     assert len(approx) / len(exact) >= 0.9
+
+
+# ---------------------------------------------------------------------------
+# connected components (dedup clustering)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 4-chain (1-2, 2-3, 3-4) collapses to one component rooted at 1
+    even though 1 and 4 share no edge — the transitivity pairwise
+    dropping gets wrong; a separate pair (10, 11) and the edgeless node
+    stay distinct."""
+    from nibbledb_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_max_iter_guard(spark):
+    """A path graph longer than max_iter rounds must raise, not return a
+    half-propagated labeling."""
+    from nibbledb_spark.operators.graph import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(path, "src", "dst", max_iter=2)
+
+
+def test_near_dup_components_keep_one_per_cluster(spark):
+    """End-to-end policy check on a planted chain a~b~c (a !~ c): one
+    component, so 'keep id == component' keeps exactly doc a; the
+    unrelated doc is its own singleton."""
+    from nibbledb_spark.operators.dedup import near_dup_components
+
+    # b overlaps heavily with both a and c; a and c share less than the
+    # threshold requires (chain, not clique)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+            (2, "alpha bravo charlie delta echo foxtrot golf india"),
+            (3, "charlie delta echo foxtrot golf india juliet kilo"),
+            (9, "zulu yankee xray whiskey victor uniform tango sierra"),
+        ],
+        "doc_id long, text string",
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in near_dup_components(docs, threshold=0.5).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[9] == 9
+    # sanity: the pairwise relation really is a chain (1~3 below threshold)
+    from nibbledb_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id1"], r["id2"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs == {(1, 2), (2, 3)}
