@@ -450,6 +450,40 @@ def ts_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample(pts, _RESAMPLE_US, fill="linear")
 
 
+@declared(
+    "ts_resample_locf",
+    _POINTS_CTE
+    + f"""
+, agg AS (
+  SELECT series, ts - (ts % {_RESAMPLE_US}) AS bucket_us,
+         CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS v,
+         COUNT(*) AS n
+  FROM points GROUP BY 1, 2
+),
+rng AS (SELECT series, MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM agg GROUP BY 1),
+grid AS (SELECT series, unnest(generate_series(lo, hi, {_RESAMPLE_US})) AS bucket_us FROM rng),
+j AS (
+  SELECT g.series, g.bucket_us, a.v, COALESCE(a.n, 0) AS n FROM grid g
+  LEFT JOIN agg a ON a.series = g.series AND a.bucket_us = g.bucket_us
+)
+SELECT series, bucket_us,
+       COALESCE(v, last_value(v IGNORE NULLS) OVER (
+         PARTITION BY series ORDER BY bucket_us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS value,
+       n
+FROM j
+""",
+)
+def ts_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to 1h buckets with last-observation-carried-forward
+    gap fill — the staircase interpolation mode every tsdb exposes
+    alongside linear (same single-shuffle window plan)."""
+    from nibbledb_spark.operators.timeseries import resample
+
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    return resample(pts, _RESAMPLE_US, fill="prev")
+
+
 # ---------------------------------------------------------------------------
 # Part B — relational surface (first batch)
 # ---------------------------------------------------------------------------
@@ -1897,6 +1931,42 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nibbledb_spark.streaming.ingest import session_windows
 
     return session_windows(points_from_events(spark, sf_dir), "1 hour")
+
+
+@declared(
+    "stream_interval_join",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_type, value FROM events
+)
+SELECT l.user_id, l.ts AS l_ts, l.value AS l_value,
+       r.ts AS r_ts, r.value AS r_value
+FROM e l JOIN e r
+  ON r.user_id = l.user_id
+ AND r.ts BETWEEN l.ts - 1800000000 AND l.ts + 1800000000
+WHERE l.event_type = 'error' AND r.event_type = 'click'
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (batch declaration of the identical
+    plan): every error event paired with same-user click events within
+    +/-30 minutes. The true-streaming path — both sides watermarked,
+    join state evicted past watermark + tolerance — is convergence-
+    pinned in tests/test_streaming.py."""
+    from nibbledb_spark.streaming.ingest import interval_join_streams
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(ts div 1000 AS BIGINT)").alias("ts"),
+        "event_type",
+        "value",
+    )
+    return interval_join_streams(
+        ev.where(F.col("event_type") == "error"),
+        ev.where(F.col("event_type") == "click"),
+        key="user_id",
+        tolerance="30 minutes",
+    )
 
 
 # ---------------------------------------------------------------------------

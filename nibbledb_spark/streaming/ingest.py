@@ -257,3 +257,61 @@ def series_stats_batch(pdf, alpha: float = 0.2):
         "last_ts": int(pdf["ts"].max()),
         "ewma": ewma,
     }
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tolerance: str = "2 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream event-time interval join: every (l, r) pair with
+    equal ``key`` and ``|r.ts - l.ts| <= tolerance`` (ts in epoch µs).
+
+    The state-boundedness contract Spark requires of stream-stream
+    joins is exactly this shape: BOTH sides watermarked and the join
+    condition range-bounding event time in both directions, so rows
+    older than watermark + tolerance are evicted from join state
+    instead of accumulating forever. On batch frames the watermarks are
+    no-ops and the identical plan runs as an equi-key hash join with a
+    range residual — the declared query + SQL oracle pin that path, the
+    true-streaming convergence test pins this one
+    (tests/test_streaming.py).
+
+    Scale shape: the only shuffle is the hash exchange on ``key``;
+    per-key state is bounded by rate x (watermark + tolerance), and a
+    hot key is AQE-skew-splittable because the condition is an
+    equi-join with residual, not a pure theta join.
+    """
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col(ts_col).alias("l_ts"),
+        F.col(value_col).alias("l_value"),
+        F.timestamp_micros(F.col(ts_col)).alias("__lt"),
+    )
+    r = right.select(
+        F.col(key).alias("rk"),
+        F.col(ts_col).alias("r_ts"),
+        F.col(value_col).alias("r_value"),
+        F.timestamp_micros(F.col(ts_col)).alias("__rt"),
+    )
+    if l.isStreaming:
+        l = l.withWatermark("__lt", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("__rt", watermark)
+    tol = F.expr(f"INTERVAL {tolerance}")
+    return (
+        l.join(
+            r,
+            (F.col("k") == F.col("rk"))
+            & (F.col("__rt") >= F.col("__lt") - tol)
+            & (F.col("__rt") <= F.col("__lt") + tol),
+        )
+        .select(
+            F.col("k").alias(key), "l_ts", "l_value", "r_ts", "r_value"
+        )
+    )

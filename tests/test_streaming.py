@@ -210,3 +210,58 @@ def test_watermark_drops_late_data_but_default_keeps_it(spark, tmp_path):
     lenient = run(None, "wm_default")
     assert lenient[late_win] == 2  # late points kept (reference semantics)
     assert lenient[fresh_win] == 3
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join: two watermarked file streams (errors
+    and clicks split from the same events replay) joined on user within
+    +/-30 min must produce exactly the batch join's pairs."""
+    from nibbledb_spark.streaming.ingest import EVENTS_SCHEMA, interval_join_streams
+
+    def keyed(df):
+        return df.select(
+            "user_id",
+            F.expr("CAST(ts div 1000 AS BIGINT)").alias("ts"),
+            "event_type",
+            "value",
+        )
+
+    raw = keyed(
+        spark.read.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    batch = sorted(
+        tuple(r)
+        for r in interval_join_streams(
+            raw.where(F.col("event_type") == "error"),
+            raw.where(F.col("event_type") == "click"),
+            key="user_id",
+            tolerance="30 minutes",
+        ).collect()
+    )
+
+    sraw = keyed(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    joined = interval_join_streams(
+        sraw.where(F.col("event_type") == "error"),
+        sraw.where(F.col("event_type") == "click"),
+        key="user_id",
+        tolerance="30 minutes",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_conv")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM ssj_conv").collect()
+    )
+    assert streamed == batch and len(batch) > 0
