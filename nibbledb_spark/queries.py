@@ -1810,6 +1810,60 @@ def subquery_scalar_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "subquery_correlated_above_own_avg",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+""",
+)
+def subquery_correlated_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders 1.5x above the CUSTOMER'S OWN
+    average. Catalyst decorrelates this to one per-key aggregate plus an
+    equi-join — O(n) with a keyed shuffle, never a per-row re-scan (the
+    plan a naive nested-loop engine would run)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM orders o
+           WHERE o_totalprice > 1.5 * (
+             SELECT AVG(o2.o_totalprice) FROM orders o2
+             WHERE o2.o_custkey = o.o_custkey
+           )"""
+    )
+
+
+@declared(
+    "unpivot_lineitem_measures",
+    """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem WHERE l_orderkey % 100 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_orderkey % 100 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_orderkey % 100 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+FROM lineitem WHERE l_orderkey % 100 = 0
+""",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of the lineitem measures — the
+    inverse of pivot_events_weekday. DataFrame.unpivot stays one
+    narrow projection per row inside codegen (the UNION ALL oracle
+    re-scans once per measure; the Spark plan does not)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@declared(
     "simhash_near_dup_pairs",
     f"""
 WITH sh AS ({_simhash_sql()}),

@@ -215,3 +215,14 @@ def test_day_partition_prunes_time_ranges(spark, tmp_path_factory):
     }
     assert 1 <= len(files) <= 2
     assert all("/day=1666" in f for f in files)  # days 16667/16668 only
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    """Catalyst must rewrite the correlated scalar subquery into one
+    per-key aggregate + equi-join — a per-outer-row rescan would show
+    up as a nested-loop join and be quadratic at scale."""
+    from nibbledb_spark.queries import QUERIES
+
+    p = plan(QUERIES["subquery_correlated_above_own_avg"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "HashAggregate" in p and "Join" in p
