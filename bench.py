@@ -229,8 +229,15 @@ def main() -> int:
         engine_read_bench(spark)
         return 0
 
-    # warm the JVM/session so the first measured query isn't paying startup
+    # Warm pass over the WHOLE headline set before any timing: JIT
+    # compilation compounds across queries, so without this the set's
+    # first queries are measured on a cold JVM while the last run hot
+    # (measured ~1.5x order bias on q1). The DuckDB baseline is warm
+    # (median-of-5 after a warm run) — this makes the comparison
+    # steady-state on both sides.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        QUERIES[name](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
