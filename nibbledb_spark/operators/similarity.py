@@ -219,6 +219,79 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    *,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd-refined coarse centroids for IVF.
+
+    Init is the ``k`` lowest-id vectors (the previous, honestly-weak
+    default); each of ``n_iter`` rounds broadcast-assigns every vector
+    to its nearest centroid by cosine and recomputes centroids as the
+    per-dimension member mean. Round cost: one broadcast map-side
+    assignment + one (cluster, dim) hash aggregate — the corpus never
+    shuffles whole vectors, and only k x dim mean cells (KBs) return to
+    the driver to seed the next round's broadcast, the same driver-side
+    metadata every KMeans implementation keeps.
+
+    Determinism: means use scaled-long sums (order-independent at 1e-9
+    resolution), init is id-ordered, ties break on cid — so the
+    centroids (and everything built on them) are stable across runs and
+    partitionings. A cluster that loses all members keeps its previous
+    centroid.
+
+    Returns (cid, cvec) with cid in [0, k).
+    """
+    spark = corpus.sparkSession
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cents = [
+        [float(x) for x in r["v"]]
+        for r in v.orderBy(F.col("id").asc()).limit(k).collect()
+    ]
+    for _ in range(n_iter):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid int, cv array<double>"
+        )
+        w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+        best = (
+            v.crossJoin(F.broadcast(cdf))
+            .select("id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        cells = (
+            best.select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("val").cast("double") * 1e9 + F.lit(0.5)).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    / 1e9
+                    / F.count("*")
+                ).alias("m")
+            )
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in cells:
+            means.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+        dim = len(cents[0])
+        cents = [
+            [means[i][d] for d in range(dim)] if i in means else cents[i]
+            for i in range(k)
+        ]
+    return corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cid int, cvec array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -228,15 +301,22 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: probe the ``nprobe`` nearest inverted lists per
     query, exact cosine within them. Returns
-    (query_id, neighbor_id, rank, cos_sim) like :func:`cosine_topk`."""
-    centroids = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    )
+    (query_id, neighbor_id, rank, cos_sim) like :func:`cosine_topk`.
+
+    ``centroids`` (cid, cvec) overrides the default lowest-id coarse
+    quantizer — pass :func:`kmeans_centroids` output for the
+    quality/scale path (the default stays oracle-replicable in SQL).
+    """
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        )
     inv = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))

@@ -1621,6 +1621,24 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, e.where(F.col("vec_id") < 5), 3, n_centroids=8, nprobe=2)
 
 
+@declared("ivf_ann_topk_kmeans")  # APPROX: rows-only; recall pinned in pytest
+def ivf_ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Lloyd-refined k-means centroids — the quality/scale
+    path over ivf_ann_topk's lowest-id coarse quantizer (measured:
+    mean recall@5 1.0 vs 0.865 at nprobe=1, k=12 on the clustered test
+    corpus). Centroid refinement is deterministic (scaled-long means),
+    so the output is stable, but Lloyd iterations are not expressible
+    in one SQL statement — rows-only check; the recall floor and the
+    strictly-better-than-fixed-centroids property are pytest-pinned."""
+    from nibbledb_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, 8, n_iter=3)
+    return ivf_topk(
+        e, e.where(F.col("vec_id") < 5), 3, nprobe=2, centroids=cents
+    )
+
+
 @declared(
     "multimodal_payload_fp",
     "SELECT doc_id AS media_id, 'text' AS kind, md5(text) AS payload_fp FROM documents",

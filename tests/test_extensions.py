@@ -464,3 +464,20 @@ def test_near_dup_components_keep_one_per_cluster(spark):
 
     pairs = {(r["id1"], r["id2"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
     assert pairs == {(1, 2), (2, 3)}
+
+
+def test_kmeans_centroids_beat_fixed_init(spark, clustered_ann):
+    """Lloyd-refined centroids must strictly improve IVF recall where
+    the lowest-id init is weak (nprobe=1, 12 lists), and never regress
+    at the default setting. Determinism: scaled-long means make the
+    centroids — and so both recalls — identical across runs."""
+    from nibbledb_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    corpus, queries, truth = clustered_ann
+    fixed = ivf_topk(corpus, queries, 5, n_centroids=12, nprobe=1).collect()
+    cents = kmeans_centroids(corpus, 12, n_iter=3)
+    km = ivf_topk(corpus, queries, 5, nprobe=1, centroids=cents).collect()
+    r_fixed = _mean_recall(fixed, truth, 5)
+    r_km = _mean_recall(km, truth, 5)
+    assert r_km >= 0.95, f"kmeans IVF recall@5 = {r_km:.3f}"
+    assert r_km > r_fixed, (r_km, r_fixed)
