@@ -226,3 +226,46 @@ def test_correlated_subquery_is_decorrelated(spark):
     p = plan(QUERIES["subquery_correlated_above_own_avg"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "HashAggregate" in p and "Join" in p
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The session's AQE skew-join handling must actually fire: a join
+    where 90% of the left rows share one key gets its hot partition
+    split into multiple tasks (SortMergeJoin(skew=true)) instead of one
+    straggler task processing 90% of the data — the runtime half of the
+    skew story (the static half is plans/scale.salted_join)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # thresholds scaled down so the test fixture's skew qualifies
+        # (prod defaults are 256MB/advisory 64MB — same ratios)
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 1000).alias("k"),
+            # incompressible payload: a hot key of bare longs RLE-shrinks
+            # below the skew threshold and hides the skew from AQE
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), F.col("id").alias("rv"))
+        q = left.join(right, "k").agg(
+            F.sum(F.length("pad")).alias("lp"), F.count("*").alias("n")
+        )
+        q.collect()  # execute so the final adaptive plan exists
+        p = plan(q, "simple")
+        assert "skew=true" in p, p
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
