@@ -61,6 +61,23 @@ STORE_SCHEMA = T.StructType(
 # are not silently mixed — the store's meta pins its layout.
 STORE_LAYOUT = 2
 
+# Continuous-aggregate rollup (the hypertable-rollup analogue): per
+# (series, time bucket) mergeable partials. Sums are scaled longs
+# (1e-6 resolution) so merge order never changes the result —
+# incremental maintenance is bit-identical to a full recompute, which
+# is the pinned test. value_sum/value_mean are derived at read.
+ROLLUP_SCALE = 1_000_000
+ROLLUP_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("bucket_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_scaled", T.LongType()),
+        T.StructField("vmin", T.DoubleType()),
+        T.StructField("vmax", T.DoubleType()),
+    ]
+)
+
 
 def bucket_of(series_col, num_buckets: int):
     return F.pmod(F.xxhash64(series_col), F.lit(num_buckets)).cast("int")
@@ -99,8 +116,11 @@ class TimeSeriesEngine:
             if stored is not None and stored != num_buckets:
                 self.num_buckets = int(stored)
             self.layout = int(meta.get("layout", 1))
+            r = meta.get("rollup_every_us")
+            self.rollup_every_us = int(r) if r else None
         else:
             self.layout = STORE_LAYOUT
+            self.rollup_every_us = None
         # heal any bucket swap interrupted by a crash (see _staged_swap)
         self._recover_staged_swap()
 
@@ -118,15 +138,16 @@ class TimeSeriesEngine:
         except (OSError, ValueError):
             return None
 
-    def _write_meta(self) -> None:
-        if not os.path.exists(self._meta_path()):
+    def _write_meta(self, *, force: bool = False) -> None:
+        if force or not os.path.exists(self._meta_path()):
             os.makedirs(self.path, exist_ok=True)
             import json
 
+            meta: dict = {"num_buckets": self.num_buckets, "layout": self.layout}
+            if self.rollup_every_us:
+                meta["rollup_every_us"] = self.rollup_every_us
             with open(self._meta_path(), "w") as f:
-                json.dump(
-                    {"num_buckets": self.num_buckets, "layout": self.layout}, f
-                )
+                json.dump(meta, f)
 
     def _partition_cols(self) -> list[str]:
         return ["bucket", "day"] if self.layout >= 2 else ["bucket"]
@@ -168,6 +189,8 @@ class TimeSeriesEngine:
             .partitionBy(*self._partition_cols())
             .parquet(self.path)
         )
+        if self.rollup_every_us:
+            self._rollup_append_delta(df)
 
     # -- read path ---------------------------------------------------------
 
@@ -328,6 +351,9 @@ class TimeSeriesEngine:
         )
         out = survivors.repartition("bucket").sortWithinPartitions("series", "ts")
         self._staged_swap(out, affected_buckets)
+        # rollup partials for the deleted rows can't be subtracted
+        # (min/max aren't invertible): refresh the derived table
+        self.rollup_rebuild()
 
     # -- staged bucket swap (durability) ------------------------------------
     # The reference's Irmin store commits shard rewrites transactionally
@@ -402,6 +428,131 @@ class TimeSeriesEngine:
             fs.delete(trash, True)
         fs.delete(P(self._staging_dir()), True)
 
+    # -- continuous-aggregate rollup (hypertable-rollup analogue) ------------
+    # A materialized downsample maintained INCREMENTALLY: each append also
+    # writes the batch's per-(series, bucket) partials — count, scaled-long
+    # sum, min, max, all mergeable — into <path>/_rollup (the underscore
+    # keeps it invisible to the main store's file listing). Reads merge the
+    # partials with one tiny hash aggregate, so queries over a year of
+    # history touch rollup rows, not raw points: the aggregate is computed
+    # once at WRITE time per batch, not per query. Scaled-long sums make
+    # the merge associativity-proof — incremental state is bit-identical
+    # to a full recompute (pinned test). compact() consolidates the delta
+    # rows; delete() rebuilds (a derived table refresh, standard for
+    # materialized aggregates). A missing/partial rollup dir is never a
+    # correctness risk: rollup() rebuilds it from the points store.
+
+    def _rollup_dir(self) -> str:
+        return os.path.join(self.path, "_rollup")
+
+    def enable_rollup(self, every_us: int = 3_600_000_000) -> None:
+        """Switch on rollup maintenance at ``every_us`` bucket width and
+        build the initial rollup from any existing points."""
+        if self.rollup_every_us not in (None, every_us):
+            raise ValueError(
+                f"store rollup width is pinned at {self.rollup_every_us}; "
+                "rebuild the store to change it"
+            )
+        self.rollup_every_us = int(every_us)
+        if os.path.exists(self.path):
+            self._write_meta(force=True)
+            self.rollup_rebuild()
+
+    def _rollup_partials(self, pts: DataFrame) -> DataFrame:
+        every = F.lit(self.rollup_every_us)
+        return pts.groupBy(
+            "series", (F.col("ts") - F.pmod(F.col("ts"), every)).alias("bucket_us")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(float(ROLLUP_SCALE)) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("sum_scaled"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+
+    def _rollup_append_delta(self, df: DataFrame) -> None:
+        self._rollup_partials(df.select("series", "ts", "value")).write.mode(
+            "append"
+        ).parquet(self._rollup_dir())
+
+    def rollup(
+        self,
+        ids: Sequence[str] = (),
+        *,
+        ts_from: int | None = None,
+        ts_to: int | None = None,
+    ) -> DataFrame:
+        """Merged rollup view: (series, bucket_us, n, value_sum,
+        value_min, value_max, value_mean), optionally filtered. The only
+        work is a hash aggregate over the (small) partial rows."""
+        if not self.rollup_every_us:
+            raise ValueError("rollup not enabled; call enable_rollup()")
+        if os.path.exists(self.path) and not os.path.exists(self._rollup_dir()):
+            self.rollup_rebuild()  # derived data: absence just means rebuild
+        df = self.spark.read.schema(ROLLUP_SCHEMA).parquet(self._rollup_dir()) \
+            if os.path.exists(self._rollup_dir()) \
+            else self.spark.createDataFrame([], ROLLUP_SCHEMA)
+        if ids:
+            df = df.where(F.col("series").isin(list(ids)))
+        if ts_from is not None:
+            df = df.where(F.col("bucket_us") >= ts_from - ts_from % self.rollup_every_us)
+        if ts_to is not None:
+            df = df.where(F.col("bucket_us") <= ts_to)
+        merged = df.groupBy("series", "bucket_us").agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_scaled").alias("sum_scaled"),
+            F.min("vmin").alias("value_min"),
+            F.max("vmax").alias("value_max"),
+        )
+        s = F.col("sum_scaled").cast("double") / F.lit(float(ROLLUP_SCALE))
+        return merged.select(
+            "series",
+            "bucket_us",
+            "n",
+            s.alias("value_sum"),
+            "value_min",
+            "value_max",
+            (s / F.col("n")).alias("value_mean"),
+        )
+
+    def rollup_rebuild(self) -> None:
+        """Full refresh of the rollup from the points store (used after
+        delete, or any time the rollup dir is lost)."""
+        if not self.rollup_every_us or not os.path.exists(self.path):
+            return
+        import shutil
+
+        tmp = self._rollup_dir() + ".__rebuild__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._rollup_partials(self.points()).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self._rollup_dir(), ignore_errors=True)
+        os.rename(tmp, self._rollup_dir())
+
+    def _rollup_consolidate(self) -> None:
+        """Merge accumulated per-append delta rows to one row per
+        (series, bucket): the rollup's own compaction."""
+        if not (self.rollup_every_us and os.path.exists(self._rollup_dir())):
+            return
+        import shutil
+
+        df = self.spark.read.schema(ROLLUP_SCHEMA).parquet(self._rollup_dir())
+        merged = df.groupBy("series", "bucket_us").agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_scaled").alias("sum_scaled"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+        tmp = self._rollup_dir() + ".__rebuild__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.select(*[f.name for f in ROLLUP_SCHEMA.fields]).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.rmtree(self._rollup_dir(), ignore_errors=True)
+        os.rename(tmp, self._rollup_dir())
+
     # -- compaction (A4 analogue) -------------------------------------------
 
     def compact(self, *, files_per_bucket: int = 1) -> None:
@@ -430,3 +581,4 @@ class TimeSeriesEngine:
         else:
             out = store.repartition("bucket")
         self._staged_swap(out.sortWithinPartitions("series", "ts"), affected)
+        self._rollup_consolidate()

@@ -291,6 +291,31 @@ class Router:
                     {"series": r["series"], "ts": r["ts"], "delta": r["delta"]}
                     for r in out.collect()
                 ]
+            if verb == "rollup":
+                # /x/ts/:ids/rollup[/:every_us] — continuous-aggregate
+                # read; first call at a width enables maintenance
+                if len(rest) > 1:
+                    raise RouteError("unknown path")
+                every = int(rest[0]) if rest else 3_600_000_000
+                if self.engine.rollup_every_us is None:
+                    self.engine.enable_rollup(every)
+                elif rest and self.engine.rollup_every_us != every:
+                    raise RouteError(
+                        f"rollup width pinned at {self.engine.rollup_every_us}"
+                    )
+                out = self.engine.rollup(ids).orderBy("series", "bucket_us")
+                return [
+                    {
+                        "series": r["series"],
+                        "bucket_us": r["bucket_us"],
+                        "n": r["n"],
+                        "sum": r["value_sum"],
+                        "min": r["value_min"],
+                        "max": r["value_max"],
+                        "mean": r["value_mean"],
+                    }
+                    for r in out.collect()
+                ]
             if verb == "quantiles" and not rest:
                 from pyspark.sql import functions as F
 

@@ -220,3 +220,91 @@ def test_staged_swap_leaves_no_remnants(spark, tmp_path):
     assert eng.length(["s1"]) == 3 and eng.length(["s2"]) == 6
     assert not os.path.exists(eng._staging_dir())
     assert not os.path.exists(eng._trash_dir())
+
+
+# ---------------------------------------------------------------------------
+# continuous-aggregate rollup (hypertable-rollup analogue)
+# ---------------------------------------------------------------------------
+
+
+def _recompute_rollup(eng):
+    """Ground truth: full aggregate over the raw points, same scaled-long
+    arithmetic as the maintained rollup."""
+    from pyspark.sql import functions as F
+
+    every = eng.rollup_every_us
+    pts = eng.points()
+    s = F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"))
+    return {
+        (r["series"], r["bucket_us"]): (
+            r["n"], r["value_sum"], r["value_min"], r["value_max"], r["value_mean"]
+        )
+        for r in pts.groupBy(
+            "series", (F.col("ts") - F.pmod(F.col("ts"), F.lit(every))).alias("bucket_us")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (s.cast("double") / 1e6).alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            (s.cast("double") / 1e6 / F.count("*")).alias("value_mean"),
+        )
+        .collect()
+    }
+
+
+def _rollup_dict(eng, **kw):
+    return {
+        (r["series"], r["bucket_us"]): (
+            r["n"], r["value_sum"], r["value_min"], r["value_max"], r["value_mean"]
+        )
+        for r in eng.rollup(**kw).collect()
+    }
+
+
+def test_rollup_incremental_equals_recompute(spark, tmp_path):
+    """The write-time-maintained rollup must be BIT-IDENTICAL to a full
+    recompute after multiple appends, after delete (rebuild), and after
+    compact (consolidation) — scaled-long partials make merge order
+    irrelevant."""
+    from nibbledb_spark.engine import DAY_US, TimeSeriesEngine
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    eng = TimeSeriesEngine(spark, str(tmp_path / "store"), num_buckets=2)
+    eng.enable_rollup(3_600_000_000)  # 1h buckets
+    t0 = 1_439_856_000_000_000
+    for batch in range(3):
+        rows = [
+            (f"s{i}", t0 + batch * DAY_US + j * 600_000_000, None, float(i + j) / 7)
+            for i in range(3)
+            for j in range(20)
+        ]
+        eng.append_points(spark.createDataFrame(rows, POINT_SCHEMA))
+    assert _rollup_dict(eng) == _recompute_rollup(eng)
+
+    # filtered read: only s1's buckets inside the window
+    win = _rollup_dict(eng, ids=["s1"], ts_from=t0 + DAY_US, ts_to=t0 + 2 * DAY_US)
+    assert win and all(k[0] == "s1" for k in win)
+    full = _recompute_rollup(eng)
+    assert all(full[k] == v for k, v in win.items())
+
+    eng.delete(["s1"], t0, t0 + DAY_US)  # forces the derived-table rebuild
+    assert _rollup_dict(eng) == _recompute_rollup(eng)
+
+    eng.compact()  # consolidates delta rows to one per (series, bucket)
+    assert _rollup_dict(eng) == _recompute_rollup(eng)
+    rdir = eng._rollup_dir()
+    import glob as g
+    n_files = len(g.glob(rdir + "/part-*.parquet"))
+    df = spark.read.parquet(rdir)
+    assert df.count() == df.select("series", "bucket_us").distinct().count()
+
+    # rollup is derived data: losing the dir is repaired on next read
+    import shutil
+    shutil.rmtree(rdir)
+    assert _rollup_dict(eng) == _recompute_rollup(eng)
+
+    # the width survives reopen via store meta
+    eng2 = TimeSeriesEngine(spark, str(tmp_path / "store"))
+    assert eng2.rollup_every_us == 3_600_000_000
+    assert _rollup_dict(eng2) == _recompute_rollup(eng2)

@@ -389,3 +389,19 @@ def test_signal_flush_hooks(engine):
         server.signal_flusher.restore()
         server.shutdown()
         assert signal.getsignal(signal.SIGTERM) is prev
+
+
+def test_extension_rollup_route(router):
+    """/x/ts/:ids/rollup[/:every]: first call enables maintenance; the
+    merged view sums to the raw counts; a conflicting width is a 400."""
+    out = get(router, "/x/ts/butterflies/rollup/3600000000")
+    assert out and all(
+        set(r) == {"series", "bucket_us", "n", "sum", "min", "max", "mean"}
+        for r in out
+    )
+    n_total = sum(r["n"] for r in out)
+    assert n_total == get(router, "/ts/butterflies/length")["length"]
+    assert all(r["min"] <= r["mean"] <= r["max"] for r in out)
+    # same width again is fine; a different width is a clean 400
+    assert router.handle("GET", "/x/ts/butterflies/rollup/3600000000")[0] == 200
+    assert router.handle("GET", "/x/ts/butterflies/rollup/60000000")[0] == 400
