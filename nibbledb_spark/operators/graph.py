@@ -64,11 +64,19 @@ def connected_components(
             msgs = sym.join(labels, "node").select(
                 F.col("peer").alias("node"), "label"
             )
+            # localCheckpoint (not just persist): each round's frame is
+            # built on the previous round's, so without truncation the
+            # logical plan DOUBLES per round and planning itself OOMs
+            # after ~20 rounds on a long-diameter graph. Checkpointing
+            # cuts the lineage to the materialized result — the standard
+            # requirement for iterative DataFrame algorithms. (On a
+            # cluster with executor loss concerns, swap for reliable
+            # checkpoint() against a checkpoint dir.)
             new = (
                 labels.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.min("label").alias("label"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new.alias("n")

@@ -269,3 +269,46 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+
+
+def test_stream_interval_join_is_equi_join(spark):
+    """The interval join must hash on the equality key with the time
+    bounds as residual — a BroadcastNestedLoopJoin here would be the
+    quadratic plan the operator exists to avoid."""
+    from nibbledb_spark.queries import QUERIES
+
+    p = plan(QUERIES["stream_interval_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Join" in p
+
+
+def test_connected_components_round_is_keyed_shuffles(spark):
+    """One hash-min round = join on node + min-aggregate: both keyed
+    exchanges, nothing resembling an all-pairs expansion."""
+    from nibbledb_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(4 * j + k, 4 * j + k + 1) for j in range(12) for k in range(3)],
+        "src long, dst long",
+    )
+    out = connected_components(edges, "src", "dst")
+    p = plan(out)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert out.count() == 48  # 12 chains of 4
+
+
+def test_connected_components_long_diameter_no_lineage_blowup(spark):
+    """A 30-hop path needs ~30 hash-min rounds. Without per-round
+    lineage truncation the logical plan doubles each round and planning
+    OOMs near round 20 — this pins the localCheckpoint fix by actually
+    converging past that point."""
+    from nibbledb_spark.operators.graph import connected_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(path, "src", "dst", max_iter=40).collect()
+    }
+    assert got == {i: 0 for i in range(31)}
