@@ -150,3 +150,66 @@ def test_wire_validation_total(record):
         assert isinstance(ts, int)
         assert tag is None or isinstance(tag, dict)
         assert isinstance(value, float)
+
+
+# ---------------------------------------------------------------------------
+# connected components vs a union-find oracle
+# ---------------------------------------------------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # canonical label = min node of each set
+    roots: dict[int, int] = {}
+    for n in list(parent):
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    return {n: roots[find(n)] for n in parent}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.data_too_large],
+)
+@given(edges=edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed hash-min labeling agrees with a sequential union-find
+    on arbitrary random graphs (self-loops, duplicates, multi-component,
+    any diameter up to the node bound)."""
+    from nibbledb_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "src", "dst", max_iter=35).collect()
+    }
+    want = _union_find_components(edges)
+    # pure self-loop nodes appear in the oracle but carry no real edge;
+    # the operator filters node != peer, so drop them from both sides
+    # unless they also touch a real edge
+    real = {n for a, b in edges if a != b for n in (a, b)}
+    assert {k: v for k, v in got.items() if k in real} == {
+        k: v for k, v in want.items() if k in real
+    }
