@@ -285,6 +285,41 @@ class TimeSeriesEngine:
         sel = df if df is not None else self.points(ids)
         return ts_ops.aggregate_result(sel, agg)
 
+    def aggregate_range(
+        self, ids: Sequence[str], ts_from: int, ts_to: int, agg: str
+    ) -> dict[str, float]:
+        """Range + aggregate with materialized-view routing: when the
+        rollup is enabled, the aggregate is mergeable from its partials
+        (sum/count/min/max/mean) and [ts_from, ts_to] is bucket-aligned,
+        the answer comes from the rollup — proportional to series x
+        buckets, not raw points. Anything else falls back to the raw
+        scan. Routed sums inherit the rollup's 1e-6 scaled-long
+        quantization (FLOAT parity class, same as the windowed
+        aggregates). ``_last_agg_source`` records the route for tests."""
+        every = self.rollup_every_us
+        if (
+            every
+            and agg in ("sum", "count", "min", "max", "mean")
+            and ts_from % every == 0
+            and (ts_to - ts_from + 1) % every == 0
+        ):
+            self._last_agg_source = "rollup"
+            r = self.rollup(ids, ts_from=ts_from, ts_to=ts_to)
+            exprs = {
+                "sum": F.sum("value_sum"),
+                "count": F.sum("n").cast("double"),
+                "min": F.min("value_min"),
+                "max": F.max("value_max"),
+                "mean": F.sum("value_sum") / F.sum("n"),
+            }
+            val = r.agg(exprs[agg].alias(agg)).collect()[0][agg]
+            if val is None:
+                # A24 shaping: sum/count over empty are 0, the rest {}
+                return {agg: 0.0} if agg in ("sum", "count") else {}
+            return {agg: float(val)}
+        self._last_agg_source = "points"
+        return self.aggregate(ids, agg, self.range(ids, ts_from, ts_to))
+
     # -- shard-index observability (A29) ------------------------------------
 
     def index(self, ids: Sequence[str] = ()) -> DataFrame:

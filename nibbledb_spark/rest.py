@@ -195,6 +195,15 @@ class Router:
         elif kind == "since":
             df = eng.since(ids, int(args[0]))
         elif kind == "range":
+            # bare range+aggregate routes through the engine's
+            # materialized-view dispatch (rollup when enabled, mergeable
+            # and bucket-aligned; raw scan otherwise)
+            if (
+                len(xargs) == 1
+                and xargs[0] in ts_ops.AGGREGATES
+                and eng.rollup_every_us
+            ):
+                return eng.aggregate_range(ids, int(args[0]), int(args[1]), xargs[0])
             df = eng.range(ids, int(args[0]), int(args[1]))
         else:  # pragma: no cover
             raise RouteError("unknown path")

@@ -308,3 +308,41 @@ def test_rollup_incremental_equals_recompute(spark, tmp_path):
     eng2 = TimeSeriesEngine(spark, str(tmp_path / "store"))
     assert eng2.rollup_every_us == 3_600_000_000
     assert _rollup_dict(eng2) == _recompute_rollup(eng2)
+
+
+def test_aggregate_range_routes_to_rollup_when_aligned(spark, tmp_path):
+    """Materialized-view routing: a bucket-aligned range aggregate is
+    answered from the rollup (and matches the raw scan); unaligned
+    windows, non-mergeable aggs, and rollup-disabled stores fall back."""
+    from nibbledb_spark.engine import TimeSeriesEngine
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    H = 3_600_000_000
+    t0 = 1_439_856_000_000_000  # hour-aligned
+    eng = TimeSeriesEngine(spark, str(tmp_path / "store"), num_buckets=2)
+    eng.enable_rollup(H)
+    rows = [
+        ("a", t0 + j * 600_000_000, None, float(j % 8) * 0.25) for j in range(36)
+    ] + [("b", t0 + j * 600_000_000, None, 2.0) for j in range(36)]
+    eng.append_points(spark.createDataFrame(rows, POINT_SCHEMA))
+
+    aligned = (t0 + H, t0 + 4 * H - 1)
+    for agg in ("sum", "count", "min", "max", "mean"):
+        got = eng.aggregate_range(["a"], *aligned, agg)
+        assert eng._last_agg_source == "rollup", agg
+        want = eng.aggregate(["a"], agg, eng.range(["a"], *aligned))
+        assert got == want, (agg, got, want)
+
+    # unaligned window falls back to the raw scan and still matches
+    got = eng.aggregate_range(["a"], t0 + H, t0 + 4 * H, "sum")
+    assert eng._last_agg_source == "points"
+    assert got == eng.aggregate(["a"], "sum", eng.range(["a"], t0 + H, t0 + 4 * H))
+
+    # non-mergeable aggregate always scans raw
+    eng.aggregate_range(["a"], *aligned, "median")
+    assert eng._last_agg_source == "points"
+
+    # empty routed selection keeps the A24 shaping
+    assert eng.aggregate_range(["zz"], *aligned, "sum") == {"sum": 0.0}
+    assert eng.aggregate_range(["zz"], *aligned, "mean") == {}
+    assert eng._last_agg_source == "rollup"
