@@ -1785,6 +1785,46 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "window_range_frame_30d",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS order_day,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100 AS rev_30d
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frame (RANGE BETWEEN 29 PRECEDING): trailing
+    30-day revenue per customer — the frame is bounded by the ORDER
+    value (epoch day), not row position, so same-day orders share one
+    frame and gaps shrink it. Completes the window-frame family next to
+    the ROWS frame in moving_avg_7d. Scaled-long sums keep the frame
+    aggregation order-independent on both engines."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        day.alias("order_day"),
+        (
+            F.sum(_scaled_long(F.col("o_totalprice"), 2)).over(w).cast("double") / 100
+        ).alias("rev_30d"),
+    )
+
+
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     for t in names:
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
