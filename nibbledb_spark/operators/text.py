@@ -175,3 +175,103 @@ def chunk_documents(
             F.concat_ws(" ", ordered).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction — a row-local map, embarrassingly parallel)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to constructs Java regex (Spark) and RE2 (DuckDB
+# oracle) treat identically: no lookaround, no backrefs, ASCII classes.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d()\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / IPv4s / international-format phone numbers,
+    returning (id, scrubbed md5, per-pattern hit counts). Pure
+    regexp_replace/regexp_count codegen — zero shuffles, linear scan,
+    the shape a 100 TB pre-training scrub pass needs. The md5 (not the
+    scrubbed text) keeps result sets small while still pinning the
+    exact output bytes against the oracle."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    return docs.select(
+        F.col(id_col), *counts, F.md5(scrubbed.cast("binary")).alias("scrubbed_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition quality signals (the Gopher-rules family: Rae et al. 2021,
+# public "Scaling Language Models" appendix A — dup-line and top-n-gram
+# fractions as corpus-quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals: duplicate-line fraction,
+    duplicate-line character fraction, top-bigram occurrence fraction,
+    mean word length.
+
+    Scale shape: three keyed aggregations over exploded rows (lines,
+    tokens, bigrams), each map-side combined, joined back on the doc id
+    — per-doc state is bounded by the doc itself and nothing quadratic
+    forms. Bigrams come from a lead window over token positions (the
+    row-oriented formulation; array HOFs evaluate interpreted)."""
+    from pyspark.sql import Window
+
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    lines = d.select("id", F.explode(F.split("text", "\n")).alias("line"))
+    per_line = lines.groupBy("id", "line").agg(F.count("*").alias("c"))
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("c").alias("n_lines"),
+        (1.0 - F.count("*") / F.sum("c")).alias("dup_line_fraction"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("line"))), F.lit(0)
+            )
+            / F.sum(F.col("c") * F.length("line"))
+        ).alias("dup_line_char_fraction"),
+    )
+
+    toks = d.select("id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    word_stats = toks.groupBy("id").agg(
+        (F.sum(F.length("tok")).cast("double") / F.count("*")).alias("mean_word_len")
+    )
+
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    bg_stats = (
+        bigrams.groupBy("id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_bigram_fraction"))
+    )
+
+    return (
+        line_stats.join(word_stats, "id")
+        .join(bg_stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_lines",
+            "dup_line_fraction",
+            "dup_line_char_fraction",
+            "top_bigram_fraction",
+            "mean_word_len",
+        )
+    )

@@ -1164,6 +1164,72 @@ def pivot_events_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d[\d()\- ]{7,}\d"
+
+
+@declared(
+    "text_pii_scrub",
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM documents
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4s / intl phone numbers): row-local
+    regexp codegen, zero shuffles — the pre-training scrub pass. The
+    scrubbed bytes are pinned by md5 against the oracle's identical
+    replacement chain (patterns restricted to the Java-regex/RE2
+    common dialect)."""
+    from nibbledb_spark.operators.text import pii_scrub
+
+    return pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+@declared(
+    "text_repetition",
+    f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+pl AS (SELECT doc_id, line, COUNT(*) AS c FROM l GROUP BY 1, 2),
+ls AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+         1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_line_fraction,
+         CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c * len(line) END), 0) AS DOUBLE)
+           / SUM(c * len(line)) AS dup_line_char_fraction
+  FROM pl GROUP BY 1
+),
+t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM d),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+ws AS (SELECT doc_id, CAST(SUM(len(tok)) AS DOUBLE) / COUNT(*) AS mean_word_len
+       FROM tok GROUP BY 1),
+bgr AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg FROM t),
+pb AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgr GROUP BY 1, 2),
+bs AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_fraction FROM pb GROUP BY 1)
+SELECT ls.doc_id, n_lines, dup_line_fraction, dup_line_char_fraction,
+       top_bigram_fraction, mean_word_len
+FROM ls JOIN ws ON ws.doc_id = ls.doc_id
+LEFT JOIN bs ON bs.doc_id = ls.doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition signals (dup-line fraction, dup-line
+    char fraction, top-bigram fraction, mean word length) — the
+    corpus-quality filters of Rae et al. 2021 appendix A, as three
+    map-side-combined keyed aggregations joined on doc id."""
+    from nibbledb_spark.operators.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 @declared(
     "mad_per_series",
     _POINTS_CTE + "SELECT series, MAD(value) AS mad FROM points GROUP BY series",

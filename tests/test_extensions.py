@@ -481,3 +481,59 @@ def test_kmeans_centroids_beat_fixed_init(spark, clustered_ann):
     r_km = _mean_recall(km, truth, 5)
     assert r_km >= 0.95, f"kmeans IVF recall@5 = {r_km:.3f}"
     assert r_km > r_fixed, (r_km, r_fixed)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub + repetition signals (planted fixtures: the synthetic corpus
+# contains neither PII nor newlines, so the oracle match alone is weak)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_planted_pii(spark):
+    from nibbledb_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@corp.example.com or +1 (44) 555-0199 now"),
+            (2, "server at 10.0.42.7 responded; also 192.168.0.1 down"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"]) == (1, 1)
+    assert out[2]["n_ipv4"] == 2
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
+    # redaction changes the bytes exactly when something was found
+    import hashlib
+
+    assert out[3]["scrubbed_md5"] == hashlib.md5(
+        b"clean text with no identifiers at all"
+    ).hexdigest()
+    assert out[1]["scrubbed_md5"] == hashlib.md5(
+        b"contact <EMAIL> or <PHONE> now"
+    ).hexdigest()
+
+
+def test_repetition_stats_flags_duplicated_content(spark):
+    from nibbledb_spark.operators.text import repetition_stats
+
+    boiler = "the same line repeated"
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([boiler] * 4 + ["one unique line"])),
+            (2, "all lines here\nare different\nfrom each other"),
+            (3, "spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: 5 lines, 2 distinct -> dup fraction 3/5; dup chars 4*22 of 4*22+15
+    assert out[1]["n_lines"] == 5
+    assert out[1]["dup_line_fraction"] == pytest.approx(3 / 5)
+    assert out[1]["dup_line_char_fraction"] == pytest.approx(88 / 103)
+    assert out[2]["dup_line_fraction"] == 0.0
+    assert out[2]["dup_line_char_fraction"] == 0.0
+    # doc 3: every bigram is "spam spam" -> fraction 1.0
+    assert out[3]["top_bigram_fraction"] == pytest.approx(1.0)
+    assert out[3]["mean_word_len"] == pytest.approx(4.0)
