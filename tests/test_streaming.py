@@ -265,3 +265,36 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM ssj_conv").collect()
     )
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_ingest_maintains_rollup(spark, tmp_path):
+    """The foreachBatch sink goes through append_points, so a
+    rollup-enabled store gets its continuous aggregate maintained
+    per micro-batch; after the availableNow drain the rollup must be
+    bit-identical to a recompute from the ingested points."""
+    from nibbledb_spark.streaming.ingest import StreamingIngest
+
+    eng = TimeSeriesEngine(spark, str(tmp_path / "store"), num_buckets=4)
+    eng.enable_rollup(3_600_000_000)
+    ing = StreamingIngest(eng, str(tmp_path / "ckpt"))
+    ing.start_replay(SF, max_files_per_trigger=1)
+    ing.sync()
+
+    got = {
+        (r["series"], r["bucket_us"]): (r["n"], r["value_sum"])
+        for r in eng.rollup().collect()
+    }
+    every = eng.rollup_every_us
+    want = {
+        (r["series"], r["bucket_us"]): (r["n"], r["value_sum"])
+        for r in eng._rollup_partials(eng.points())
+        .selectExpr(
+            "series",
+            "bucket_us",
+            "n",
+            "CAST(sum_scaled AS DOUBLE) / 1e6 AS value_sum",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    assert sum(n for n, _ in got.values()) == eng.length()
