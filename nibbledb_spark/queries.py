@@ -1723,6 +1723,35 @@ def multimodal_payload_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_fingerprint(media)
 
 
+@declared(
+    "multimodal_frame_sample",
+    """
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 1000 AS INT) AS frame_ts_ms
+FROM (
+  SELECT doc_id AS media_id,
+         unnest(range(0, 1 + doc_id % 7)) AS frame_idx
+  FROM documents WHERE doc_id % 3 = 0
+)
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan over synthetic media metadata (every
+    third doc is a 'video' of 1-7 s): the row explosion that governs
+    partition sizing at scale is real; only the codec is stubbed."""
+    from nibbledb_spark.operators.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.struct(
+            (1000 * (1 + F.col("doc_id") % 7)).cast("long").alias("duration_ms")
+        ).alias("meta"),
+    )
+    return frame_sample(media, every_ms=1000)
+
+
 # ---------------------------------------------------------------------------
 # STREAM-class window operators, declared on the batch frame (the stream
 # runs the identical plan; convergence is pinned in tests/test_streaming.py)
