@@ -116,13 +116,21 @@ class TimeSeriesEngine:
             if stored is not None and stored != num_buckets:
                 self.num_buckets = int(stored)
             self.layout = int(meta.get("layout", 1))
-            r = meta.get("rollup_every_us")
-            self.rollup_every_us = int(r) if r else None
+            widths = meta.get("rollup_widths")
+            if widths is None and meta.get("rollup_every_us"):
+                widths = [meta["rollup_every_us"]]  # pre-multi-width meta
+            self.rollup_widths: list[int] = sorted(int(x) for x in (widths or []))
         else:
             self.layout = STORE_LAYOUT
-            self.rollup_every_us = None
+            self.rollup_widths = []
         # heal any bucket swap interrupted by a crash (see _staged_swap)
         self._recover_staged_swap()
+
+    @property
+    def rollup_every_us(self) -> int | None:
+        """Finest enabled rollup width (None when disabled) — the
+        default read width and the back-compat single-width view."""
+        return self.rollup_widths[0] if self.rollup_widths else None
 
     _META_FILE = "_nibbledb_meta.json"
 
@@ -144,8 +152,8 @@ class TimeSeriesEngine:
             import json
 
             meta: dict = {"num_buckets": self.num_buckets, "layout": self.layout}
-            if self.rollup_every_us:
-                meta["rollup_every_us"] = self.rollup_every_us
+            if self.rollup_widths:
+                meta["rollup_widths"] = self.rollup_widths
             with open(self._meta_path(), "w") as f:
                 json.dump(meta, f)
 
@@ -189,7 +197,7 @@ class TimeSeriesEngine:
             .partitionBy(*self._partition_cols())
             .parquet(self.path)
         )
-        if self.rollup_every_us:
+        if self.rollup_widths:
             self._rollup_append_delta(df)
 
     # -- read path ---------------------------------------------------------
@@ -296,15 +304,19 @@ class TimeSeriesEngine:
         scan. Routed sums inherit the rollup's 1e-6 scaled-long
         quantization (FLOAT parity class, same as the windowed
         aggregates). ``_last_agg_source`` records the route for tests."""
-        every = self.rollup_every_us
-        if (
-            every
-            and agg in ("sum", "count", "min", "max", "mean")
-            and ts_from % every == 0
-            and (ts_to - ts_from + 1) % every == 0
-        ):
+        # coarsest aligned width wins: fewest partial rows to merge
+        every = next(
+            (
+                w
+                for w in sorted(self.rollup_widths, reverse=True)
+                if ts_from % w == 0 and (ts_to - ts_from + 1) % w == 0
+            ),
+            None,
+        )
+        if every and agg in ("sum", "count", "min", "max", "mean"):
             self._last_agg_source = "rollup"
-            r = self.rollup(ids, ts_from=ts_from, ts_to=ts_to)
+            self._last_agg_width = every
+            r = self.rollup(ids, ts_from=ts_from, ts_to=ts_to, every_us=every)
             exprs = {
                 "sum": F.sum("value_sum"),
                 "count": F.sum("n").cast("double"),
@@ -477,24 +489,27 @@ class TimeSeriesEngine:
     # materialized aggregates). A missing/partial rollup dir is never a
     # correctness risk: rollup() rebuilds it from the points store.
 
-    def _rollup_dir(self) -> str:
-        return os.path.join(self.path, "_rollup")
+    def _rollup_dir(self, every_us: int) -> str:
+        return os.path.join(self.path, f"_rollup_{every_us}")
 
     def enable_rollup(self, every_us: int = 3_600_000_000) -> None:
-        """Switch on rollup maintenance at ``every_us`` bucket width and
-        build the initial rollup from any existing points."""
-        if self.rollup_every_us not in (None, every_us):
-            raise ValueError(
-                f"store rollup width is pinned at {self.rollup_every_us}; "
-                "rebuild the store to change it"
-            )
-        self.rollup_every_us = int(every_us)
+        """Enable rollup maintenance at ``every_us`` bucket width (and
+        build it from any existing points). Call repeatedly for a
+        HIERARCHY of widths (e.g. hour + day): each append then writes
+        one tiny partial-agg per width, and range-aggregate routing
+        picks the coarsest aligned width (aggregate_range)."""
+        every_us = int(every_us)
+        if every_us <= 0:
+            raise ValueError("rollup width must be positive")
+        if every_us in self.rollup_widths:
+            return
+        self.rollup_widths = sorted(self.rollup_widths + [every_us])
         if os.path.exists(self.path):
             self._write_meta(force=True)
-            self.rollup_rebuild()
+            self.rollup_rebuild(every_us)
 
-    def _rollup_partials(self, pts: DataFrame) -> DataFrame:
-        every = F.lit(self.rollup_every_us)
+    def _rollup_partials(self, pts: DataFrame, every_us: int) -> DataFrame:
+        every = F.lit(every_us)
         return pts.groupBy(
             "series", (F.col("ts") - F.pmod(F.col("ts"), every)).alias("bucket_us")
         ).agg(
@@ -509,9 +524,11 @@ class TimeSeriesEngine:
         )
 
     def _rollup_append_delta(self, df: DataFrame) -> None:
-        self._rollup_partials(df.select("series", "ts", "value")).write.mode(
-            "append"
-        ).parquet(self._rollup_dir())
+        pts = df.select("series", "ts", "value")
+        for every in self.rollup_widths:
+            self._rollup_partials(pts, every).write.mode("append").parquet(
+                self._rollup_dir(every)
+            )
 
     def rollup(
         self,
@@ -519,21 +536,27 @@ class TimeSeriesEngine:
         *,
         ts_from: int | None = None,
         ts_to: int | None = None,
+        every_us: int | None = None,
     ) -> DataFrame:
-        """Merged rollup view: (series, bucket_us, n, value_sum,
-        value_min, value_max, value_mean), optionally filtered. The only
-        work is a hash aggregate over the (small) partial rows."""
-        if not self.rollup_every_us:
+        """Merged rollup view at ``every_us`` (default: the finest
+        enabled width): (series, bucket_us, n, value_sum, value_min,
+        value_max, value_mean), optionally filtered. The only work is a
+        hash aggregate over the (small) partial rows."""
+        if not self.rollup_widths:
             raise ValueError("rollup not enabled; call enable_rollup()")
-        if os.path.exists(self.path) and not os.path.exists(self._rollup_dir()):
-            self.rollup_rebuild()  # derived data: absence just means rebuild
-        df = self.spark.read.schema(ROLLUP_SCHEMA).parquet(self._rollup_dir()) \
-            if os.path.exists(self._rollup_dir()) \
+        every = every_us or self.rollup_every_us
+        if every not in self.rollup_widths:
+            raise ValueError(f"no rollup at width {every}; enabled: {self.rollup_widths}")
+        rdir = self._rollup_dir(every)
+        if os.path.exists(self.path) and not os.path.exists(rdir):
+            self.rollup_rebuild(every)  # derived data: absence just means rebuild
+        df = self.spark.read.schema(ROLLUP_SCHEMA).parquet(rdir) \
+            if os.path.exists(rdir) \
             else self.spark.createDataFrame([], ROLLUP_SCHEMA)
         if ids:
             df = df.where(F.col("series").isin(list(ids)))
         if ts_from is not None:
-            df = df.where(F.col("bucket_us") >= ts_from - ts_from % self.rollup_every_us)
+            df = df.where(F.col("bucket_us") >= ts_from - ts_from % every)
         if ts_to is not None:
             df = df.where(F.col("bucket_us") <= ts_to)
         merged = df.groupBy("series", "bucket_us").agg(
@@ -553,40 +576,45 @@ class TimeSeriesEngine:
             (s / F.col("n")).alias("value_mean"),
         )
 
-    def rollup_rebuild(self) -> None:
-        """Full refresh of the rollup from the points store (used after
-        delete, or any time the rollup dir is lost)."""
-        if not self.rollup_every_us or not os.path.exists(self.path):
+    def rollup_rebuild(self, every_us: int | None = None) -> None:
+        """Full refresh from the points store (after delete, or when a
+        rollup dir is lost); None refreshes every enabled width."""
+        if not os.path.exists(self.path):
             return
         import shutil
 
-        tmp = self._rollup_dir() + ".__rebuild__"
-        shutil.rmtree(tmp, ignore_errors=True)
-        self._rollup_partials(self.points()).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self._rollup_dir(), ignore_errors=True)
-        os.rename(tmp, self._rollup_dir())
+        widths = [every_us] if every_us else self.rollup_widths
+        pts = self.points()
+        for every in widths:
+            tmp = self._rollup_dir(every) + ".__rebuild__"
+            shutil.rmtree(tmp, ignore_errors=True)
+            self._rollup_partials(pts, every).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(self._rollup_dir(every), ignore_errors=True)
+            os.rename(tmp, self._rollup_dir(every))
 
     def _rollup_consolidate(self) -> None:
         """Merge accumulated per-append delta rows to one row per
-        (series, bucket): the rollup's own compaction."""
-        if not (self.rollup_every_us and os.path.exists(self._rollup_dir())):
-            return
+        (series, bucket) in every width: the rollup's own compaction."""
         import shutil
 
-        df = self.spark.read.schema(ROLLUP_SCHEMA).parquet(self._rollup_dir())
-        merged = df.groupBy("series", "bucket_us").agg(
-            F.sum("n").alias("n"),
-            F.sum("sum_scaled").alias("sum_scaled"),
-            F.min("vmin").alias("vmin"),
-            F.max("vmax").alias("vmax"),
-        )
-        tmp = self._rollup_dir() + ".__rebuild__"
-        shutil.rmtree(tmp, ignore_errors=True)
-        merged.select(*[f.name for f in ROLLUP_SCHEMA.fields]).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        shutil.rmtree(self._rollup_dir(), ignore_errors=True)
-        os.rename(tmp, self._rollup_dir())
+        for every in self.rollup_widths:
+            rdir = self._rollup_dir(every)
+            if not os.path.exists(rdir):
+                continue
+            df = self.spark.read.schema(ROLLUP_SCHEMA).parquet(rdir)
+            merged = df.groupBy("series", "bucket_us").agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_scaled").alias("sum_scaled"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+            tmp = rdir + ".__rebuild__"
+            shutil.rmtree(tmp, ignore_errors=True)
+            merged.select(*[f.name for f in ROLLUP_SCHEMA.fields]).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            shutil.rmtree(rdir, ignore_errors=True)
+            os.rename(tmp, rdir)
 
     # -- compaction (A4 analogue) -------------------------------------------
 

@@ -306,13 +306,15 @@ class Router:
                 if len(rest) > 1:
                     raise RouteError("unknown path")
                 every = int(rest[0]) if rest else 3_600_000_000
-                if self.engine.rollup_every_us is None:
+                if every <= 0:
+                    raise RouteError("rollup width must be positive")
+                if every not in self.engine.rollup_widths:
+                    # first call at a width enables its maintenance; widths
+                    # form a hierarchy (enable_rollup docstring)
                     self.engine.enable_rollup(every)
-                elif rest and self.engine.rollup_every_us != every:
-                    raise RouteError(
-                        f"rollup width pinned at {self.engine.rollup_every_us}"
-                    )
-                out = self.engine.rollup(ids).orderBy("series", "bucket_us")
+                out = self.engine.rollup(ids, every_us=every).orderBy(
+                    "series", "bucket_us"
+                )
                 return [
                     {
                         "series": r["series"],

@@ -293,7 +293,7 @@ def test_rollup_incremental_equals_recompute(spark, tmp_path):
 
     eng.compact()  # consolidates delta rows to one per (series, bucket)
     assert _rollup_dict(eng) == _recompute_rollup(eng)
-    rdir = eng._rollup_dir()
+    rdir = eng._rollup_dir(eng.rollup_every_us)
     import glob as g
     n_files = len(g.glob(rdir + "/part-*.parquet"))
     df = spark.read.parquet(rdir)
@@ -346,3 +346,38 @@ def test_aggregate_range_routes_to_rollup_when_aligned(spark, tmp_path):
     assert eng.aggregate_range(["zz"], *aligned, "sum") == {"sum": 0.0}
     assert eng.aggregate_range(["zz"], *aligned, "mean") == {}
     assert eng._last_agg_source == "rollup"
+
+
+def test_multi_width_rollup_hierarchy_and_routing(spark, tmp_path):
+    """Hour + day rollups coexist; each width matches its recompute, and
+    range-aggregate routing picks the COARSEST aligned width (day for a
+    day-aligned window, hour for an hour-but-not-day-aligned one)."""
+    from nibbledb_spark.engine import DAY_US, TimeSeriesEngine
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    H = 3_600_000_000
+    t0 = 1_439_856_000_000_000  # day-aligned
+    eng = TimeSeriesEngine(spark, str(tmp_path / "store"), num_buckets=2)
+    eng.enable_rollup(H)
+    eng.enable_rollup(DAY_US)
+    rows = [
+        ("a", t0 + j * 1_800_000_000, None, float(j % 5)) for j in range(96)
+    ]  # 2 days at 30min cadence
+    eng.append_points(spark.createDataFrame(rows, POINT_SCHEMA))
+
+    hourly = eng.rollup(every_us=H).collect()
+    daily = eng.rollup(every_us=DAY_US).collect()
+    assert len(hourly) == 48 and len(daily) == 2
+    assert sum(r["n"] for r in hourly) == sum(r["n"] for r in daily) == 96
+
+    got = eng.aggregate_range(["a"], t0, t0 + 2 * DAY_US - 1, "sum")
+    assert eng._last_agg_width == DAY_US
+    got_h = eng.aggregate_range(["a"], t0 + H, t0 + 5 * H - 1, "sum")
+    assert eng._last_agg_width == H
+    raw = eng.aggregate(["a"], "sum", eng.range(["a"], t0 + H, t0 + 5 * H - 1))
+    assert got_h == raw
+    assert got == eng.aggregate(["a"], "sum", eng.range(["a"], t0, t0 + 2 * DAY_US - 1))
+
+    # widths survive reopen
+    eng2 = TimeSeriesEngine(spark, str(tmp_path / "store"))
+    assert eng2.rollup_widths == [H, DAY_US]

@@ -392,8 +392,9 @@ def test_signal_flush_hooks(engine):
 
 
 def test_extension_rollup_route(router):
-    """/x/ts/:ids/rollup[/:every]: first call enables maintenance; the
-    merged view sums to the raw counts; a conflicting width is a 400."""
+    """/x/ts/:ids/rollup[/:every]: first call at a width enables its
+    maintenance; widths form a hierarchy, so a finer width is simply a
+    second rollup with at least as many buckets."""
     out = get(router, "/x/ts/butterflies/rollup/3600000000")
     assert out and all(
         set(r) == {"series", "bucket_us", "n", "sum", "min", "max", "mean"}
@@ -402,6 +403,8 @@ def test_extension_rollup_route(router):
     n_total = sum(r["n"] for r in out)
     assert n_total == get(router, "/ts/butterflies/length")["length"]
     assert all(r["min"] <= r["mean"] <= r["max"] for r in out)
-    # same width again is fine; a different width is a clean 400
     assert router.handle("GET", "/x/ts/butterflies/rollup/3600000000")[0] == 200
-    assert router.handle("GET", "/x/ts/butterflies/rollup/60000000")[0] == 400
+    fine = get(router, "/x/ts/butterflies/rollup/60000000")
+    assert len(fine) >= len(out) and sum(r["n"] for r in fine) == n_total
+    assert sorted(router.engine.rollup_widths) == [60000000, 3600000000]
+    assert router.handle("GET", "/x/ts/butterflies/rollup/0")[0] == 400

@@ -287,7 +287,7 @@ def test_streaming_ingest_maintains_rollup(spark, tmp_path):
     every = eng.rollup_every_us
     want = {
         (r["series"], r["bucket_us"]): (r["n"], r["value_sum"])
-        for r in eng._rollup_partials(eng.points())
+        for r in eng._rollup_partials(eng.points(), eng.rollup_every_us)
         .selectExpr(
             "series",
             "bucket_us",
