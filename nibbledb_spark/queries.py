@@ -1234,6 +1234,36 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mad_per_series",
     _POINTS_CTE + "SELECT series, MAD(value) AS mad FROM points GROUP BY series",
 )
+@declared(
+    "ts_outliers_mad",
+    _POINTS_CTE
+    + """
+, st AS (SELECT series, MEDIAN(value) AS med, MAD(value) AS mad FROM points GROUP BY 1)
+SELECT p.series, p.ts, p.value, st.med, st.mad
+FROM points p JOIN st ON st.series = p.series
+WHERE ABS(p.value - st.med) > 3 * st.mad
+""",
+)
+def ts_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series anomaly detection: points beyond 3 MADs from
+    the series median. Pure codegen (exact percentile as a window
+    aggregate — no Python, unlike the mad_per_series UDAF showcase);
+    both window passes share one (series) shuffle. At 100 TB swap the
+    exact percentile for approx_percentile exactly as ts_quantiles_approx
+    documents."""
+    from pyspark.sql import Window
+
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    w = Window.partitionBy("series")
+    df = pts.withColumn("med", F.expr("percentile(value, 0.5)").over(w))
+    df = df.withColumn(
+        "mad", F.expr("percentile(abs(value - med), 0.5)").over(w)
+    )
+    return df.where(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).select(
+        "series", "ts", "value", "med", "mad"
+    )
+
+
 def mad_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median-absolute-deviation grouped UDAF via applyInPandas (the
     Arrow-batched slow path — the only Python in the declared set)."""
