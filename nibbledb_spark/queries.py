@@ -1231,10 +1231,6 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
-    "mad_per_series",
-    _POINTS_CTE + "SELECT series, MAD(value) AS mad FROM points GROUP BY series",
-)
-@declared(
     "ts_outliers_mad",
     _POINTS_CTE
     + """
@@ -1264,6 +1260,10 @@ def ts_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "mad_per_series",
+    _POINTS_CTE + "SELECT series, MAD(value) AS mad FROM points GROUP BY series",
+)
 def mad_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median-absolute-deviation grouped UDAF via applyInPandas (the
     Arrow-batched slow path — the only Python in the declared set)."""
