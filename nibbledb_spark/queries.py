@@ -903,6 +903,46 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @declared(
+    "asof_next_purchase_after_click",
+    """
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, MIN(p.ts) AS next_purchase_ts
+FROM clicks c LEFT JOIN purchases p
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY c.event_id
+""",
+)
+def asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every click, the earliest purchase ts
+    (>=) by the same user — the mirrored window frame of the backward
+    query, same single keyed shuffle (the oracle's join-then-MIN is the
+    quadratic formulation the operator avoids)."""
+    from nibbledb_spark.operators.asof import asof_join
+
+    raw = _t(spark, sf_dir, "events")
+    ts_us = F.expr("CAST(ts div 1000 AS BIGINT)")
+    clicks = raw.where(F.col("event_type") == "click").select(
+        "user_id", ts_us.alias("ts"), "event_id"
+    )
+    purchases = raw.where(F.col("event_type") == "purchase").select(
+        "user_id", ts_us.alias("ts")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        value_cols=["ts"],
+        suffix="_p",
+        direction="forward",
+    )
+    return joined.select("event_id", F.col("ts_p").alias("next_purchase_ts"))
+
+
+@declared(
     "rollup_customers_region_nation",
     """
 SELECT r_name, n_name, COUNT(*) AS n_customers
