@@ -95,3 +95,88 @@ def connected_components(
         )
     finally:
         sym.unpersist()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) by alternating large-star / small-star
+    (Kiveris et al., Connected Components in MapReduce and Beyond,
+    SoCC'14): converges in O(log n) ROUNDS on any graph shape — the
+    scale path when the graph may contain long paths, where
+    :func:`connected_components`'s hash-min needs O(diameter) rounds.
+
+    Per round: large-star hooks every node's larger neighbors onto the
+    minimum of its closed neighborhood (keyed aggregate + keyed join on
+    the symmetrized edge list); small-star then flattens each node's
+    smaller neighbors onto that minimum. Both are ordinary keyed
+    shuffles; the edge set only shrinks toward the star forest, and
+    each round's frame is localCheckpoint'ed (see the lineage note in
+    :func:`connected_components`). Fixpoint detection is an
+    order-independent (count, xxhash-sum) signature of the edge set.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def large_star(df: DataFrame) -> DataFrame:
+        sym = df.unionByName(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        o = df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = o.groupBy("u").agg(F.min("v").alias("m"))  # all v < u here
+        attach = o.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+        return (
+            attach.unionByName(self_edge)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    sig = signature(e)
+    for _ in range(max_iter):
+        e2 = small_star(large_star(e)).localCheckpoint(eager=True)
+        sig2 = signature(e2)
+        e.unpersist()
+        e = e2
+        if sig2 == sig:
+            # fixpoint: a star forest — every edge points node -> root
+            roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
+            return (
+                e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+                .unionByName(roots)
+                .distinct()
+            )
+        sig = sig2
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )

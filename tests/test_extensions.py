@@ -537,3 +537,20 @@ def test_repetition_stats_flags_duplicated_content(spark):
     # doc 3: every bigram is "spam spam" -> fraction 1.0
     assert out[3]["top_bigram_fraction"] == pytest.approx(1.0)
     assert out[3]["mean_word_len"] == pytest.approx(4.0)
+
+
+def test_star_components_long_path_few_rounds(spark):
+    """A 60-hop path: hash-min would need ~60 rounds (> its max_iter);
+    the star variant converges within its default 30-round budget —
+    the O(log n) property that makes it the scale path for
+    long-diameter graphs."""
+    from nibbledb_spark.operators.graph import connected_components_star
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(path, "src", "dst").collect()
+    }
+    assert got == {i: 0 for i in range(61)}

@@ -213,3 +213,26 @@ def test_connected_components_matches_union_find(spark, edges):
     assert {k: v for k, v in got.items() if k in real} == {
         k: v for k, v in want.items() if k in real
     }
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.data_too_large],
+)
+@given(edges=edges_strategy)
+def test_star_components_match_union_find(spark, edges):
+    """The O(log n) large-star/small-star variant must agree with the
+    union-find oracle (and therefore with hash-min) on random graphs."""
+    from nibbledb_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, "src", "dst").collect()
+    }
+    want = _union_find_components(edges)
+    real = {n for a, b in edges if a != b for n in (a, b)}
+    assert {k: v for k, v in got.items() if k in real} == {
+        k: v for k, v in want.items() if k in real
+    }
