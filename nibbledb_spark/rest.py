@@ -41,6 +41,7 @@ import threading
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from nibbledb_spark.engine import TimeSeriesEngine
 from nibbledb_spark.operators import timeseries as ts_ops
@@ -281,7 +282,24 @@ class Router:
         try:
             if verb == "resample" and rest:
                 fill = rest[1] if len(rest) > 1 else None
-                out = resample(pts, int(rest[0]), fill=fill)
+                every = int(rest[0])
+                if fill is None and every in self.engine.rollup_widths:
+                    # an unfilled resample IS the rollup view — same
+                    # scaled-long mean arithmetic (ROLLUP_SCALE ==
+                    # resample's value_scale), so the maintained
+                    # aggregate serves it without touching raw points
+                    out = (
+                        self.engine.rollup(ids, every_us=every)
+                        .select(
+                            "series",
+                            "bucket_us",
+                            F.col("value_mean").alias("value"),
+                            "n",
+                        )
+                        .orderBy("series", "bucket_us")
+                    )
+                else:
+                    out = resample(pts, every, fill=fill)
                 return [
                     {
                         "series": r["series"],
@@ -328,8 +346,6 @@ class Router:
                     for r in out.collect()
                 ]
             if verb == "quantiles" and not rest:
-                from pyspark.sql import functions as F
-
                 row = pts.agg(
                     *[
                         F.expr(f"percentile(value, {q})").alias(name)

@@ -408,3 +408,16 @@ def test_extension_rollup_route(router):
     assert len(fine) >= len(out) and sum(r["n"] for r in fine) == n_total
     assert sorted(router.engine.rollup_widths) == [60000000, 3600000000]
     assert router.handle("GET", "/x/ts/butterflies/rollup/0")[0] == 400
+
+
+def test_resample_served_from_rollup_matches_operator(router):
+    """An unfilled resample at an enabled rollup width must return the
+    exact operator output (identical scaled-long mean arithmetic) while
+    being served from the maintained aggregate, and filled variants
+    keep the raw path."""
+    raw = get(router, "/x/ts/honeybees/resample/3600000000")  # raw path
+    get(router, "/x/ts/honeybees/rollup/3600000000")  # enable width
+    routed = get(router, "/x/ts/honeybees/resample/3600000000")
+    assert routed == raw and len(routed) > 0
+    filled = get(router, "/x/ts/honeybees/resample/3600000000/prev")
+    assert len(filled) >= len(routed)  # gap-fill adds grid rows
