@@ -393,3 +393,90 @@ def near_dup_pairs_srp(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (build once, query many)
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 8,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: k-means centroids + inverted-list
+    assignments + vectors, as parquet under ``path`` — the build-once /
+    query-many shape of a production ANN deployment. The posting lists
+    are PARTITIONED BY cid, so a query that probes ``nprobe`` lists
+    reads only those directories (Catalyst partition pruning over the
+    index, the same mechanism the points store uses for buckets).
+
+    Index layout: ``path/centroids`` (cid, cvec — tiny, broadcast at
+    query time) and ``path/postings/cid=N/`` (id, v).
+    """
+    cents = kmeans_centroids(
+        corpus, n_centroids, n_iter=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    inv = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col,
+                     cid_col="cid", cvec_col="cvec")
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    (
+        inv.join(vecs, "id")
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/postings")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a persisted IVF index: broadcast the stored centroids,
+    pick ``nprobe`` lists per query, and scan ONLY those posting-list
+    partitions (the cid filter is a partition predicate — directories
+    outside the probe set are never opened). Results are identical to
+    the in-memory :func:`ivf_topk` built with the same centroids
+    (pinned test)."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    post = spark.read.parquet(f"{path}/postings")
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cid", cosine(F.col("qv"), F.col("cvec")).alias("cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    cand = post.join(F.broadcast(probes), "cid").where(
+        F.col("id") != F.col("query_id")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

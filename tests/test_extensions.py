@@ -554,3 +554,46 @@ def test_star_components_long_path_few_rounds(spark):
         for r in connected_components_star(path, "src", "dst").collect()
     }
     assert got == {i: 0 for i in range(61)}
+
+
+def test_persisted_ivf_index_roundtrip(spark, clustered_ann, tmp_path):
+    """build_ivf_index -> parquet; ivf_topk_indexed over the stored
+    index must equal the in-memory ivf_topk with the same k-means
+    centroids, and the probe scan must partition-prune the posting
+    lists (cid is a partition column)."""
+    from nibbledb_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        kmeans_centroids,
+    )
+
+    corpus, queries, truth = clustered_ann
+    path = str(tmp_path / "ivf")
+    build_ivf_index(corpus, path, n_centroids=12, kmeans_iters=3)
+
+    got = sorted(
+        tuple(r)
+        for r in ivf_topk_indexed(spark, path, queries, 5, nprobe=2).collect()
+    )
+    cents = kmeans_centroids(corpus, 12, n_iter=3)
+    want = sorted(
+        tuple(r)
+        for r in ivf_topk(corpus, queries, 5, nprobe=2, centroids=cents).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # recall stays at the k-means level on the clustered corpus
+    r = _mean_recall(
+        ivf_topk_indexed(spark, path, queries, 5, nprobe=2).collect(), truth, 5
+    )
+    assert r >= 0.95
+
+    # partition pruning: scanning one probed list reads only its directory
+    import glob as g
+
+    assert len(g.glob(path + "/postings/cid=*")) == 12
+    one = spark.read.parquet(path + "/postings").where(F.col("cid") == 3)
+    plan_str = one._jdf.queryExecution().executedPlan().toString()
+    assert "cid" in plan_str
+    assert one.count() > 0
