@@ -1591,6 +1591,26 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@declared("near_dup_components_star", ORACLE["near_dup_components"])
+def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same transitive closure computed by the O(log n)
+    large-star/small-star algorithm instead of hash-min — sharing the
+    recursive-CTE oracle, so the driver hash-checks that both
+    algorithms produce the identical clustering on real data."""
+    from nibbledb_spark.operators.dedup import ngram_jaccard_pairs as pairs_op
+    from nibbledb_spark.operators.graph import connected_components_star
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = pairs_op(docs, threshold=0.5)
+    comp = connected_components_star(pairs, "id1", "id2")
+    return docs.select(F.col("doc_id")).join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select(
+        F.col("doc_id"),
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+    )
+
+
 def _simhash_sql(bits: int = 32) -> str:
     votes = " + ".join(
         f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
