@@ -621,3 +621,53 @@ def near_dup_components(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
     )
+
+
+def dedup_lines_global(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line-level dedup (the C4/RefinedWeb-style pass):
+    every line keeps only its FIRST occurrence across the whole corpus
+    (ordered by (doc id, line position)); later occurrences are removed
+    and each document is rebuilt from its surviving lines. Returns
+    (id, cleaned_text) for every input document ('' when nothing
+    survives).
+
+    Scale shape: one keyed shuffle on the line hash (the dedup window),
+    one on the doc id (the rebuild aggregate); per-group state is the
+    line's occurrence list and the doc's own lines — nothing quadratic,
+    no driver state. Rebuild order is pinned by array_sort over
+    (pos, line) structs (collect_list order is undefined post-shuffle).
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    lines = d.select(
+        "id", F.posexplode(F.split("text", sep)).alias("pos", "line")
+    )
+    # window keyed on md5(line): groups identical lines without hashing
+    # semantics changes; rank 1 = the corpus-wide first occurrence
+    w = Window.partitionBy(F.md5(F.col("line").cast("binary"))).orderBy(
+        "id", "pos"
+    )
+    kept = lines.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned")
+    )
+    return (
+        d.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )

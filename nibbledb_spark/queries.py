@@ -1591,6 +1591,37 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@declared(
+    "dedup_lines_global",
+    """
+WITH l AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+),
+r AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM l
+)
+SELECT d.doc_id,
+       COALESCE(agg.cleaned, '') AS cleaned_text
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+  FROM r WHERE rn = 1 GROUP BY doc_id
+) agg ON agg.doc_id = d.doc_id
+""",
+)
+def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (C4/RefinedWeb-style): each line survives
+    only at its first (doc, position) occurrence across the corpus;
+    documents are rebuilt from surviving lines. One shuffle on the line
+    hash + one on the doc id."""
+    from nibbledb_spark.operators.dedup import dedup_lines_global as op
+
+    return op(_t(spark, sf_dir, "documents"))
+
+
 @declared("near_dup_components_star", ORACLE["near_dup_components"])
 def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same transitive closure computed by the O(log n)

@@ -597,3 +597,27 @@ def test_persisted_ivf_index_roundtrip(spark, clustered_ann, tmp_path):
     plan_str = one._jdf.queryExecution().executedPlan().toString()
     assert "cid" in plan_str
     assert one.count() > 0
+
+
+def test_dedup_lines_global_keeps_first_occurrence(spark):
+    """Boilerplate shared across docs survives only in the earliest
+    (doc, pos); unique lines always survive; fully-boilerplate docs
+    come back empty but are never dropped."""
+    from nibbledb_spark.operators.dedup import dedup_lines_global
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COPYRIGHT 2024\nalpha content\nCOPYRIGHT 2024"),
+            (2, "COPYRIGHT 2024\nbeta content"),
+            (3, "COPYRIGHT 2024"),
+            (4, "gamma content"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cleaned_text"] for r in dedup_lines_global(docs).collect()}
+    # doc 1 owns the first COPYRIGHT (pos 0); its own second copy (pos 2)
+    # and every later doc's copy are removed
+    assert out[1] == "COPYRIGHT 2024\nalpha content"
+    assert out[2] == "beta content"
+    assert out[3] == ""
+    assert out[4] == "gamma content"
