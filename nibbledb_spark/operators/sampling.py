@@ -118,3 +118,35 @@ def sample_quota_per_group(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def sample_token_budget_per_group(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill a TOKEN budget per group: documents are taken in hash order
+    (deterministic, uniform — same ordering as the quota sampler) until
+    each group's cumulative token count reaches ``budget_tokens``; the
+    document that crosses the line is included, so every group reaches
+    its budget ("sample N tokens per domain", the mixing primitive
+    training recipes specify, rather than a doc count).
+
+    One window per group over an exclusive prefix sum of token counts —
+    a single hash-partitioned shuffle, no iteration.
+    """
+    n_tok = F.size(F.split(F.col(text_col), r"\s+"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(key_col).cast("string")).asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("__prior", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .where(F.col("__prior") < budget_tokens)
+        .drop("__prior")
+    )

@@ -2334,6 +2334,37 @@ def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "sample_token_budget_per_source",
+    """
+WITH t AS (
+  SELECT doc_id, source, CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM t
+)
+SELECT doc_id, source, n_tokens FROM c WHERE prior < 600
+""",
+)
+def sample_token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget quota: deterministically fill 600 tokens per
+    source ("sample N tokens per domain" — what training recipes
+    specify instead of doc counts). Exclusive prefix-sum window, one
+    shuffle."""
+    from nibbledb_spark.operators.sampling import sample_token_budget_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_token_budget_per_group(docs, 600).select(
+        "doc_id", "source", F.col("n_tokens").cast("int").alias("n_tokens")
+    )
+
+
+@declared(
     "sample_quota_per_source",
     """
 WITH ranked AS (

@@ -139,3 +139,39 @@ def test_prep_training_mix_composes_stages(spark, docs):
     got = sorted(tuple(r) for r in mix.collect())
     want = sorted(tuple(r) for r in manual.collect())
     assert got == want and len(got) > 0
+
+
+def test_token_budget_fills_each_group_minimally(spark):
+    """Each source reaches the token budget (the crossing doc is
+    included) and no kept doc is superfluous (dropping the last one
+    would leave the group under budget) — per-group minimal cover in
+    deterministic hash order."""
+    from nibbledb_spark.operators.sampling import sample_token_budget_per_group
+    from nibbledb_spark.queries import _t
+
+    B = 600
+    docs = _t(spark, SF, "documents")
+    kept = sample_token_budget_per_group(docs, B).collect()
+    totals: dict[str, int] = {}
+    for r in kept:
+        totals[r["source"]] = totals.get(r["source"], 0) + r["n_tokens"]
+    n_sources = docs.select("source").distinct().count()
+    assert len(totals) == n_sources
+    # crossing doc included -> at/above budget (when the group has enough)
+    per_source_total = {
+        r["source"]: r["t"]
+        for r in docs.selectExpr("source", "size(split(text, '\\\\s+')) AS nt")
+        .groupBy("source").sum("nt").withColumnRenamed("sum(nt)", "t").collect()
+    }
+    for src, tot in totals.items():
+        assert tot >= min(B, per_source_total[src])
+    # minimality: exclusive prefix of the last kept doc is under budget,
+    # equivalent to total - its tokens < B for every group
+    from collections import defaultdict
+    by_src = defaultdict(list)
+    for r in kept:
+        by_src[r["source"]].append(r)
+    for src, rows in by_src.items():
+        smallest_needed = min(totals[src] - r["n_tokens"] for r in rows)
+        # at least one kept doc (the crossing one) satisfies prior < B
+        assert smallest_needed < B
