@@ -759,6 +759,38 @@ def join_lineitem_part_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "join_salted_orders_customer",
+    """
+SELECT o.o_orderkey, c.c_name,
+       CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+""",
+)
+def join_salted_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-salted join rewrite (plans/scale.salted_join: left rows
+    spread over hash lanes, right side replicated per lane), oracle-
+    checked against the PLAIN join SQL — salting must never change
+    results, only the task-level distribution of a hot key."""
+    from nibbledb_spark.plans.scale import salted_join
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), ["o_custkey"], salt=8
+    )
+    return joined.select(
+        "o_orderkey",
+        "c_name",
+        _scaled_long(F.col("o_totalprice"), 2).alias("price_c"),
+    )
+
+
+@declared(
     "join_theta_nation_region",
     """
 SELECT n_name, r_name FROM nation, region WHERE n_regionkey <> r_regionkey
