@@ -136,3 +136,36 @@ def prep_training_mix(
     return pack_sequences(
         sampled, budget, id_col=id_col, text_col=text_col, group_col=source_col
     )
+
+
+def assign_training_shards(
+    docs: DataFrame,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic export sharding: every document gets a stable
+    ``shard`` in [0, n_shards) from its id hash (content-independent, so
+    shards are statistically balanced in docs AND tokens), plus its
+    ``n_tokens``. Writing the result ``partitionBy("shard")`` yields the
+    fixed-fan-out training export layout; the hash is the md5-prefix
+    integer used across the sampling operators (engine-portable, so the
+    manifest is oracle-checkable)."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return docs.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int")).withColumn(
+        "n_tokens", F.size(F.split(F.col(text_col), r"\s+"))
+    )
+
+
+def shard_manifest(sharded: DataFrame) -> DataFrame:
+    """Per-shard manifest (shard, n_docs, n_tokens) — the export audit
+    record a training run checks before consuming the shards."""
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )

@@ -2366,6 +2366,34 @@ def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "training_shard_manifest",
+    """
+WITH s AS (
+  SELECT CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS INT) AS shard,
+         CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_tokens
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM s GROUP BY shard
+""",
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-way export sharding + per-shard manifest (docs,
+    tokens) — the audit record before a training run consumes the
+    shards. Hash sharding is content-independent, so balance holds in
+    docs and tokens alike."""
+    from nibbledb_spark.operators.pipeline import (
+        assign_training_shards,
+        shard_manifest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(assign_training_shards(docs, 8)).select(
+        "shard", "n_docs", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+@declared(
     "sample_token_budget_per_source",
     """
 WITH t AS (

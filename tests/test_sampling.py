@@ -175,3 +175,25 @@ def test_token_budget_fills_each_group_minimally(spark):
         smallest_needed = min(totals[src] - r["n_tokens"] for r in rows)
         # at least one kept doc (the crossing one) satisfies prior < B
         assert smallest_needed < B
+
+
+def test_training_shards_partition_and_balance(spark, docs):
+    """Shard assignment is a deterministic partition of the corpus:
+    every doc gets exactly one stable shard, totals are preserved, and
+    hash balance keeps every shard within 3x of the mean (500 docs over
+    8 shards is small; the bound is loose by design)."""
+    from nibbledb_spark.operators.pipeline import (
+        assign_training_shards,
+        shard_manifest,
+    )
+
+    sharded = assign_training_shards(docs, 8)
+    again = assign_training_shards(docs, 8)
+    a = {(r["doc_id"], r["shard"]) for r in sharded.select("doc_id", "shard").collect()}
+    b = {(r["doc_id"], r["shard"]) for r in again.select("doc_id", "shard").collect()}
+    assert a == b and len(a) == docs.count()
+    man = shard_manifest(sharded).collect()
+    assert sorted(r["shard"] for r in man) == list(range(8))
+    assert sum(r["n_docs"] for r in man) == docs.count()
+    mean = docs.count() / 8
+    assert all(r["n_docs"] < 3 * mean for r in man)
