@@ -41,6 +41,7 @@ def clean_corpus(
     lang: str = "en",
     near_dup_threshold: float = 0.5,
     max_shingle_doc_freq: int | None = DEFAULT_MAX_SHINGLE_DF,
+    max_top_bigram_fraction: float | None = None,
 ) -> DataFrame:
     """Surviving document ids after the four cleaning stages.
 
@@ -80,6 +81,29 @@ def clean_corpus(
         )
         .select(id_col, text_col)
     )
+    if max_top_bigram_fraction is not None:
+        # Gopher-style repetition gate: drop docs whose most frequent
+        # word bigram covers more than the threshold of all bigram
+        # occurrences. Aggregated per doc (can't be row-local): lead-
+        # window bigrams -> two hash aggs -> broadcastable per-doc
+        # fraction joined back onto the survivors.
+        from pyspark.sql import Window
+
+        toks = docs.select(
+            F.col(id_col).alias("__id"), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+        )
+        wseq = Window.partitionBy("__id").orderBy("__pos")
+        bs = (
+            toks.withColumn("__nxt", F.lead("__tok").over(wseq))
+            .where(F.col("__nxt").isNotNull())
+            .groupBy("__id", F.concat_ws(" ", "__tok", "__nxt").alias("__bg"))
+            .agg(F.count("*").alias("__c"))
+            .groupBy("__id")
+            .agg((F.max("__c").cast("double") / F.sum("__c")).alias("__f"))
+            .where(F.col("__f") <= max_top_bigram_fraction)
+            .select(F.col("__id").alias(id_col))
+        )
+        keep0 = keep0.join(bs, id_col)
     exact = keep0.groupBy(text_col).agg(F.min(id_col).alias(id_col))
     pairs = ngram_jaccard_pairs(
         exact,

@@ -1980,6 +1980,29 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(_t(spark, sf_dir, "documents"))
 
 
+# the gated variant reuses the clean_corpus CTE chain with the
+# Gopher-style repetition gate joined into keep0
+_GATED_CTES = _CLEAN_CORPUS_CTES.replace(
+    "keep0 AS (\n  SELECT t.doc_id, t.text FROM t\n  JOIN q ON q.doc_id = t.doc_id\n  JOIN l ON l.doc_id = t.doc_id\n  WHERE q.n_tokens >= 10 AND q.stopword_ratio >= 0.03 AND l.lang_pred = 'en'\n),",
+    "bgr AS (\n  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg FROM t\n),\npb AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgr GROUP BY 1, 2),\nbs AS (\n  SELECT doc_id FROM pb GROUP BY doc_id\n  HAVING CAST(MAX(c) AS DOUBLE) / SUM(c) <= 0.08\n),\nkeep0 AS (\n  SELECT t.doc_id, t.text FROM t\n  JOIN q ON q.doc_id = t.doc_id\n  JOIN l ON l.doc_id = t.doc_id\n  JOIN bs ON bs.doc_id = t.doc_id\n  WHERE q.n_tokens >= 10 AND q.stopword_ratio >= 0.03 AND l.lang_pred = 'en'\n),",
+)
+assert _GATED_CTES != _CLEAN_CORPUS_CTES, "repetition-gate CTE injection failed"
+
+
+@declared(
+    "clean_corpus_gated",
+    _GATED_CTES + "\nSELECT doc_id FROM surv",
+)
+def clean_corpus_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_corpus with the Gopher repetition gate on (docs whose top
+    bigram covers > 8% of bigram occurrences are dropped before dedup)
+    — the modern cleaning recipe end-to-end as one plan, fully
+    oracle-audited including the gate."""
+    from nibbledb_spark.operators.pipeline import clean_corpus as op
+
+    return op(_t(spark, sf_dir, "documents"), max_top_bigram_fraction=0.08)
+
+
 _PROFILE_COL_SQL = """
 SELECT '{c}' AS column, COUNT(*) AS n,
        SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,

@@ -621,3 +621,23 @@ def test_dedup_lines_global_keeps_first_occurrence(spark):
     assert out[2] == "beta content"
     assert out[3] == ""
     assert out[4] == "gamma content"
+
+
+def test_clean_corpus_repetition_gate_subset(spark):
+    """Gated survivors are a strict subset of the ungated run at sf0.01
+    (the gate binds there), and every dropped-by-gate doc really
+    exceeds the top-bigram threshold."""
+    from nibbledb_spark.operators.pipeline import clean_corpus
+    from nibbledb_spark.operators.text import repetition_stats
+    from nibbledb_spark.queries import _t
+
+    docs = _t(spark, "/root/testdata/sf0.01", "documents")
+    plain = {r["doc_id"] for r in clean_corpus(docs).collect()}
+    gated = {r["doc_id"] for r in clean_corpus(docs, max_top_bigram_fraction=0.08).collect()}
+    assert gated < plain
+    over = {
+        r["doc_id"]
+        for r in repetition_stats(docs).collect()
+        if r["top_bigram_fraction"] is not None and r["top_bigram_fraction"] > 0.08
+    }
+    assert (plain - gated) <= over
