@@ -2388,6 +2388,21 @@ def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+@declared("cms_event_type_counts")  # APPROX: rows-only; bounds pinned in pytest
+def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch estimates for per-event-type counts: the
+    fixed-space frequency sketch (operators/sketch.py) probed for the
+    distinct event types. APPROX class — the one-sided CMS error bound
+    (est >= true; est <= true + N/width w.h.p.) is pytest-pinned, so no
+    SQL oracle; the driver records rows-only."""
+    from nibbledb_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_build(ev, "event_type")
+    keys = ev.select("event_type").distinct()
+    return cms_estimate(sketch, keys, "event_type").orderBy("event_type")
+
+
 @declared(
     "training_shard_manifest",
     """

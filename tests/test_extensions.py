@@ -641,3 +641,41 @@ def test_clean_corpus_repetition_gate_subset(spark):
         if r["top_bigram_fraction"] is not None and r["top_bigram_fraction"] > 0.08
     }
     assert (plain - gated) <= over
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (fixed-space frequency counting)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_bounds_and_mergeability(spark):
+    """CMS guarantees: estimates never undercount, overcount is bounded
+    by N/width for every probed key on this data, and a sketch built on
+    the whole frame equals the cellwise sum of per-half sketches (the
+    property that makes it distributable)."""
+    from nibbledb_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n = ev.count()
+    true = {r["event_type"]: r["c"] for r in ev.groupBy("event_type").agg(F.count("*").alias("c")).collect()}
+    sketch = cms_build(ev, "event_type")
+    est = {
+        r["event_type"]: r["est_count"]
+        for r in cms_estimate(sketch, ev.select("event_type").distinct(), "event_type").collect()
+    }
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+        assert est[k] <= t + n / 256 * 2, (k, est[k], t)
+
+    # mergeability: sum of half-sketches == whole-frame sketch
+    h1 = cms_build(ev.where(F.col("event_id") % 2 == 0), "event_type")
+    h2 = cms_build(ev.where(F.col("event_id") % 2 == 1), "event_type")
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = sorted(tuple(r) for r in merged.collect())
+    b = sorted(tuple(r) for r in sketch.collect())
+    assert a == b
