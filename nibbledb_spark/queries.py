@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nibbledb_spark.operators import timeseries as ts_ops
-from nibbledb_spark.sources.registry import points_from_events
+from nibbledb_spark.sources.registry import event_ts_us, points_from_events
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -921,7 +921,7 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
     from nibbledb_spark.operators.asof import asof_join
 
     raw = _t(spark, sf_dir, "events")
-    ts_us = F.expr("CAST(ts div 1000 AS BIGINT)")
+    ts_us = event_ts_us(raw)
     clicks = raw.where(F.col("event_type") == "click").select(
         "user_id", ts_us.alias("ts"), "event_id"
     )
@@ -956,7 +956,7 @@ def asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFram
     from nibbledb_spark.operators.asof import asof_join
 
     raw = _t(spark, sf_dir, "events")
-    ts_us = F.expr("CAST(ts div 1000 AS BIGINT)")
+    ts_us = event_ts_us(raw)
     clicks = raw.where(F.col("event_type") == "click").select(
         "user_id", ts_us.alias("ts"), "event_id"
     )
@@ -1074,7 +1074,7 @@ def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal inside the frame => association-order-independent exactness
     (DuckDB's segment-tree window sums would drift on doubles)."""
     ev = _t(spark, sf_dir, "events")
-    day = F.date_format(F.timestamp_micros(F.expr("CAST(ts div 1000 AS BIGINT)")), "yyyy-MM-dd")
+    day = F.date_format(F.timestamp_micros(event_ts_us(ev)), "yyyy-MM-dd")
     daily = (
         ev.groupBy(F.col("event_type").alias("series"), day.alias("day"))
         .agg(F.sum(_scaled_long(F.col("value"), 6)).alias("total"))
@@ -1222,7 +1222,7 @@ FROM events GROUP BY 1
 def pivot_events_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: event counts by weekday x type (missing combos => 0)."""
     ev = _t(spark, sf_dir, "events")
-    wd = F.weekday(F.timestamp_micros(F.expr("CAST(ts div 1000 AS BIGINT)")))
+    wd = F.weekday(F.timestamp_micros(event_ts_us(ev)))
     out = (
         ev.groupBy(wd.alias("weekday"))
         .pivot("event_type", ["click", "view", "purchase"])
@@ -2338,9 +2338,10 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_streaming.py."""
     from nibbledb_spark.streaming.ingest import interval_join_streams
 
-    ev = _t(spark, sf_dir, "events").select(
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(
         "user_id",
-        F.expr("CAST(ts div 1000 AS BIGINT)").alias("ts"),
+        event_ts_us(raw).alias("ts"),
         "event_type",
         "value",
     )

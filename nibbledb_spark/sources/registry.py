@@ -165,30 +165,36 @@ def clear_points_cache() -> None:
     _POINTS_CACHE.clear()
 
 
+def event_ts_us(df: DataFrame):
+    """Epoch-µs BIGINT expression for an events-shaped frame's ``ts``,
+    across testdata vintages: INT64 ns (the legacy ``nanosAsLong`` read —
+    floor-div, never a double round-trip: ns epoch > 2^53 loses precision),
+    or TIMESTAMP / TIMESTAMP_NTZ at µs precision (current testdata). NTZ
+    is wall-clock; the session is UTC-pinned (ensure_session_confs), so
+    the cast to TIMESTAMP is epoch-exact and matches DuckDB ``epoch_us``.
+    """
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return F.expr("CAST(ts div 1000 AS BIGINT)")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
+
+
 def points_from_events(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, *, cached: bool = True
 ) -> DataFrame:
     """events.parquet -> canonical points schema.
 
-    ts is cast to epoch µs on read. events.ts is TIMESTAMP(NANOS) in the
-    file; with ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as
-    int64 ns and we floor-divide to µs — the same truncation DuckDB's
-    µs-precision TIMESTAMP applies at scan (FIXTURES.md timestamp caution).
+    ts is normalized to epoch µs on read whatever the on-disk flavor —
+    see :func:`event_ts_us` (the same truncation DuckDB's µs-precision
+    TIMESTAMP applies at scan; FIXTURES.md timestamp caution).
     """
     key = (id(spark), os.path.abspath(sf_dir))
     if cached and key in _POINTS_CACHE:
         return _POINTS_CACHE[key]
     ev = load_table(spark, "events", sf_dir)
-    ts_type = dict(ev.dtypes)["ts"]
-    # integer div: ns epoch > 2^53 would lose precision through a double
-    ts_us = (
-        F.expr("CAST(ts div 1000 AS BIGINT)")
-        if ts_type == "bigint"
-        else F.unix_micros(F.col("ts"))
-    )
     pts = ev.select(
         F.col("event_type").alias("series"),
-        ts_us.alias("ts"),
+        event_ts_us(ev).alias("ts"),
         F.from_json(F.col("props"), "map<string,string>").alias("tag"),
         F.col("value").alias("value"),
     )

@@ -34,12 +34,13 @@ from pyspark.sql.streaming import StreamingQuery
 
 from nibbledb_spark.engine import TimeSeriesEngine
 
-# raw event schema of the driver's events table (ts as int64 ns — see
-# sources/registry.py on nanosAsLong)
+# raw event schema of the driver's events table (ts is TIMESTAMP(MICROS)
+# isAdjustedToUTC=false in the parquet => TIMESTAMP_NTZ; see
+# sources/registry.py event_ts_us for the vintage-proof µs mapping)
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -51,9 +52,11 @@ EVENTS_SCHEMA = T.StructType(
 def events_to_points(df: DataFrame) -> DataFrame:
     """events wire shape -> canonical points (same mapping as the batch
     reader so streaming and batch ingest are bit-identical)."""
+    from nibbledb_spark.sources.registry import event_ts_us
+
     return df.select(
         F.col("event_type").alias("series"),
-        F.expr("CAST(ts div 1000 AS BIGINT)").alias("ts"),
+        event_ts_us(df).alias("ts"),
         F.from_json(F.col("props"), "map<string,string>").alias("tag"),
         F.col("value").alias("value"),
     )

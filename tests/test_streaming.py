@@ -219,9 +219,11 @@ def test_interval_join_stream_equals_batch(spark, tmp_path):
     from nibbledb_spark.streaming.ingest import EVENTS_SCHEMA, interval_join_streams
 
     def keyed(df):
+        from nibbledb_spark.sources.registry import event_ts_us
+
         return df.select(
             "user_id",
-            F.expr("CAST(ts div 1000 AS BIGINT)").alias("ts"),
+            event_ts_us(df).alias("ts"),
             "event_type",
             "value",
         )
