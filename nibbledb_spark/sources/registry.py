@@ -173,10 +173,20 @@ def event_ts_us(df: DataFrame):
     is wall-clock; the session is UTC-pinned (ensure_session_confs), so
     the cast to TIMESTAMP is epoch-exact and matches DuckDB ``epoch_us``.
     """
-    ts_type = dict(df.dtypes)["ts"]
+    # Self-sufficient: the NTZ->TIMESTAMP cast below is epoch-exact only
+    # under a UTC session, so pin the confs here (memoized per session)
+    # instead of relying on every caller having gone through a load path.
+    ensure_session_confs(df.sparkSession)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type is None:
+        raise KeyError(f"events-shaped frame lacks a 'ts' column: {df.columns}")
     if ts_type == "bigint":
-        return F.expr("CAST(ts div 1000 AS BIGINT)")
-    return F.unix_micros(F.col("ts").cast("timestamp"))
+        # Column arithmetic bound to THIS frame (df["ts"], not a raw SQL
+        # string) so resolution can't mis-bind on joined frames. Exact for
+        # ns epochs > 2^53: decimal division (scale 6) then floor — a double
+        # division here would round the low bits of the ns value.
+        return F.floor(df["ts"].cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    return F.unix_micros(df["ts"].cast("timestamp"))
 
 
 def points_from_events(

@@ -35,8 +35,11 @@ from pyspark.sql.streaming import StreamingQuery
 from nibbledb_spark.engine import TimeSeriesEngine
 
 # raw event schema of the driver's events table (ts is TIMESTAMP(MICROS)
-# isAdjustedToUTC=false in the parquet => TIMESTAMP_NTZ; see
-# sources/registry.py event_ts_us for the vintage-proof µs mapping)
+# isAdjustedToUTC=false in the parquet => TIMESTAMP_NTZ). NOTE: streaming
+# replay supports only this current µs-NTZ vintage — a legacy INT64-ns
+# events.parquet (read batch-side via nanosAsLong, see sources/registry.py
+# event_ts_us) would fail this fixed schema at the stream read; replay such
+# files by batch-loading once and re-writing, or swap ts to LongType here.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
