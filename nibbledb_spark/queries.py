@@ -2615,3 +2615,105 @@ def embed_near_dup_pairs_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-bit signatures over 8 tables keep P(miss) = (1-p^4)^8 ≈ 0.25
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return near_dup_pairs_srp(e, 0.4, dim=64, n_planes=4, n_tables=8)
+
+
+@declared(
+    "timetravel_versions",
+    f"""
+SELECT CAST(0 AS INTEGER) AS version, COUNT(*) AS n_rows,
+       {_ssum_sql('o_totalprice', 2)} AS total_price
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT CAST(1 AS INTEGER), COUNT(*), {_ssum_sql('o_totalprice', 2)}
+FROM orders
+UNION ALL
+SELECT CAST(2 AS INTEGER), COUNT(*), {_ssum_sql('o_totalprice', 2)}
+FROM orders WHERE NOT (o_orderstatus = 'F')
+ORDER BY version
+""",
+)
+def timetravel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-log time travel (nibbledb_spark.snapshots): build a
+    versioned table from orders (append evens -> append odds -> delete
+    status-F rows), then read ALL THREE historical snapshots back and
+    aggregate each. The oracle replays the same history declaratively:
+    v0 = even keys, v1 = everything, v2 = everything minus status F.
+    This is the engine's analogue of the reference's Irmin/Git history
+    (src/shard.re:26-34) surfaced as a query: deletes never destroy
+    data until vacuum, exactly like the reference's blank-don't-delete
+    shard removal (src/shard.re:210-212)."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.snapshots import SnapshotLog
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"nibblelog_tt_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log = SnapshotLog(spark, root, stats_cols=("o_orderkey",))
+    log.append(orders.where("o_orderkey % 2 = 0"))
+    log.append(orders.where("o_orderkey % 2 = 1"))
+    log.delete_where("o_orderstatus = 'F'")
+    snaps = [
+        log.read(version=v)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _ssum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(F.lit(v).cast("int").alias("version"), "n_rows", "total_price")
+        for v in range(3)
+    ]
+    out = snaps[0]
+    for s in snaps[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("version")
+
+
+@declared(
+    "udtf_token_counts",
+    """
+SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 50
+)
+WHERE tok <> ''
+GROUP BY doc_id, tok
+ORDER BY doc_id, tok
+""",
+)
+def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts via a Python UDTF (table function) —
+    the UDTF leg of the UDF/UDAF/UDTF row in SURVEY.md §2 Part B.
+    One UDTF call per document emits (tok, n) rows, applied with
+    LATERAL so each partition streams through its own Python worker.
+
+    Hot-path note: this is API-surface coverage, not the scale path —
+    the same semantics run fully codegen'd in heavy_hitter_tokens /
+    text_token_stats (explode + hash agg). A UDTF earns its keep only
+    where per-row fan-out logic genuinely needs Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, n bigint")
+    class TokenCounts:
+        def eval(self, text):
+            from collections import Counter
+
+            toks = [t for t in (text or "").split(" ") if t]
+            for tok, n in sorted(Counter(toks).items()):
+                yield tok, n
+
+    spark.udtf.register("nibbledb_token_counts_udtf", TokenCounts)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("nibbledb_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.tok, s.n
+        FROM nibbledb_udtf_docs d,
+             LATERAL nibbledb_token_counts_udtf(d.text) s
+        ORDER BY d.doc_id, s.tok
+        """
+    )

@@ -1,0 +1,536 @@
+"""Manifest-log snapshot store: a Delta-style transaction log over plain
+parquet, giving the engine versioned tables, time-travel reads, atomic
+multi-file commits, and file-level data skipping.
+
+This is the Spark-native analogue of the reference's Irmin/Git storage
+(jptmoore/nibbledb ``src/shard.re:26-34``: every shard write is a Git
+commit; ``src/index.re:19``: a per-series index of ``(t_min, t_max)``
+ranges). The reference gets history and crash-atomicity for free from
+Git; vanilla parquet directories have neither. This module restores
+both, the way lakehouse formats do it:
+
+- **Log**: ``<root>/_log/<version>.json`` entries, one per commit,
+  recording files added/removed, the operation, and per-file column
+  stats. A commit IS the atomic creation of its log entry (hard-link
+  rename trick below); data files are immutable once referenced and
+  orphaned files from failed commits are invisible (never referenced).
+- **Snapshot**: the live file set at version ``v`` = replay of entries
+  ``0..v`` (adds minus removes). ``read(version=...)`` /
+  ``read(as_of_us=...)`` are the ``git checkout`` analogue;
+  ``history()`` is ``git log``.
+- **Checkpoints**: every ``checkpoint_every`` commits the full live set
+  is written to ``<version>.checkpoint.json``, so snapshot resolution
+  reads O(checkpoint_every) log files regardless of table age — at
+  100 TB the log grows unbounded and linear replay would become the
+  bottleneck, exactly the problem Delta's parquet checkpoints solve.
+- **File stats / data skipping**: each added file carries
+  ``rows`` + per-column ``min``/``max`` for the configured stats
+  columns, collected at write time. ``files(predicate_bounds=...)``
+  prunes the file list driver-side before Spark ever opens a footer —
+  the reference's shard-index ``overlap`` check
+  (``src/index.re:92-105``) generalized to any column.
+
+Concurrency: optimistic. A commit that loses the race to its version
+number (log entry already exists) is retried on top of the new head if
+it is a blind append, else raises :class:`CommitConflict` — the same
+semantics Delta gives concurrent writers. The atomic check-and-commit
+primitive is ``os.link`` (fails with EEXIST), which is correct on the
+POSIX filesystems local/HDFS-like deployments use; object stores need a
+CAS service instead (as Delta-on-S3 does) — the swap point is
+:meth:`SnapshotLog._publish`.
+
+Scale notes (100 TB stance): the log holds *metadata only* (paths,
+counts, min/max scalars) — a 1e6-file table is a ~100 MB log fully
+checkpointed, read by the driver once per query. Data files never
+rewrite on append; delete/compact rewrite only affected files and
+commit the swap atomically, so readers at any version see a consistent
+set (no torn reads during compaction — the staged-swap problem
+``engine._staged_swap`` solves per-bucket, solved here globally).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class CommitConflict(RuntimeError):
+    """A non-append commit raced a concurrent writer and must be re-run
+    against the new table state."""
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to <root>/
+    rows: int
+    stats: dict[str, list]  # col -> [min, max] (JSON-serializable scalars)
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "rows": self.rows, "stats": self.stats}
+
+    @staticmethod
+    def from_json(d: dict) -> "FileEntry":
+        return FileEntry(d["path"], d["rows"], d.get("stats", {}))
+
+
+@dataclass
+class LogEntry:
+    version: int
+    op: str  # append | overwrite | delete | compact | vacuum
+    ts_us: int  # commit wall-clock, epoch µs
+    add: list[FileEntry] = field(default_factory=list)
+    remove: list[str] = field(default_factory=list)
+    schema_json: str | None = None  # kept on every entry: empty-table reads
+    meta: dict = field(default_factory=dict)  # op detail (predicate, counts)
+
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+def _stat(v):
+    """JSON-safe scalar for the manifest: timestamps -> ISO strings,
+    decimals/other exotics -> str; bounds passed to :meth:`SnapshotLog.files`
+    must use the same representation."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def _entry_name(version: int) -> str:
+    return f"{version:020d}.json"
+
+
+def _ckpt_name(version: int) -> str:
+    return f"{version:020d}.checkpoint.json"
+
+
+class SnapshotLog:
+    """Versioned parquet table rooted at ``root`` (local or shared FS).
+
+    ``stats_cols``: columns to record per-file min/max for (data
+    skipping). ``checkpoint_every``: commits between live-set
+    checkpoints.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        stats_cols: tuple[str, ...] = (),
+        checkpoint_every: int = 10,
+    ) -> None:
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.stats_cols = tuple(stats_cols)
+        self.checkpoint_every = max(2, int(checkpoint_every))
+        os.makedirs(os.path.join(self.root, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(self.root, _DATA_DIR), exist_ok=True)
+
+    # -- log plumbing ------------------------------------------------------
+
+    def _log_path(self, name: str) -> str:
+        return os.path.join(self.root, _LOG_DIR, name)
+
+    def latest_version(self) -> int | None:
+        best = None
+        for name in os.listdir(self._log_path("")):
+            if name.endswith(".json") and not name.endswith(".checkpoint.json"):
+                try:
+                    v = int(name.split(".")[0])
+                except ValueError:
+                    continue
+                best = v if best is None else max(best, v)
+        return best
+
+    def _read_entry(self, version: int) -> LogEntry:
+        with open(self._log_path(_entry_name(version))) as f:
+            d = json.load(f)
+        return LogEntry(
+            version=d["version"],
+            op=d["op"],
+            ts_us=d["ts_us"],
+            add=[FileEntry.from_json(x) for x in d.get("add", [])],
+            remove=list(d.get("remove", [])),
+            schema_json=d.get("schema_json"),
+            meta=d.get("meta", {}),
+        )
+
+    def _publish(self, entry: LogEntry) -> bool:
+        """Atomically publish ``entry`` as its version's log record.
+
+        Returns False (without side effects) if the version was already
+        taken by a concurrent writer. ``os.link`` is the check-and-set:
+        it fails with EEXIST instead of overwriting, unlike rename.
+        Object-store deployments swap this for their CAS primitive.
+        """
+        payload = {
+            "version": entry.version,
+            "op": entry.op,
+            "ts_us": entry.ts_us,
+            "add": [a.to_json() for a in entry.add],
+            "remove": entry.remove,
+            "schema_json": entry.schema_json,
+            "meta": entry.meta,
+        }
+        tmp = self._log_path(f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = self._log_path(_entry_name(entry.version))
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version % self.checkpoint_every != 0 or version == 0:
+            return
+        files, schema_json = self._resolve(version)
+        with open(self._log_path(_ckpt_name(version)), "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "schema_json": schema_json,
+                    "live": [fe.to_json() for fe in files],
+                },
+                f,
+            )
+
+    def _latest_checkpoint_at_or_before(self, version: int) -> int | None:
+        best = None
+        for name in os.listdir(self._log_path("")):
+            if name.endswith(".checkpoint.json"):
+                v = int(name.split(".")[0])
+                if v <= version:
+                    best = v if best is None else max(best, v)
+        return best
+
+    def _resolve(self, version: int) -> tuple[list[FileEntry], str | None]:
+        """Live file set + schema at ``version`` (checkpoint + tail replay)."""
+        live: dict[str, FileEntry] = {}
+        schema_json: str | None = None
+        start = 0
+        ckpt = self._latest_checkpoint_at_or_before(version)
+        if ckpt is not None:
+            with open(self._log_path(_ckpt_name(ckpt))) as f:
+                d = json.load(f)
+            live = {fe["path"]: FileEntry.from_json(fe) for fe in d["live"]}
+            schema_json = d.get("schema_json")
+            start = ckpt + 1
+        for v in range(start, version + 1):
+            e = self._read_entry(v)
+            for path in e.remove:
+                live.pop(path, None)
+            for fe in e.add:
+                live[fe.path] = fe
+            if e.schema_json:
+                schema_json = e.schema_json
+        return sorted(live.values(), key=lambda fe: fe.path), schema_json
+
+    # -- write path --------------------------------------------------------
+
+    def _write_files(self, df: DataFrame) -> list[FileEntry]:
+        """Materialize ``df`` as immutable parquet files under data/ and
+        collect per-file stats in ONE metadata pass over the fresh files.
+
+        The stats scan groups by ``input_file_name()`` on the pre-shuffle
+        frame (it is empty above the first exchange) — same pattern as
+        the engine's index endpoint. Cost: one read of just-written data,
+        the price the reference pays too (its index update walks the new
+        shard's points, src/timeseries.re:119-135).
+        """
+        sub = os.path.join(_DATA_DIR, f"b-{uuid.uuid4().hex}")
+        out = os.path.join(self.root, sub)
+        df.write.mode("errorifexists").parquet(out)
+        back = self.spark.read.parquet(out)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in self.stats_cols:
+            if c in back.columns:
+                aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        rows = (
+            back.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
+        )
+        entries = []
+        for r in rows:
+            full = r["__file"]
+            rel = os.path.join(sub, os.path.basename(full))
+            stats = {}
+            for c in self.stats_cols:
+                if f"__mn_{c}" in r.asDict():
+                    stats[c] = [_stat(r[f"__mn_{c}"]), _stat(r[f"__mx_{c}"])]
+            entries.append(FileEntry(rel, r["__rows"], stats))
+        return sorted(entries, key=lambda fe: fe.path)
+
+    def _commit(
+        self,
+        op: str,
+        add: list[FileEntry],
+        remove: list[str],
+        schema_json: str | None,
+        meta: dict,
+        *,
+        expected_version: int | None,
+        retry_append: bool,
+    ) -> int:
+        while True:
+            head = self.latest_version()
+            version = 0 if head is None else head + 1
+            if expected_version is not None and version != expected_version:
+                raise CommitConflict(
+                    f"table advanced to v{head} under a v{expected_version} "
+                    f"{op}; re-read and retry"
+                )
+            entry = LogEntry(
+                version=version,
+                op=op,
+                ts_us=int(time.time() * 1_000_000),
+                add=add,
+                remove=remove,
+                schema_json=schema_json,
+                meta=meta,
+            )
+            if self._publish(entry):
+                self._maybe_checkpoint(version)
+                return version
+            if not retry_append:
+                raise CommitConflict(
+                    f"lost commit race at v{version} during {op}; "
+                    "re-read and retry"
+                )
+            # blind append: safe to retry on the advanced head
+
+    def append(self, df: DataFrame) -> int:
+        """Commit ``df`` as new files. Never rewrites existing data;
+        safe under concurrent appends (auto-retries the version race)."""
+        add = self._write_files(df)
+        return self._commit(
+            "append",
+            add,
+            [],
+            df.schema.json(),
+            {"rows": sum(a.rows for a in add)},
+            expected_version=None,
+            retry_append=True,
+        )
+
+    def overwrite(self, df: DataFrame) -> int:
+        head = self.latest_version()
+        files, _ = ([], None) if head is None else self._resolve(head)
+        add = self._write_files(df)
+        return self._commit(
+            "overwrite",
+            add,
+            [fe.path for fe in files],
+            df.schema.json(),
+            {},
+            expected_version=(0 if head is None else head + 1),
+            retry_append=False,
+        )
+
+    def delete_where(self, predicate: str) -> int:
+        """Delete rows matching the SQL ``predicate``, rewriting ONLY the
+        files that contain matches (stats-pruned, then probed); untouched
+        files stay referenced as-is — at scale a predicate delete must
+        not rewrite 100 TB to remove 1 GB."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("empty table")
+        files, schema_json = self._resolve(head)
+        paths = [os.path.join(self.root, fe.path) for fe in files]
+        if not paths:
+            return self._commit(
+                "delete", [], [], schema_json, {"predicate": predicate},
+                expected_version=head + 1, retry_append=False,
+            )
+        df = self.spark.read.parquet(*paths)
+        hit_rows = (
+            df.where(predicate)
+            .groupBy(F.input_file_name().alias("__file"))
+            .count()
+            .collect()
+        )
+        hit = {os.path.relpath(r["__file"].removeprefix("file:"), self.root)
+               for r in hit_rows}
+        hit = {p for p in (fe.path for fe in files) if p in hit}
+        if not hit:
+            return self._commit(
+                "delete", [], [], schema_json,
+                {"predicate": predicate, "rewritten_files": 0},
+                expected_version=head + 1, retry_append=False,
+            )
+        keep = self.spark.read.parquet(
+            *[os.path.join(self.root, p) for p in sorted(hit)]
+        ).where(f"NOT ({predicate})")
+        add = self._write_files(keep)
+        return self._commit(
+            "delete",
+            add,
+            sorted(hit),
+            schema_json,
+            {"predicate": predicate, "rewritten_files": len(hit)},
+            expected_version=head + 1,
+            retry_append=False,
+        )
+
+    def compact(self, target_files: int = 1) -> int:
+        """Rewrite the live set into ``target_files`` files. Read-result
+        invariant; atomic swap via the log (readers at any version never
+        see a half-compacted set)."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("empty table")
+        files, schema_json = self._resolve(head)
+        df = self.spark.read.parquet(
+            *[os.path.join(self.root, fe.path) for fe in files]
+        ).coalesce(max(1, target_files))
+        add = self._write_files(df)
+        return self._commit(
+            "compact",
+            add,
+            [fe.path for fe in files],
+            schema_json,
+            {"from_files": len(files), "to_files": len(add)},
+            expected_version=head + 1,
+            retry_append=False,
+        )
+
+    def vacuum(self, retain_versions: int = 5) -> list[str]:
+        """Physically delete data files unreferenced by the newest
+        ``retain_versions`` snapshots (older time-travel beyond that
+        horizon is forfeited — same contract as ``delta VACUUM``)."""
+        head = self.latest_version()
+        if head is None:
+            return []
+        keep: set[str] = set()
+        for v in range(max(0, head - retain_versions + 1), head + 1):
+            keep.update(fe.path for fe in self._resolve(v)[0])
+        removed = []
+        data_root = os.path.join(self.root, _DATA_DIR)
+        for sub in os.listdir(data_root):
+            subdir = os.path.join(data_root, sub)
+            for name in os.listdir(subdir):
+                rel = os.path.join(_DATA_DIR, sub, name)
+                if name.endswith(".parquet") and rel not in keep:
+                    os.unlink(os.path.join(self.root, rel))
+                    removed.append(rel)
+            if not os.listdir(subdir):
+                shutil.rmtree(subdir, ignore_errors=True)
+        self._commit(
+            "vacuum", [], [], None,
+            {"removed": len(removed), "retain_versions": retain_versions},
+            expected_version=None, retry_append=True,
+        )
+        return sorted(removed)
+
+    # -- read path ---------------------------------------------------------
+
+    def _version_as_of(self, ts_us: int) -> int:
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("empty table")
+        best = None
+        for v in range(head + 1):
+            if self._read_entry(v).ts_us <= ts_us:
+                best = v
+        if best is None:
+            raise ValueError(f"no snapshot at or before ts_us={ts_us}")
+        return best
+
+    def files(
+        self, version: int | None = None, bounds: dict | None = None
+    ) -> list[FileEntry]:
+        """Live files at ``version`` (default head), optionally pruned by
+        ``bounds`` = {col: (lo, hi)} against the recorded per-file stats
+        (interval-overlap test, src/index.re:92-105 semantics). Files
+        with no recorded stats for a bounded column are kept (safe)."""
+        head = self.latest_version()
+        if head is None:
+            return []
+        v = head if version is None else version
+        files, _ = self._resolve(v)
+        if not bounds:
+            return files
+        out = []
+        for fe in files:
+            keep = True
+            for col, (lo, hi) in bounds.items():
+                st = fe.stats.get(col)
+                if st is None:
+                    continue
+                mn, mx = st
+                if (hi is not None and mn is not None and mn > hi) or (
+                    lo is not None and mx is not None and mx < lo
+                ):
+                    keep = False
+                    break
+            if keep:
+                out.append(fe)
+        return out
+
+    def read(
+        self,
+        version: int | None = None,
+        as_of_us: int | None = None,
+        bounds: dict | None = None,
+    ) -> DataFrame:
+        """Snapshot read (head / ``version`` / ``as_of_us`` time-travel),
+        with optional manifest-level file pruning via ``bounds``."""
+        if version is not None and as_of_us is not None:
+            raise ValueError("pass version or as_of_us, not both")
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("empty table: no snapshot to read")
+        if as_of_us is not None:
+            version = self._version_as_of(as_of_us)
+        v = head if version is None else version
+        if not 0 <= v <= head:
+            raise ValueError(f"version {v} out of range 0..{head}")
+        files, schema_json = self._resolve(v)
+        files = self.files(v, bounds) if bounds else files
+        if not files:
+            schema = (
+                T.StructType.fromJson(json.loads(schema_json))
+                if schema_json
+                else T.StructType([])
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(
+            *[os.path.join(self.root, fe.path) for fe in files]
+        )
+
+    def history(self) -> list[dict]:
+        """``git log`` analogue: newest-first commit records."""
+        head = self.latest_version()
+        if head is None:
+            return []
+        out = []
+        for v in range(head, -1, -1):
+            e = self._read_entry(v)
+            out.append(
+                {
+                    "version": e.version,
+                    "op": e.op,
+                    "ts_us": e.ts_us,
+                    "added_files": len(e.add),
+                    "added_rows": sum(a.rows for a in e.add),
+                    "removed_files": len(e.remove),
+                    "meta": e.meta,
+                }
+            )
+        return out

@@ -1,0 +1,157 @@
+"""SnapshotLog (manifest-log table format): versioned commits, time
+travel, atomic swap semantics, data skipping, checkpoint replay, vacuum,
+and optimistic-concurrency conflicts.
+
+This is the engine's analogue of the reference's Irmin/Git storage
+(src/shard.re:26-34 — every shard write is a Git commit) and shard-range
+index (src/index.re:19, overlap test :92-105): history()/read(version=)
+give the git-log/checkout behavior, per-file min/max stats give the
+index-overlap file pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from nibbledb_spark.snapshots import CommitConflict, SnapshotLog
+
+
+@pytest.fixture()
+def log(spark, tmp_path):
+    return SnapshotLog(
+        spark, str(tmp_path / "tbl"), stats_cols=("id",), checkpoint_every=4
+    )
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v").repartition(2)
+
+
+def test_append_versions_and_time_travel(spark, log):
+    assert log.append(_df(spark, 0, 50)) == 0
+    assert log.append(_df(spark, 50, 100)) == 1
+    assert log.read().count() == 100
+    assert log.read(version=0).count() == 50
+    # as-of timestamp resolves to the version committed at/before it
+    ts0 = log._read_entry(0).ts_us
+    assert log.read(as_of_us=ts0).count() == 50
+
+
+def test_delete_rewrites_only_hit_files(spark, log):
+    log.append(_df(spark, 0, 50))  # files with id in [0,50)
+    log.append(_df(spark, 50, 100))  # files with id in [50,100)
+    before = {fe.path for fe in log.files()}
+    log.delete_where("id >= 90")  # hits only the second batch's files
+    hist = log.history()[0]
+    assert hist["op"] == "delete"
+    assert 1 <= hist["removed_files"] <= 2  # first batch never rewritten
+    after = {fe.path for fe in log.files()}
+    untouched = before & after
+    assert untouched, "files without matches must stay referenced as-is"
+    assert log.read().count() == 90
+    # deleted rows still visible via time travel
+    assert log.read(version=1).count() == 100
+
+
+def test_delete_without_matches_rewrites_nothing(spark, log):
+    log.append(_df(spark, 0, 50))
+    before = {fe.path for fe in log.files()}
+    log.delete_where("id > 1000")
+    assert {fe.path for fe in log.files()} == before
+    assert log.history()[0]["meta"]["rewritten_files"] == 0
+
+
+def test_compaction_invariance_and_atomic_swap(spark, log):
+    log.append(_df(spark, 0, 50))
+    log.append(_df(spark, 50, 100))
+    rows_before = sorted(log.read().collect())
+    head_before = log.latest_version()
+    log.compact(target_files=1)
+    assert len(log.files()) == 1
+    assert sorted(log.read().collect()) == rows_before
+    # pre-compaction snapshot still reads the old file set (no torn state)
+    assert log.read(version=head_before).count() == 100
+
+
+def test_manifest_file_pruning(spark, log):
+    log.append(_df(spark, 0, 50))
+    log.append(_df(spark, 50, 100))
+    all_files = log.files()
+    pruned = log.files(bounds={"id": (95, 99)})
+    assert len(pruned) < len(all_files)
+    # bounds never change results, only the files opened
+    assert sorted(
+        r["id"] for r in log.read(bounds={"id": (95, 99)}).where("id >= 95").collect()
+    ) == list(range(95, 100))
+
+
+def test_checkpoint_written_and_used(spark, log, tmp_path):
+    for i in range(6):  # checkpoint_every=4 -> checkpoint at v4
+        log.append(_df(spark, i * 10, i * 10 + 10))
+    names = os.listdir(str(tmp_path / "tbl" / "_log"))
+    assert any(n.endswith(".checkpoint.json") for n in names)
+    # resolution via checkpoint equals full replay
+    files, _ = log._resolve(5)
+    assert sum(fe.rows for fe in files) == 60
+    # corrupt pre-checkpoint entries to prove the tail-only replay: entries
+    # 0..3 are not read once the v4 checkpoint exists
+    for v in range(4):
+        os.rename(
+            str(tmp_path / "tbl" / "_log" / f"{v:020d}.json"),
+            str(tmp_path / "tbl" / "_log" / f".hidden-{v}"),
+        )
+    assert log.read(version=5).count() == 60
+
+
+def test_commit_conflict_semantics(spark, log):
+    log.append(_df(spark, 0, 10))
+    # inject a concurrent writer that steals each version the moment this
+    # writer tries to publish it (the true race window: between reading
+    # the head and linking the log entry)
+    real_publish = log._publish
+    steals = {"n": 0}
+
+    def racing_publish(entry):
+        if steals["n"] < 2:
+            steals["n"] += 1
+            stolen = json.dumps(
+                {"version": entry.version, "op": "append", "ts_us": 0,
+                 "add": [], "remove": [], "schema_json": None, "meta": {}}
+            )
+            path = log._log_path(f"{entry.version:020d}.json")
+            with open(path, "w") as f:
+                f.write(stolen)
+        return real_publish(entry)
+
+    log._publish = racing_publish
+    # blind append retries past both stolen versions and lands after them
+    assert log.append(_df(spark, 10, 20)) == 3
+    # non-append ops must NOT retry blindly: losing the race is a conflict
+    steals["n"] = 0
+    with pytest.raises(CommitConflict):
+        log.compact()
+
+
+def test_vacuum_respects_retention(spark, log):
+    log.append(_df(spark, 0, 50))
+    log.append(_df(spark, 50, 100))
+    log.compact()  # v2; v0/v1 file sets now unreferenced by head
+    removed = log.vacuum(retain_versions=1)
+    assert removed, "pre-compaction files should be reclaimed"
+    assert log.read().count() == 100  # head unaffected
+    with pytest.raises(Exception):
+        log.read(version=0).collect()  # beyond retention: files gone
+
+
+def test_failed_write_leaves_no_visible_garbage(spark, log, monkeypatch):
+    log.append(_df(spark, 0, 10))
+    # make the commit publish fail after files are written: orphans on
+    # disk, but never referenced -> reads unaffected, vacuum reclaims
+    monkeypatch.setattr(log, "_publish", lambda entry: False)
+    with pytest.raises(CommitConflict):
+        log.overwrite(_df(spark, 0, 99))
+    monkeypatch.undo()
+    assert log.read().count() == 10
