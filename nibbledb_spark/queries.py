@@ -2717,3 +2717,95 @@ def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, s.tok
         """
     )
+
+
+@declared(
+    "tfidf_pair_scores",
+    f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id < 100),
+t AS (SELECT doc_id, UNNEST(w) AS tok FROM d),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM t WHERE tok <> '' GROUP BY doc_id, tok),
+dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(SUM((a.tf * b.tf * 1000000) // dfq.df) AS BIGINT) AS score
+FROM tf a JOIN tf b USING (tok) JOIN dfq USING (tok)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY id1, id2
+""",
+)
+def tfidf_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-pair similarity with inverse-document-frequency term
+    weighting, in EXACT integer arithmetic: each shared token adds
+    floor(tf1*tf2*1e6 / df), so common tokens contribute little and the
+    sum is order-independent (a float idf = ln(N/df) would be
+    transcendental and summation-order-sensitive — unhashable across
+    engines). Same scale shape as ngram_jaccard_pairs: the candidate
+    pairs ARE the shared-token equi-join, never an all-pairs product;
+    production corpora add the stop-token doc-freq cap exactly like
+    clean_corpus (this synthetic vocab is too small for the cap to
+    bite, so the query subsets to 100 docs instead)."""
+    from nibbledb_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a = tf.select(F.col("doc_id").alias("id1"), "tok", F.col("tf").alias("tf1"))
+    b = tf.select(F.col("doc_id").alias("id2"), "tok", F.col("tf").alias("tf2"))
+    return (
+        a.join(b, "tok")
+        .where(F.col("id1") < F.col("id2"))
+        .join(F.broadcast(dfq), "tok")
+        .groupBy("id1", "id2")
+        .agg(
+            F.sum(F.expr("(tf1 * tf2 * 1000000) div df")).cast("long").alias("score")
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+@declared(
+    "quality_percentile_by_source",
+    f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),
+q AS (
+  SELECT doc_id, source,
+         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5
+           + (CAST(len(list_filter(w, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(w)) * 0.5
+           AS quality_score
+  FROM t
+)
+SELECT doc_id, source, quality_score,
+       PERCENT_RANK() OVER (
+         PARTITION BY source ORDER BY quality_score, doc_id
+       ) AS pct_in_source
+FROM q
+ORDER BY doc_id
+""",
+)
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile normalization of the quality score — the
+    standard trick when mixing corpora whose raw quality distributions
+    differ (a median news article and a median forum post should not be
+    filtered by one global threshold). percent_rank is deterministic
+    under the (score, doc_id) total order; one window shuffle keyed by
+    source, no joins."""
+    from nibbledb_spark.operators.text import STOPWORDS, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = tokens("text")
+    n = F.size(w)
+    score = (
+        (F.size(F.array_distinct(w)).cast("double") / n) * 0.5
+        + (F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / n) * 0.5
+    )
+    win = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return (
+        docs.select("doc_id", "source", score.alias("quality_score"))
+        .withColumn("pct_in_source", F.percent_rank().over(win))
+        .orderBy("doc_id")
+    )
