@@ -315,19 +315,38 @@ class SnapshotLog:
                 )
             # blind append: safe to retry on the advanced head
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, *, meta: dict | None = None) -> int:
         """Commit ``df`` as new files. Never rewrites existing data;
-        safe under concurrent appends (auto-retries the version race)."""
+        safe under concurrent appends (auto-retries the version race).
+        ``meta`` is merged into the commit record (e.g. a streaming
+        micro-batch id for exactly-once sinks)."""
         add = self._write_files(df)
+        m = {"rows": sum(a.rows for a in add)}
+        if meta:
+            m.update(meta)
         return self._commit(
             "append",
             add,
             [],
             df.schema.json(),
-            {"rows": sum(a.rows for a in add)},
+            m,
             expected_version=None,
             retry_append=True,
         )
+
+    def last_stream_batch_id(self) -> int | None:
+        """Newest committed ``stream_batch_id`` (exactly-once streaming
+        sink bookkeeping). Scans head-down and stops at the first append
+        carrying one — batch ids commit in order, so the newest entry
+        with the marker is the maximum."""
+        head = self.latest_version()
+        if head is None:
+            return None
+        for v in range(head, -1, -1):
+            bid = self._read_entry(v).meta.get("stream_batch_id")
+            if bid is not None:
+                return int(bid)
+        return None
 
     def overwrite(self, df: DataFrame) -> int:
         head = self.latest_version()
@@ -513,6 +532,27 @@ class SnapshotLog:
         return self.spark.read.parquet(
             *[os.path.join(self.root, fe.path) for fe in files]
         )
+
+    def streaming_sink(self):
+        """``foreachBatch`` handler committing each micro-batch as one
+        atomic log version, exactly once.
+
+        Structured Streaming re-runs the last micro-batch after a crash
+        between sink completion and checkpoint commit; a plain parquet
+        append would duplicate those rows. Here the batch id rides in the
+        commit record, so a replayed batch (id <= newest committed id) is
+        skipped — the transactional-sink idempotence pattern, with the
+        log entry as the transaction marker. Combined with the atomic
+        multi-file commit, readers never see a torn or doubled batch.
+        """
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            last = self.last_stream_batch_id()
+            if last is not None and batch_id <= last:
+                return  # replayed micro-batch: already committed
+            self.append(batch_df, meta={"stream_batch_id": int(batch_id)})
+
+        return sink
 
     def history(self) -> list[dict]:
         """``git log`` analogue: newest-first commit records."""

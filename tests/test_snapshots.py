@@ -155,3 +155,42 @@ def test_failed_write_leaves_no_visible_garbage(spark, log, monkeypatch):
         log.overwrite(_df(spark, 0, 99))
     monkeypatch.undo()
     assert log.read().count() == 10
+
+
+def test_streaming_sink_exactly_once(spark, log):
+    """Replaying the events stream into a SnapshotLog converges to the
+    batch result, and a re-delivered micro-batch (the crash-recovery
+    case Structured Streaming documents for foreachBatch) commits
+    nothing the second time."""
+    import tempfile
+
+    from nibbledb_spark.sources.registry import points_from_events
+    from nibbledb_spark.streaming.ingest import EVENTS_SCHEMA, events_to_points
+
+    sf = "/root/testdata/sf0.001"
+    stream = events_to_points(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    q = (
+        stream.writeStream.foreachBatch(log.streaming_sink())
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="snapsink_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = points_from_events(spark, sf, cached=False)
+    assert log.read().count() == batch.count()
+    assert sorted(log.read().collect()) == sorted(batch.collect())
+    # every streamed commit carries its micro-batch id
+    appended = [e for e in log.history() if e["op"] == "append"]
+    assert all("stream_batch_id" in e["meta"] for e in appended)
+    # re-deliver the newest batch: idempotent, no new version
+    head = log.latest_version()
+    last_id = log.last_stream_batch_id()
+    log.streaming_sink()(batch.limit(5), last_id)  # replay -> skipped
+    assert log.latest_version() == head
+    log.streaming_sink()(batch.limit(5), last_id + 1)  # genuinely new
+    assert log.latest_version() == head + 1
+    assert log.read().count() == batch.count() + 5
