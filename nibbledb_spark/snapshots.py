@@ -407,6 +407,59 @@ class SnapshotLog:
             retry_append=False,
         )
 
+    def merge(self, updates: DataFrame, key_cols: list[str]) -> int:
+        """Upsert (MERGE INTO analogue): rows in ``updates`` replace live
+        rows with the same key; unmatched rows insert. ONE atomic commit —
+        readers see either the whole merge or none of it.
+
+        Scale shape: only files that contain a matched key are rewritten
+        — candidates found by a broadcast semi-join of the update keys
+        against the live files (update sets are small relative to the
+        table; a 100 TB table takes a CDC batch by rewriting the touched
+        GBs, not the table). Unmatched files stay referenced as-is.
+        """
+        head = self.latest_version()
+        if head is None:
+            return self.append(updates)
+        files, schema_json = self._resolve(head)
+        paths = [os.path.join(self.root, fe.path) for fe in files]
+        live = self.spark.read.parquet(*paths)
+        keys = updates.select(*key_cols).dropDuplicates()
+        hit_rows = (
+            live.join(F.broadcast(keys), key_cols, "left_semi")
+            .groupBy(F.input_file_name().alias("__file"))
+            .count()
+            .collect()
+        )
+        rel_live = {fe.path for fe in files}
+        hit = {
+            p
+            for p in (
+                os.path.relpath(r["__file"].removeprefix("file:"), self.root)
+                for r in hit_rows
+            )
+            if p in rel_live
+        }
+        new_parts = [updates]
+        if hit:
+            survivors = self.spark.read.parquet(
+                *[os.path.join(self.root, p) for p in sorted(hit)]
+            ).join(F.broadcast(keys), key_cols, "left_anti")
+            new_parts.append(survivors.select(*updates.columns))
+        merged = new_parts[0]
+        for part in new_parts[1:]:
+            merged = merged.unionByName(part)
+        add = self._write_files(merged)
+        return self._commit(
+            "merge",
+            add,
+            sorted(hit),
+            schema_json,
+            {"key_cols": key_cols, "rewritten_files": len(hit)},
+            expected_version=head + 1,
+            retry_append=False,
+        )
+
     def compact(self, target_files: int = 1) -> int:
         """Rewrite the live set into ``target_files`` files. Read-result
         invariant; atomic swap via the log (readers at any version never

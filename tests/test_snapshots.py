@@ -194,3 +194,25 @@ def test_streaming_sink_exactly_once(spark, log):
     log.streaming_sink()(batch.limit(5), last_id + 1)  # genuinely new
     assert log.latest_version() == head + 1
     assert log.read().count() == batch.count() + 5
+
+
+def test_merge_upsert(spark, log):
+    log.append(_df(spark, 0, 50))
+    log.append(_df(spark, 50, 100))
+    before_files = {fe.path for fe in log.files()}
+    head_before = log.latest_version()
+    # update keys 95..99 (hits only the second batch), insert 100..104
+    updates = spark.range(95, 105).selectExpr("id", "id * 100 AS v")
+    v = log.merge(updates, ["id"])
+    assert v == head_before + 1  # one atomic commit
+    out = {r["id"]: r["v"] for r in log.read().collect()}
+    assert len(out) == 105
+    assert out[97] == 9700  # matched: replaced
+    assert out[102] == 10200  # unmatched: inserted
+    assert out[10] == 20  # untouched rows intact
+    # only hit files rewritten; the first batch's files still referenced
+    after_files = {fe.path for fe in log.files()}
+    assert before_files & after_files, "unmatched files must not rewrite"
+    assert log.history()[0]["meta"]["rewritten_files"] >= 1
+    # pre-merge snapshot unchanged (time travel across the merge)
+    assert log.read(version=head_before).count() == 100
