@@ -23,7 +23,7 @@ import io
 import re
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -86,3 +86,27 @@ def salted_join(
     )
     out = l_s.join(r_s, on + ["__lane"], how)
     return out.drop("__lane")
+
+
+def zorder_key(cols: list[Column | str], bits: int = 8) -> Column:
+    """Morton (Z-order) key: interleaves the low ``bits`` bits of each
+    integer column, so sorting by the key clusters rows that are close
+    in EVERY dimension — the multi-column data-skipping layout. A table
+    linearly sorted on (x, y) prunes files only on x (each file spans
+    the full y range); written in Z-order, per-file min/max stats prune
+    on x OR y alone (each file covers a hyper-rectangle).
+
+    Pure codegen (shifts and masks, no UDF). Columns must already be
+    non-negative integers in [0, 2^bits) — rank/bucket continuous values
+    first (e.g. ``F.percent_rank`` scaled, or epoch-day). Cost of the
+    layout is one range-repartition + in-partition sort at WRITE time;
+    reads pay nothing. Use with SnapshotLog(stats_cols=(x, y)) or any
+    format with file-level min/max skipping.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * len(cs) + j))
+    return key

@@ -115,3 +115,38 @@ def test_dynamic_partition_pruning_on_store(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.count() == 40
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Write the same (x, y) grid linearly sorted and Z-ordered into two
+    snapshot logs; file stats must prune a trailing-dimension predicate
+    only under Z-order (linear layout: every file spans all of y)."""
+    from nibbledb_spark.plans.scale import zorder_key
+    from nibbledb_spark.snapshots import SnapshotLog
+
+    n_files = 16
+    grid = spark.range(256 * 256).selectExpr(
+        "CAST(id % 256 AS INT) AS x", "CAST(id DIV 256 AS INT) AS y"
+    )
+    linear = SnapshotLog(spark, str(tmp_path / "lin"), stats_cols=("x", "y"))
+    linear.append(
+        grid.repartitionByRange(n_files, "x", "y").sortWithinPartitions("x", "y")
+    )
+    zed = SnapshotLog(spark, str(tmp_path / "zed"), stats_cols=("x", "y"))
+    zkey = zorder_key(["x", "y"], bits=8)
+    zed.append(
+        grid.withColumn("__z", zkey)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    bounds = {"y": (0, 31)}  # trailing dimension only
+    lin_frac = len(linear.files(bounds=bounds)) / len(linear.files())
+    zed_frac = len(zed.files(bounds=bounds)) / len(zed.files())
+    assert lin_frac == 1.0, "linear layout cannot prune on y"
+    assert zed_frac <= 0.5, f"z-order should prune most files, kept {zed_frac}"
+    # and the leading dimension still prunes under z-order too
+    assert len(zed.files(bounds={"x": (0, 31)})) < len(zed.files())
+    # pruned read + residual filter stays correct
+    got = zed.read(bounds=bounds).where("y BETWEEN 0 AND 31").count()
+    assert got == 256 * 32
