@@ -460,7 +460,10 @@ def ngram_jaccard_pairs(
             .where(F.col("df") > max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # Persist the CAPPED table as well: three consumers follow
+        # (sizes + both join sides) and without this each replays the
+        # anti-join probe — measured 2x on clean_corpus end-to-end.
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     s1 = sh.select(F.col("id").alias("id1"), F.col("shingle").alias("s"))
     s2 = sh.select(F.col("id").alias("id2"), F.col("shingle").alias("s"))
