@@ -233,3 +233,53 @@ def test_inserts_between_change_feed(spark, log):
     empty = log.inserts_between(log.latest_version(), log.latest_version())
     assert empty.count() == 0
     assert empty.schema.fieldNames() == ["id", "v"]  # schema'd empty frame
+
+
+def test_reference_surface_over_versioned_store(spark, fixture_points, engine):
+    """The whole reference query surface (last/first/since/range/tag
+    filter/aggregates) answers identically from a SnapshotLog-backed
+    points table and the bucket-partitioned engine store — the versioned
+    store can BE the tsdb store, which is the reference's own design
+    (its Irmin/Git store is its only store, src/shard.re:26-34). Deletes
+    then keep history: the engine's delete is destructive, the log's is
+    a new version with the old one still readable."""
+    from nibbledb_spark.operators import timeseries as ts
+
+    engine.append_points(fixture_points)
+    log = SnapshotLog(spark, engine.path + "_versioned", stats_cols=("ts",))
+    log.append(fixture_points)
+    ids = ["butterflies", "honeybees"]
+    eng_pts, log_pts = engine.points(), log.read()
+
+    def rows(df):
+        return sorted(
+            (r["series"], r["ts"], tuple(sorted((r["tag"] or {}).items())), r["value"])
+            for r in df.collect()
+        )
+
+    assert rows(ts.last_n(eng_pts, ids, 3)) == rows(ts.last_n(log_pts, ids, 3))
+    assert rows(ts.since(eng_pts, ids, 1439856360000000)) == rows(
+        ts.since(log_pts, ids, 1439856360000000)
+    )
+    assert rows(
+        ts.time_range(eng_pts, ids, 1439856000000000, 1439878320000000)
+    ) == rows(ts.time_range(log_pts, ids, 1439856000000000, 1439878320000000))
+    filt = ts.tag_filter(ts.for_series(log_pts, ids), ["scientist"], ["langstroth"])
+    assert filt.count() == ts.tag_filter(
+        ts.for_series(eng_pts, ids), ["scientist"], ["langstroth"]
+    ).count()
+    for agg in ("sum", "count", "max", "min", "mean", "sd", "median"):
+        got = ts.aggregate_result(ts.for_series(log_pts, ids), agg)
+        want = ts.aggregate_result(ts.for_series(eng_pts, ids), agg)
+        # float aggs may differ by an ULP across the two stores' partition
+        # orders (FLOAT parity class, same as the oracle policy)
+        assert got == pytest.approx(want, rel=1e-12)
+    # versioned delete: same surviving rows as the engine's, but the
+    # pre-delete snapshot stays readable (the engine's is gone for good)
+    head = log.latest_version()
+    log.delete_where("ts >= 1439877600000000")
+    engine.delete(ids, ts_from=1439877600000000)
+    assert rows(log.read()) == rows(engine.points())
+    assert log.read(version=head).count() == len(
+        [tuple(r) for r in fixture_points.collect()]
+    )
