@@ -15,11 +15,15 @@ Layering:
 - ``sources``   — table readers for the testdata star schema
 - ``streaming`` — Structured Streaming ingest path
 - ``plans``     — canonical ordering / serialization for parity tests
+- ``snapshots`` — manifest-log table format: versioned parquet with
+  time travel, atomic commits, file-stats pruning (the Irmin/Git
+  history analogue)
 """
 
 from nibbledb_spark.schema import POINT_SCHEMA, validate_point
 from nibbledb_spark.session import get_spark
+from nibbledb_spark.snapshots import SnapshotLog
 
-__all__ = ["POINT_SCHEMA", "validate_point", "get_spark"]
+__all__ = ["POINT_SCHEMA", "validate_point", "get_spark", "SnapshotLog"]
 
 __version__ = "0.1.0"
