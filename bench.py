@@ -207,12 +207,64 @@ def engine_read_bench(spark) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def snapshot_bench(spark) -> None:
+    """Versioned-store operation costs on orders at the bench SF:
+    append, merge upsert, predicate delete, head + time-travel reads.
+    Diagnostics to stderr (BASELINE.md: snapshot-log section)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nibbledb_spark.snapshots import SnapshotLog
+
+    work = tempfile.mkdtemp(prefix="bench_snap_")
+    try:
+        orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+        n = orders.count()
+        tbl = SnapshotLog(spark, os.path.join(work, "tbl"), stats_cols=("o_orderkey",))
+
+        def timed(name, fn):
+            t0 = time.perf_counter()
+            out = fn()
+            log(f"snapshot {name}: {time.perf_counter() - t0:.3f}s")
+            return out
+
+        timed(f"append {n:,} rows", lambda: tbl.append(orders))
+        timed(
+            "append 2nd batch",
+            lambda: tbl.append(orders.where("o_orderkey % 7 = 0")),
+        )
+        upd = orders.where("o_orderkey % 1000 = 0").withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        timed(f"merge {upd.count():,} upserts", lambda: tbl.merge(upd, ["o_orderkey"]))
+        timed(
+            "delete o_orderstatus='P'",
+            lambda: tbl.delete_where("o_orderstatus = 'P'"),
+        )
+        timed("head read count", lambda: tbl.read().count())
+        timed("time-travel v0 count", lambda: tbl.read(version=0).count())
+        timed(
+            "stats-pruned read",
+            lambda: tbl.read(bounds={"o_orderkey": (0, 1000)}).count(),
+        )
+        log(f"snapshot history: {[e['op'] for e in tbl.history()]}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     from nibbledb_spark.queries import ORACLE, QUERIES
     from nibbledb_spark.session import get_spark
 
     baseline = "--baseline" in sys.argv
     spark = get_spark("bench")
+
+    if "--snapshots" in sys.argv:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        snapshot_bench(spark)
+        return 0
 
     if "--scale-trend" in sys.argv:
         spark.range(1_000_000).selectExpr("sum(id)").collect()

@@ -425,10 +425,15 @@ class SnapshotLog:
         paths = [os.path.join(self.root, fe.path) for fe in files]
         live = self.spark.read.parquet(*paths)
         keys = updates.select(*key_cols).dropDuplicates()
+        # Anchor input_file_name() to the live scan BEFORE the join: after
+        # a join of two file sources the expression is ambiguous and Spark
+        # rejects it (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION) — hit when
+        # the update batch itself comes from parquet.
+        tagged = live.withColumn("__file", F.input_file_name())
         hit_rows = (
-            live.join(F.broadcast(keys), key_cols, "left_semi")
-            .groupBy(F.input_file_name().alias("__file"))
-            .count()
+            tagged.join(F.broadcast(keys), key_cols, "left_semi")
+            .select("__file")
+            .distinct()
             .collect()
         )
         rel_live = {fe.path for fe in files}

@@ -216,6 +216,15 @@ def test_merge_upsert(spark, log):
     assert log.history()[0]["meta"]["rewritten_files"] >= 1
     # pre-merge snapshot unchanged (time travel across the merge)
     assert log.read(version=head_before).count() == 100
+    # updates sourced from parquet (two file sources in the probe join —
+    # the input_file_name anchoring regression)
+    import tempfile
+
+    pq = tempfile.mkdtemp(prefix="merge_upd_") + "/u.parquet"
+    spark.range(0, 3).selectExpr("id", "id * 1000 AS v").write.parquet(pq)
+    log.merge(spark.read.parquet(pq), ["id"])
+    out2 = {r["id"]: r["v"] for r in log.read().collect()}
+    assert out2[1] == 1000 and out2[97] == 9700
 
 
 def test_inserts_between_change_feed(spark, log):
