@@ -45,11 +45,95 @@ _FEATURES_SCHEMA = "media_id long, kind string, feature array<float>"
 
 
 def decode_image(payload: bytes) -> object:
-    """Real decoder entry point — image libs are not in this container.
+    """Decode a binary image payload to an HxWx3 uint8 numpy array.
 
-    STUB: raises. Swap in PIL/torchvision decode on a real cluster.
+    REAL for binary PPM (P6, maxval 255) — pure numpy, no codec libs:
+    header tokens (width, height, maxval; ``#`` comments allowed) then
+    raw RGB bytes. Compressed library formats (JPEG/PNG/...) still
+    raise — their codecs are not in this container; swap in
+    PIL/torchvision decode on a real cluster at this exact seam.
     """
-    raise NotImplementedError("image decode requires codec libs not in this image")
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError(
+            "only PPM(P6) decodes without codec libs; plug PIL in here"
+        )
+    # tokenize header: magic, width, height, maxval; '#' starts a comment
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw samples
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3)
+
+
+def resize_image(arr: object, out_h: int, out_w: int) -> object:
+    """Nearest-neighbor resize via numpy index maps — deterministic,
+    vectorized, no interpolation libs."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[rows][:, cols]
+
+
+def image_stats_features(media: DataFrame, *, grid: int = 2) -> DataFrame:
+    """REAL feature extraction for decodable payloads: per-channel mean
+    and population std plus a ``grid x grid`` downsampled luminance map
+    — 6 + grid² floats per image, computed from actual pixels via the
+    same Arrow-batched ``mapInPandas`` seam as the stubbed encoder.
+    Non-decodable payloads yield a null feature (kept, flagged) rather
+    than failing the batch — a 100 TB media crawl always contains
+    corrupt files, and one bad payload must not kill a 10 GB task."""
+    import numpy as np
+
+    dim = 6 + grid * grid
+    schema = "media_id long, kind string, feature array<float>, decoded boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, ok = [], []
+            for payload in pdf["payload"]:
+                try:
+                    arr = decode_image(bytes(payload)).astype(np.float64)
+                    means = arr.mean(axis=(0, 1)) / 255.0
+                    stds = arr.std(axis=(0, 1)) / 255.0
+                    lum = arr.mean(axis=2)
+                    cells = resize_image(
+                        lum[:, :, None], grid, grid
+                    ).reshape(grid * grid) / 255.0
+                    feats.append(
+                        [np.float32(x) for x in (*means, *stds, *cells)]
+                    )
+                    ok.append(True)
+                except (NotImplementedError, ValueError):
+                    feats.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "decoded": ok,
+                }
+            )
+
+    assert dim <= 64  # keep the Arrow batch row width bounded
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema)
 
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:

@@ -679,3 +679,47 @@ def test_cms_bounds_and_mergeability(spark):
     a = sorted(tuple(r) for r in merged.collect())
     b = sorted(tuple(r) for r in sketch.collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# real image decode path (PPM/P6 — pure numpy, no codec libs)
+# ---------------------------------------------------------------------------
+
+
+def _ppm(w, h, rgb):
+    """Binary PPM payload with constant color (r, g, b)."""
+    header = f"P6\n# test\n{w} {h}\n255\n".encode()
+    return header + bytes(rgb) * (w * h)
+
+
+def test_ppm_decode_resize_and_features(spark):
+    from nibbledb_spark.operators.multimodal import (
+        decode_image,
+        image_stats_features,
+        resize_image,
+    )
+
+    arr = decode_image(_ppm(4, 3, (10, 200, 30)))
+    assert arr.shape == (3, 4, 3)
+    assert arr[0, 0].tolist() == [10, 200, 30]
+    small = resize_image(arr, 2, 2)
+    assert small.shape == (2, 2, 3)
+    rows = [
+        (1, "image", bytearray(_ppm(8, 8, (255, 0, 0))), None),
+        (2, "image", bytearray(_ppm(4, 4, (0, 0, 0))), None),
+        (3, "image", bytearray(b"\x89PNG not decodable"), None),
+    ]
+    from nibbledb_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in image_stats_features(media).collect()}
+    f1 = out[1]["feature"]
+    assert out[1]["decoded"] and out[2]["decoded"]
+    # constant red image: means (1, 0, 0), stds 0, luminance cells 1/3
+    assert abs(f1[0] - 1.0) < 1e-6 and abs(f1[1]) < 1e-6 and abs(f1[2]) < 1e-6
+    assert all(abs(x) < 1e-6 for x in f1[3:6])
+    assert all(abs(c - (255 / 3) / 255) < 1e-6 for c in f1[6:])
+    # black image: all zeros
+    assert all(abs(x) < 1e-6 for x in out[2]["feature"])
+    # corrupt payload: kept, flagged, null feature — batch survives
+    assert out[3]["decoded"] is False and out[3]["feature"] is None
