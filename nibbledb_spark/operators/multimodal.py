@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -133,6 +134,83 @@ def image_stats_features(media: DataFrame, *, grid: int = 2) -> DataFrame:
             )
 
     assert dim <= 64  # keep the Arrow batch row width bounded
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema)
+
+
+def decode_audio(payload: bytes) -> tuple[object, int]:
+    """Decode a PCM WAV payload to (samples float64 in [-1, 1] shaped
+    (n, channels), sample_rate). REAL for 16-bit PCM RIFF/WAVE — header
+    walk over chunks, then ``frombuffer`` — no audio libraries.
+    Compressed codecs (mp3/aac/opus) raise at this seam."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("only RIFF/WAVE PCM decodes without codec libs")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM supported without codec libs")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    return samples.reshape(-1, channels), rate
+
+
+def audio_stats_features(media: DataFrame) -> DataFrame:
+    """REAL audio features from decoded PCM: per-payload RMS level,
+    peak, zero-crossing rate, duration seconds — the standard cheap
+    descriptors a media pipeline computes before any model runs. Same
+    corrupt-payload policy as :func:`image_stats_features`."""
+    import numpy as np
+
+    schema = (
+        "media_id long, kind string, rms double, peak double, "
+        "zero_cross_rate double, duration_s double, decoded boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("rms", "peak", "zcr", "dur", "ok")}
+            for payload in pdf["payload"]:
+                try:
+                    samples, rate = decode_audio(bytes(payload))
+                    mono = samples.mean(axis=1)
+                    out["rms"].append(float(np.sqrt((mono**2).mean())))
+                    out["peak"].append(float(np.abs(mono).max()))
+                    out["zcr"].append(
+                        float((np.diff(np.signbit(mono)) != 0).mean())
+                    )
+                    out["dur"].append(len(mono) / rate)
+                    out["ok"].append(True)
+                except (NotImplementedError, ValueError, struct_error):
+                    for k, v in (
+                        ("rms", None), ("peak", None), ("zcr", None), ("dur", None)
+                    ):
+                        out[k].append(v)
+                    out["ok"].append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "rms": out["rms"],
+                    "peak": out["peak"],
+                    "zero_cross_rate": out["zcr"],
+                    "duration_s": out["dur"],
+                    "decoded": out["ok"],
+                }
+            )
+
     return media.select("media_id", "kind", "payload").mapInPandas(run, schema)
 
 

@@ -723,3 +723,47 @@ def test_ppm_decode_resize_and_features(spark):
     assert all(abs(x) < 1e-6 for x in out[2]["feature"])
     # corrupt payload: kept, flagged, null feature — batch survives
     assert out[3]["decoded"] is False and out[3]["feature"] is None
+
+
+def _wav(freq_hz, rate=8000, seconds=0.5, amp=0.5, channels=1):
+    """16-bit PCM WAV with a pure sine tone."""
+    import math
+    import struct
+
+    n = int(rate * seconds)
+    samples = b"".join(
+        struct.pack(
+            "<" + "h" * channels,
+            *([int(amp * 32767 * math.sin(2 * math.pi * freq_hz * i / rate))] * channels),
+        )
+        for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decode_and_audio_features(spark):
+    from nibbledb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_stats_features,
+        decode_audio,
+    )
+
+    samples, rate = decode_audio(_wav(440))
+    assert rate == 8000 and samples.shape == (4000, 1)
+    assert abs(abs(samples).max() - 0.5) < 0.01
+    rows = [
+        (1, "audio", bytearray(_wav(440)), None),
+        (2, "audio", bytearray(_wav(40, amp=0.9)), None),
+        (3, "audio", bytearray(b"ID3 not a wav"), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in audio_stats_features(media).collect()}
+    # sine RMS = amp / sqrt(2); zcr scales with frequency
+    assert abs(out[1]["rms"] - 0.5 / 2**0.5) < 0.01
+    assert abs(out[2]["rms"] - 0.9 / 2**0.5) < 0.01
+    assert out[1]["zero_cross_rate"] > out[2]["zero_cross_rate"] * 5
+    assert abs(out[1]["duration_s"] - 0.5) < 1e-9
+    assert out[3]["decoded"] is False and out[3]["rms"] is None
