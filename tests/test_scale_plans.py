@@ -150,3 +150,36 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     # pruned read + residual filter stays correct
     got = zed.read(bounds=bounds).where("y BETWEEN 0 AND 31").count()
     assert got == 256 * 32
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Row-level runtime filtering (the non-partition-column sibling of
+    DPP): when a shuffle join's build side carries a selective filter,
+    Catalyst injects a bloom-filter semi-filter into the probe side's
+    scan, cutting shuffle volume before the join. Off at bench SF purely
+    by size thresholds (application side must be scan-heavy — correct:
+    the filter only pays for itself at scale); lowering the thresholds
+    proves the path works so a 100 TB deployment gets it for free."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+        # and the filter is transparent to results
+        n = joined.count()
+        for k, v in confs.items():
+            spark.conf.set(k, saved[k])
+        assert n == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
