@@ -2809,3 +2809,88 @@ def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pct_in_source", F.percent_rank().over(win))
         .orderBy("doc_id")
     )
+
+
+@declared(
+    "histogram_order_totals",
+    """
+SELECT LEAST(CAST(FLOOR(o_totalprice / 30000.0) AS INTEGER), 19) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 x 30k buckets, top
+    bucket open-ended) — one map-side-combined hash agg over a single
+    scan; the bucket expression is plain floor arithmetic so it runs
+    identically on both engines (DuckDB has no width_bucket)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(30000.0)).cast("int"), F.lit(19)
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@declared(
+    "corr_quantity_price",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx2,
+         CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT) * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy2
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (SQRT(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * SQRT(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_qty_price
+FROM s
+ORDER BY l_returnflag
+""",
+)
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per return flag WITHOUT the built-in corr():
+    the six sufficient statistics accumulate as exact BIGINT sums
+    (order-independent), and the r formula then runs the identical
+    IEEE expression tree on both engines — so a statistic that is
+    normally summation-order-noise hash-matches bit for bit. Quantity
+    is integral; price enters floored to whole units to keep the
+    squared sums inside int64 at scale. One map-side-combined hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice")).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(y * y).alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    r = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy)
+    )
+    return s.select("l_returnflag", "n", r.alias("corr_qty_price")).orderBy(
+        "l_returnflag"
+    )
