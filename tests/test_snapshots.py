@@ -292,3 +292,56 @@ def test_reference_surface_over_versioned_store(spark, fixture_points, engine):
     assert log.read(version=head).count() == len(
         [tuple(r) for r in fixture_points.collect()]
     )
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 9), st.integers(1, 20)),
+        st.tuples(st.just("delete_mod"), st.integers(2, 5), st.integers(0, 4)),
+        st.tuples(st.just("compact"), st.just(0), st.just(0)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_snapshot_log_model_property(spark, tmp_path_factory, ops):
+    """Model check: any append/delete/compact sequence leaves every
+    snapshot equal to replaying the same ops on a plain Python list —
+    and time travel reproduces each intermediate state exactly."""
+    root = str(tmp_path_factory.mktemp("prop") / "tbl")
+    log = SnapshotLog(spark, root, stats_cols=("id",), checkpoint_every=3)
+    model: list[int] = []
+    states: list[list[int]] = []
+    for kind, a, b in ops:
+        if kind == "append":
+            vals = list(range(a * 100, a * 100 + b))
+            log.append(spark.createDataFrame([(v,) for v in vals], "id long"))
+            model = model + vals
+        elif kind == "delete_mod":
+            if log.latest_version() is None:
+                continue
+            log.delete_where(f"id % {a} = {b % a}")
+            model = [v for v in model if v % a != b % a]
+        else:
+            if log.latest_version() is None:
+                continue
+            log.compact()
+        states.append(sorted(model))
+    if log.latest_version() is None:
+        return
+    assert sorted(r["id"] for r in log.read().collect()) == sorted(model)
+    # every recorded version must replay its own model state
+    versions = range(log.latest_version() + 1)
+    for v, want in zip(versions, states):
+        got = sorted(r["id"] for r in log.read(version=v).collect())
+        assert got == want, f"v{v}: {got[:5]}... != {want[:5]}..."
