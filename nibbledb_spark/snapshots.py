@@ -612,6 +612,50 @@ class SnapshotLog:
 
         return sink
 
+    def dedup_streaming_sink(self, key_expr: str):
+        """``foreachBatch`` handler for CONTINUOUS ingest with exact
+        dedup against everything already committed: each micro-batch
+        drops rows whose ``key_expr`` (a SQL expression, e.g.
+        ``md5(text)``) already exists in the table OR earlier in the
+        same batch, then commits the novel remainder atomically with the
+        exactly-once batch-id guard.
+
+        This is the streaming form of the crawl-dedup loop: the corpus
+        is its own seen-set. Here the seen keys come from re-reading the
+        table (correct at any scale, but a full key scan per batch); a
+        100 TB deployment keeps a compacted key-only sidecar table —
+        same join, scan bounded by the key table — which this API admits
+        by construction since the key projection IS that sidecar.
+        """
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            last = self.last_stream_batch_id()
+            if last is not None and batch_id <= last:
+                return
+            from pyspark.sql import Window
+
+            batch = batch_df.withColumn("__k", F.expr(key_expr))
+            # first occurrence wins within the batch (deterministic by
+            # full row sort under the key window)
+            order = [F.col(c) for c in batch_df.columns]
+            first = (
+                batch.withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy("__k").orderBy(*order)
+                    ),
+                )
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            if self.latest_version() is not None:
+                seen = self.read().withColumn("__k", F.expr(key_expr)).select("__k")
+                first = first.join(seen, "__k", "left_anti")
+            novel = first.drop("__k")
+            self.append(novel, meta={"stream_batch_id": int(batch_id)})
+
+        return sink
+
     def inserts_between(self, from_version: int, to_version: int) -> DataFrame:
         """Rows ADDED by commits in ``(from_version, to_version]`` — the
         insert-level change feed a downstream incremental consumer tails

@@ -345,3 +345,26 @@ def test_snapshot_log_model_property(spark, tmp_path_factory, ops):
     for v, want in zip(versions, states):
         got = sorted(r["id"] for r in log.read(version=v).collect())
         assert got == want, f"v{v}: {got[:5]}... != {want[:5]}..."
+
+
+def test_dedup_streaming_sink_converges_to_batch_dedup(spark, log):
+    """Continuous dedup ingest: feeding overlapping batches through the
+    dedup sink leaves exactly the batch-dedup result (one winner per
+    key), regardless of how the rows were split across batches — and a
+    replayed batch commits nothing."""
+    sink = log.dedup_streaming_sink("CAST(id % 10 AS STRING)")
+    b1 = spark.createDataFrame([(i,) for i in range(0, 15)], "id long")
+    b2 = spark.createDataFrame([(i,) for i in range(5, 30)], "id long")
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # crash-replay of batch 1: must be a no-op
+    got = sorted(r["id"] for r in log.read().collect())
+    # one winner per key id%10: first occurrence by row order = 0..9
+    assert got == list(range(10))
+    assert log.latest_version() == 1  # two commits, no third
+    # a batch with only duplicate keys still commits (empty add) and
+    # advances the batch-id watermark
+    b3 = spark.createDataFrame([(100,)], "id long")  # key '0' already seen
+    sink(b3, 2)
+    assert sorted(r["id"] for r in log.read().collect()) == list(range(10))
+    assert log.last_stream_batch_id() == 2
