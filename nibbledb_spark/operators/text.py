@@ -177,6 +177,47 @@ def chunk_documents(
     )
 
 
+def chunk_documents_overlap(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 48,
+    stride: int = 16,
+) -> DataFrame:
+    """Sliding-window chunking with overlap (chunk ``c`` covers token
+    positions ``[c*stride, c*stride + max_tokens)``) — the RAG/retrieval
+    chunking shape, where overlap preserves cross-boundary context.
+
+    Row-oriented like :func:`chunk_documents`: each token explodes into
+    the (at most ``ceil(max_tokens/stride)``) chunks containing it via
+    ``sequence(c_min, c_max)``, then one hash aggregate per (id, chunk).
+    Duplication factor is the overlap ratio — bounded and paid on the
+    shuffle, never quadratic."""
+    if not 0 < stride <= max_tokens:
+        raise ValueError("need 0 < stride <= max_tokens")
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    c_min = F.greatest(
+        F.lit(0),
+        F.ceil((F.col("pos") - F.lit(max_tokens - 1)) / F.lit(float(stride))),
+    ).cast("long")
+    c_max = F.floor(F.col("pos") / F.lit(stride)).cast("long")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+    )
+    return (
+        toks.withColumn("chunk_id", F.explode(F.sequence(c_min, c_max)))
+        .groupBy(id_col, "chunk_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.concat_ws(" ", ordered).alias("chunk_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing (regex redaction — a row-local map, embarrassingly parallel)
 # ---------------------------------------------------------------------------

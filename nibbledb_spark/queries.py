@@ -2894,3 +2894,36 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("l_returnflag", "n", r.alias("corr_qty_price")).orderBy(
         "l_returnflag"
     )
+
+
+@declared(
+    "chunk_overlap_48_16",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id < 200),
+tok AS (
+  SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) - 1 AS pos FROM t
+),
+x AS (
+  SELECT doc_id, tok, pos,
+         unnest(range(GREATEST(0, CAST(CEIL((pos - 47) / 16.0) AS BIGINT)),
+                      pos // 16 + 1)) AS chunk_id
+  FROM tok
+)
+SELECT doc_id, chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+FROM x
+GROUP BY doc_id, chunk_id
+ORDER BY doc_id, chunk_id
+""",
+)
+def chunk_overlap_48_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking, 48-token windows every 16 tokens (3x
+    overlap) — the retrieval/RAG chunk shape. See
+    operators/text.py chunk_documents_overlap for the scale notes."""
+    from nibbledb_spark.operators.text import chunk_documents_overlap
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return chunk_documents_overlap(docs, max_tokens=48, stride=16).orderBy(
+        "doc_id", "chunk_id"
+    )
