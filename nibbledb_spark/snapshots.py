@@ -202,7 +202,10 @@ class SnapshotLog:
         if version % self.checkpoint_every != 0 or version == 0:
             return
         files, schema_json = self._resolve(version)
-        with open(self._log_path(_ckpt_name(version)), "w") as f:
+        # tmp + rename: a checkpoint is pure derived data, but a torn
+        # half-written one would poison every later snapshot resolution
+        tmp = self._log_path(f".ckpt-tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
             json.dump(
                 {
                     "version": version,
@@ -211,6 +214,9 @@ class SnapshotLog:
                 },
                 f,
             )
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._log_path(_ckpt_name(version)))
 
     def _latest_checkpoint_at_or_before(self, version: int) -> int | None:
         best = None
@@ -487,24 +493,37 @@ class SnapshotLog:
             retry_append=False,
         )
 
-    def vacuum(self, retain_versions: int = 5) -> list[str]:
+    def vacuum(self, retain_versions: int = 5, min_age_s: float = 3600.0) -> list[str]:
         """Physically delete data files unreferenced by the newest
         ``retain_versions`` snapshots (older time-travel beyond that
-        horizon is forfeited — same contract as ``delta VACUUM``)."""
+        horizon is forfeited — same contract as ``delta VACUUM``).
+
+        ``min_age_s`` protects in-flight writers: a concurrent commit
+        writes its data files BEFORE publishing its log entry, so a
+        zero-grace vacuum could delete files a commit is about to
+        reference. Files younger than the grace window are never
+        touched (Delta's retention-hours guard, same reasoning).
+        """
         head = self.latest_version()
         if head is None:
             return []
         keep: set[str] = set()
         for v in range(max(0, head - retain_versions + 1), head + 1):
             keep.update(fe.path for fe in self._resolve(v)[0])
+        now = time.time()
         removed = []
         data_root = os.path.join(self.root, _DATA_DIR)
         for sub in os.listdir(data_root):
             subdir = os.path.join(data_root, sub)
             for name in os.listdir(subdir):
                 rel = os.path.join(_DATA_DIR, sub, name)
-                if name.endswith(".parquet") and rel not in keep:
-                    os.unlink(os.path.join(self.root, rel))
+                full = os.path.join(self.root, rel)
+                if (
+                    name.endswith(".parquet")
+                    and rel not in keep
+                    and now - os.path.getmtime(full) >= min_age_s
+                ):
+                    os.unlink(full)
                     removed.append(rel)
             if not os.listdir(subdir):
                 shutil.rmtree(subdir, ignore_errors=True)

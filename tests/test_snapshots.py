@@ -139,11 +139,21 @@ def test_vacuum_respects_retention(spark, log):
     log.append(_df(spark, 0, 50))
     log.append(_df(spark, 50, 100))
     log.compact()  # v2; v0/v1 file sets now unreferenced by head
-    removed = log.vacuum(retain_versions=1)
+    removed = log.vacuum(retain_versions=1, min_age_s=0)
     assert removed, "pre-compaction files should be reclaimed"
     assert log.read().count() == 100  # head unaffected
     with pytest.raises(Exception):
         log.read(version=0).collect()  # beyond retention: files gone
+
+
+def test_vacuum_grace_window_protects_inflight_files(spark, log):
+    """Freshly-written files are never vacuumed (default 1h grace): a
+    concurrent commit writes data BEFORE publishing its log entry, so a
+    zero-grace vacuum could eat a commit in flight."""
+    log.append(_df(spark, 0, 50))
+    log.compact()  # v1: v0's files now unreferenced by head
+    assert log.vacuum(retain_versions=1) == []  # all files too young
+    assert log.read(version=0).count() == 50  # time travel intact
 
 
 def test_failed_write_leaves_no_visible_garbage(spark, log, monkeypatch):
