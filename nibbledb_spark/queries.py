@@ -2927,3 +2927,147 @@ def chunk_overlap_48_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents_overlap(docs, max_tokens=48, stride=16).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+@declared(
+    "embed_cosine_topk_filtered",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+      WHERE label BETWEEN 2 AND 5),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv')} / (SQRT({_dot_sql('qv', 'qv')}) * SQRT({_dot_sql('cv', 'cv')})) AS cos_sim
+  FROM c, q WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+""",
+)
+def embed_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-k cosine restricted to a metadata
+    predicate on the corpus side (label in [2, 5]). Pre-filtering is
+    the Spark-native plan — the predicate pushes to the corpus scan,
+    THEN the broadcast sweep scores survivors only; no post-filtering
+    a larger k and hoping enough rows remain."""
+    from nibbledb_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        e.where(F.col("label").between(2, 5)), e.where(F.col("vec_id") < 5), 3
+    )
+
+
+_RRF_K = 60
+_HYBRID_QTOKS = ("join", "sort", "merge")
+
+
+@declared(
+    "hybrid_retrieval_rrf",
+    f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok WHERE tok <> '' GROUP BY doc_id, tok),
+dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+lex AS (
+  SELECT tf.doc_id, CAST(SUM((tf.tf * 1000000) // dfq.df) AS BIGINT) AS lex_score
+  FROM tf JOIN dfq USING (tok)
+  WHERE tok IN {_HYBRID_QTOKS!r}
+  GROUP BY tf.doc_id
+),
+lexr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id ASC) AS lex_rank
+  FROM lex
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         {_dot_sql('e.embedding', 'qv.v')}
+           / (SQRT({_dot_sql('e.embedding', 'e.embedding')}) * SQRT({_dot_sql('qv.v', 'qv.v')})) AS cos_sim
+  FROM embeddings e, qv WHERE e.vec_id <> 0
+),
+vecr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS vec_rank
+  FROM vec
+),
+fused AS (
+  SELECT COALESCE(lexr.doc_id, vecr.doc_id) AS doc_id,
+         COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + vec_rank), 0.0) AS rrf
+  FROM lexr FULL OUTER JOIN vecr ON lexr.doc_id = vecr.doc_id
+)
+SELECT doc_id, rrf,
+       ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+FROM fused
+ORDER BY rrf DESC, doc_id ASC LIMIT 10
+""",
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a lexical leg
+    (integer-exact tf-idf over the query tokens) and a vector leg
+    (exact cosine to a fixed query embedding), fused as
+    1/(60+rank_lex) + 1/(60+rank_vec) — rank-based fusion needs no
+    score calibration between legs, and the reciprocal terms are
+    single-op doubles so the fused score hash-matches. Both legs are
+    independent single-pass plans; the fusion join is on doc id.
+
+    Scale note: the global rank windows are single-partition by
+    construction (WindowExec warning is expected). The lexical leg is
+    already tiny (only docs containing a query token); at corpus scale
+    the vector leg pre-trims with TakeOrdered (orderBy().limit(N),
+    N >> k) before ranking, so the global window only ever sees N rows.
+    The declared query ranks the full legs because the oracle defines
+    RRF over the complete ranking."""
+    from nibbledb_spark.operators.similarity import cosine
+
+    docs = _t(spark, sf_dir, "documents")
+    from nibbledb_spark.operators.text import tokens
+
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    lex = (
+        tf.where(F.col("tok").isin(*_HYBRID_QTOKS))
+        .join(F.broadcast(dfq), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("(tf * 1000000) div df")).cast("long").alias("lex_score"))
+    )
+    wl = Window.orderBy(F.col("lex_score").desc(), F.col("doc_id").asc())
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    vec = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    wv = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    vecr = vec.select("doc_id", F.row_number().over(wv).alias("vec_rank"))
+
+    inv = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(_RRF_K) + r), F.lit(0.0)
+    )
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        (inv(F.col("lex_rank")) + inv(F.col("vec_rank"))).alias("rrf"),
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
