@@ -109,6 +109,11 @@ def image_stats_features(media: DataFrame, *, grid: int = 2) -> DataFrame:
         for pdf in batches:
             feats, ok = [], []
             for payload in pdf["payload"]:
+                # compute FULLY before appending: a partial append on a
+                # late exception would misalign the column lists and
+                # fail the whole Arrow batch. TypeError covers NULL
+                # payloads (bytes(None)); Zero/IndexError cover
+                # degenerate-but-parseable headers.
                 try:
                     arr = decode_image(bytes(payload)).astype(np.float64)
                     means = arr.mean(axis=(0, 1)) / 255.0
@@ -117,13 +122,19 @@ def image_stats_features(media: DataFrame, *, grid: int = 2) -> DataFrame:
                     cells = resize_image(
                         lum[:, :, None], grid, grid
                     ).reshape(grid * grid) / 255.0
-                    feats.append(
-                        [np.float32(x) for x in (*means, *stds, *cells)]
-                    )
-                    ok.append(True)
-                except (NotImplementedError, ValueError):
+                    feature = [np.float32(x) for x in (*means, *stds, *cells)]
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    TypeError,
+                    ZeroDivisionError,
+                    IndexError,
+                ):
                     feats.append(None)
                     ok.append(False)
+                else:
+                    feats.append(feature)
+                    ok.append(True)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -183,22 +194,35 @@ def audio_stats_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("rms", "peak", "zcr", "dur", "ok")}
             for payload in pdf["payload"]:
+                # compute ALL values before appending any: a payload
+                # that decodes but then fails (empty data chunk -> max()
+                # on empty, rate 0 -> ZeroDivisionError) must not leave
+                # half-appended columns, which would misalign the Arrow
+                # batch. TypeError covers NULL payloads.
                 try:
                     samples, rate = decode_audio(bytes(payload))
                     mono = samples.mean(axis=1)
-                    out["rms"].append(float(np.sqrt((mono**2).mean())))
-                    out["peak"].append(float(np.abs(mono).max()))
-                    out["zcr"].append(
-                        float((np.diff(np.signbit(mono)) != 0).mean())
+                    if len(mono) == 0 or rate <= 0:
+                        raise ValueError("empty or rate-less audio")
+                    vals = (
+                        float(np.sqrt((mono**2).mean())),
+                        float(np.abs(mono).max()),
+                        float((np.diff(np.signbit(mono)) != 0).mean()),
+                        len(mono) / rate,
                     )
-                    out["dur"].append(len(mono) / rate)
-                    out["ok"].append(True)
-                except (NotImplementedError, ValueError, struct_error):
-                    for k, v in (
-                        ("rms", None), ("peak", None), ("zcr", None), ("dur", None)
-                    ):
-                        out[k].append(v)
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    TypeError,
+                    ZeroDivisionError,
+                    struct_error,
+                ):
+                    vals = (None, None, None, None)
                     out["ok"].append(False)
+                else:
+                    out["ok"].append(True)
+                for k, v in zip(("rms", "peak", "zcr", "dur"), vals):
+                    out[k].append(v)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

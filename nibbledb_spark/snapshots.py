@@ -369,10 +369,13 @@ class SnapshotLog:
         )
 
     def delete_where(self, predicate: str) -> int:
-        """Delete rows matching the SQL ``predicate``, rewriting ONLY the
-        files that contain matches (stats-pruned, then probed); untouched
-        files stay referenced as-is — at scale a predicate delete must
-        not rewrite 100 TB to remove 1 GB."""
+        """Delete rows where the SQL ``predicate`` is TRUE (NULL keeps
+        the row, standard SQL DELETE semantics), rewriting ONLY the
+        files probed to contain matches; untouched files stay referenced
+        as-is — at scale a predicate delete must not rewrite 100 TB to
+        remove 1 GB. (The probe scans the live files' predicate columns;
+        callers with range predicates can pre-restrict via
+        ``files(bounds=...)`` stats, which the probe does not consult.)"""
         head = self.latest_version()
         if head is None:
             raise ValueError("empty table")
@@ -399,9 +402,13 @@ class SnapshotLog:
                 {"predicate": predicate, "rewritten_files": 0},
                 expected_version=head + 1, retry_append=False,
             )
+        # keep = rows where the predicate is NOT TRUE. A bare
+        # NOT(pred) evaluates to NULL (not true) for NULL-valued rows
+        # and would silently drop them — but only in rewritten files,
+        # i.e. layout-dependent data loss. SQL DELETE removes TRUE only.
         keep = self.spark.read.parquet(
             *[os.path.join(self.root, p) for p in sorted(hit)]
-        ).where(f"NOT ({predicate})")
+        ).where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
         add = self._write_files(keep)
         return self._commit(
             "delete",
@@ -424,12 +431,31 @@ class SnapshotLog:
         table; a 100 TB table takes a CDC batch by rewriting the touched
         GBs, not the table). Unmatched files stay referenced as-is.
         """
+        counts = updates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(c) for c in key_cols]).alias("d"),
+        ).collect()[0]
+        if counts["n"] != counts["d"]:
+            # same contract as Delta MERGE's multiple-source-matches
+            # error: two updates for one key have no defined winner here
+            raise ValueError(
+                f"merge update set has duplicate keys on {key_cols} "
+                f"({counts['n']} rows, {counts['d']} distinct keys)"
+            )
         head = self.latest_version()
         if head is None:
             return self.append(updates)
         files, schema_json = self._resolve(head)
         paths = [os.path.join(self.root, fe.path) for fe in files]
         live = self.spark.read.parquet(*paths)
+        if set(updates.columns) != set(live.columns):
+            # silently dropping/backfilling columns on the rewritten
+            # survivors would corrupt them; schema evolution is an
+            # explicit overwrite, not a merge side effect
+            raise ValueError(
+                f"merge schema mismatch: updates {sorted(updates.columns)} "
+                f"vs table {sorted(live.columns)}"
+            )
         keys = updates.select(*key_cols).dropDuplicates()
         # Anchor input_file_name() to the live scan BEFORE the join: after
         # a join of two file sources the expression is ambiguous and Spark
@@ -525,8 +551,17 @@ class SnapshotLog:
                 ):
                     os.unlink(full)
                     removed.append(rel)
-            if not os.listdir(subdir):
-                shutil.rmtree(subdir, ignore_errors=True)
+            # a batch dir whose parquet files are all reclaimed holds only
+            # Spark sidecars (_SUCCESS, .crc) — without this sweep, empty
+            # batch dirs accumulate forever on a long-lived table
+            leftover = os.listdir(subdir)
+            if not any(n.endswith(".parquet") for n in leftover) and all(
+                n == "_SUCCESS" or n.endswith(".crc") for n in leftover
+            ):
+                if not leftover or (
+                    now - os.path.getmtime(subdir) >= min_age_s
+                ):
+                    shutil.rmtree(subdir, ignore_errors=True)
         self._commit(
             "vacuum", [], [], None,
             {"removed": len(removed), "retain_versions": retain_versions},
@@ -548,18 +583,11 @@ class SnapshotLog:
             raise ValueError(f"no snapshot at or before ts_us={ts_us}")
         return best
 
-    def files(
-        self, version: int | None = None, bounds: dict | None = None
-    ) -> list[FileEntry]:
-        """Live files at ``version`` (default head), optionally pruned by
-        ``bounds`` = {col: (lo, hi)} against the recorded per-file stats
-        (interval-overlap test, src/index.re:92-105 semantics). Files
-        with no recorded stats for a bounded column are kept (safe)."""
-        head = self.latest_version()
-        if head is None:
-            return []
-        v = head if version is None else version
-        files, _ = self._resolve(v)
+    @staticmethod
+    def _prune(files: list[FileEntry], bounds: dict | None) -> list[FileEntry]:
+        """Stats-based file pruning: interval-overlap test per bounded
+        column (src/index.re:92-105 semantics). Files with no recorded
+        stats for a bounded column are kept (safe)."""
         if not bounds:
             return files
         out = []
@@ -578,6 +606,18 @@ class SnapshotLog:
             if keep:
                 out.append(fe)
         return out
+
+    def files(
+        self, version: int | None = None, bounds: dict | None = None
+    ) -> list[FileEntry]:
+        """Live files at ``version`` (default head), optionally pruned by
+        ``bounds`` = {col: (lo, hi)} against the recorded per-file stats."""
+        head = self.latest_version()
+        if head is None:
+            return []
+        v = head if version is None else version
+        files, _ = self._resolve(v)
+        return self._prune(files, bounds)
 
     def read(
         self,
@@ -598,7 +638,7 @@ class SnapshotLog:
         if not 0 <= v <= head:
             raise ValueError(f"version {v} out of range 0..{head}")
         files, schema_json = self._resolve(v)
-        files = self.files(v, bounds) if bounds else files
+        files = self._prune(files, bounds)
         if not files:
             schema = (
                 T.StructType.fromJson(json.loads(schema_json))

@@ -801,3 +801,37 @@ def test_ivf_index_incremental_add(spark, tmp_path):
     assert got == want
     # added vectors are actually reachable (some neighbor from the new half)
     assert any(nid >= 400 for (_, _, nid) in got) or len(got) == 25
+
+
+def test_media_features_survive_null_and_degenerate_payloads(spark):
+    """Corrupt-payload policy under the nasty cases: NULL payload,
+    empty-data WAV, zero-rate WAV — flagged rows, not failed batches."""
+    import struct
+
+    from nibbledb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_stats_features,
+        image_stats_features,
+    )
+
+    def wav_raw(rate, data):
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        c = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        c += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(c)) + b"WAVE" + c
+
+    rows = [
+        (1, "audio", None, None),  # NULL payload
+        (2, "audio", bytearray(wav_raw(8000, b"")), None),  # empty data
+        (3, "audio", bytearray(wav_raw(0, b"\x00\x01" * 8)), None),  # rate 0
+        (4, "audio", bytearray(_wav(440)), None),  # one good row
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in audio_stats_features(media).collect()}
+    assert [out[i]["decoded"] for i in (1, 2, 3, 4)] == [False, False, False, True]
+    img = spark.createDataFrame(
+        [(1, "image", None, None), (2, "image", bytearray(_ppm(2, 2, (9, 9, 9))), None)],
+        MEDIA_SCHEMA,
+    )
+    iout = {r["media_id"]: r for r in image_stats_features(img).collect()}
+    assert iout[1]["decoded"] is False and iout[2]["decoded"] is True

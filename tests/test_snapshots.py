@@ -378,3 +378,27 @@ def test_dedup_streaming_sink_converges_to_batch_dedup(spark, log):
     sink(b3, 2)
     assert sorted(r["id"] for r in log.read().collect()) == list(range(10))
     assert log.last_stream_batch_id() == 2
+
+
+def test_delete_where_null_predicate_keeps_null_rows(spark, log):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    are KEPT. A bare NOT(pred) rewrite would drop them from rewritten
+    files only — layout-dependent silent data loss."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "x"), (4, None)], "id long, s string"
+    )
+    log.append(df)
+    log.delete_where("s = 'x'")
+    got = sorted((r["id"], r["s"]) for r in log.read().collect())
+    assert got == [(1, "a"), (2, None), (4, None)]
+
+
+def test_merge_rejects_duplicate_keys_and_schema_drift(spark, log):
+    log.append(_df(spark, 0, 10))
+    dup = spark.createDataFrame([(1, 10), (1, 20)], "id long, v long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        log.merge(dup, ["id"])
+    skinny = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        log.merge(skinny, ["id"])
+    assert log.latest_version() == 0  # nothing committed by either
