@@ -25,26 +25,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's correctness harness evaluates queries in registry order and
 # has a fixed per-round budget (it ran exactly the first 50 in rounds 1-2).
 # Rotate: names NOT yet driver-verified go first so the cross-round union
-# covers the whole registry.  CORRECTNESS_r02.json verified these 50:
+# covers the whole registry. This list is GENERATED — refresh each round:
+#   python tools/update_rotation.py CORRECTNESS_r*.json
 _DRIVER_VERIFIED = [
-    "ts_last_n", "ts_first_n", "ts_latest", "ts_since", "ts_range",
-    "ts_tag_equals", "ts_tag_contains", "ts_tag_compound_or", "ts_agg_exact",
-    "ts_agg_float", "ts_filtered_agg", "ts_length", "ts_names", "ts_delta",
-    "ts_quantiles", "ts_quantiles_approx", "interval_overlap_series_days",
-    "ts_resample_linear", "ts_resample_locf", "q1_pricing_summary",
-    "join_orders_customer", "join_anti_customers_without_orders",
-    "top10_orders", "window_top3_per_customer", "window_order_gap_days",
-    "date_trunc_monthly_orders", "distinct_mktsegments", "scan_checksum",
-    "join_lineitem_orders_smj", "join_lineitem_part_broadcast",
-    "join_salted_orders_customer", "join_theta_nation_region",
-    "join_outer_order_histogram", "join_full_outer_key_coverage",
-    "join_semi_customers_with_orders", "range_join_shipped_90d",
-    "asof_last_purchase_before_click", "asof_next_purchase_after_click",
-    "rollup_customers_region_nation", "cube_orders_status_priority",
-    "grouping_sets_revenue", "count_distinct_customers",
-    "approx_distinct_parts", "moving_avg_7d", "setop_intersect",
-    "setop_except", "string_funcs_part", "math_funcs_lineitem",
-    "json_map_events", "pivot_events_weekday",
+    "ts_last_n",
+    "ts_first_n",
+    "ts_latest",
+    "ts_since",
+    "ts_range",
+    "ts_tag_equals",
+    "ts_tag_contains",
+    "ts_tag_compound_or",
+    "ts_agg_exact",
+    "ts_agg_float",
+    "ts_filtered_agg",
+    "ts_length",
+    "ts_names",
+    "ts_delta",
+    "ts_quantiles",
+    "ts_quantiles_approx",
+    "interval_overlap_series_days",
+    "ts_resample_linear",
+    "ts_resample_locf",
+    "q1_pricing_summary",
+    "join_orders_customer",
+    "join_anti_customers_without_orders",
+    "top10_orders",
+    "window_top3_per_customer",
+    "window_order_gap_days",
+    "date_trunc_monthly_orders",
+    "distinct_mktsegments",
+    "scan_checksum",
+    "join_lineitem_orders_smj",
+    "join_lineitem_part_broadcast",
+    "join_salted_orders_customer",
+    "join_theta_nation_region",
+    "join_outer_order_histogram",
+    "join_full_outer_key_coverage",
+    "join_semi_customers_with_orders",
+    "range_join_shipped_90d",
+    "asof_last_purchase_before_click",
+    "asof_next_purchase_after_click",
+    "rollup_customers_region_nation",
+    "cube_orders_status_priority",
+    "grouping_sets_revenue",
+    "count_distinct_customers",
+    "approx_distinct_parts",
+    "moving_avg_7d",
+    "setop_intersect",
+    "setop_except",
+    "string_funcs_part",
+    "math_funcs_lineitem",
+    "json_map_events",
+    "pivot_events_weekday",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
 ]
 
 

@@ -1,0 +1,64 @@
+"""Regenerate the driver-verification rotation list in __spark_entry__.py.
+
+The driver's correctness harness runs exactly the first 50 registry
+entries per round; ``__spark_entry__.queries()`` sorts already-verified
+names to the back so the cross-round union covers the whole registry.
+Run this at the START of each round with every CORRECTNESS_r*.json
+present:
+
+    python tools/update_rotation.py CORRECTNESS_r*.json
+
+A query counts as driver-verified when its record shows hash_match true,
+or it is an APPROX rows-only entry (err == "no_oracle") that executed.
+Names no longer in the registry are dropped silently.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+ENTRY = "/root/repo/__spark_entry__.py"
+
+
+def verified_names(paths: list[str]) -> list[str]:
+    from nibbledb_spark.queries import QUERIES
+
+    seen: set[str] = set()
+    for path in paths:
+        with open(path) as f:
+            data = json.load(f)
+        for name, rec in data.items():
+            if rec.get("hash_match") is True or (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            ):
+                seen.add(name)
+    # registry order, registry members only
+    return [n for n in QUERIES if n in seen]
+
+
+def main() -> int:
+    paths = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if not paths:
+        print(__doc__)
+        return 2
+    names = verified_names(paths)
+    body = "\n".join(f'    "{n}",' for n in names)
+    new_block = f"_DRIVER_VERIFIED = [\n{body}\n]"
+    src = open(ENTRY).read()
+    out, n = re.subn(
+        r"_DRIVER_VERIFIED = \[.*?\]", new_block, src, count=1, flags=re.S
+    )
+    if n != 1:
+        print("ERROR: _DRIVER_VERIFIED block not found in __spark_entry__.py")
+        return 1
+    open(ENTRY, "w").write(out)
+    print(f"rotation updated: {len(names)} verified names moved to the back")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
