@@ -695,8 +695,12 @@ class SnapshotLog:
 
             batch = batch_df.withColumn("__k", F.expr(key_expr))
             # first occurrence wins within the batch (deterministic by
-            # full row sort under the key window)
-            order = [F.col(c) for c in batch_df.columns]
+            # full row sort under the key window); MAP columns are not
+            # orderable, so they enter the sort as their JSON rendering
+            order = [
+                F.to_json(F.col(c)) if t.startswith("map<") else F.col(c)
+                for c, t in batch_df.dtypes
+            ]
             first = (
                 batch.withColumn(
                     "__rn",

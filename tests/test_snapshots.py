@@ -402,3 +402,32 @@ def test_merge_rejects_duplicate_keys_and_schema_drift(spark, log):
     with pytest.raises(ValueError, match="schema mismatch"):
         log.merge(skinny, ["id"])
     assert log.latest_version() == 0  # nothing committed by either
+
+
+def test_dedup_sink_true_streaming(spark, log, tmp_path):
+    """dedup_streaming_sink under a real readStream: replaying the
+    events file yields one point per exact-dup key, equal to batch
+    dropDuplicates over the same mapping."""
+    import tempfile
+
+    from nibbledb_spark.sources.registry import points_from_events
+    from nibbledb_spark.streaming.ingest import EVENTS_SCHEMA, events_to_points
+
+    sf = "/root/testdata/sf0.001"
+    stream = events_to_points(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf)
+    )
+    key = "concat_ws('|', series, CAST(ts AS STRING), CAST(value AS STRING))"
+    q = (
+        stream.writeStream.foreachBatch(log.dedup_streaming_sink(key))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dedupsink_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch = points_from_events(spark, sf, cached=False)
+    want = batch.dropDuplicates(["series", "ts", "value"]).count()
+    assert log.read().count() == want
