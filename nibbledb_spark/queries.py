@@ -2628,7 +2628,7 @@ SELECT CAST(1 AS INTEGER), COUNT(*), {_ssum_sql('o_totalprice', 2)}
 FROM orders
 UNION ALL
 SELECT CAST(2 AS INTEGER), COUNT(*), {_ssum_sql('o_totalprice', 2)}
-FROM orders WHERE NOT (o_orderstatus = 'F')
+FROM orders WHERE NOT (o_orderstatus = 'F') OR (o_orderstatus = 'F') IS NULL
 ORDER BY version
 """,
 )
