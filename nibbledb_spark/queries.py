@@ -3071,3 +3071,75 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+@declared(
+    "setop_except_all",
+    """
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey AS k FROM orders
+  EXCEPT ALL
+  SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+)
+GROUP BY k
+ORDER BY k
+""",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference, multiplicity-preserving): each order
+    row survives unless cancelled by one matching customer-key row —
+    the multiset semantics EXCEPT's set semantics cannot express.
+    Aggregated per key so the result is order-insensitive."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    return (
+        o.exceptAll(c)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k")
+    )
+
+
+@declared(
+    "rollup_grouping_id",
+    """
+SELECT
+  CASE WHEN GROUPING(o_orderstatus) = 1 THEN NULL ELSE o_orderstatus END AS status,
+  CASE WHEN GROUPING(o_orderpriority) = 1 THEN NULL ELSE o_orderpriority END AS priority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, status, priority
+""",
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() disambiguation: gid distinguishes a real
+    NULL group value from a rolled-up aggregation level — the standard
+    way consumers tell subtotal rows apart. (Spark's grouping_id() bit
+    order matches GROUPING(a)*2 + GROUPING(b); the oracle spells the
+    bits out so both engines compute the identical integer.)"""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.when(F.expr("(gid div 2) % 2 = 1"), F.lit(None)).otherwise(
+                F.col("o_orderstatus")
+            ).alias("status"),
+            F.when(F.expr("gid % 2 = 1"), F.lit(None)).otherwise(
+                F.col("o_orderpriority")
+            ).alias("priority"),
+            "gid",
+            "n",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+    return out
