@@ -3143,3 +3143,35 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("gid", "status", "priority")
     )
     return out
+
+
+@declared(
+    "stringagg_mktsegment_nations",
+    """
+SELECT c_mktsegment,
+       string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ','
+                  ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def stringagg_mktsegment_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation with deterministic ordering: the distinct
+    nation keys per market segment as one sorted comma-joined string.
+    collect_set order is shuffle-dependent, so the set is array_sort'ed
+    before joining — the only way a string agg can hash-match (and the
+    right habit anywhere its output is compared or diffed)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("c_nationkey").cast("string"))),
+                ",",
+            ).alias("nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
