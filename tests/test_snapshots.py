@@ -431,3 +431,62 @@ def test_dedup_sink_true_streaming(spark, log, tmp_path):
     batch = points_from_events(spark, sf, cached=False)
     want = batch.dropDuplicates(["series", "ts", "value"]).count()
     assert log.read().count() == want
+
+
+def test_delete_and_merge_on_root_with_space(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI; a table root with
+    a space must still match files during delete/merge probing (round-3
+    advice: un-decoded matching made every probe miss — delete committed
+    rewritten_files=0 with matching rows remaining, merge duplicated
+    keys)."""
+    root = str(tmp_path / "dir with space" / "tbl")
+    log = SnapshotLog(spark, root, checkpoint_every=4)
+    log.append(_df(spark, 0, 50))
+    log.delete_where("id >= 40")
+    assert log.read().count() == 40
+    assert log.history()[0]["meta"]["rewritten_files"] >= 1
+    log.merge(spark.range(35, 45).selectExpr("id", "id * 100 AS v"), ["id"])
+    out = {r["id"]: r["v"] for r in log.read().collect()}
+    assert len(out) == 45  # 0..39 survivors ∪ 35..44 upserts, no dup keys
+    assert out[38] == 3800 and out[42] == 4200 and out[10] == 20
+
+
+def test_append_rejects_schema_drift(spark, log):
+    """append() guards schema like merge(): a frame with different
+    columns must raise, not silently mix schemas in the live set."""
+    log.append(_df(spark, 0, 10))
+    bad = spark.range(0, 5).selectExpr("id", "id AS other")
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        log.append(bad)
+    assert log.read().columns == ["id", "v"]
+    log.append(_df(spark, 10, 20))  # same schema still fine
+    assert log.read().count() == 20
+
+
+def test_merge_rejects_null_keys(spark, log):
+    """NULL-keyed update rows get a clear error (they can never match via
+    the semi/anti joins), not a bogus duplicate-keys message."""
+    log.append(_df(spark, 0, 10))
+    upd = spark.sql("SELECT CAST(NULL AS BIGINT) AS id, CAST(1 AS BIGINT) AS v")
+    with pytest.raises(ValueError, match="NULL in key columns"):
+        log.merge(upd, ["id"])
+
+
+def test_streaming_sink_per_stream_batch_ids(spark, log):
+    """Two independent streaming queries sinking into one table keep
+    separate exactly-once watermarks: stream B's batch 0 commits even
+    after stream A committed batch 5, and each stream still skips its
+    own replays (round-3 advice)."""
+    sink_a = log.streaming_sink(stream_id="a")
+    sink_b = log.streaming_sink(stream_id="b")
+    sink_a(_df(spark, 0, 5), 5)
+    assert log.read().count() == 5
+    sink_b(_df(spark, 5, 8), 0)  # would be dropped under a global marker
+    assert log.read().count() == 8
+    sink_a(_df(spark, 0, 5), 5)  # stream A replay: skipped
+    assert log.read().count() == 8
+    sink_b(_df(spark, 8, 10), 0)  # stream B replay: skipped
+    assert log.read().count() == 8
+    assert log.last_stream_batch_id("a") == 5
+    assert log.last_stream_batch_id("b") == 0
+    assert log.last_stream_batch_id("missing") is None

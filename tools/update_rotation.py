@@ -8,9 +8,18 @@ present:
 
     python tools/update_rotation.py CORRECTNESS_r*.json
 
-A query counts as driver-verified when its record shows hash_match true,
-or it is an APPROX rows-only entry (err == "no_oracle") that executed.
-Names no longer in the registry are dropped silently.
+A query counts as driver-verified ONLY when its record shows hash_match
+true. APPROX rows-only entries (err == "no_oracle") are NOT counted —
+they were never hash-matched (round-3 advice); ``__spark_entry__``
+sorts them structurally last instead, since re-running them can only
+ever log another ``no_oracle``. Names no longer in the registry are
+dropped silently.
+
+The emitted verified list is ROTATED by 17 x (number of correctness
+files), so the sentinel sample of already-verified queries the driver
+re-checks after the unverified front differs each round — a regression
+in any verified query is eventually re-caught rather than hidden
+forever behind the 50-query budget.
 """
 
 from __future__ import annotations
@@ -32,12 +41,15 @@ def verified_names(paths: list[str]) -> list[str]:
         with open(path) as f:
             data = json.load(f)
         for name, rec in data.items():
-            if rec.get("hash_match") is True or (
-                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
-            ):
+            if rec.get("hash_match") is True:
                 seen.add(name)
     # registry order, registry members only
-    return [n for n in QUERIES if n in seen]
+    ordered = [n for n in QUERIES if n in seen]
+    # per-round sentinel rotation (17 is coprime to any plausible length)
+    if ordered:
+        k = (17 * len(paths)) % len(ordered)
+        ordered = ordered[k:] + ordered[:k]
+    return ordered
 
 
 def main() -> int:
