@@ -2359,6 +2359,88 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "stateful_series_stats",
+    f"""
+WITH RECURSIVE points AS (
+  SELECT event_type AS series, epoch_us(ts) AS ts, value FROM events
+), lastk AS (
+  SELECT series, ts, value FROM (
+    SELECT series, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY series
+                              ORDER BY ts DESC, value DESC) AS rnd
+    FROM points
+  ) WHERE rnd <= 256
+), seq AS (
+  SELECT series, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY ts, value) AS rn,
+         COUNT(*) OVER (PARTITION BY series) AS cnt
+  FROM lastk
+), rec AS (
+  SELECT series, rn, cnt, CAST(value AS DOUBLE) AS ewma
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.series, s.rn, s.cnt,
+         CAST(0.2 AS DOUBLE) * s.value
+           + (1 - CAST(0.2 AS DOUBLE)) * r.ewma
+  FROM seq s JOIN rec r ON s.series = r.series AND s.rn = r.rn + 1
+), fin AS (
+  SELECT series, ewma FROM rec WHERE rn = cnt
+), agg AS (
+  SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+         {_ssum_sql('value', 6)} AS total,
+         MIN(value) AS vmin, MAX(value) AS vmax, MAX(ts) AS last_ts
+  FROM seq GROUP BY series
+)
+SELECT agg.series, agg.n, agg.total, agg.vmin, agg.vmax, agg.last_ts, fin.ewma
+FROM agg JOIN fin USING (series)
+""",
+)
+def stateful_series_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-checkable replay of the custom stateful streaming operator
+    (streaming/ingest.py stateful_series_stats, the managed-state
+    analogue of the reference's per-series membuf cache — SURVEY.md A35,
+    src/membufq.re): per-series count / exact scaled sum / min / max /
+    newest ts / EWMA over the newest 256 points.
+
+    The EWMA recurrence runs in IDENTICAL op order on both engines —
+    ``0.2*v + (1 - 0.2)*ewma`` per step, ts-ascending — so the driver
+    hash-matches it bit-exactly: Spark replays it through the same
+    pandas recurrence the stateful operator uses (series_stats_batch,
+    which the true-streaming convergence pytest pins against
+    applyInPandasWithState), DuckDB through a recursive CTE. The
+    1-CAST in the oracle matters: a bare 0.8 literal is 1 ulp away
+    from the double ``1 - 0.2`` the operator computes. The 256-point
+    bound keeps the oracle's recursion depth flat at any scale factor;
+    ``total`` uses the registry's scaled-long convention so summation
+    order can't perturb low bits. Scale shape: one keyed window + one
+    applyInPandas exchange on series, state O(1) per series."""
+    from nibbledb_spark.streaming.ingest import (
+        SERIES_STATS_SCHEMA,
+        series_stats_batch,
+    )
+
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    w = Window.partitionBy("series").orderBy(F.desc("ts"), F.desc("value"))
+    lastk = (
+        pts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 256)
+        .drop("__rn")
+    )
+
+    def replay(pdf):
+        import numpy as np
+        import pandas as pd
+
+        d = series_stats_batch(pdf)
+        scaled = np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        d["total"] = float(scaled.sum()) / 1e6
+        d["series"] = str(pdf["series"].iloc[0])
+        return pd.DataFrame([d])
+
+    return lastk.groupBy("series").applyInPandas(replay, SERIES_STATS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Training-pipeline extensions round 2: deterministic sampling, sequence
 # packing, vocabulary heavy hitters, eval-set decontamination
@@ -2621,6 +2703,69 @@ def embed_near_dup_pairs_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-bit signatures over 8 tables keep P(miss) = (1-p^4)^8 ≈ 0.25
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return near_dup_pairs_srp(e, 0.4, dim=64, n_planes=4, n_tables=8)
+
+
+def _srp_sig_sql(vec: str, n_planes: int, plane_offset: int, dim: int = 64) -> str:
+    """DuckDB replica of operators.similarity.srp_signature: the SAME
+    deterministic hyperplanes (splitmix-mixed constants, inlined as
+    literals — repr round-trips doubles exactly), the SAME left-fold dot
+    order, the SAME sign test, so both engines land every vector in the
+    same bucket."""
+    from nibbledb_spark.operators.similarity import _hyperplane
+
+    bits = []
+    for b in range(n_planes):
+        plane = _hyperplane(dim, plane_offset + b)
+        terms = " + ".join(
+            f"(CAST({vec}[{i + 1}] AS DOUBLE) * CAST({plane[i]!r} AS DOUBLE))"
+            for i in range(dim)
+        )
+        bits.append(f"CASE WHEN ({terms}) > 0 THEN {2 ** b} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+@declared(
+    "embed_near_dup_pairs_bucketed",
+    f"""
+WITH sigs AS (
+  SELECT vec_id, embedding,
+         {_srp_sig_sql('embedding', 4, 0)} AS s0,
+         {_srp_sig_sql('embedding', 4, 4)} AS s1
+  FROM embeddings
+), cand AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         a.embedding AS v1, b.embedding AS v2
+  FROM sigs a JOIN sigs b ON a.s0 = b.s0 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id, a.embedding, b.embedding
+  FROM sigs a JOIN sigs b ON a.s1 = b.s1 AND a.vec_id < b.vec_id
+)
+SELECT id1, id2,
+       {_dot_sql('v1', 'v2')}
+         / (SQRT({_dot_sql('v1', 'v1')}) * SQRT({_dot_sql('v2', 'v2')})) AS cos_sim
+FROM cand
+WHERE {_dot_sql('v1', 'v2')}
+         / (SQRT({_dot_sql('v1', 'v1')}) * SQRT({_dot_sql('v2', 'v2')})) >= 0.4
+""",
+)
+def embed_near_dup_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via SRP buckets with a FULL hash-matched
+    oracle — closing the round-3 gap where the only oracle-verified
+    near-dup plan was the O(n²) self-join while the scale path was
+    rows-only APPROX.
+
+    The bucketing algorithm itself is replicated in DuckDB (fixed
+    hyperplanes inlined as literals, identical fold order), the same
+    trick ivf_ann_topk and lsh_near_dup_pairs use: candidates = pairs
+    sharing a 4-bit SRP signature in either of 2 tables (equi-joins on
+    the signature key — at 100 TB the per-bucket group size bounds the
+    join; NO nested loop over the corpus), exact cosine verify on
+    candidates only. Runs on the WHOLE embeddings table — the plan the
+    quadratic baseline could never run at scale."""
+    from nibbledb_spark.operators.similarity import near_dup_pairs_srp
+
+    e = _t(spark, sf_dir, "embeddings")
+    return near_dup_pairs_srp(e, 0.4, dim=64, n_planes=4, n_tables=2)
 
 
 @declared(

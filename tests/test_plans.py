@@ -312,3 +312,27 @@ def test_connected_components_long_diameter_no_lineage_blowup(spark):
         for r in connected_components(path, "src", "dst", max_iter=40).collect()
     }
     assert got == {i: 0 for i in range(31)}
+
+
+def test_bucketed_near_dup_has_no_nested_loop(spark):
+    """embed_near_dup_pairs_bucketed is the oracle-paired SCALE path for
+    embedding near-dup: candidates come from equi-joins on the SRP
+    signature key, so the plan must contain hash/sort-merge joins only —
+    a BroadcastNestedLoopJoin or CartesianProduct over the corpus is the
+    quadratic baseline this query exists to avoid."""
+    from nibbledb_spark.queries import QUERIES
+
+    p = plan(QUERIES["embed_near_dup_pairs_bucketed"](spark, SF))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_stateful_replay_single_exchange_per_stage(spark):
+    """stateful_series_stats replay: one window + one applyInPandas,
+    both keyed on series — the plan must not shuffle anything wider
+    than the series key (no join, no cartesian)."""
+    from nibbledb_spark.queries import QUERIES
+
+    p = plan(QUERIES["stateful_series_stats"](spark, SF))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "FlatMapGroupsInArrow" in p or "FlatMapGroupsInPandas" in p
