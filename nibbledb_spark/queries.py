@@ -45,12 +45,12 @@ def declared(name: str, sql: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # external harnesses run these in a plain session; make the nanos
-    # timestamp conf hold there too (see registry.ensure_session_confs)
-    from nibbledb_spark.sources.registry import ensure_session_confs
+    # external harnesses run these in a plain session; load_table sets the
+    # nanos-timestamp conf there too and reuses one analyzed relation per
+    # (session, dir, table) — repeated calls skip re-listing + footer reads
+    from nibbledb_spark.sources.registry import load_table
 
-    ensure_session_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return load_table(spark, name, sf_dir)
 
 
 # --- exact-parity fast sums -------------------------------------------------

@@ -66,11 +66,26 @@ def ensure_session_confs(spark: SparkSession) -> None:
         pass
 
 
+# Lazy analyzed-plan cache: spark.read.parquet re-lists the directory and
+# re-reads a footer for schema inference on EVERY call — pure fixed cost
+# when the same table is loaded per query invocation (the bench loop and
+# the REST facade both do). DataFrames are immutable plan handles, so
+# reusing one per (session, dir, table) is semantically free; nothing is
+# persisted here (this caches ANALYSIS, not data). Keyed like
+# _POINTS_CACHE below; bounded by tables x sf_dirs actually touched.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table: {name}")
     ensure_session_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _TABLE_CACHE[key] = df
+    return df
 
 
 # ---------------------------------------------------------------------------

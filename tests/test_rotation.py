@@ -1,0 +1,47 @@
+"""The driver-budget rotation contract (__spark_entry__._rotated).
+
+The driver checks exactly the first 50 registry entries per round, so
+ordering is load-bearing: unverified oracle-paired names must front the
+list (they are the only entries that can turn red->green), verified
+names follow as regression sentinels, and no-oracle APPROX entries sort
+dead last (a driver slot spent on one can only ever log `no_oracle`).
+No Spark session needed — this is pure ordering logic.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from nibbledb_spark.queries import ORACLE, QUERIES
+
+
+def test_rotation_partitions_registry():
+    q = list(entry.queries())
+    o = set(entry.oracle_sql())
+    assert sorted(q) == sorted(QUERIES), "rotation must be a permutation"
+    assert o == set(ORACLE)
+    # queries() and oracle_sql() must agree on order (driver zips them)
+    assert [n for n in entry.oracle_sql()] == [n for n in q if n in o]
+
+    verified = set(entry._DRIVER_VERIFIED)
+    no_oracle = [n for n in q if n not in o]
+    n_front = len([n for n in q if n not in verified and n in o])
+
+    # 1. every unverified oracle-paired name precedes every verified one
+    front = q[:n_front]
+    assert all(n not in verified and n in o for n in front), front
+    # 2. all no-oracle (APPROX rows-only) entries are at the very back
+    assert q[-len(no_oracle):] == [n for n in q if n in no_oracle]
+    # 3. the driver's 50-slot budget is never spent on a no-oracle entry
+    #    while any verified sentinel remains unchecked
+    first_50 = q[:50]
+    assert not [n for n in first_50 if n not in o], (
+        "no_oracle entries inside the driver budget"
+    )
+
+
+def test_verified_list_is_subset_of_registry():
+    missing = [n for n in entry._DRIVER_VERIFIED if n not in QUERIES]
+    assert not missing, f"stale names in _DRIVER_VERIFIED: {missing}"
+    # every verified name must actually have an oracle (hash_match implies one)
+    unoracled = [n for n in entry._DRIVER_VERIFIED if n not in ORACLE]
+    assert not unoracled, f"verified without oracle (impossible): {unoracled}"
