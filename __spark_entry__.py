@@ -33,6 +33,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # `no_oracle`. This list is GENERATED — refresh each round:
 #   python tools/update_rotation.py CORRECTNESS_r*.json
 _DRIVER_VERIFIED = [
+    "setop_intersect",
+    "setop_except",
+    "string_funcs_part",
+    "math_funcs_lineitem",
+    "json_map_events",
+    "pivot_events_weekday",
+    "text_pii_scrub",
+    "text_repetition",
+    "ts_outliers_mad",
     "mad_per_series",
     "text_token_stats",
     "text_quality",
@@ -117,15 +126,6 @@ _DRIVER_VERIFIED = [
     "grouping_sets_revenue",
     "count_distinct_customers",
     "moving_avg_7d",
-    "setop_intersect",
-    "setop_except",
-    "string_funcs_part",
-    "math_funcs_lineitem",
-    "json_map_events",
-    "pivot_events_weekday",
-    "text_pii_scrub",
-    "text_repetition",
-    "ts_outliers_mad",
 ]
 
 

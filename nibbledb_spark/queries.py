@@ -2364,6 +2364,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH RECURSIVE points AS (
   SELECT event_type AS series, epoch_us(ts) AS ts, value FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
 ), lastk AS (
   SELECT series, ts, value FROM (
     SELECT series, ts, value,
@@ -2420,7 +2421,14 @@ def stateful_series_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         series_stats_batch,
     )
 
-    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    # NULL rows are excluded on BOTH engines before the top-256 window:
+    # the oracle's SUM/MIN/MAX skip NULLs while np.floor(NaN).astype(int64)
+    # is platform garbage, and a NULL would poison the EWMA recursion
+    pts = (
+        points_from_events(spark, sf_dir)
+        .select("series", "ts", "value")
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+    )
     w = Window.partitionBy("series").orderBy(F.desc("ts"), F.desc("value"))
     lastk = (
         pts.withColumn("__rn", F.row_number().over(w))

@@ -135,6 +135,9 @@ class SnapshotLog:
         self.root = os.path.abspath(root)
         self.stats_cols = tuple(stats_cols)
         self.checkpoint_every = max(2, int(checkpoint_every))
+        # per-stream exactly-once marker memo: stream_id -> (scanned-to
+        # version, newest batch id found). See last_stream_batch_id.
+        self._stream_marker_cache: dict[str, tuple[int, int | None]] = {}
         os.makedirs(os.path.join(self.root, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(self.root, _DATA_DIR), exist_ok=True)
 
@@ -335,43 +338,71 @@ class SnapshotLog:
                 )
             # blind append: safe to retry on the advanced head
 
+    def _check_append_schema(self, df: DataFrame, head: int | None) -> None:
+        """Reject appends whose (name, type) column set differs from the
+        schema committed at ``head``. Names alone are not enough — a
+        same-name/different-type frame would mix parquet types in the
+        live set, which later reads resolve by whichever file Spark
+        samples. Nullability/metadata are ignored (parquet-compatible)."""
+        if head is None:
+            return
+        _, schema_json = self._resolve(head)
+        if schema_json is None:
+            return
+
+        def sig(fields):
+            # sort_keys: nested type dicts round-trip with differing key
+            # order between schema_json and jsonValue()
+            return sorted(
+                (f["name"], json.dumps(f["type"], sort_keys=True))
+                for f in fields
+            )
+
+        table_sig = sig(json.loads(schema_json)["fields"])
+        frame_sig = sig(df.schema.jsonValue()["fields"])
+        if frame_sig != table_sig:
+            raise ValueError(
+                f"append schema mismatch: frame {frame_sig} vs table "
+                f"{table_sig}; use overwrite() to evolve the schema"
+            )
+
     def append(self, df: DataFrame, *, meta: dict | None = None) -> int:
         """Commit ``df`` as new files. Never rewrites existing data;
         safe under concurrent appends (auto-retries the version race).
         ``meta`` is merged into the commit record (e.g. a streaming
         micro-batch id for exactly-once sinks).
 
-        Rejects frames whose columns differ from the table's committed
-        schema: a mismatched append would replace ``schema_json`` and
-        leave mixed-schema files that later reads silently resolve by
-        whichever file Spark samples (same contract as ``merge``).
-        Schema evolution is an explicit ``overwrite``."""
+        Rejects frames whose columns (names AND types) differ from the
+        table's committed schema: a mismatched append would replace
+        ``schema_json`` and leave mixed-schema files that later reads
+        silently resolve by whichever file Spark samples (same contract
+        as ``merge``). Schema evolution is an explicit ``overwrite``.
+        The check re-runs on every commit retry — a concurrent
+        schema-evolving overwrite winning the race invalidates the
+        original check (TOCTOU), so the retry loop lives here rather
+        than in ``_commit``'s blind-append path."""
         head = self.latest_version()
-        if head is not None:
-            _, schema_json = self._resolve(head)
-            if schema_json is not None:
-                table_cols = sorted(
-                    f["name"] for f in json.loads(schema_json)["fields"]
-                )
-                if sorted(df.columns) != table_cols:
-                    raise ValueError(
-                        f"append schema mismatch: frame {sorted(df.columns)} "
-                        f"vs table {table_cols}; use overwrite() to evolve "
-                        "the schema"
-                    )
+        self._check_append_schema(df, head)
         add = self._write_files(df)
         m = {"rows": sum(a.rows for a in add)}
         if meta:
             m.update(meta)
-        return self._commit(
-            "append",
-            add,
-            [],
-            df.schema.json(),
-            m,
-            expected_version=None,
-            retry_append=True,
-        )
+        while True:
+            try:
+                return self._commit(
+                    "append",
+                    add,
+                    [],
+                    df.schema.json(),
+                    m,
+                    expected_version=(0 if head is None else head + 1),
+                    retry_append=False,
+                )
+            except CommitConflict:
+                # lost the race: re-validate against the NEW head before
+                # retrying (the winner may have evolved the schema)
+                head = self.latest_version()
+                self._check_append_schema(df, head)
 
     def last_stream_batch_id(self, stream_id: str = "default") -> int | None:
         """Newest committed ``stream_batch_id`` for ``stream_id``
@@ -384,16 +415,26 @@ class SnapshotLog:
         queries sinking into one table each track their own batch-id
         watermark; comparing against a global maximum would silently
         drop a stream whose next batch id trails the other stream's
-        (round-3 advice)."""
+        (round-3 advice). Because a busy sibling stream can put an
+        arbitrary number of entries between this stream's markers, the
+        scan memoizes per instance: log entries are immutable, so
+        versions at or below the last scanned head never need re-reading
+        — per-batch cost is O(entries since the previous call), not
+        O(distance to this stream's last marker)."""
         head = self.latest_version()
         if head is None:
             return None
-        for v in range(head, -1, -1):
+        scanned_to, cached = self._stream_marker_cache.get(stream_id, (-1, None))
+        found = None
+        for v in range(head, scanned_to, -1):
             meta = self._read_entry(v).meta
             bid = meta.get("stream_batch_id")
             if bid is not None and meta.get("stream_id", "default") == stream_id:
-                return int(bid)
-        return None
+                found = int(bid)
+                break
+        best = cached if found is None else found
+        self._stream_marker_cache[stream_id] = (head, best)
+        return best
 
     def overwrite(self, df: DataFrame) -> int:
         head = self.latest_version()

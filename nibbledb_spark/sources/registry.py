@@ -71,20 +71,36 @@ def ensure_session_confs(spark: SparkSession) -> None:
 # when the same table is loaded per query invocation (the bench loop and
 # the REST facade both do). DataFrames are immutable plan handles, so
 # reusing one per (session, dir, table) is semantically free; nothing is
-# persisted here (this caches ANALYSIS, not data). Keyed like
-# _POINTS_CACHE below; bounded by tables x sf_dirs actually touched.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# persisted here (this caches ANALYSIS, not data). The cached relation
+# snapshots the file listing, so each hit re-stats the path (one cheap
+# syscall) and invalidates when the file changed — a rewritten table is
+# re-analyzed instead of serving a stale/deleted file list. Keyed like
+# _POINTS_CACHE below; bounded by tables x sf_dirs x live sessions
+# actually touched (stopped sessions leak one lazy plan handle per table
+# until process exit — same lifetime contract as _POINTS_CACHE).
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[tuple[int, int], DataFrame]] = {}
+
+
+def _path_stamp(path: str) -> tuple[int, int]:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (-1, -1)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table: {name}")
     ensure_session_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
     key = (id(spark), os.path.abspath(sf_dir), name)
-    df = _TABLE_CACHE.get(key)
-    if df is None:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        _TABLE_CACHE[key] = df
+    stamp = _path_stamp(path)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    df = spark.read.parquet(path)
+    _TABLE_CACHE[key] = (stamp, df)
     return df
 
 

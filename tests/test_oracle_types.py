@@ -75,8 +75,13 @@ def test_oracle_output_types_survive_pandas(duck, name):
 
 
 def test_spark_query_output_types_survive_pandas(spark):
-    """One pass (not parametrized): plan analysis per query is ~0.1 s and
-    the Spark session fixture is shared; a single test keeps it cheap."""
+    """One pass (not parametrized) over every declared query's output
+    schema. Reading ``.schema`` itself is analysis-only, but BUILDING a
+    few DataFrames does real work (timetravel_versions replays a
+    snapshot store; ivf_ann_topk_kmeans runs Lloyd iterations with
+    collects), so this costs tens of seconds — still cheapest as a
+    single test sharing one session rather than 114 parametrized
+    builds."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     hostile = []

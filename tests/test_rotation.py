@@ -30,7 +30,8 @@ def test_rotation_partitions_registry():
     front = q[:n_front]
     assert all(n not in verified and n in o for n in front), front
     # 2. all no-oracle (APPROX rows-only) entries are at the very back
-    assert q[-len(no_oracle):] == [n for n in q if n in no_oracle]
+    #    (slice from the front — q[-0:] would be the whole list)
+    assert q[len(q) - len(no_oracle):] == [n for n in q if n in no_oracle]
     # 3. the driver's 50-slot budget is never spent on a no-oracle entry
     #    while any verified sentinel remains unchecked
     first_50 = q[:50]

@@ -453,11 +453,18 @@ def test_delete_and_merge_on_root_with_space(spark, tmp_path):
 
 def test_append_rejects_schema_drift(spark, log):
     """append() guards schema like merge(): a frame with different
-    columns must raise, not silently mix schemas in the live set."""
+    columns must raise, not silently mix schemas in the live set.
+    Same NAMES but different TYPES must also raise — mixed parquet
+    types resolve by whichever file Spark samples."""
     log.append(_df(spark, 0, 10))
     bad = spark.range(0, 5).selectExpr("id", "id AS other")
     with pytest.raises(ValueError, match="append schema mismatch"):
         log.append(bad)
+    retyped = spark.range(0, 5).selectExpr(
+        "CAST(id AS STRING) AS id", "CAST(id AS STRING) AS v"
+    )
+    with pytest.raises(ValueError, match="append schema mismatch"):
+        log.append(retyped)
     assert log.read().columns == ["id", "v"]
     log.append(_df(spark, 10, 20))  # same schema still fine
     assert log.read().count() == 20

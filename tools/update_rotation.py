@@ -15,11 +15,15 @@ sorts them structurally last instead, since re-running them can only
 ever log another ``no_oracle``. Names no longer in the registry are
 dropped silently.
 
-The emitted verified list is ROTATED by 17 x (number of correctness
-files), so the sentinel sample of already-verified queries the driver
-re-checks after the unverified front differs each round — a regression
-in any verified query is eventually re-caught rather than hidden
-forever behind the 50-query budget.
+The emitted verified list is ROTATED by 7919 x (number of correctness
+files) mod its length, so the sentinel sample of already-verified
+queries the driver re-checks after the unverified front differs each
+round — a regression in any verified query is eventually re-caught
+rather than hidden forever behind the 50-query budget. 7919 is a prime
+larger than any plausible registry, so the step is coprime with the
+list length and the offsets walk EVERY position over successive rounds
+(a small step like 17 degenerates when the length is one of its
+multiples).
 """
 
 from __future__ import annotations
@@ -45,9 +49,11 @@ def verified_names(paths: list[str]) -> list[str]:
                 seen.add(name)
     # registry order, registry members only
     ordered = [n for n in QUERIES if n in seen]
-    # per-round sentinel rotation (17 is coprime to any plausible length)
+    # per-round sentinel rotation: 7919 is prime and exceeds any
+    # plausible list length, so gcd(step, len) == 1 and successive
+    # rounds visit every offset
     if ordered:
-        k = (17 * len(paths)) % len(ordered)
+        k = (7919 * len(paths)) % len(ordered)
         ordered = ordered[k:] + ordered[:k]
     return ordered
 
