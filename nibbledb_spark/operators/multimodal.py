@@ -45,20 +45,60 @@ FEATURE_DIM = 16
 _FEATURES_SCHEMA = "media_id long, kind string, feature array<float>"
 
 
+def _decode_bmp(payload: bytes) -> object:
+    """Uncompressed 24-bit BI_RGB Windows BMP -> HxWx3 uint8 RGB.
+
+    Pure numpy: parse the BITMAPFILEHEADER pixel offset and the info
+    header's width/height/bpp/compression, then reshape the padded
+    bottom-up BGR rows. Anything but 24bpp BI_RGB raises — same
+    codec-absence seam as compressed formats."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            "only uncompressed 24-bit BI_RGB BMP decodes without codec libs"
+        )
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3]
+    bgr = rows.reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
 def decode_image(payload: bytes) -> object:
     """Decode a binary image payload to an HxWx3 uint8 numpy array.
 
-    REAL for binary PPM (P6, maxval 255) — pure numpy, no codec libs:
-    header tokens (width, height, maxval; ``#`` comments allowed) then
-    raw RGB bytes. Compressed library formats (JPEG/PNG/...) still
-    raise — their codecs are not in this container; swap in
-    PIL/torchvision decode on a real cluster at this exact seam.
+    REAL for binary PPM (P6, maxval 255) and uncompressed 24-bit BMP —
+    pure numpy, no codec libs. PPM: header tokens (width, height,
+    maxval; ``#`` comments allowed) then raw RGB bytes. Compressed
+    library formats (JPEG/PNG/...) still raise — their codecs are not
+    in this container; swap in PIL/torchvision decode on a real
+    cluster at this exact seam.
     """
     import numpy as np
 
+    if payload.startswith(b"BM"):
+        return _decode_bmp(payload)
     if not payload.startswith(b"P6"):
         raise NotImplementedError(
-            "only PPM(P6) decodes without codec libs; plug PIL in here"
+            "only PPM(P6) and 24-bit BMP decode without codec libs; "
+            "plug PIL in here"
         )
     # tokenize header: magic, width, height, maxval; '#' starts a comment
     pos, tokens = 2, []

@@ -725,6 +725,55 @@ def test_ppm_decode_resize_and_features(spark):
     assert out[3]["decoded"] is False and out[3]["feature"] is None
 
 
+def _bmp(w, h, rgb, top_down=False):
+    """Uncompressed 24-bit BI_RGB BMP with constant color (r, g, b)."""
+    import struct
+
+    r, g, b = rgb
+    stride = (w * 3 + 3) & ~3
+    row = bytes((b, g, r)) * w + b"\x00" * (stride - w * 3)
+    pixels = row * h
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(pixels), 2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + info + pixels
+
+
+def test_bmp_decode_and_features(spark):
+    """24-bit BMP decodes for real: bottom-up and top-down row order,
+    4-byte row padding (w=3 forces it), BGR->RGB swap; palette/compressed
+    BMPs hit the codec-absence seam; pipeline features match PPM's for
+    the same pixels."""
+    import pytest as _pytest
+
+    from nibbledb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        image_stats_features,
+    )
+
+    arr = decode_image(_bmp(3, 2, (10, 200, 30)))
+    assert arr.shape == (2, 3, 3)
+    assert arr[0, 0].tolist() == [10, 200, 30]
+    assert (decode_image(_bmp(3, 2, (10, 200, 30), top_down=True)) == arr).all()
+    import struct as _struct
+
+    eight_bpp = bytearray(_bmp(3, 2, (1, 2, 3)))
+    eight_bpp[28:30] = _struct.pack("<H", 8)
+    with _pytest.raises(NotImplementedError):
+        decode_image(bytes(eight_bpp))
+    rows = [
+        (1, "image", bytearray(_bmp(8, 8, (255, 0, 0))), None),
+        (2, "image", bytearray(_ppm(8, 8, (255, 0, 0))), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in image_stats_features(media).collect()}
+    assert out[1]["decoded"] and out[2]["decoded"]
+    assert out[1]["feature"] == out[2]["feature"]  # same pixels, same features
+
+
 def _wav(freq_hz, rate=8000, seconds=0.5, amp=0.5, channels=1):
     """16-bit PCM WAV with a pure sine tone."""
     import math
