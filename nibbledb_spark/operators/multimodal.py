@@ -72,6 +72,13 @@ def _decode_bmp(payload: bytes) -> object:
     top_down = h_signed < 0
     h = abs(h_signed)
     stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    # bound-check BEFORE frombuffer: hostile headers (e.g. w=h=2^31-1)
+    # otherwise overflow C ssize_t or read past the payload — corrupt
+    # files must surface as ValueError (flagged), not kill the batch
+    if w <= 0 or h <= 0 or planes != 1:
+        raise ValueError(f"invalid BMP dimensions {w}x{h_signed}")
+    if data_off < 54 or data_off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=stride * h, offset=data_off
     ).reshape(h, stride)[:, : w * 3]
@@ -117,6 +124,9 @@ def decode_image(payload: bytes) -> object:
     w, h, maxval = tokens
     if maxval != 255:
         raise NotImplementedError("16-bit PPM not supported")
+    # same hostile-header bound check as the BMP path
+    if w <= 0 or h <= 0 or pos + w * h * 3 > len(payload):
+        raise ValueError(f"truncated or invalid PPM ({w}x{h})")
     arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return arr.reshape(h, w, 3)
 
@@ -169,6 +179,7 @@ def image_stats_features(media: DataFrame, *, grid: int = 2) -> DataFrame:
                     TypeError,
                     ZeroDivisionError,
                     IndexError,
+                    OverflowError,  # hostile header dims overflow C ssize_t
                 ):
                     feats.append(None)
                     ok.append(False)
@@ -256,6 +267,7 @@ def audio_stats_features(media: DataFrame) -> DataFrame:
                     TypeError,
                     ZeroDivisionError,
                     struct_error,
+                    OverflowError,
                 ):
                     vals = (None, None, None, None)
                     out["ok"].append(False)

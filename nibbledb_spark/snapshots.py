@@ -350,11 +350,27 @@ class SnapshotLog:
         if schema_json is None:
             return
 
+        def scrub(t):
+            # drop nullability/metadata at EVERY depth: containsNull /
+            # valueContainsNull on array/map types and nullable/metadata
+            # on nested struct fields differ between logically-identical
+            # frames (from_json vs create_map) but are parquet-compatible
+            if isinstance(t, dict):
+                return {
+                    k: scrub(v)
+                    for k, v in t.items()
+                    if k
+                    not in ("nullable", "metadata", "containsNull", "valueContainsNull")
+                }
+            if isinstance(t, list):
+                return [scrub(x) for x in t]
+            return t
+
         def sig(fields):
             # sort_keys: nested type dicts round-trip with differing key
             # order between schema_json and jsonValue()
             return sorted(
-                (f["name"], json.dumps(f["type"], sort_keys=True))
+                (f["name"], json.dumps(scrub(f["type"]), sort_keys=True))
                 for f in fields
             )
 

@@ -81,10 +81,24 @@ def ensure_session_confs(spark: SparkSession) -> None:
 _TABLE_CACHE: dict[tuple[int, str, str], tuple[tuple[int, int], DataFrame]] = {}
 
 
-def _path_stamp(path: str) -> tuple[int, int]:
+def _path_stamp(path: str):
+    """Change stamp for a parquet table path. Single file: (mtime, size).
+    Directory table (Spark-written): aggregate over the DIRECT children
+    (name, mtime, size) — catches part-file rewrites, which leave the
+    directory's own mtime untouched. Nested partition subdirectories
+    contribute their dir entry only; a rewrite deep inside one that
+    somehow preserves every intermediate mtime is not detected (matching
+    the best-effort contract of mtime-based invalidation generally)."""
     try:
         st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        children = []
+        with os.scandir(path) as it:
+            for e in it:
+                cst = e.stat()
+                children.append((e.name, cst.st_mtime_ns, cst.st_size))
+        return (st.st_mtime_ns, tuple(sorted(children)))
     except OSError:
         return (-1, -1)
 
@@ -182,13 +196,15 @@ def stream_points(spark: SparkSession, path: str, fmt: str = "json") -> DataFram
 # cost, so the view is persisted once per (session, sf_dir) — the local-mode
 # analogue of materializing the points table once per corpus, which is what
 # a 100 TB deployment does as an ETL step anyway (the reference holds its
-# points natively in its store). Bounded: one entry per sf_dir actually
+# points natively in its store). Entries carry the events-file stamp and
+# invalidate (unpersisting the stale view) when the file changes, same
+# contract as _TABLE_CACHE. Bounded: one entry per sf_dir actually
 # queried; clear_points_cache() unpersists.
-_POINTS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_POINTS_CACHE: dict[tuple[int, str], tuple[object, DataFrame]] = {}
 
 
 def clear_points_cache() -> None:
-    for df in _POINTS_CACHE.values():
+    for _, df in _POINTS_CACHE.values():
         try:
             df.unpersist()
         except Exception:
@@ -230,8 +246,17 @@ def points_from_events(
     TIMESTAMP applies at scan; FIXTURES.md timestamp caution).
     """
     key = (id(spark), os.path.abspath(sf_dir))
-    if cached and key in _POINTS_CACHE:
-        return _POINTS_CACHE[key]
+    stamp = _path_stamp(os.path.join(sf_dir, "events.parquet"))
+    if cached:
+        hit = _POINTS_CACHE.get(key)
+        if hit is not None:
+            if hit[0] == stamp:
+                return hit[1]
+            try:  # events.parquet changed: drop the stale persisted view
+                hit[1].unpersist()
+            except Exception:
+                pass
+            del _POINTS_CACHE[key]
     ev = load_table(spark, "events", sf_dir)
     pts = ev.select(
         F.col("event_type").alias("series"),
@@ -241,5 +266,5 @@ def points_from_events(
     )
     if cached:
         pts = pts.persist()
-        _POINTS_CACHE[key] = pts
+        _POINTS_CACHE[key] = (stamp, pts)
     return pts

@@ -884,3 +884,29 @@ def test_media_features_survive_null_and_degenerate_payloads(spark):
     )
     iout = {r["media_id"]: r for r in image_stats_features(img).collect()}
     assert iout[1]["decoded"] is False and iout[2]["decoded"] is True
+
+
+def test_hostile_image_headers_flagged_not_fatal(spark):
+    """Corrupt payloads with plausible magics but hostile dimensions
+    (w=h=2^31-1 would overflow C ssize_t in frombuffer) must be flagged
+    like any corrupt file, never kill the Arrow batch."""
+    import struct
+
+    from nibbledb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_stats_features,
+    )
+
+    huge_bmp = bytearray(_bmp(2, 2, (1, 2, 3)))
+    huge_bmp[18:26] = struct.pack("<ii", 2**31 - 1, 2**31 - 1)
+    huge_ppm = b"P6\n2147483647 2147483647\n255\n" + b"\x00" * 12
+    rows = [
+        (1, "image", huge_bmp, None),
+        (2, "image", bytearray(huge_ppm), None),
+        (3, "image", bytearray(_bmp(2, 2, (9, 9, 9))), None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in image_stats_features(media).collect()}
+    assert out[1]["decoded"] is False and out[1]["feature"] is None
+    assert out[2]["decoded"] is False and out[2]["feature"] is None
+    assert out[3]["decoded"] is True  # the healthy payload still decodes

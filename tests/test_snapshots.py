@@ -497,3 +497,20 @@ def test_streaming_sink_per_stream_batch_ids(spark, log):
     assert log.last_stream_batch_id("a") == 5
     assert log.last_stream_batch_id("b") == 0
     assert log.last_stream_batch_id("missing") is None
+
+
+def test_append_ignores_nested_nullability(spark, log):
+    """Nested nullability flags (valueContainsNull on maps, containsNull
+    on arrays) differ between logically-identical frames (from_json vs
+    create_map) but are parquet-compatible — append must accept them."""
+    import pyspark.sql.functions as SF
+
+    base = spark.range(0, 3).select(
+        "id", SF.from_json(SF.lit('{"k":"v"}'), "map<string,string>").alias("m")
+    )
+    log.append(base)
+    relaxed = spark.range(3, 6).select(
+        "id", SF.create_map(SF.lit("k"), SF.lit("v")).alias("m")
+    )
+    log.append(relaxed)  # valueContainsNull False vs True: must not raise
+    assert log.read().count() == 6

@@ -48,3 +48,36 @@ def test_streaming_file_source_converges(spark, fixture_points, tmp_path):
     )
     q.awaitTermination(120)
     assert _canon(spark.read.parquet(out)) == _canon(fixture_points)
+
+
+def test_table_and_points_caches_invalidate_on_rewrite(spark, tmp_path):
+    """The analyzed-relation cache AND the persisted points view both
+    re-resolve when the backing parquet file changes — a rewritten
+    table must not serve a stale (or deleted) file list."""
+    import shutil
+
+    from nibbledb_spark.sources import registry
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    src = "/root/testdata/sf0.001"
+    for t in registry.TABLES:
+        shutil.copy(f"{src}/{t}.parquet", sf / f"{t}.parquet")
+    pts1 = registry.points_from_events(spark, str(sf))
+    n1 = pts1.count()
+    ev1 = registry.load_table(spark, "events", str(sf))
+    assert registry.load_table(spark, "events", str(sf)) is ev1  # cache hit
+    # rewrite events with a strict subset of rows (copy from a file with
+    # different content: truncate via duckdb rewrite)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}/events.parquet') LIMIT 10) "
+        f"TO '{sf}/events.parquet' (FORMAT PARQUET)"
+    )
+    ev2 = registry.load_table(spark, "events", str(sf))
+    assert ev2 is not ev1  # stamp changed -> re-analyzed
+    pts2 = registry.points_from_events(spark, str(sf))
+    n2 = pts2.count()
+    assert n2 == 10 and n1 != n2  # fresh data, not the stale persist
