@@ -3334,3 +3334,327 @@ def stringagg_mktsegment_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 widening: pivot, classic multi-join analytics, sessionization,
+# skew-salted join, and int8 embedding quantization.
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "pivot_qty_by_returnflag",
+    f"""
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CASE WHEN l_returnflag = 'A'
+                     THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 100 AS qty_a,
+       CAST(SUM(CASE WHEN l_returnflag = 'N'
+                     THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 100 AS qty_n,
+       CAST(SUM(CASE WHEN l_returnflag = 'R'
+                     THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 100 AS qty_r
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def pivot_qty_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long->wide): per ship-year quantity by return flag.
+
+    Spark's ``groupBy().pivot(col, values)`` with the value list given
+    explicitly — omitting it adds a driver-side distinct pass over the
+    pivot column, a needless extra job at 100 TB. One hash aggregate,
+    map-side combined; scaled-long sums for exact parity; absent
+    (year, flag) cells coalesce to the oracle's ELSE 0."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("long")
+    )
+    piv = (
+        li.groupBy("ship_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(_ssum(F.col("l_quantity"), 2))
+    )
+    return piv.select(
+        "ship_year",
+        F.coalesce(F.col("A"), F.lit(0.0)).alias("qty_a"),
+        F.coalesce(F.col("N"), F.lit(0.0)).alias("qty_n"),
+        F.coalesce(F.col("R"), F.lit(0.0)).alias("qty_r"),
+    ).orderBy("ship_year")
+
+
+@declared(
+    "q3_shipping_priority",
+    f"""
+SELECT l_orderkey,
+       {_ssum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-way join, filtered on both
+    fact sides, aggregated, global top-10 by revenue.
+
+    Customer (filtered to one segment) broadcasts into orders; the
+    orders->lineitem join is the only big shuffle. Revenue is a
+    scaled-long sum, so the top-10 cut compares identical exact values
+    on both engines; l_orderkey is the unique tiebreak."""
+    cutoff = "1998-06-01"
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _ssum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc()
+        )
+        .limit(10)
+    )
+
+
+@declared(
+    "q5_local_supplier_volume",
+    f"""
+SELECT r_name, n_name,
+       {_ssum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-way join where the
+    supplier join carries an extra residual (supplier nation == customer
+    nation) — the join-ordering stress test.
+
+    nation/region (25/5 rows at any SF) broadcast unconditionally;
+    supplier (SF x 10k) gets a broadcast hint too — at 100 TB it is
+    still ~MBs, far under a sane autoBroadcastJoinThreshold, and
+    broadcasting it keeps the plan to ONE big shuffle (orders<->lineitem)
+    instead of three."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _ssum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# 6-hour inactivity gap: events span one month with median per-user gap
+# ~7.3 h, so this threshold actually splits AND actually merges.
+_SESSION_GAP_US = 6 * 3600 * 1_000_000
+
+
+@declared(
+    "sessionize_events_gaps",
+    f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), numbered AS (
+  SELECT user_id, ts_us,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM flagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us
+FROM numbered
+GROUP BY user_id, session_id
+""",
+)
+def sessionize_events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap > 6 h starts a new session): the
+    lag + running-sum window idiom — the batch complement of the
+    streaming session_window query (stream_session_windows).
+
+    Both windows share PARTITION BY user_id ORDER BY (ts, event_id), so
+    Spark plans ONE exchange + ONE sort and evaluates lag and the
+    running sum in consecutive Window operators on the same sorted
+    partition stream; the final groupBy re-uses the user_id hash
+    partitioning (no second wide shuffle of note). event_id is the
+    tiebreak for equal timestamps — without it session numbering is
+    nondeterministic under shuffle order."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", event_ts_us(ev).alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > F.lit(_SESSION_GAP_US)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+@declared(
+    "salted_join_priority_volume",
+    f"""
+WITH d AS (
+  SELECT o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS w
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {_ssum_sql('o_totalprice', 2)} AS revenue,
+       MIN(w) AS dim_weight
+FROM orders JOIN d ON o_orderpriority = p
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def salted_join_priority_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join, oracle-verified against the plain join it
+    rewrites (plans.scale.salted_join): o_orderpriority has only 5
+    values, the worst-case hot-key shape — a plain hash join sends each
+    priority's entire fact volume to ONE task. Salting spreads every
+    hot key across 16 lanes (dim replicated 16x, fact never copied),
+    so per-task input drops 16x regardless of skew; the oracle proves
+    the rewrite is semantics-preserving."""
+    from nibbledb_spark.plans.scale import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = o.groupBy(F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    j = salted_join(
+        o.withColumn("p", F.col("o_orderpriority")), dim, ["p"], salt=16
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _ssum(F.col("o_totalprice"), 2).alias("revenue"),
+            F.min("w").alias("dim_weight"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@declared(
+    "embed_quantize_int8",
+    """
+WITH scaled AS (
+  SELECT vec_id,
+         embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qscale
+  FROM embeddings
+)
+SELECT vec_id, qscale,
+       array_to_string(
+         list_transform(embedding,
+           x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) / qscale + 0.5) AS BIGINT)
+                     AS VARCHAR)),
+         ',') AS q
+FROM scaled
+WHERE qscale > 0
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transfer
+    shrink (4 bytes -> 1) that a 100 TB ANN corpus runs before
+    index build; dequantize is q * qscale. Row-local (zero shuffles),
+    pure array expressions. Quantized codes are emitted as one
+    comma-joined string: scalar-only output per the oracle-type lint
+    (arrays crash the driver's pandas canonicalizer — round-3 verdict).
+
+    Parity: elements cast float->double (exact) before any arithmetic;
+    both engines evaluate the identical expression tree (max/127.0,
+    x/qscale, floor(+0.5) half-up), so doubles match bit-for-bit."""
+    e = _t(spark, sf_dir, "embeddings")
+    scaled = e.withColumn(
+        "qscale",
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0),
+    )
+    return (
+        scaled.filter(F.col("qscale") > 0)
+        .select(
+            "vec_id",
+            "qscale",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") / F.col("qscale") + F.lit(0.5))
+                    .cast("long")
+                    .cast("string"),
+                ),
+            ).alias("q"),
+        )
+    )
