@@ -3343,48 +3343,6 @@ def stringagg_mktsegment_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
-    "pivot_qty_by_returnflag",
-    f"""
-SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
-       CAST(SUM(CASE WHEN l_returnflag = 'A'
-                     THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
-                     ELSE 0 END) AS DOUBLE) / 100 AS qty_a,
-       CAST(SUM(CASE WHEN l_returnflag = 'N'
-                     THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
-                     ELSE 0 END) AS DOUBLE) / 100 AS qty_n,
-       CAST(SUM(CASE WHEN l_returnflag = 'R'
-                     THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
-                     ELSE 0 END) AS DOUBLE) / 100 AS qty_r
-FROM lineitem
-GROUP BY 1
-ORDER BY 1
-""",
-)
-def pivot_qty_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIVOT (long->wide): per ship-year quantity by return flag.
-
-    Spark's ``groupBy().pivot(col, values)`` with the value list given
-    explicitly — omitting it adds a driver-side distinct pass over the
-    pivot column, a needless extra job at 100 TB. One hash aggregate,
-    map-side combined; scaled-long sums for exact parity; absent
-    (year, flag) cells coalesce to the oracle's ELSE 0."""
-    li = _t(spark, sf_dir, "lineitem").withColumn(
-        "ship_year", F.year("l_shipdate").cast("long")
-    )
-    piv = (
-        li.groupBy("ship_year")
-        .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(_ssum(F.col("l_quantity"), 2))
-    )
-    return piv.select(
-        "ship_year",
-        F.coalesce(F.col("A"), F.lit(0.0)).alias("qty_a"),
-        F.coalesce(F.col("N"), F.lit(0.0)).alias("qty_n"),
-        F.coalesce(F.col("R"), F.lit(0.0)).alias("qty_r"),
-    ).orderBy("ship_year")
-
-
-@declared(
     "q3_shipping_priority",
     f"""
 SELECT l_orderkey,
@@ -3560,52 +3518,6 @@ def sessionize_events_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
-    "salted_join_priority_volume",
-    f"""
-WITH d AS (
-  SELECT o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS w
-  FROM orders GROUP BY 1
-)
-SELECT o_orderpriority,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       {_ssum_sql('o_totalprice', 2)} AS revenue,
-       MIN(w) AS dim_weight
-FROM orders JOIN d ON o_orderpriority = p
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-""",
-)
-def salted_join_priority_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-salted equi-join, oracle-verified against the plain join it
-    rewrites (plans.scale.salted_join): o_orderpriority has only 5
-    values, the worst-case hot-key shape — a plain hash join sends each
-    priority's entire fact volume to ONE task. Salting spreads every
-    hot key across 16 lanes (dim replicated 16x, fact never copied),
-    so per-task input drops 16x regardless of skew; the oracle proves
-    the rewrite is semantics-preserving."""
-    from nibbledb_spark.plans.scale import salted_join
-
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
-    )
-    dim = o.groupBy(F.col("o_orderpriority").alias("p")).agg(
-        F.count(F.lit(1)).alias("w")
-    )
-    j = salted_join(
-        o.withColumn("p", F.col("o_orderpriority")), dim, ["p"], salt=16
-    )
-    return (
-        j.groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            _ssum(F.col("o_totalprice"), 2).alias("revenue"),
-            F.min("w").alias("dim_weight"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-@declared(
     "embed_quantize_int8",
     """
 WITH scaled AS (
@@ -3656,5 +3568,91 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("string"),
                 ),
             ).alias("q"),
+        )
+    )
+
+
+@declared(
+    "near_dup_keep_best",
+    f"""
+WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM t),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2 FROM inter
+  JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
+  WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+q AS (
+  SELECT doc_id,
+         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5
+           + (CAST(len(list_filter(w, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(w)) * 0.5
+           AS quality_score
+  FROM t
+),
+ranked AS (
+  SELECT c.component, c.doc_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members
+  FROM comp c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT component, doc_id AS keep_id, quality_score, n_members
+FROM ranked WHERE rn = 1
+""",
+)
+def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup canonical selection, quality-aware: per near-dup
+    cluster keep the HIGHEST-quality member, not the lowest id — the
+    policy production dedup actually wants (the min-id rule of
+    near_dup_components can keep a boilerplate stub while discarding
+    the clean copy).
+
+    Composition, not new machinery: transitive components
+    (operators/graph.py hash-min over the capped shingle-join pair
+    list) joined to the deterministic quality scores (operators/
+    text.py), then one row_number window per component. The component
+    list is orders smaller than the corpus, so the extra join + window
+    cost is bounded by the PAIR side, never a corpus reshuffle.
+    Quality doubles are bit-identical across engines (same expression
+    tree as text_quality), so argmax selection is deterministic;
+    doc_id breaks exact ties."""
+    from nibbledb_spark.operators.dedup import near_dup_components as op
+    from nibbledb_spark.operators.text import quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = op(docs, threshold=0.5)
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    joined = comp.join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_id"),
+            "quality_score",
+            "n_members",
         )
     )
