@@ -259,6 +259,13 @@ def main() -> int:
     from nibbledb_spark.session import get_spark
 
     baseline = "--baseline" in sys.argv
+    headline = HEADLINE
+    for i, arg in enumerate(sys.argv):
+        # --names a,b,c: time an explicit subset instead of the headline
+        # set (same warm/median-of-5 protocol; composes with --baseline
+        # for a paired DuckDB table over the subset).
+        if arg == "--names" and i + 1 < len(sys.argv):
+            headline = [n for n in sys.argv[i + 1].split(",") if n]
     spark = get_spark("bench")
 
     if "--snapshots" in sys.argv:
@@ -288,11 +295,11 @@ def main() -> int:
     # (median-of-5 after a warm run) — this makes the comparison
     # steady-state on both sides.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE:
+    for name in headline:
         QUERIES[name](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = QUERIES[name]
         fn(spark, SF_DIR).collect()  # warm the exact plan (codegen compile, footers)
         timings[name] = round(time_spark(spark, fn), 4)
@@ -308,7 +315,7 @@ def main() -> int:
             "documents embeddings"
         ).split()
         rows = []
-        for name in HEADLINE:
+        for name in headline:
             if name not in ORACLE:
                 continue
             con = duckdb.connect()

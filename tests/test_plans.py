@@ -336,3 +336,37 @@ def test_stateful_replay_single_exchange_per_stage(spark):
     p = plan(QUERIES["stateful_series_stats"](spark, SF))
     assert "Join" not in p and "CartesianProduct" not in p
     assert "FlatMapGroupsInArrow" in p or "FlatMapGroupsInPandas" in p
+
+
+def test_round4_additions_plan_shapes(spark):
+    """Plan pins for the round-4 relational/pipeline additions: the
+    multi-join shapes must broadcast their dims (never nested-loop),
+    sessionization must share ONE exchange across both windows and the
+    final aggregate, and quantization must be exchange-free."""
+    from nibbledb_spark.plans.scale import exchange_count
+    from nibbledb_spark.queries import QUERIES
+
+    q3 = QUERIES["q3_shipping_priority"](spark, SF)
+    p3 = plan(q3)
+    assert "BroadcastHashJoin" in p3
+    assert "NestedLoop" not in p3 and "CartesianProduct" not in p3
+    assert exchange_count(q3) <= 3  # join + agg + top-k ordering
+
+    q5 = QUERIES["q5_local_supplier_volume"](spark, SF)
+    p5 = plan(q5)
+    assert "BroadcastHashJoin" in p5
+    assert "NestedLoop" not in p5 and "CartesianProduct" not in p5
+    # one big join path + final agg + cosmetic order: the dims must not
+    # add shuffles of their own
+    assert exchange_count(q5) <= 4
+
+    sess = QUERIES["sessionize_events_gaps"](spark, SF)
+    assert exchange_count(sess) == 1  # both windows + agg share user_id
+
+    quant = QUERIES["embed_quantize_int8"](spark, SF)
+    assert exchange_count(quant) == 0  # row-local
+
+    keep = QUERIES["near_dup_keep_best"](spark, SF)
+    pk = plan(keep)
+    assert "CartesianProduct" not in pk
+    assert "BroadcastNestedLoop" not in pk
