@@ -338,67 +338,128 @@ class SnapshotLog:
                 )
             # blind append: safe to retry on the advanced head
 
-    def _check_append_schema(self, df: DataFrame, head: int | None) -> None:
-        """Reject appends whose (name, type) column set differs from the
-        schema committed at ``head``. Names alone are not enough — a
-        same-name/different-type frame would mix parquet types in the
-        live set, which later reads resolve by whichever file Spark
-        samples. Nullability/metadata are ignored (parquet-compatible)."""
+    @staticmethod
+    def _scrub_type(t):
+        # drop nullability/metadata at EVERY depth: containsNull /
+        # valueContainsNull on array/map types and nullable/metadata
+        # on nested struct fields differ between logically-identical
+        # frames (from_json vs create_map) but are parquet-compatible
+        if isinstance(t, dict):
+            return {
+                k: SnapshotLog._scrub_type(v)
+                for k, v in t.items()
+                if k
+                not in ("nullable", "metadata", "containsNull", "valueContainsNull")
+            }
+        if isinstance(t, list):
+            return [SnapshotLog._scrub_type(x) for x in t]
+        return t
+
+    def _append_schema_json(
+        self, df: DataFrame, head: int | None, merge_schema: bool
+    ) -> str:
+        """Schema to commit for an append of ``df`` at ``head``.
+
+        Strict (default): reject frames whose (name, type) column set
+        differs from the committed schema. Names alone are not enough —
+        a same-name/different-type frame would mix parquet types in the
+        live set. Nullability/metadata are ignored (parquet-compatible).
+
+        ``merge_schema``: evolve instead — the committed schema becomes
+        table columns + the frame's NEW columns (appended in frame
+        order); the frame may also omit table columns. Reads are pinned
+        to the committed schema (``_read_live``), so files on either
+        side of an evolution resolve their missing columns to NULL.
+        Same-name/different-type still raises (parquet can't widen in
+        place; that evolution is an explicit ``overwrite``)."""
         if head is None:
-            return
+            return df.schema.json()
         _, schema_json = self._resolve(head)
         if schema_json is None:
-            return
+            return df.schema.json()
 
-        def scrub(t):
-            # drop nullability/metadata at EVERY depth: containsNull /
-            # valueContainsNull on array/map types and nullable/metadata
-            # on nested struct fields differ between logically-identical
-            # frames (from_json vs create_map) but are parquet-compatible
-            if isinstance(t, dict):
-                return {
-                    k: scrub(v)
-                    for k, v in t.items()
-                    if k
-                    not in ("nullable", "metadata", "containsNull", "valueContainsNull")
-                }
-            if isinstance(t, list):
-                return [scrub(x) for x in t]
-            return t
-
-        def sig(fields):
+        def typekey(f):
             # sort_keys: nested type dicts round-trip with differing key
             # order between schema_json and jsonValue()
-            return sorted(
-                (f["name"], json.dumps(scrub(f["type"]), sort_keys=True))
-                for f in fields
-            )
+            return json.dumps(self._scrub_type(f["type"]), sort_keys=True)
 
-        table_sig = sig(json.loads(schema_json)["fields"])
-        frame_sig = sig(df.schema.jsonValue()["fields"])
-        if frame_sig != table_sig:
+        table_fields = json.loads(schema_json)["fields"]
+        frame_fields = df.schema.jsonValue()["fields"]
+        table_types = {f["name"]: typekey(f) for f in table_fields}
+        frame_types = {f["name"]: typekey(f) for f in frame_fields}
+
+        conflicts = sorted(
+            n
+            for n in table_types.keys() & frame_types.keys()
+            if table_types[n] != frame_types[n]
+        )
+        if conflicts:
             raise ValueError(
-                f"append schema mismatch: frame {frame_sig} vs table "
-                f"{table_sig}; use overwrite() to evolve the schema"
+                f"append schema mismatch on column(s) {conflicts}: frame "
+                "types differ from the table's; use overwrite() to change "
+                "a column's type"
             )
+        new = [f for f in frame_fields if f["name"] not in table_types]
+        missing = sorted(table_types.keys() - frame_types.keys())
+        if not merge_schema:
+            if new or missing:
+                raise ValueError(
+                    f"append schema mismatch: frame adds {sorted(f['name'] for f in new)}, "
+                    f"omits {missing}; pass merge_schema=True to evolve"
+                )
+            return df.schema.json()
+        if not new:
+            return schema_json  # subset or exact: committed schema stands
+        return json.dumps(
+            {"type": "struct", "fields": table_fields + new}
+        )
 
-    def append(self, df: DataFrame, *, meta: dict | None = None) -> int:
+    def _read_live(self, paths: list[str], schema_json: str | None) -> DataFrame:
+        """Read data files with the COMMITTED schema pinned (all fields
+        nullable): files written before a merge_schema evolution resolve
+        their missing columns to NULL, and the result never depends on
+        which file Spark samples for inference. Falls back to inference
+        for pre-schema_json log vintages."""
+        if schema_json is None:
+            return self.spark.read.parquet(*paths)
+        base = T.StructType.fromJson(json.loads(schema_json))
+        schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True, f.metadata) for f in base.fields]
+        )
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        meta: dict | None = None,
+        merge_schema: bool = False,
+    ) -> int:
         """Commit ``df`` as new files. Never rewrites existing data;
         safe under concurrent appends (auto-retries the version race).
         ``meta`` is merged into the commit record (e.g. a streaming
         micro-batch id for exactly-once sinks).
 
-        Rejects frames whose columns (names AND types) differ from the
-        table's committed schema: a mismatched append would replace
-        ``schema_json`` and leave mixed-schema files that later reads
-        silently resolve by whichever file Spark samples (same contract
-        as ``merge``). Schema evolution is an explicit ``overwrite``.
-        The check re-runs on every commit retry — a concurrent
-        schema-evolving overwrite winning the race invalidates the
-        original check (TOCTOU), so the retry loop lives here rather
-        than in ``_commit``'s blind-append path."""
+        By default rejects frames whose columns (names AND types) differ
+        from the table's committed schema: a mismatched append would
+        replace ``schema_json`` and leave mixed-schema files that later
+        reads resolve unpredictably (same contract as ``merge``).
+
+        ``merge_schema=True`` is additive schema evolution (the Delta
+        ``mergeSchema`` analogue): the frame's NEW columns extend the
+        committed schema, and the frame may omit existing columns —
+        existing files are untouched (a 100 TB table adds a column as a
+        metadata-only commit), and every read pins the committed schema
+        so rows on either side of the evolution backfill NULL for the
+        columns their file lacks. Type CHANGES always raise; rewriting
+        types is an explicit ``overwrite``.
+
+        The schema computation re-runs on every commit retry — a
+        concurrent schema-evolving append winning the race invalidates
+        the original result (TOCTOU), so the retry loop lives here
+        rather than in ``_commit``'s blind-append path."""
         head = self.latest_version()
-        self._check_append_schema(df, head)
+        schema_json = self._append_schema_json(df, head, merge_schema)
         add = self._write_files(df)
         m = {"rows": sum(a.rows for a in add)}
         if meta:
@@ -409,7 +470,7 @@ class SnapshotLog:
                     "append",
                     add,
                     [],
-                    df.schema.json(),
+                    schema_json,
                     m,
                     expected_version=(0 if head is None else head + 1),
                     retry_append=False,
@@ -418,7 +479,7 @@ class SnapshotLog:
                 # lost the race: re-validate against the NEW head before
                 # retrying (the winner may have evolved the schema)
                 head = self.latest_version()
-                self._check_append_schema(df, head)
+                schema_json = self._append_schema_json(df, head, merge_schema)
 
     def last_stream_batch_id(self, stream_id: str = "default") -> int | None:
         """Newest committed ``stream_batch_id`` for ``stream_id``
@@ -484,7 +545,7 @@ class SnapshotLog:
                 "delete", [], [], schema_json, {"predicate": predicate},
                 expected_version=head + 1, retry_append=False,
             )
-        df = self.spark.read.parquet(*paths)
+        df = self._read_live(paths, schema_json)
         hit_rows = (
             df.where(predicate)
             .groupBy(F.input_file_name().alias("__file"))
@@ -503,8 +564,8 @@ class SnapshotLog:
         # NOT(pred) evaluates to NULL (not true) for NULL-valued rows
         # and would silently drop them — but only in rewritten files,
         # i.e. layout-dependent data loss. SQL DELETE removes TRUE only.
-        keep = self.spark.read.parquet(
-            *[os.path.join(self.root, p) for p in sorted(hit)]
+        keep = self._read_live(
+            [os.path.join(self.root, p) for p in sorted(hit)], schema_json
         ).where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
         add = self._write_files(keep)
         return self._commit(
@@ -556,7 +617,7 @@ class SnapshotLog:
             return self.append(updates)
         files, schema_json = self._resolve(head)
         paths = [os.path.join(self.root, fe.path) for fe in files]
-        live = self.spark.read.parquet(*paths)
+        live = self._read_live(paths, schema_json)
         if set(updates.columns) != set(live.columns):
             # silently dropping/backfilling columns on the rewritten
             # survivors would corrupt them; schema evolution is an
@@ -585,8 +646,8 @@ class SnapshotLog:
         }
         new_parts = [updates]
         if hit:
-            survivors = self.spark.read.parquet(
-                *[os.path.join(self.root, p) for p in sorted(hit)]
+            survivors = self._read_live(
+                [os.path.join(self.root, p) for p in sorted(hit)], schema_json
             ).join(F.broadcast(keys), key_cols, "left_anti")
             new_parts.append(survivors.select(*updates.columns))
         merged = new_parts[0]
@@ -603,24 +664,72 @@ class SnapshotLog:
             retry_append=False,
         )
 
-    def compact(self, target_files: int = 1) -> int:
+    def compact(
+        self,
+        target_files: int = 1,
+        zorder_by: tuple[str, ...] | list[str] | None = None,
+    ) -> int:
         """Rewrite the live set into ``target_files`` files. Read-result
         invariant; atomic swap via the log (readers at any version never
-        see a half-compacted set)."""
+        see a half-compacted set).
+
+        ``zorder_by``: numeric columns to Morton-cluster the rewrite on
+        (the Delta ``OPTIMIZE ... ZORDER BY`` analogue). Each column is
+        min/max-scaled to 8-bit buckets (one tiny agg — no global-order
+        window, which would single-partition at scale), interleaved via
+        ``plans.scale.zorder_key``, then range-repartitioned + sorted on
+        the key: afterwards this table's per-file min/max stats prune
+        ``files(bounds=...)`` on ANY clustered dimension, where a linear
+        sort prunes only the leading one. Cost is the compaction itself
+        (a shuffle the rewrite pays anyway); reads pay nothing."""
         head = self.latest_version()
         if head is None:
             raise ValueError("empty table")
         files, schema_json = self._resolve(head)
-        df = self.spark.read.parquet(
-            *[os.path.join(self.root, fe.path) for fe in files]
-        ).coalesce(max(1, target_files))
+        df = self._read_live(
+            [os.path.join(self.root, fe.path) for fe in files], schema_json
+        )
+        if zorder_by:
+            from nibbledb_spark.plans.scale import zorder_key
+
+            bits = 8
+            span = (1 << bits) - 1
+            ranges = df.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"hi_{c}") for c in zorder_by],
+            ).collect()[0]
+            buckets = []
+            for c in zorder_by:
+                lo, hi = ranges[f"lo_{c}"], ranges[f"hi_{c}"]
+                if lo is None or hi is None or float(hi) == float(lo):
+                    buckets.append(F.lit(0))
+                    continue
+                scale = span / (float(hi) - float(lo))
+                b = F.floor((F.col(c).cast("double") - F.lit(float(lo))) * scale)
+                buckets.append(
+                    F.coalesce(  # NULLs cluster at bucket 0
+                        F.least(F.lit(span), F.greatest(F.lit(0), b)), F.lit(0)
+                    ).cast("long")
+                )
+            df = (
+                df.withColumn("__z", zorder_key(buckets, bits=bits))
+                .repartitionByRange(max(1, target_files), "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.coalesce(max(1, target_files))
         add = self._write_files(df)
         return self._commit(
             "compact",
             add,
             [fe.path for fe in files],
             schema_json,
-            {"from_files": len(files), "to_files": len(add)},
+            {
+                "from_files": len(files),
+                "to_files": len(add),
+                **({"zorder_by": list(zorder_by)} if zorder_by else {}),
+            },
             expected_version=head + 1,
             retry_append=False,
         )
@@ -752,8 +861,8 @@ class SnapshotLog:
                 else T.StructType([])
             )
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(
-            *[os.path.join(self.root, fe.path) for fe in files]
+        return self._read_live(
+            [os.path.join(self.root, fe.path) for fe in files], schema_json
         )
 
     def streaming_sink(self, stream_id: str = "default"):
@@ -862,7 +971,9 @@ class SnapshotLog:
                 else T.StructType([])
             )
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths)
+        # pinned to the newest schema in the range: added files written
+        # before an in-range evolution backfill NULL for later columns
+        return self._read_live(paths, schema_json)
 
     def history(self) -> list[dict]:
         """``git log`` analogue: newest-first commit records."""

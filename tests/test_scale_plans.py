@@ -183,3 +183,31 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_compact_zorder_by_enables_trailing_dim_pruning(spark, tmp_path):
+    """compact(zorder_by=...) is the OPTIMIZE ZORDER path: a table whose
+    files were appended linearly (no y locality) becomes prunable on the
+    trailing dimension after one clustered compaction, read-results
+    invariant."""
+    from nibbledb_spark.snapshots import SnapshotLog
+
+    grid = spark.range(256 * 256).selectExpr(
+        "CAST(id % 256 AS INT) AS x", "CAST(id DIV 256 AS INT) AS y"
+    )
+    tbl = SnapshotLog(spark, str(tmp_path / "opt"), stats_cols=("x", "y"))
+    tbl.append(
+        grid.repartitionByRange(16, "x", "y").sortWithinPartitions("x", "y")
+    )
+    bounds = {"y": (0, 31)}
+    assert len(tbl.files(bounds=bounds)) == len(tbl.files())  # linear: no prune
+    before = tbl.read().selectExpr("sum(x) AS sx", "sum(y) AS sy").collect()[0]
+    tbl.compact(target_files=16, zorder_by=("x", "y"))
+    assert tbl.history()[0]["op"] == "compact"
+    kept = len(tbl.files(bounds=bounds)) / len(tbl.files())
+    assert kept <= 0.5, f"z-order compaction should prune most files, kept {kept}"
+    assert len(tbl.files(bounds={"x": (0, 31)})) < len(tbl.files())
+    after = tbl.read().selectExpr("sum(x) AS sx", "sum(y) AS sy").collect()[0]
+    assert (before["sx"], before["sy"]) == (after["sx"], after["sy"])
+    got = tbl.read(bounds=bounds).where("y BETWEEN 0 AND 31").count()
+    assert got == 256 * 32

@@ -514,3 +514,68 @@ def test_append_ignores_nested_nullability(spark, log):
     )
     log.append(relaxed)  # valueContainsNull False vs True: must not raise
     assert log.read().count() == 6
+
+
+def test_merge_schema_evolution_appends_column(spark, log):
+    """merge_schema=True adds new columns as a metadata-only evolution:
+    old files are untouched and backfill NULL on read; the evolved
+    column is queryable across the whole table; a frame that OMITS
+    columns is also accepted (missing -> NULL)."""
+    log.append(_df(spark, 0, 10))
+    old_files = {fe.path for fe in log.files()}
+    wide = spark.range(10, 20).selectExpr("id", "id * 2 AS v", "id * 3 AS w")
+    log.append(wide, merge_schema=True)
+    assert old_files <= {fe.path for fe in log.files()}  # nothing rewritten
+    got = log.read()
+    assert got.columns == ["id", "v", "w"]
+    assert got.count() == 20
+    assert got.where("w IS NULL").count() == 10  # pre-evolution rows
+    assert got.where("w = id * 3").count() == 10
+    # subset append after evolution: missing columns read back NULL
+    narrow = spark.range(20, 25).selectExpr("id")
+    log.append(narrow, merge_schema=True)
+    got = log.read()
+    assert got.columns == ["id", "v", "w"]
+    assert got.where("v IS NULL AND w IS NULL").count() == 5
+    # time travel: pre-evolution versions keep the pre-evolution schema
+    assert log.read(version=0).columns == ["id", "v"]
+
+
+def test_merge_schema_still_rejects_type_changes(spark, log):
+    log.append(_df(spark, 0, 10))
+    retyped = spark.range(0, 5).selectExpr("CAST(id AS STRING) AS id", "id AS v")
+    with pytest.raises(ValueError, match="append schema mismatch on column"):
+        log.append(retyped, merge_schema=True)
+
+
+def test_rewrites_preserve_evolved_schema(spark, log):
+    """delete/merge/compact after an evolution must carry the evolved
+    schema into the files they rewrite: their reads are pinned to the
+    committed schema, so pre-evolution survivors keep NULL in the new
+    column instead of dropping it (or the whole column vanishing based
+    on which file Spark sampled)."""
+    log.append(_df(spark, 0, 50))
+    wide = spark.range(50, 60).selectExpr("id", "id * 2 AS v", "id * 3 AS w")
+    log.append(wide, merge_schema=True)
+    # delete hits only the OLD files; rewritten survivors must still
+    # expose (id, v, w)
+    log.delete_where("id < 5")
+    got = log.read()
+    assert got.columns == ["id", "v", "w"]
+    assert got.count() == 55
+    assert got.where("w IS NULL").count() == 45
+    # merge with the evolved schema touches old files too
+    upd = spark.range(5, 8).selectExpr("id", "id * 20 AS v", "id * 30 AS w")
+    log.merge(upd, ["id"])
+    got = log.read()
+    assert got.where("v = id * 20 AND w = id * 30").count() == 3
+    assert got.count() == 55
+    # compact the mixed-vintage live set into one file
+    log.compact(target_files=1)
+    got = log.read()
+    assert got.count() == 55
+    assert got.columns == ["id", "v", "w"]
+    assert got.where("w IS NULL").count() == 42  # 45 - 3 merged
+    # change feed across the evolution is pinned to the newest schema
+    feed = log.inserts_between(0, log.latest_version())
+    assert feed.columns == ["id", "v", "w"]
