@@ -81,3 +81,110 @@ def test_table_and_points_caches_invalidate_on_rewrite(spark, tmp_path):
     pts2 = registry.points_from_events(spark, str(sf))
     n2 = pts2.count()
     assert n2 == 10 and n1 != n2  # fresh data, not the stale persist
+
+
+# --- nibble_wire custom Python DataSource -----------------------------------
+
+
+def _wire_file(path, rows):
+    import json
+
+    with open(path, "w") as f:
+        json.dump(rows, f)
+    return str(path)
+
+
+@pytest.fixture()
+def wire_dir(tmp_path):
+    """Two reference-style wire files (one request body per series)."""
+    _wire_file(
+        tmp_path / "butterflies.json",
+        [
+            {"timestamp": 1439856000000000,
+             "tag": [{"location": "1"}, {"scientist": "langstroth"}],
+             "value": 12},
+            {"timestamp": 1439856360000000,
+             "tag": [{"location": "1"}, {"scientist": "perpetua"}],
+             "value": 3},
+            {"value": 7},  # server-assigned ts
+        ],
+    )
+    _wire_file(
+        tmp_path / "honeybees.json",
+        [
+            {"timestamp": 1439856000000000,
+             "tag": [{"location": "1"}, {"scientist": "langstroth"}],
+             "value": 23},
+            {"tag": [{"location": "2"}], "value": 11, "timestamp": 1439877240000000},
+        ],
+    )
+    return tmp_path
+
+
+def test_wire_datasource_reads_points(spark, wire_dir):
+    """The nibble_wire format lands wire-JSON files in the canonical
+    points schema: series from the file basename, assoc-list tags as a
+    map, missing timestamps from default_ts, one partition per file."""
+    from nibbledb_spark.schema import POINT_SCHEMA
+    from nibbledb_spark.sources.wire import register_wire_source
+
+    register_wire_source(spark)
+    df = (
+        spark.read.format("nibble_wire")
+        .option("default_ts", 777)
+        .load(str(wire_dir))
+    )
+    assert df.schema == POINT_SCHEMA
+    assert df.rdd.getNumPartitions() == 2  # one per wire file
+    rows = {(r.series, r.ts): r for r in df.collect()}
+    assert len(rows) == 5
+    b = rows[("butterflies", 1439856000000000)]
+    assert b.tag == {"location": "1", "scientist": "langstroth"}
+    assert b.value == 12.0
+    assert rows[("butterflies", 777)].value == 7.0  # default_ts applied
+    assert rows[("honeybees", 1439877240000000)].tag == {"location": "2"}
+    # engine round-trip: the source feeds append_points directly
+    from nibbledb_spark.engine import TimeSeriesEngine
+
+    eng = TimeSeriesEngine(spark, str(wire_dir / "store"))
+    eng.append_points(df)
+    assert eng.length(["butterflies", "honeybees"]) == 5
+
+
+def test_wire_datasource_strict_mode_and_bad_records(spark, tmp_path):
+    """strict mode replicates the reference's field-order check (quirk
+    Q3): value-before-timestamp is a hard error; any malformed record
+    fails the read (the reference 400s the whole batch)."""
+    import pytest as _pytest
+
+    from nibbledb_spark.sources.wire import register_wire_source
+
+    register_wire_source(spark)
+    ooo = _wire_file(
+        tmp_path / "ooo.json",
+        [{"value": 5, "timestamp": 1439856000000000}],  # wrong order
+    )
+    lenient = spark.read.format("nibble_wire").load(ooo)
+    assert lenient.count() == 1  # any-order accepted by default
+    strict = spark.read.format("nibble_wire").option("mode", "strict").load(ooo)
+    with _pytest.raises(Exception, match="badly formatted json"):
+        strict.collect()
+    bad = _wire_file(tmp_path / "bad.json", [{"value": True}])
+    with _pytest.raises(Exception, match="value must be numeric"):
+        spark.read.format("nibble_wire").load(bad).collect()
+    unknown = _wire_file(tmp_path / "unknown.json", [{"value": 1, "extra": 2}])
+    with _pytest.raises(Exception, match="badly formatted json"):
+        spark.read.format("nibble_wire").load(unknown).collect()
+
+
+def test_wire_datasource_series_override_and_glob(spark, wire_dir):
+    from nibbledb_spark.sources.wire import register_wire_source
+
+    register_wire_source(spark)
+    df = (
+        spark.read.format("nibble_wire")
+        .option("series", "all")
+        .option("default_ts", 0)
+        .load(str(wire_dir / "*.json"))
+    )
+    assert set(r.series for r in df.collect()) == {"all"}
