@@ -1363,6 +1363,16 @@ _SHINGLES = (
 )
 _STOPWORDS_SQL = "('the','a','of','and','is','to','in','that','it','for')"
 
+# The blended quality score (type-token ratio + stopword ratio, equal
+# weights) over a token list `w` — ONE definition composed into every
+# oracle that ranks or filters by quality, so a reweighting cannot
+# silently diverge between them.
+_QUALITY_SCORE_SQL = (
+    "(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5"
+    f" + (CAST(len(list_filter(w, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE)"
+    " / len(w)) * 0.5"
+)
+
 from nibbledb_spark.operators.pipeline import DEFAULT_MAX_SHINGLE_DF as _MAX_SHINGLE_DF  # noqa: E402
 
 
@@ -1394,8 +1404,7 @@ SELECT doc_id,
        len(w) AS n_tokens,
        CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
        CAST(len(list_filter(w, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(w) AS stopword_ratio,
-       (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5
-         + (CAST(len(list_filter(w, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(w)) * 0.5
+       {_QUALITY_SCORE_SQL}
          AS quality_score
 FROM t
 """,
@@ -1588,9 +1597,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@declared(
-    "near_dup_components",
-    f"""
+# Shared near-dup transitive-closure CTE chain (trigram Jaccard >= 0.5
+# pairs -> undirected edges -> recursive reachability). Composed into
+# every clustering oracle so a threshold/shingle tune can't silently
+# diverge between them.
+_NDC_CLOSURE_CTES = f"""
 WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
 sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM t),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
@@ -1613,7 +1624,13 @@ reach(id, r) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
-)
+)"""
+
+
+@declared(
+    "near_dup_components",
+    _NDC_CLOSURE_CTES
+    + """
 SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
 """,
 )
@@ -2933,8 +2950,7 @@ def tfidf_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),
 q AS (
   SELECT doc_id, source,
-         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5
-           + (CAST(len(list_filter(w, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(w)) * 0.5
+         {_QUALITY_SCORE_SQL}
            AS quality_score
   FROM t
 )
@@ -3363,10 +3379,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape (shipping priority): 3-way join, filtered on both
     fact sides, aggregated, global top-10 by revenue.
 
-    Customer (filtered to one segment) broadcasts into orders; the
-    orders->lineitem join is the only big shuffle. Revenue is a
-    scaled-long sum, so the top-10 cut compares identical exact values
-    on both engines; l_orderkey is the unique tiebreak."""
+    The filtered customer side (one segment, two columns) is left to
+    the optimizer rather than force-broadcast: customer grows with SF,
+    and a hint bypasses autoBroadcastJoinThreshold entirely — at bench
+    scale AQE still picks a broadcast join from runtime sizes, and at a
+    scale where the dim outgrows the threshold the fallback is the
+    correct shuffled join instead of a driver OOM. The orders->lineitem
+    join is the big shuffle either way. Revenue is a scaled-long sum,
+    so the top-10 cut compares identical exact values on both engines;
+    l_orderkey is the unique tiebreak."""
     cutoff = "1998-06-01"
     c = (
         _t(spark, sf_dir, "customer")
@@ -3380,7 +3401,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -3417,11 +3438,14 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier join carries an extra residual (supplier nation == customer
     nation) — the join-ordering stress test.
 
-    nation/region (25/5 rows at any SF) broadcast unconditionally;
-    supplier (SF x 10k) gets a broadcast hint too — at 100 TB it is
-    still ~MBs, far under a sane autoBroadcastJoinThreshold, and
-    broadcasting it keeps the plan to ONE big shuffle (orders<->lineitem)
-    instead of three."""
+    Only the FIXED-size dims broadcast by hint: nation/region are 25/5
+    rows at any SF. customer and supplier grow with SF (SF x 150k /
+    SF x 10k rows), so their join strategy is left to the optimizer —
+    a forced broadcast bypasses autoBroadcastJoinThreshold and turns
+    into a driver OOM at the 100 TB scale this query is shaped for,
+    while AQE already picks broadcast from runtime sizes whenever they
+    actually fit. The orders<->lineitem join is the unavoidable big
+    shuffle."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select(
@@ -3431,10 +3455,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -3574,35 +3598,12 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "near_dup_keep_best",
-    f"""
-WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
-sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM t),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT id1, id2 FROM inter
-  JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
-  WHERE CAST(n_inter AS DOUBLE) / (z1.sz + z2.sz - n_inter) >= 0.5
-),
-edges AS (
-  SELECT id1 AS a, id2 AS b FROM pairs
-  UNION
-  SELECT id2 AS a, id1 AS b FROM pairs
-),
-reach(id, r) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
-),
+    _NDC_CLOSURE_CTES
+    + f""",
 comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
 q AS (
   SELECT doc_id,
-         (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.5
-           + (CAST(len(list_filter(w, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(w)) * 0.5
+         {_QUALITY_SCORE_SQL}
            AS quality_score
   FROM t
 ),

@@ -407,7 +407,10 @@ class SnapshotLog:
                     f"append schema mismatch: frame adds {sorted(f['name'] for f in new)}, "
                     f"omits {missing}; pass merge_schema=True to evolve"
                 )
-            return df.schema.json()
+            # committed schema stands, NOT the frame's: a column-reordered
+            # (but matching) frame must not flip the table's column order
+            # (or its nullability flags) for every later read
+            return schema_json
         if not new:
             return schema_json  # subset or exact: committed schema stands
         return json.dumps(

@@ -80,9 +80,11 @@ class NibbleWireDataSource(DataSource):
     - ``mode``: ``lenient`` (default; any order of the allowed keys) or
       ``strict`` (the reference's exact field-order check, quirk Q3).
     - ``default_ts``: epoch-µs long assigned to records with no
-      ``timestamp`` key; default = ingest wall clock (the reference's
-      server-assigned-now, ``src/timeseries.re:37-44``) — pass it
-      explicitly whenever reproducibility matters.
+      ``timestamp`` key; default = the ingest wall clock sampled ONCE at
+      read setup (the reference's server-assigned-now,
+      ``src/timeseries.re:37-44``, made deterministic under task
+      retries) — pass it explicitly whenever reproducibility across
+      read JOBS matters.
     """
 
     @classmethod
@@ -105,7 +107,16 @@ class NibbleWireReader(DataSourceReader):
         self.series = options.get("series")
         self.strict = options.get("mode", "lenient").lower() == "strict"
         raw_ts = options.get("default_ts")
-        self.default_ts = int(raw_ts) if raw_ts is not None else None
+        # Resolved ONCE, driver-side, at reader construction: a per-record
+        # wall clock on the executor would make the source
+        # non-deterministic under task retries / speculative execution /
+        # lost-partition recomputation — the same file yielding different
+        # ts values per attempt silently breaks downstream dedup and
+        # exactly-once sinks. One ingest-time stamp per read job is the
+        # deterministic rendering of the reference's server-assigned-now.
+        from nibbledb_spark.schema import now_micros
+
+        self.default_ts = int(raw_ts) if raw_ts is not None else now_micros()
 
     def partitions(self) -> Sequence[InputPartition]:
         # one partition per file: a wire file is one request body (one
