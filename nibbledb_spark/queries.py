@@ -3657,3 +3657,69 @@ def near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@declared(
+    "schema_evolution_versions",
+    """
+SELECT CAST(0 AS INTEGER) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(2 AS INTEGER) AS n_cols, CAST(NULL AS BIGINT) AS null_segments
+FROM customer WHERE c_custkey < 1000
+UNION ALL
+SELECT CAST(1 AS INTEGER), CAST(COUNT(*) AS BIGINT), CAST(3 AS INTEGER),
+       CAST((SELECT COUNT(*) FROM customer WHERE c_custkey < 1000) AS BIGINT)
+FROM customer
+ORDER BY version
+""",
+)
+def schema_evolution_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-log additive schema evolution surfaced as a query: v0
+    appends a 2-column slice of customer, v1 appends the REST with a
+    merge_schema=True frame that carries c_mktsegment — a metadata-only
+    evolution (v0's files are never rewritten). Reading v1 then shows 3
+    columns with the pre-evolution rows backfilled NULL, and time
+    travel to v0 shows the pre-evolution 2-column schema. The oracle
+    states the same history declaratively: null_segments at the evolved
+    head equals exactly the pre-evolution row count."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.snapshots import SnapshotLog
+
+    customer = _t(spark, sf_dir, "customer")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"nibblelog_evo_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log = SnapshotLog(spark, root, stats_cols=("c_custkey",))
+    log.append(customer.where("c_custkey < 1000").select("c_custkey", "c_acctbal"))
+    log.append(
+        customer.where("c_custkey >= 1000").select(
+            "c_custkey", "c_acctbal", "c_mktsegment"
+        ),
+        merge_schema=True,
+    )
+    rows = []
+    for v in range(2):
+        snap = log.read(version=v)
+        n_cols = len(snap.columns)
+        null_seg = (
+            F.count(F.when(F.col("c_mktsegment").isNull(), 1))
+            if "c_mktsegment" in snap.columns
+            else F.lit(None).cast("long")
+        )
+        rows.append(
+            snap.agg(
+                F.count(F.lit(1)).alias("n_rows"), null_seg.alias("null_segments")
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+                F.lit(n_cols).cast("int").alias("n_cols"),
+                "null_segments",
+            )
+        )
+    out = rows[0]
+    for s in rows[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("version")
