@@ -667,6 +667,73 @@ class SnapshotLog:
             retry_append=False,
         )
 
+    def delete_keys(self, keys: DataFrame, key_cols: list[str]) -> int:
+        """Delete every live row whose key appears in ``keys`` — the
+        right-to-be-forgotten / tombstone-batch path. ONE atomic commit.
+
+        Scale shape mirrors ``merge``: the key set broadcasts against
+        the live scan to find the files that actually CONTAIN a match
+        (``input_file_name()`` semi-join), only those rewrite via an
+        anti-join, and every untouched file stays referenced as-is — a
+        100 TB table erases a user's rows by rewriting the touched GBs.
+        Unlike ``delete_where`` (arbitrary predicate, probe scans
+        predicate columns), this takes the keys as a FRAME, so a
+        million-key erasure batch never becomes a million-term SQL
+        predicate. NULL keys are rejected (they can never match via the
+        semi/anti joins, so 'deleting' them would silently no-op)."""
+        null_key = F.lit(False)
+        for c in key_cols:
+            null_key = null_key | F.col(c).isNull()
+        nk = keys.agg(F.count(F.when(null_key, 1)).alias("nk")).collect()[0]["nk"]
+        if nk:
+            raise ValueError(
+                f"delete_keys set has {nk} row(s) with NULL in key columns "
+                f"{key_cols}; NULL keys cannot match any row"
+            )
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("empty table")
+        files, schema_json = self._resolve(head)
+        paths = [os.path.join(self.root, fe.path) for fe in files]
+        missing = [c for c in key_cols if c not in {f.name for f in
+                   self._read_live(paths[:1], schema_json).schema.fields}]
+        if missing:
+            raise ValueError(f"delete_keys columns absent from table: {missing}")
+        kset = keys.select(*key_cols).dropDuplicates()
+        live = self._read_live(paths, schema_json)
+        tagged = live.withColumn("__file", F.input_file_name())
+        hit_rows = (
+            tagged.join(F.broadcast(kset), key_cols, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        rel_live = {fe.path for fe in files}
+        hit = {
+            p
+            for p in (self._uri_to_rel(r["__file"]) for r in hit_rows)
+            if p in rel_live
+        }
+        if not hit:
+            return self._commit(
+                "delete", [], [], schema_json,
+                {"key_cols": key_cols, "rewritten_files": 0},
+                expected_version=head + 1, retry_append=False,
+            )
+        survivors = self._read_live(
+            [os.path.join(self.root, p) for p in sorted(hit)], schema_json
+        ).join(F.broadcast(kset), key_cols, "left_anti")
+        add = self._write_files(survivors)
+        return self._commit(
+            "delete",
+            add,
+            sorted(hit),
+            schema_json,
+            {"key_cols": key_cols, "rewritten_files": len(hit)},
+            expected_version=head + 1,
+            retry_append=False,
+        )
+
     def compact(
         self,
         target_files: int = 1,

@@ -579,3 +579,32 @@ def test_rewrites_preserve_evolved_schema(spark, log):
     # change feed across the evolution is pinned to the newest schema
     feed = log.inserts_between(0, log.latest_version())
     assert feed.columns == ["id", "v", "w"]
+
+
+def test_delete_keys_rewrites_only_hit_files(spark, log):
+    """Key-list deletion (the right-to-be-forgotten path): only files
+    containing a listed key rewrite; untouched files stay referenced;
+    time travel still sees the erased rows until vacuum."""
+    log.append(_df(spark, 0, 50))
+    log.append(_df(spark, 50, 100))
+    before = {fe.path for fe in log.files()}
+    keys = spark.range(90, 95).selectExpr("id")  # only the 2nd batch
+    log.delete_keys(keys, ["id"])
+    assert log.read().count() == 95
+    assert log.read().where("id IN (90,91,92,93,94)").count() == 0
+    hist = log.history()[0]
+    assert hist["op"] == "delete"
+    after = {fe.path for fe in log.files()}
+    assert before & after, "files without matches must stay referenced"
+    assert log.read(version=1).count() == 100  # history intact
+    # absent keys: metadata-only no-op commit
+    v = log.delete_keys(spark.range(5000, 5002).selectExpr("id"), ["id"])
+    assert log.history()[0]["op"] == "delete"
+    assert log.read(version=v).count() == 95
+    # NULL keys rejected with a clear message
+    nulls = spark.sql("SELECT CAST(NULL AS BIGINT) AS id")
+    with pytest.raises(ValueError, match="NULL in key columns"):
+        log.delete_keys(nulls, ["id"])
+    # unknown key column rejected
+    with pytest.raises(ValueError, match="absent from table"):
+        log.delete_keys(spark.range(3).selectExpr("id AS nope"), ["nope"])
