@@ -310,8 +310,10 @@ from hypothesis import strategies as st
 _ops = st.lists(
     st.one_of(
         st.tuples(st.just("append"), st.integers(0, 9), st.integers(1, 20)),
+        st.tuples(st.just("append_wide"), st.integers(0, 9), st.integers(1, 20)),
         st.tuples(st.just("delete_mod"), st.integers(2, 5), st.integers(0, 4)),
-        st.tuples(st.just("compact"), st.just(0), st.just(0)),
+        st.tuples(st.just("delete_keys"), st.integers(0, 9), st.integers(1, 20)),
+        st.tuples(st.just("compact"), st.integers(0, 1), st.just(0)),
     ),
     min_size=1,
     max_size=6,
@@ -325,31 +327,62 @@ _ops = st.lists(
 )
 @given(ops=_ops)
 def test_snapshot_log_model_property(spark, tmp_path_factory, ops):
-    """Model check: any append/delete/compact sequence leaves every
-    snapshot equal to replaying the same ops on a plain Python list —
-    and time travel reproduces each intermediate state exactly."""
+    """Model check: any append / schema-evolving append / predicate
+    delete / key-list delete / (optionally Z-ordered) compact sequence
+    leaves every snapshot equal to replaying the same ops on a plain
+    Python dict — and time travel reproduces each intermediate state
+    exactly. Wide appends carry an extra column x=id*7; narrow rows
+    must read x as NULL once the schema has evolved."""
     root = str(tmp_path_factory.mktemp("prop") / "tbl")
     log = SnapshotLog(spark, root, stats_cols=("id",), checkpoint_every=3)
-    model: list[int] = []
+    model: list[tuple[int, int | None]] = []
+    evolved = False
     states: list[list[int]] = []
     for kind, a, b in ops:
         if kind == "append":
             vals = list(range(a * 100, a * 100 + b))
-            log.append(spark.createDataFrame([(v,) for v in vals], "id long"))
-            model = model + vals
+            log.append(
+                spark.createDataFrame([(v,) for v in vals], "id long"),
+                merge_schema=evolved,  # narrow frames omit x post-evolution
+            )
+            model += [(v, None) for v in vals]
+        elif kind == "append_wide":
+            vals = list(range(a * 100, a * 100 + b))
+            log.append(
+                spark.createDataFrame(
+                    [(v, v * 7) for v in vals], "id long, x long"
+                ),
+                merge_schema=True,
+            )
+            model += [(v, v * 7) for v in vals]
+            evolved = True
         elif kind == "delete_mod":
             if log.latest_version() is None:
                 continue
             log.delete_where(f"id % {a} = {b % a}")
-            model = [v for v in model if v % a != b % a]
+            model = [(k, x) for k, x in model if k % a != b % a]
+        elif kind == "delete_keys":
+            if log.latest_version() is None:
+                continue
+            kills = list(range(a * 100, a * 100 + b))
+            log.delete_keys(
+                spark.createDataFrame([(v,) for v in kills], "id long"), ["id"]
+            )
+            model = [(k, x) for k, x in model if k not in set(kills)]
         else:
             if log.latest_version() is None:
                 continue
-            log.compact()
-        states.append(sorted(model))
+            log.compact(zorder_by=("id",) if a else None)
+        states.append(sorted(k for k, _ in model))
     if log.latest_version() is None:
         return
-    assert sorted(r["id"] for r in log.read().collect()) == sorted(model)
+    rows = log.read().collect()
+    assert sorted(r["id"] for r in rows) == sorted(k for k, _ in model)
+    if evolved:  # evolved column: wide rows keep x, narrow rows read NULL
+        keyf = lambda t: (t[0], t[1] is not None, t[1] or 0)  # noqa: E731
+        assert sorted(((r["id"], r["x"]) for r in rows), key=keyf) == sorted(
+            model, key=keyf
+        )
     # every recorded version must replay its own model state
     versions = range(log.latest_version() + 1)
     for v, want in zip(versions, states):
