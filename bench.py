@@ -243,6 +243,24 @@ def snapshot_bench(spark) -> None:
             "delete o_orderstatus='P'",
             lambda: tbl.delete_where("o_orderstatus = 'P'"),
         )
+        kill = orders.where("o_orderkey % 997 = 0").select("o_orderkey")
+        timed(
+            f"delete_keys {kill.count():,} keys",
+            lambda: tbl.delete_keys(kill, ["o_orderkey"]),
+        )
+        timed(
+            "evolve schema (merge_schema append, 1 row)",
+            lambda: tbl.append(
+                orders.limit(1).withColumn("o_flag", F.lit(1).cast("long")),
+                merge_schema=True,
+            ),
+        )
+        timed(
+            "zorder compact (o_orderkey, o_custkey)",
+            lambda: tbl.compact(
+                target_files=8, zorder_by=("o_orderkey", "o_custkey")
+            ),
+        )
         timed("head read count", lambda: tbl.read().count())
         timed("time-travel v0 count", lambda: tbl.read(version=0).count())
         timed(
