@@ -3723,3 +3723,119 @@ def schema_evolution_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in rows[1:]:
         out = out.unionByName(s)
     return out.orderBy("version")
+
+
+@declared(
+    "funnel_view_click_purchase",
+    """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users who viewed, then clicked AFTER
+    their first view, then purchased AFTER that click — the sequential
+    constraint (each stage strictly after the previous stage's first
+    completion) is what separates a funnel from three independent
+    existence counts.
+
+    Three stage aggregates chained by equi-joins, ALL keyed on
+    user_id: each stage shuffles only its own event-type slice (the
+    type filter is pushed to the scan), later stages join on the same
+    key, and the final counts are single-row crossJoins (the
+    BroadcastNestedLoop in the plan is 1x1x1). Epoch-µs comparisons
+    keep it EXACT."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", event_ts_us(ev).alias("ts_us"))
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
+
+
+@declared(
+    "cohort_weekly_retention",
+    """
+WITH firstw AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT f.cohort_week,
+       CAST(datediff('day', f.cohort_week, a.week) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM activity a JOIN firstw f ON a.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted as active per weekly offset — the standard growth-analytics
+    table. Both engines truncate to the ISO Monday (Spark
+    date_trunc('week'), DuckDB date_trunc('week')) and the offset is
+    exact integer day-arithmetic // 7, so the output is EXACT.
+
+    Shape: one user_id agg (first week), one distinct on
+    (user_id, week), one join on user_id — the same single-key
+    exchange chain as the funnel; the final (cohort, offset) agg is
+    tiny (weeks x weeks)."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    e = ev.select("user_id", wk.alias("week"))
+    firstw = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = e.distinct()
+    return (
+        activity.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week"))
+                .cast("long")
+                / F.lit(7)
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
