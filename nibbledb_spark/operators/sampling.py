@@ -150,3 +150,65 @@ def sample_token_budget_per_group(
         .where(F.col("__prior") < budget_tokens)
         .drop("__prior")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    k: int,
+    weights: dict[str, int],
+    *,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: int = 1,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis-Spirakis A-ES scheme (IPL 2006). Every row draws a
+    uniform u from its key hash and gets priority u^(1/w); the global
+    top-k priorities are the sample — inclusion odds scale with w, and
+    the selection is exactly reproducible on any engine or partitioning.
+
+    Engine-portability detail: u^(1/w) needs libm ``pow``, whose last
+    ulp differs across engines and could flip a borderline top-k
+    selection. Since ranking is all that matters, we rank by the
+    monotone transform u^(L/w) with L = lcm(weights): the exponents are
+    small integers, computed as explicit multiplication chains —
+    IEEE-exact, bit-identical everywhere, and the DuckDB oracle repeats
+    the same products. Weights must divide L (integers keep it exact).
+
+    Physical shape: row-local priority expression, then one global
+    TakeOrderedAndProject (per-partition top-k + k-row merge) — no full
+    sort, no shuffle of the corpus. The 100 TB cost is one scan.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    ws = set(weights.values()) | {default_weight}
+    if any(w <= 0 or w != int(w) for w in ws):
+        raise ValueError(f"weights must be positive integers: {sorted(ws)}")
+    lcm = 1
+    for w in sorted(ws):
+        g, a = lcm, w
+        while a:
+            g, a = a, g % a
+        lcm = lcm * w // g
+
+    # 52-bit uniform in (0, 1]: +1 keeps u > 0 so priorities never tie at 0
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 52))
+
+    def upow(e: int) -> Column:
+        p = u
+        for _ in range(e - 1):
+            p = p * u
+        return p
+
+    prio = upow(lcm // default_weight)
+    for value, w in sorted(weights.items()):
+        prio = F.when(F.col(stratum_col) == value, upow(lcm // w)).otherwise(prio)
+    return (
+        df.withColumn("priority", prio)
+        .orderBy(F.col("priority").desc(), F.col(key_col).asc())
+        .limit(k)
+    )

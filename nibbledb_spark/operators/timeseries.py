@@ -365,6 +365,71 @@ def resample(
     ).orderBy("series", "bucket_us")
 
 
+def rate(points: DataFrame) -> DataFrame:
+    """Counter-reset-aware per-second rate (the PromQL ``rate``/
+    ``increase`` primitive every monitoring tsdb exposes; the reference
+    has only raw reads, reference src/timeseries.re:456-469 stops at
+    scalar aggregates).
+
+    Per series in ts order: ``increase`` is the successive difference,
+    except when the counter went DOWN — a process restart reset it to
+    zero, so the whole new value counts as the increase (the standard
+    monotonic-counter correction). ``rate_per_s`` normalizes by elapsed
+    wall time. Same single-shuffle window shape as :func:`delta`;
+    same-timestamp successor pairs (elapsed 0) are dropped rather than
+    emitting an IEEE infinity."""
+    w = Window.partitionBy("series").orderBy(F.col("ts").asc(), F.col("value").asc())
+    prev_v = F.lag("value").over(w)
+    prev_t = F.lag("ts").over(w)
+    inc = F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(
+        F.col("value")
+    )
+    elapsed = F.col("ts") - prev_t
+    out = points.select(
+        "series",
+        "ts",
+        inc.alias("increase"),
+        (inc * F.lit(1_000_000.0) / elapsed.cast("double")).alias("rate_per_s"),
+        elapsed.alias("elapsed_us"),
+    )
+    return out.where(F.col("increase").isNotNull() & (F.col("elapsed_us") > 0))
+
+
+def m4(points: DataFrame, every_us: int) -> DataFrame:
+    """M4 visual downsampling (Jugel et al., VLDB 2014): per
+    (series, time bucket) keep the first, last, minimum and maximum
+    points — the four rows that make a line plot of the bucket
+    pixel-exact. The classic dashboard-downsample operator (TimescaleDB
+    / InfluxDB expose the same shape); emitted wide, one row per bucket.
+
+    Ties are resolved by lexicographic struct comparison — (ts, value)
+    for first/last, (value, ts) for min/max — so the selection is
+    deterministic on any partitioning, and the DuckDB oracle replicates
+    it with the same struct-min/max. One hash aggregate with map-side
+    partials; nothing buffers a full series anywhere."""
+    bucket = (F.col("ts") - F.pmod(F.col("ts"), F.lit(every_us))).alias("bucket_us")
+    tv = F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))
+    vt = F.struct(F.col("value").alias("v"), F.col("ts").alias("t"))
+    g = points.groupBy(F.col("series"), bucket).agg(
+        F.min(tv).alias("f"),
+        F.max(tv).alias("l"),
+        F.min(vt).alias("lo"),
+        F.max(vt).alias("hi"),
+    )
+    return g.select(
+        "series",
+        "bucket_us",
+        F.col("f.t").alias("t_first"),
+        F.col("f.v").alias("v_first"),
+        F.col("l.t").alias("t_last"),
+        F.col("l.v").alias("v_last"),
+        F.col("lo.t").alias("t_min"),
+        F.col("lo.v").alias("v_min"),
+        F.col("hi.t").alias("t_max"),
+        F.col("hi.v").alias("v_max"),
+    )
+
+
 def delta(points: DataFrame, *, per_second: bool = False) -> DataFrame:
     """Per-series successive differences (counter delta), optionally
     normalized to a per-second rate over the elapsed µs. First point of

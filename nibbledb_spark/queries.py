@@ -3839,3 +3839,116 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@declared(
+    "ts_rate_counter",
+    _POINTS_CTE
+    + """
+, o AS (
+  SELECT series, ts, value,
+         lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+  FROM points WINDOW w AS (PARTITION BY series ORDER BY ts ASC, value ASC)
+)
+SELECT series, ts,
+       CASE WHEN value >= pv THEN value - pv ELSE value END AS increase,
+       (CASE WHEN value >= pv THEN value - pv ELSE value END)
+         * 1000000.0 / CAST(ts - pt AS DOUBLE) AS rate_per_s,
+       ts - pt AS elapsed_us
+FROM o WHERE pv IS NOT NULL AND ts - pt > 0
+""",
+)
+def ts_rate_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-reset-aware per-second rate (PromQL rate/increase
+    semantics: a decrease means the counter restarted, so the new value
+    IS the increase). One window shuffle on (series, ts) — the same
+    plan shape as ts_delta; division ordering identical on both
+    engines, so the doubles match bit-for-bit."""
+    from nibbledb_spark.operators.timeseries import rate
+
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    return rate(pts)
+
+
+@declared(
+    "ts_downsample_m4",
+    _POINTS_CTE
+    + f"""
+SELECT series, ts - (ts % {_RESAMPLE_US}) AS bucket_us,
+       (min({{'t': ts, 'v': value}})).t AS t_first,
+       (min({{'t': ts, 'v': value}})).v AS v_first,
+       (max({{'t': ts, 'v': value}})).t AS t_last,
+       (max({{'t': ts, 'v': value}})).v AS v_last,
+       (min({{'v': value, 't': ts}})).t AS t_min,
+       (min({{'v': value, 't': ts}})).v AS v_min,
+       (max({{'v': value, 't': ts}})).t AS t_max,
+       (max({{'v': value, 't': ts}})).v AS v_max
+FROM points GROUP BY 1, 2
+""",
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 visual downsampling (Jugel et al., VLDB 2014): per
+    (series, 1h bucket) the first/last/min/max points — the pixel-exact
+    line-plot reduction every tsdb dashboard path implements. A single
+    hash aggregate of four struct-min/max; tie resolution is the
+    lexicographic struct order, replicated exactly by DuckDB's
+    struct min/max."""
+    from nibbledb_spark.operators.timeseries import m4
+
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    return m4(pts, _RESAMPLE_US)
+
+
+_NOTIN_SQL = """
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE s_suppkey NOT IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R' AND l_shipdate >= DATE '2001-10-01')
+"""
+
+
+@declared("notin_suppliers_no_returns", _NOTIN_SQL)
+def notin_suppliers_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a nullable subquery column — the null-aware anti
+    join, a distinct Catalyst plan feature from plain anti join (a
+    single NULL in the subquery empties the result, so the join must
+    track null presence). Spark plans it as a broadcast hash join with
+    isNullAwareAntiJoin=true (pinned in tests/test_plans.py): the
+    filtered suppkey set broadcasts, the supplier scan never shuffles
+    — the shape that survives a 100 TB fact side."""
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_NOTIN_SQL)
+
+
+_WPS_WEIGHTS = {"src0": 4, "src1": 4, "src2": 2, "src3": 2}
+
+
+@declared(
+    "sample_weighted_priority",
+    """
+WITH u AS (
+  SELECT doc_id, source,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1 AS DOUBLE)
+           / 4503599627370496.0 AS u
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN source IN ('src0', 'src1') THEN u
+            WHEN source IN ('src2', 'src3') THEN u * u
+            ELSE u * u * u * u END AS priority
+FROM u
+ORDER BY priority DESC, doc_id ASC
+LIMIT 100
+""",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    top-k priorities u^(1/w), ranked via the exact monotone transform
+    u^(lcm/w) so no libm pow can flip a borderline selection — the
+    deterministic data-mixing primitive ("oversample curated sources
+    4x"). Row-local priority + one TakeOrderedAndProject; the corpus
+    is scanned once and never shuffled."""
+    from nibbledb_spark.operators.sampling import weighted_priority_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return weighted_priority_sample(docs, 100, _WPS_WEIGHTS)

@@ -370,3 +370,32 @@ def test_round4_additions_plan_shapes(spark):
     pk = plan(keep)
     assert "CartesianProduct" not in pk
     assert "BroadcastNestedLoop" not in pk
+
+
+def test_round4_second_batch_plan_shapes(spark):
+    """Plan pins for the second round-4 batch: NOT IN must become a
+    NULL-AWARE broadcast anti join (not a nested loop), the weighted
+    sampler must be a shuffle-free TakeOrderedAndProject, and the two
+    new ts operators must each cost exactly one exchange."""
+    from nibbledb_spark.plans.scale import exchange_count
+    from nibbledb_spark.queries import QUERIES
+
+    notin = QUERIES["notin_suppliers_no_returns"](spark, SF)
+    pn = plan(notin, "simple")
+    # trailing `true` on the BHJ = isNullAwareAntiJoin; a NULL in the
+    # subquery must empty the result, and the plan must still broadcast
+    assert "LeftAnti, BuildRight, true" in pn
+    assert "NestedLoop" not in pn and "CartesianProduct" not in pn
+    assert exchange_count(notin) <= 1  # the broadcast side only
+
+    wps = QUERIES["sample_weighted_priority"](spark, SF)
+    pw = plan(wps, "simple")
+    assert "TakeOrderedAndProject" in pw
+    assert exchange_count(wps) == 0  # per-partition top-k, no shuffle
+
+    m4 = QUERIES["ts_downsample_m4"](spark, SF)
+    assert exchange_count(m4) == 1  # one hash agg with map-side partials
+    assert "partial_min" in plan(m4, "simple")
+
+    rate = QUERIES["ts_rate_counter"](spark, SF)
+    assert exchange_count(rate) == 1  # one window shuffle on series

@@ -197,3 +197,38 @@ def test_training_shards_partition_and_balance(spark, docs):
     assert sum(r["n_docs"] for r in man) == docs.count()
     mean = docs.count() / 8
     assert all(r["n_docs"] < 3 * mean for r in man)
+
+
+def test_weighted_priority_sample_deterministic_and_weighted(spark, docs):
+    """A-ES weighted sampling: exact k, identical selection on any
+    partitioning, and higher-weight strata are selected at a higher
+    rate (the per-row inclusion odds scale with the weight)."""
+    from nibbledb_spark.operators.sampling import weighted_priority_sample
+
+    weights = {"src0": 4, "src1": 4, "src2": 2, "src3": 2}
+    s1 = weighted_priority_sample(docs, 100, weights)
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    s2 = weighted_priority_sample(docs.repartition(13), 100, weights)
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2 and len(ids1) == 100
+
+    by_src = {
+        r["source"]: r["n"]
+        for r in s1.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_docs = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    rate4 = sum(by_src.get(s, 0) for s in ("src0", "src1")) / sum(
+        n_docs[s] for s in ("src0", "src1")
+    )
+    rate1 = sum(
+        by_src.get(s, 0) for s in n_docs if s not in weights
+    ) / sum(n for s, n in n_docs.items() if s not in weights)
+    assert rate4 > 2 * rate1  # 4x odds dominate the 1x baseline
+
+    with pytest.raises(ValueError):
+        weighted_priority_sample(docs, 0, weights)
+    with pytest.raises(ValueError):
+        weighted_priority_sample(docs, 5, {"src0": -1})

@@ -250,3 +250,51 @@ def test_asof_join_directions(spark):
     eq = spark.createDataFrame([("k", 20)], "k string, ts long")
     assert asof_join(eq, right, ["k"], direction="backward").collect()[0]["v_asof"] == 2.0
     assert asof_join(eq, right, ["k"], direction="forward").collect()[0]["v_asof"] == 2.0
+
+
+def test_rate_counter_reset_semantics(spark):
+    """PromQL rate semantics: a counter decrease is a restart, so the
+    new value is the whole increase; same-timestamp pairs drop instead
+    of dividing by zero."""
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    pts = spark.createDataFrame(
+        [
+            ("c", 0, None, 5.0),
+            ("c", 10_000_000, None, 8.0),   # +3 over 10s
+            ("c", 20_000_000, None, 2.0),   # reset: increase = 2
+            ("c", 20_000_000, None, 2.5),   # same-ts successor -> dropped
+        ],
+        POINT_SCHEMA,
+    )
+    out = {r["ts"]: r for r in ts.rate(pts).collect()}
+    assert set(out) == {10_000_000, 20_000_000}
+    assert out[10_000_000]["increase"] == 3.0
+    assert out[10_000_000]["rate_per_s"] == pytest.approx(0.3)
+    assert out[20_000_000]["increase"] == 2.0  # not -6
+    assert out[20_000_000]["rate_per_s"] == pytest.approx(0.2)
+
+
+def test_m4_selects_extremes(spark):
+    """M4: per bucket the first/last/min/max points with their real
+    timestamps; ties resolved by the lexicographic struct order."""
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    pts = spark.createDataFrame(
+        [
+            ("m", 1_000_000, None, 4.0),
+            ("m", 2_000_000, None, 9.0),   # max
+            ("m", 3_000_000, None, 1.0),   # min
+            ("m", 4_000_000, None, 6.0),   # last
+            ("m", 60_000_000, None, 5.0),  # second bucket
+        ],
+        POINT_SCHEMA,
+    )
+    out = {r["bucket_us"]: r for r in ts.m4(pts, 60_000_000).collect()}
+    b0 = out[0]
+    assert (b0["t_first"], b0["v_first"]) == (1_000_000, 4.0)
+    assert (b0["t_last"], b0["v_last"]) == (4_000_000, 6.0)
+    assert (b0["t_min"], b0["v_min"]) == (3_000_000, 1.0)
+    assert (b0["t_max"], b0["v_max"]) == (2_000_000, 9.0)
+    b1 = out[60_000_000]
+    assert b1["t_first"] == b1["t_last"] == 60_000_000
