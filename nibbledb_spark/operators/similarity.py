@@ -509,3 +509,215 @@ def ivf_topk_indexed(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN path
+# --------------------------------------------------------------------------
+#
+# IVF prunes WHICH vectors are scored; PQ compresses HOW each vector is
+# scored: every vector becomes m one-byte codes (one per subspace), and
+# query-to-vector distance is approximated by m lookups into a tiny
+# per-query table (ADC — asymmetric distance computation). At 100 TB the
+# point is that the scored corpus representation shrinks ~32x (64 floats
+# -> 8 codes), so the scan is memory-bandwidth-cheap and the exact
+# reranking pool can be built from compressed data only. Public source:
+# Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011).
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Left-fold squared L2 distance in double precision — the same
+    deterministic fold order as :func:`_dot`, so the DuckDB oracle's
+    explicit sum chain reproduces it bit for bit."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvectors(df: DataFrame, id_out: str, id_col: str, vec_col: str,
+                m: int, dsub: int) -> DataFrame:
+    """(id, j, sv): the m contiguous dsub-dim slices of each vector."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("sv"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col).alias(id_out), F.explode(subs).alias("s")).select(
+        id_out, "s.j", "s.sv"
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    dsub: int = 8,
+    codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(j, c, cw): per-subspace codebook from the ``codewords`` lowest-id
+    vectors — the same deterministic lowest-id convention as
+    ``ivf_topk``'s centroids, which keeps the whole PQ pipeline
+    oracle-replicable (a trained k-means codebook slots in the same
+    shape; see ``kmeans_centroids``)."""
+    head = corpus.where(F.col(id_col) < codewords)
+    return _subvectors(head, "c", id_col, vec_col, m, dsub).select(
+        "j", F.col("c"), F.col("sv").alias("cw")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, j, code): nearest codeword per subspace (squared-L2 argmin,
+    ties to the lowest code).
+
+    Shape: the codebook (m x codewords rows) broadcasts; each corpus row
+    expands to m x codewords candidates INSIDE its partition and the
+    hash aggregate's map-side partial collapses them back to m rows
+    before the exchange — the shuffle carries m codes per vector, never
+    the candidate set or the vectors."""
+    sub = _subvectors(corpus, "id", id_col, vec_col, m, dsub)
+    cand = sub.join(F.broadcast(codebook), "j")
+    d = _l2sq(F.col("sv"), F.col("cw"))
+    return (
+        cand.groupBy("id", "j")
+        .agg(F.min(F.struct(d.alias("d"), F.col("c").alias("c"))).alias("best"))
+        .select("id", "j", F.col("best.c").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    m: int = 8,
+    dsub: int = 8,
+    codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_scale: int = 6,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance: build the per-query
+    lookup table of query-subvector-to-codeword distances, then score
+    every encoded vector with m table lookups and keep the k smallest.
+
+    Returns (query_id, neighbor_id, rank, adc_dist); self-matches
+    excluded, ties to the lowest neighbor id. LUT entries are quantized
+    to ``dist_scale`` decimal digits and summed as longs, so the score
+    is an order-independent exact integer on any partitioning — the
+    float work happens only in the m x codewords LUT, computed by the
+    same fold on both engines.
+
+    Scale shape: codebook and LUT broadcast (m x codewords x |Q| rows);
+    the corpus is scored via one broadcast hash join on its code table —
+    no corpus shuffle until the (query, vector) partial sums — and at
+    real scale ``pq_encode``'s output is what you persist (32x smaller
+    than the vectors), with IVF list pruning composing in front."""
+    mlt = float(10**dist_scale)
+    cb = pq_codebook(
+        corpus, m=m, dsub=dsub, codewords=codewords, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(corpus, cb, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
+    qsub = _subvectors(queries, "query_id", id_col, vec_col, m, dsub)
+    lut = qsub.join(F.broadcast(cb), "j").select(
+        "query_id",
+        "j",
+        "c",
+        F.floor(_l2sq(F.col("sv"), F.col("cw")) * mlt + F.lit(0.5))
+        .cast("long")
+        .alias("dq"),
+    )
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["j"] == lut["j"]) & (codes["code"] == lut["c"]),
+        )
+        .where(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("dq").alias("dql"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dql").asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "rank",
+            (F.col("dql").cast("double") / F.lit(mlt)).alias("adc_dist"),
+        )
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    n_candidates: int = 50,
+    m: int = 8,
+    dsub: int = 8,
+    codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production PQ pipeline: ADC generates ``n_candidates``
+    compressed-domain candidates per query, then ONLY those candidates'
+    full vectors are fetched (a hash semi-join on id) and reranked by
+    exact cosine. PQ's job is recall of the candidate pool — its
+    distances cannot separate vectors that quantize to the same codes —
+    and the exact rerank restores the true order over that pool.
+
+    At 100 TB the candidate stage reads the 32x-compressed code table
+    and the rerank touches |Q| x n_candidates full vectors, not the
+    corpus. Returns (query_id, neighbor_id, rank, cos_sim)."""
+    cand = pq_adc_topk(
+        corpus,
+        queries,
+        n_candidates,
+        m=m,
+        dsub=dsub,
+        codewords=codewords,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -3952,3 +3952,68 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return weighted_priority_sample(docs, 100, _WPS_WEIGHTS)
+
+
+def _l2sq_sql(a: str, b: str, dim: int = 8) -> str:
+    """Explicit left-assoc sum chain == Spark's _l2sq left fold."""
+    terms = " + ".join(
+        f"((CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE)))"
+        for i in range(1, dim + 1)
+    )
+    return f"({terms})"
+
+
+@declared(
+    "pq_ann_topk",
+    f"""
+WITH js AS (SELECT CAST(j AS INTEGER) AS j FROM generate_series(0, 7) t(j)),
+cb AS (
+  SELECT j, vec_id AS c, embedding[j*8+1 : j*8+8] AS cw
+  FROM embeddings, js WHERE vec_id < 16
+),
+sub AS (
+  SELECT vec_id AS id, j, embedding[j*8+1 : j*8+8] AS sv
+  FROM embeddings, js
+),
+codes AS (
+  SELECT id, j, c AS code FROM (
+    SELECT sub.id, sub.j, cb.c,
+           ROW_NUMBER() OVER (PARTITION BY sub.id, sub.j
+                              ORDER BY {_l2sq_sql('sv', 'cw')} ASC, cb.c ASC) AS rn
+    FROM sub JOIN cb USING (j)) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, j, embedding[j*8+1 : j*8+8] AS sv
+  FROM embeddings, js WHERE vec_id < 5
+),
+lut AS (
+  SELECT query_id, q.j, cb.c,
+         CAST(FLOOR({_l2sq_sql('sv', 'cw')} * 1000000 + 0.5) AS BIGINT) AS dq
+  FROM q JOIN cb USING (j)
+),
+scored AS (
+  SELECT l.query_id, k.id AS neighbor_id, CAST(SUM(l.dq) AS BIGINT) AS dql
+  FROM codes k JOIN lut l ON l.j = k.j AND l.c = k.code
+  WHERE k.id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank, CAST(dql AS DOUBLE) / 1000000 AS adc_dist FROM (
+  SELECT query_id, neighbor_id, dql,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dql ASC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 3
+""",
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jegou et al., TPAMI 2011): the
+    compressed-domain ANN path — vectors become 8 one-byte codes, and
+    scoring is 8 integer table lookups per vector. The codebook is the
+    deterministic lowest-16-id convention (same as ivf_ann_topk's
+    centroids), the LUT distances are quantized to scaled longs, so the
+    ENTIRE approximate pipeline is exactly replicated by the DuckDB
+    oracle — an exact oracle over an approximate algorithm."""
+    from nibbledb_spark.operators.similarity import pq_adc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e, e.where(F.col("vec_id") < 5), 3)

@@ -910,3 +910,38 @@ def test_hostile_image_headers_flagged_not_fatal(spark):
     assert out[1]["decoded"] is False and out[1]["feature"] is None
     assert out[2]["decoded"] is False and out[2]["feature"] is None
     assert out[3]["decoded"] is True  # the healthy payload still decodes
+
+
+def test_pq_adc_cluster_purity(spark, clustered_ann):
+    """PQ ADC with a 16-codeword lowest-id codebook cannot separate
+    vectors that quantize to the same codes, but it MUST land queries in
+    the right cluster: every top-5 ADC result should belong to the
+    query's own cluster (ids 0..19 are the cluster centers; member i
+    belongs to cluster (i-20) % 20)."""
+    from nibbledb_spark.operators.similarity import pq_adc_topk
+
+    corpus, queries, _ = clustered_ann
+    out = pq_adc_topk(corpus, queries, 5).collect()
+
+    def cluster(i: int) -> int:
+        return i if i < 20 else (i - 20) % 20
+
+    ok = sum(
+        1 for r in out if cluster(r["neighbor_id"]) == (r["query_id"] - 10_000) % 20
+    )
+    assert ok / len(out) >= 0.95, f"ADC own-cluster purity {ok / len(out):.3f}"
+
+
+def test_pq_rerank_recall(spark, clustered_ann):
+    """The full PQ pipeline (ADC candidates -> exact cosine rerank) must
+    average recall@5 >= 0.95 with a 100-candidate pool (~5% of the
+    corpus fetched per query). 50 candidates is KNOWN-insufficient here
+    (~0.63): each cluster's ~100 members tie in the compressed domain,
+    so the pool must cover a full tie group — that's the documented PQ
+    contract, candidates-not-order."""
+    from nibbledb_spark.operators.similarity import pq_topk_rerank
+
+    corpus, queries, truth = clustered_ann
+    out = pq_topk_rerank(corpus, queries, 5, n_candidates=100).collect()
+    r = _mean_recall(out, truth, 5)
+    assert r >= 0.95, f"PQ+rerank mean recall@5 = {r:.3f}"

@@ -399,3 +399,15 @@ def test_round4_second_batch_plan_shapes(spark):
 
     rate = QUERIES["ts_rate_counter"](spark, SF)
     assert exchange_count(rate) == 1  # one window shuffle on series
+
+
+def test_pq_plan_shape(spark):
+    """PQ ADC: codebook and LUT joins must be broadcast hash joins (the
+    corpus code table never shuffles to meet them) and nothing may
+    nested-loop."""
+    from nibbledb_spark.queries import QUERIES
+
+    pq = QUERIES["pq_ann_topk"](spark, SF)
+    p = plan(pq, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
