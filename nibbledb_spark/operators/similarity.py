@@ -721,3 +721,150 @@ def pq_topk_rerank(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 8,
+    kmeans_iters: int = 3,
+    m: int = 8,
+    dsub: int = 8,
+    codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF+PQ index (the FAISS IVFPQ shape, Jegou et al. TPAMI 2011):
+    a k-means coarse quantizer routes vectors to posting lists, and
+    each posting entry stores only the vector's m PQ codes — the list
+    files hold ``m`` small ints per vector instead of the vector, so
+    the probed partitions are ~32x cheaper to scan than IVF's.
+
+    Layout: ``path/centroids`` (cid, cvec), ``path/codebook``
+    (j, c, cw) — both tiny, broadcast at query time — and
+    ``path/postings/cid=N/`` (id, codes). Codes are computed on the raw
+    vectors (not centroid residuals): the residual variant needs a
+    per-list codebook pass and buys recall only when lists are tight;
+    the seam is ``pq_encode``'s input. Partition pruning over cid works
+    exactly as in :func:`build_ivf_index`."""
+    cents = kmeans_centroids(
+        corpus, n_centroids, n_iter=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb = pq_codebook(
+        corpus, m=m, dsub=dsub, codewords=codewords, id_col=id_col, vec_col=vec_col
+    )
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    codes = pq_encode(corpus, cb, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
+    packed = codes.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+    inv = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col,
+                     cid_col="cid", cvec_col="cvec")
+    (
+        inv.join(packed, "id")
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/postings")
+    )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    nprobe: int = 2,
+    rerank_with: DataFrame | None = None,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_scale: int = 6,
+) -> DataFrame:
+    """Top-k over a persisted IVF+PQ index: probe ``nprobe`` lists per
+    query (cid partition pruning — unprobed directories never open),
+    score ONLY the probed postings by ADC table lookups, and — when
+    ``rerank_with`` supplies the full-vector table — rerank the top
+    ``n_candidates`` compressed-domain candidates by exact cosine.
+
+    Probing every list reproduces :func:`pq_adc_topk` exactly (pinned
+    test), which is the oracle chain: ADC is hash-verified globally,
+    and IVF only restricts which lists contribute. Returns
+    (query_id, neighbor_id, rank, adc_dist), or cos_sim when reranked."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebook")
+    post = spark.read.parquet(f"{path}/postings")
+    m = cb.groupBy().agg(F.countDistinct("j")).collect()[0][0]
+    dsub = cb.select(F.size("cw")).limit(1).collect()[0][0]
+    mlt = float(10**dist_scale)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "qv", "cid", cosine(F.col("qv"), F.col("cvec")).alias("cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    qsub = _subvectors(queries, "query_id", id_col, vec_col, m, dsub)
+    lut = qsub.join(F.broadcast(cb), "j").select(
+        "query_id",
+        "j",
+        "c",
+        F.floor(_l2sq(F.col("sv"), F.col("cw")) * mlt + F.lit(0.5))
+        .cast("long")
+        .alias("dq"),
+    )
+    cand = post.join(F.broadcast(probes), "cid").where(
+        F.col("id") != F.col("query_id")
+    )
+    ex = cand.select(
+        "query_id", "id", F.posexplode("codes").alias("j", "code")
+    )
+    scored = (
+        ex.join(
+            F.broadcast(lut),
+            (ex["query_id"] == lut["query_id"])
+            & (ex["j"] == lut["j"])
+            & (ex["code"] == lut["c"]),
+        )
+        .groupBy(ex["query_id"], "id")
+        .agg(F.sum("dq").alias("dql"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dql").asc(), F.col("id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank_with is None:
+        return ranked.where(F.col("rank") <= k).select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            "rank",
+            (F.col("dql").cast("double") / F.lit(mlt)).alias("adc_dist"),
+        )
+    pool = ranked.where(F.col("rank") <= n_candidates).select(
+        "query_id", F.col("id").alias("neighbor_id")
+    )
+    c = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    rescored = (
+        pool.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -945,3 +945,47 @@ def test_pq_rerank_recall(spark, clustered_ann):
     out = pq_topk_rerank(corpus, queries, 5, n_candidates=100).collect()
     r = _mean_recall(out, truth, 5)
     assert r >= 0.95, f"PQ+rerank mean recall@5 = {r:.3f}"
+
+
+def test_ivfpq_index_roundtrip(spark, clustered_ann, tmp_path):
+    """IVF+PQ persisted index: probing EVERY list must reproduce the
+    global ADC ranking exactly (IVF only restricts which lists
+    contribute), the compressed-domain path must keep cluster-level
+    recall at modest nprobe once reranked, and the posting lists must
+    be partitioned for cid pruning and hold codes, not vectors."""
+    from nibbledb_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+        pq_adc_topk,
+    )
+
+    corpus, queries, truth = clustered_ann
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(corpus, path, n_centroids=12, kmeans_iters=3)
+
+    # probe-all == global ADC, row for row
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_topk_indexed(spark, path, queries, 5, nprobe=12).collect()
+    )
+    want = sorted(tuple(r) for r in pq_adc_topk(corpus, queries, 5).collect())
+    assert got == want and len(got) > 0
+
+    # rerank restores true order over the candidate pool
+    r = _mean_recall(
+        ivfpq_topk_indexed(
+            spark, path, queries, 5, nprobe=3, rerank_with=corpus, n_candidates=100
+        ).collect(),
+        truth,
+        5,
+    )
+    assert r >= 0.95, f"IVFPQ+rerank mean recall@5 = {r:.3f}"
+
+    # layout: partitioned lists of codes only (no vector column)
+    import glob as g
+
+    assert len(g.glob(path + "/postings/cid=*")) == 12
+    post = spark.read.parquet(path + "/postings")
+    assert set(post.columns) == {"id", "codes", "cid"}
+    row = post.limit(1).collect()[0]
+    assert len(row["codes"]) == 8
