@@ -173,7 +173,11 @@ def weighted_priority_sample(
     monotone transform u^(L/w) with L = lcm(weights): the exponents are
     small integers, computed as explicit multiplication chains —
     IEEE-exact, bit-identical everywhere, and the DuckDB oracle repeats
-    the same products. Weights must divide L (integers keep it exact).
+    the same products. Weights must divide L (integers keep it exact),
+    and L is capped at 64: the chains are L multiplications long, so an
+    unbounded lcm (coprime weights like {97, 101}) would explode the
+    Catalyst expression tree — pick weight sets from a divisor chain
+    (1, 2, 4, ...), which is what mixing recipes use anyway.
 
     Physical shape: row-local priority expression, then one global
     TakeOrderedAndProject (per-partition top-k + k-row merge) — no full
@@ -190,6 +194,11 @@ def weighted_priority_sample(
         while a:
             g, a = a, g % a
         lcm = lcm * w // g
+    if lcm > 64:
+        raise ValueError(
+            f"lcm of weights is {lcm} (> 64): the priority chains are lcm "
+            "multiplications long; use weights from a divisor chain"
+        )
 
     # 52-bit uniform in (0, 1]: +1 keeps u > 0 so priorities never tie at 0
     u = (

@@ -579,6 +579,25 @@ def pq_codebook(
     )
 
 
+def _pq_lut(
+    queries: DataFrame, cb: DataFrame, m: int, dsub: int, mlt: float,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(query_id, j, c, dq): the per-query ADC lookup table, quantized
+    to scaled longs. The ONE definition of the quantization — the
+    probe-all == global-ADC pin and the DuckDB oracle both depend on
+    every PQ path computing these bits identically."""
+    qsub = _subvectors(queries, "query_id", id_col, vec_col, m, dsub)
+    return qsub.join(F.broadcast(cb), "j").select(
+        "query_id",
+        "j",
+        "c",
+        F.floor(_l2sq(F.col("sv"), F.col("cw")) * mlt + F.lit(0.5))
+        .cast("long")
+        .alias("dq"),
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -639,15 +658,7 @@ def pq_adc_topk(
         corpus, m=m, dsub=dsub, codewords=codewords, id_col=id_col, vec_col=vec_col
     )
     codes = pq_encode(corpus, cb, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
-    qsub = _subvectors(queries, "query_id", id_col, vec_col, m, dsub)
-    lut = qsub.join(F.broadcast(cb), "j").select(
-        "query_id",
-        "j",
-        "c",
-        F.floor(_l2sq(F.col("sv"), F.col("cw")) * mlt + F.lit(0.5))
-        .cast("long")
-        .alias("dq"),
-    )
+    lut = _pq_lut(queries, cb, m, dsub, mlt, id_col, vec_col)
     scored = (
         codes.join(
             F.broadcast(lut),
@@ -799,8 +810,10 @@ def ivfpq_topk_indexed(
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebook")
     post = spark.read.parquet(f"{path}/postings")
-    m = cb.groupBy().agg(F.countDistinct("j")).collect()[0][0]
-    dsub = cb.select(F.size("cw")).limit(1).collect()[0][0]
+    meta = cb.agg(
+        F.countDistinct("j").alias("m"), F.first(F.size("cw")).alias("dsub")
+    ).collect()[0]
+    m, dsub = meta["m"], meta["dsub"]
     mlt = float(10**dist_scale)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -813,15 +826,7 @@ def ivfpq_topk_indexed(
         .where(F.col("rn") <= nprobe)
         .select("query_id", "cid")
     )
-    qsub = _subvectors(queries, "query_id", id_col, vec_col, m, dsub)
-    lut = qsub.join(F.broadcast(cb), "j").select(
-        "query_id",
-        "j",
-        "c",
-        F.floor(_l2sq(F.col("sv"), F.col("cw")) * mlt + F.lit(0.5))
-        .cast("long")
-        .alias("dq"),
-    )
+    lut = _pq_lut(queries, cb, m, dsub, mlt, id_col, vec_col)
     cand = post.join(F.broadcast(probes), "cid").where(
         F.col("id") != F.col("query_id")
     )

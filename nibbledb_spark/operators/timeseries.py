@@ -377,7 +377,10 @@ def rate(points: DataFrame) -> DataFrame:
     monotonic-counter correction). ``rate_per_s`` normalizes by elapsed
     wall time. Same single-shuffle window shape as :func:`delta`;
     same-timestamp successor pairs (elapsed 0) are dropped rather than
-    emitting an IEEE infinity."""
+    emitting an IEEE infinity, and NULL-value rows are dropped BEFORE
+    the window — a NULL is a missing sample, not a counter reset (the
+    ``value >= prev`` test would otherwise read NULL-comparison false
+    and fabricate a reset on the next real sample)."""
     w = Window.partitionBy("series").orderBy(F.col("ts").asc(), F.col("value").asc())
     prev_v = F.lag("value").over(w)
     prev_t = F.lag("ts").over(w)
@@ -385,7 +388,7 @@ def rate(points: DataFrame) -> DataFrame:
         F.col("value")
     )
     elapsed = F.col("ts") - prev_t
-    out = points.select(
+    out = points.where(F.col("value").isNotNull()).select(
         "series",
         "ts",
         inc.alias("increase"),

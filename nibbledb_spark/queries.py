@@ -3848,7 +3848,8 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 , o AS (
   SELECT series, ts, value,
          lag(value) OVER w AS pv, lag(ts) OVER w AS pt
-  FROM points WINDOW w AS (PARTITION BY series ORDER BY ts ASC, value ASC)
+  FROM points WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY series ORDER BY ts ASC, value ASC)
 )
 SELECT series, ts,
        CASE WHEN value >= pv THEN value - pv ELSE value END AS increase,
@@ -3874,7 +3875,8 @@ def ts_rate_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_downsample_m4",
     _POINTS_CTE
     + f"""
-SELECT series, ts - (ts % {_RESAMPLE_US}) AS bucket_us,
+SELECT series,
+       ts - (((ts % {_RESAMPLE_US}) + {_RESAMPLE_US}) % {_RESAMPLE_US}) AS bucket_us,
        (min({{'t': ts, 'v': value}})).t AS t_first,
        (min({{'t': ts, 'v': value}})).v AS v_first,
        (max({{'t': ts, 'v': value}})).t AS t_last,

@@ -232,3 +232,6 @@ def test_weighted_priority_sample_deterministic_and_weighted(spark, docs):
         weighted_priority_sample(docs, 0, weights)
     with pytest.raises(ValueError):
         weighted_priority_sample(docs, 5, {"src0": -1})
+    with pytest.raises(ValueError, match="lcm"):
+        # coprime weights would need a 9797-multiplication chain
+        weighted_priority_sample(docs, 5, {"src0": 97, "src1": 101})

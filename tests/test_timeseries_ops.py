@@ -256,20 +256,22 @@ def test_rate_counter_reset_semantics(spark):
     """PromQL rate semantics: a counter decrease is a restart, so the
     new value is the whole increase; same-timestamp pairs drop instead
     of dividing by zero."""
-    from nibbledb_spark.schema import POINT_SCHEMA
-
+    # nullable value on purpose: the canonical POINT_SCHEMA forbids NULL
+    # values, but external sources (raw events, wire payloads) can carry
+    # them, and rate() must not read one as a counter reset
     pts = spark.createDataFrame(
         [
-            ("c", 0, None, 5.0),
-            ("c", 10_000_000, None, 8.0),   # +3 over 10s
-            ("c", 20_000_000, None, 2.0),   # reset: increase = 2
-            ("c", 20_000_000, None, 2.5),   # same-ts successor -> dropped
+            ("c", 0, 5.0),
+            ("c", 5_000_000, None),   # missing sample: ignored, NOT a reset
+            ("c", 10_000_000, 8.0),   # +3 over 10s (NULL row invisible)
+            ("c", 20_000_000, 2.0),   # reset: increase = 2
+            ("c", 20_000_000, 2.5),   # same-ts successor -> dropped
         ],
-        POINT_SCHEMA,
+        "series string, ts long, value double",
     )
     out = {r["ts"]: r for r in ts.rate(pts).collect()}
     assert set(out) == {10_000_000, 20_000_000}
-    assert out[10_000_000]["increase"] == 3.0
+    assert out[10_000_000]["increase"] == 3.0  # not a fabricated reset of 8.0
     assert out[10_000_000]["rate_per_s"] == pytest.approx(0.3)
     assert out[20_000_000]["increase"] == 2.0  # not -6
     assert out[20_000_000]["rate_per_s"] == pytest.approx(0.2)
