@@ -873,3 +873,44 @@ def ivfpq_topk_indexed(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ivfpq_index_add(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF+PQ maintenance: encode ``new_vectors`` against
+    the index's EXISTING codebook, assign them to its EXISTING
+    centroids, and append code rows to the partitioned posting lists —
+    both quantizers stay fixed between retrains, exactly like
+    :func:`ivf_index_add`, so queries equal a from-scratch build with
+    the same centroids and codebook over the union corpus (pinned
+    test). Neither the old corpus nor the new vectors ever shuffle;
+    the append is one broadcast assignment + one broadcast encode."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebook")
+    meta = cb.agg(
+        F.countDistinct("j").alias("m"), F.first(F.size("cw")).alias("dsub")
+    ).collect()[0]
+    codes = pq_encode(
+        new_vectors, cb, m=meta["m"], dsub=meta["dsub"],
+        id_col=id_col, vec_col=vec_col,
+    )
+    packed = codes.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+    inv = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col,
+                     cid_col="cid", cvec_col="cvec")
+    (
+        inv.join(packed, "id")
+        .repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{path}/postings")
+    )

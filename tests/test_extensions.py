@@ -989,3 +989,32 @@ def test_ivfpq_index_roundtrip(spark, clustered_ann, tmp_path):
     assert set(post.columns) == {"id", "codes", "cid"}
     row = post.limit(1).collect()[0]
     assert len(row["codes"]) == 8
+
+
+def test_ivfpq_index_incremental_add(spark, clustered_ann, tmp_path):
+    """ivfpq_index_add with the frozen centroids+codebook must make the
+    grown index answer exactly like global ADC over the union corpus:
+    the codebook is the lowest-16-id convention and ids 0..15 live in
+    the old half, so pq_adc_topk(union) uses the identical codebook —
+    deterministic quantizers make arrival order invisible."""
+    from nibbledb_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_index_add,
+        ivfpq_topk_indexed,
+        pq_adc_topk,
+    )
+
+    corpus, queries, _ = clustered_ann
+    old = corpus.where(F.col("vec_id") < 1500)
+    new = corpus.where(F.col("vec_id") >= 1500)
+
+    grown = str(tmp_path / "grown")
+    build_ivfpq_index(old, grown, n_centroids=12, kmeans_iters=3)
+    ivfpq_index_add(spark, grown, new)
+
+    q5 = queries.limit(20)
+    got = sorted(
+        tuple(r) for r in ivfpq_topk_indexed(spark, grown, q5, 5, nprobe=12).collect()
+    )
+    want = sorted(tuple(r) for r in pq_adc_topk(corpus, q5, 5).collect())
+    assert got == want and len(got) == 100
