@@ -207,6 +207,65 @@ def engine_read_bench(spark) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def ann_index_bench(spark) -> None:
+    """IVF vs IVF+PQ persisted-index trade on the bench-SF embeddings:
+    build time, query time (same nprobe), and the on-disk size of the
+    posting lists — the number the PQ design exists for (codes instead
+    of vectors in every probed partition). Diagnostics to stderr
+    (BASELINE.md: ANN index section)."""
+    import shutil
+    import statistics
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from nibbledb_spark.operators.similarity import (
+        build_ivf_index,
+        build_ivfpq_index,
+        ivf_topk_indexed,
+        ivfpq_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 16)
+    work = tempfile.mkdtemp(prefix="annbench_")
+
+    def dir_bytes(p: str) -> int:
+        total = 0
+        for root, _, files in os.walk(p):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    try:
+        for name, build, query in (
+            (
+                "ivf",
+                lambda p: build_ivf_index(emb, p, n_centroids=16, kmeans_iters=3),
+                lambda p: ivf_topk_indexed(spark, p, queries, 10, nprobe=3),
+            ),
+            (
+                "ivfpq",
+                lambda p: build_ivfpq_index(emb, p, n_centroids=16, kmeans_iters=3),
+                lambda p: ivfpq_topk_indexed(spark, p, queries, 10, nprobe=3),
+            ),
+        ):
+            path = f"{work}/{name}"
+            t0 = time.perf_counter()
+            build(path)
+            log(f"ann {name} build: {time.perf_counter() - t0:.3f}s")
+            log(f"ann {name} postings bytes: {dir_bytes(path + '/postings'):,}")
+            query(path).collect()  # warm the plan
+            samples = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                query(path).collect()
+                samples.append(time.perf_counter() - t0)
+            log(f"ann {name} query (16 q, nprobe 3): {statistics.median(samples):.3f}s")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def snapshot_bench(spark) -> None:
     """Versioned-store operation costs on orders at the bench SF:
     append, merge upsert, predicate delete, head + time-travel reads.
@@ -289,6 +348,11 @@ def main() -> int:
     if "--snapshots" in sys.argv:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         snapshot_bench(spark)
+        return 0
+
+    if "--ann-index" in sys.argv:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        ann_index_bench(spark)
         return 0
 
     if "--scale-trend" in sys.argv:
