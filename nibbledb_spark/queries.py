@@ -4019,3 +4019,42 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return pq_adc_topk(e, e.where(F.col("vec_id") < 5), 3)
+
+
+@declared(
+    "recursive_month_ladder",
+    """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) FROM orders
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < (SELECT CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) FROM orders)
+)
+SELECT m AS month, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+GROUP BY m
+""",
+)
+def recursive_month_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the engine's SQL surface (new in Spark 4):
+    a gap-free month ladder generated by the recursion, left-joined to
+    orders for dense monthly counts — empty months surface as 0 instead
+    of silently vanishing, the classic report-calendar shape. The
+    recursion itself is driver-cheap (one row per month, ~80 rounds);
+    the order counts stay one hash aggregate over the scan."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) FROM orders
+          UNION ALL
+          SELECT add_months(m, 1) FROM months
+          WHERE m < (SELECT CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+                     FROM orders)
+        )
+        SELECT m AS month, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+        """
+    )
