@@ -530,6 +530,50 @@ class SnapshotLog:
             retry_append=False,
         )
 
+    def restore(self, version: int) -> int:
+        """RESTORE the table head to an earlier ``version`` as a NEW
+        commit — the Delta RESTORE analogue, and the writable side of
+        time travel (``read(version=)`` is the read side). Metadata
+        only: the target version's live file set and schema become the
+        head's; no data rewrites, and history is preserved, so a
+        restore can itself be restored away. The Irmin/Git parallel in
+        the reference is resetting a branch head to an old commit
+        (src/shard.re:26-34 stores shards in a Git history but exposes
+        no reset; this closes that gap in the Spark rebuild).
+
+        Raises if any of the target version's files were already
+        vacuumed (the restore would commit dangling paths). Note for
+        change-feed consumers: the restore commit re-adds the restored
+        files, so ``inserts_between`` across it reports the restored
+        rows as inserts — a restore genuinely re-introduces data the
+        head had dropped."""
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("cannot restore an empty table")
+        if not 0 <= version <= head:
+            raise ValueError(f"version {version} out of range [0, {head}]")
+        target_files, target_schema = self._resolve(version)
+        missing = [
+            fe.path
+            for fe in target_files
+            if not os.path.exists(os.path.join(self.root, fe.path))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore v{version}: {len(missing)} of its files "
+                f"were vacuumed (e.g. {missing[0]})"
+            )
+        cur_files, _ = self._resolve(head)
+        return self._commit(
+            "restore",
+            target_files,
+            [fe.path for fe in cur_files],
+            target_schema,
+            {"restore_of": version, "restored_files": len(target_files)},
+            expected_version=head + 1,
+            retry_append=False,
+        )
+
     def delete_where(self, predicate: str) -> int:
         """Delete rows where the SQL ``predicate`` is TRUE (NULL keeps
         the row, standard SQL DELETE semantics), rewriting ONLY the

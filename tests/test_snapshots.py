@@ -314,6 +314,7 @@ _ops = st.lists(
         st.tuples(st.just("delete_mod"), st.integers(2, 5), st.integers(0, 4)),
         st.tuples(st.just("delete_keys"), st.integers(0, 9), st.integers(1, 20)),
         st.tuples(st.just("compact"), st.integers(0, 1), st.just(0)),
+        st.tuples(st.just("restore"), st.integers(0, 9), st.just(0)),
     ),
     min_size=1,
     max_size=6,
@@ -328,7 +329,8 @@ _ops = st.lists(
 @given(ops=_ops)
 def test_snapshot_log_model_property(spark, tmp_path_factory, ops):
     """Model check: any append / schema-evolving append / predicate
-    delete / key-list delete / (optionally Z-ordered) compact sequence
+    delete / key-list delete / (optionally Z-ordered) compact / restore
+    sequence
     leaves every snapshot equal to replaying the same ops on a plain
     Python dict — and time travel reproduces each intermediate state
     exactly. Wide appends carry an extra column x=id*7; narrow rows
@@ -338,6 +340,7 @@ def test_snapshot_log_model_property(spark, tmp_path_factory, ops):
     model: list[tuple[int, int | None]] = []
     evolved = False
     states: list[list[int]] = []
+    hist: list[tuple[list[tuple[int, int | None]], bool]] = []
     for kind, a, b in ops:
         if kind == "append":
             vals = list(range(a * 100, a * 100 + b))
@@ -369,11 +372,19 @@ def test_snapshot_log_model_property(spark, tmp_path_factory, ops):
                 spark.createDataFrame([(v,) for v in kills], "id long"), ["id"]
             )
             model = [(k, x) for k, x in model if k not in set(kills)]
+        elif kind == "restore":
+            head = log.latest_version()
+            if head is None:
+                continue
+            target = a % (head + 1)
+            log.restore(target)
+            model, evolved = list(hist[target][0]), hist[target][1]
         else:
             if log.latest_version() is None:
                 continue
             log.compact(zorder_by=("id",) if a else None)
         states.append(sorted(k for k, _ in model))
+        hist.append((list(model), evolved))
     if log.latest_version() is None:
         return
     rows = log.read().collect()
@@ -641,3 +652,51 @@ def test_delete_keys_rewrites_only_hit_files(spark, log):
     # unknown key column rejected
     with pytest.raises(ValueError, match="absent from table"):
         log.delete_keys(spark.range(3).selectExpr("id AS nope"), ["nope"])
+
+
+def test_restore_rolls_back_and_preserves_history(spark, log):
+    """restore(v) re-points the head at an old version's file set and
+    schema as a NEW metadata-only commit: data matches the target
+    version, history keeps everything (including the rollback itself),
+    and a restore can be restored away."""
+    log.append(_df(spark, 0, 50))          # v0
+    log.append(_df(spark, 50, 100))        # v1
+    log.delete_where("id < 25")            # v2
+    assert log.read().count() == 75
+
+    v = log.restore(0)                     # v3: back to the first 50 rows
+    assert v == 3
+    assert log.read().count() == 50
+    assert sorted(r["id"] for r in log.read().collect()) == list(range(50))
+    # history preserved: the pre-restore state is still readable
+    assert log.read(version=2).count() == 75
+    assert log.history()[0]["op"] == "restore"
+    assert log.history()[0]["meta"]["restore_of"] == 0
+
+    log.restore(2)                         # v4: restore the restore away
+    assert log.read().count() == 75
+
+    # schema rolls back too: evolve a column, then restore past it
+    evolved = _df(spark, 100, 101).selectExpr("id", "v", "CAST(1 AS BIGINT) AS extra")
+    log.append(evolved, merge_schema=True)  # v5
+    assert "extra" in log.read().columns
+    log.restore(4)                          # v6
+    assert "extra" not in log.read().columns
+
+    with pytest.raises(ValueError, match="out of range"):
+        log.restore(99)
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    """A restore whose target files were already vacuumed must raise
+    rather than commit dangling paths."""
+    log = SnapshotLog(
+        spark, str(tmp_path / "tbl"), stats_cols=("id",), checkpoint_every=100
+    )
+    log.append(_df(spark, 0, 10))           # v0
+    for i in range(1, 8):
+        log.overwrite(_df(spark, 10 * i, 10 * i + 10))
+    removed = log.vacuum(retain_versions=2, min_age_s=0.0)
+    assert removed  # v0's files are gone
+    with pytest.raises(ValueError, match="vacuumed"):
+        log.restore(0)
