@@ -4058,3 +4058,63 @@ def recursive_month_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@declared(
+    "restore_rollback_versions",
+    """
+SELECT CAST(0 AS INTEGER) AS version, CAST('append' AS VARCHAR) AS op,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM customer WHERE c_custkey < 1000
+UNION ALL
+SELECT CAST(1 AS INTEGER), CAST('append' AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT CAST(2 AS INTEGER), CAST('delete' AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+FROM customer WHERE NOT (c_acctbal < 0)
+UNION ALL
+SELECT CAST(3 AS INTEGER), CAST('restore' AS VARCHAR), CAST(COUNT(*) AS BIGINT)
+FROM customer
+ORDER BY version
+""",
+)
+def restore_rollback_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-log RESTORE surfaced as a query: append half of
+    customer (v0), append the rest (v1), delete the negative balances
+    (v2), then restore(1) — the head (v3) must read exactly the full v1
+    state again, with the deleted rows back and the whole history still
+    addressable. The oracle states each version's row count
+    declaratively from the same source table; the op column comes from
+    the commit log itself."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.snapshots import SnapshotLog
+
+    customer = _t(spark, sf_dir, "customer")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"nibblelog_restore_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log = SnapshotLog(spark, root, stats_cols=("c_custkey",))
+    log.append(customer.where("c_custkey < 1000").select("c_custkey", "c_acctbal"))
+    log.append(customer.where("c_custkey >= 1000").select("c_custkey", "c_acctbal"))
+    log.delete_where("c_acctbal < 0")
+    log.restore(1)
+    ops = {h["version"]: h["op"] for h in log.history()}
+    rows = []
+    for v in range(4):
+        rows.append(
+            log.read(version=v)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(ops[v]).alias("op"),
+                "n_rows",
+            )
+        )
+    out = rows[0]
+    for s in rows[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("version")
