@@ -88,24 +88,120 @@ def _decode_bmp(payload: bytes) -> object:
     return bgr[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def _decode_png(payload: bytes) -> object:
+    """8-bit non-interlaced PNG -> HxWx3 uint8 RGB — REAL decode with
+    zlib (stdlib) + numpy, no codec libs: chunk walk (IHDR/IDAT/IEND,
+    CRCs skipped), inflate, then scanline unfiltering per the spec
+    (None/Sub/Up/Average/Paeth). Grayscale expands to RGB; RGBA drops
+    alpha. Palette, 16-bit, and interlaced files raise at the same
+    documented seam as the other codecs.
+
+    Cost note: Sub/Average/Paeth rows are byte-sequential by
+    definition (each byte depends on the one bpp earlier), so those
+    rows decode in a Python loop — fine inside the Arrow-batched
+    ``mapInPandas`` seam at fixture scale; swap PIL in at this seam for
+    production throughput.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
+        pos += 8
+        if ln > len(payload) or pos + ln + 4 > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos : pos + ln]
+        pos += ln + 4  # skip CRC (integrity is the transport's problem)
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError("only 8-bit PNG supported")
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype} not supported")
+    if w <= 0 or h <= 0 or w * h > 64_000_000:  # hostile-header bound
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from e
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up: whole-row vectorized
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                if f == 1:  # Sub
+                    v = line[i] + a
+                elif f == 3:  # Average
+                    v = line[i] + ((a + b) >> 1)
+                else:  # Paeth
+                    c = int(prev[i - channels]) if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[i] + pred
+                cur[i] = v & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif channels == 4:
+        img = img[:, :, :3]
+    return img
+
+
 def decode_image(payload: bytes) -> object:
     """Decode a binary image payload to an HxWx3 uint8 numpy array.
 
-    REAL for binary PPM (P6, maxval 255) and uncompressed 24-bit BMP —
-    pure numpy, no codec libs. PPM: header tokens (width, height,
-    maxval; ``#`` comments allowed) then raw RGB bytes. Compressed
-    library formats (JPEG/PNG/...) still raise — their codecs are not
-    in this container; swap in PIL/torchvision decode on a real
-    cluster at this exact seam.
+    REAL for binary PPM (P6, maxval 255), uncompressed 24-bit BMP, and
+    8-bit non-interlaced PNG (gray/RGB/RGBA via stdlib zlib) — pure
+    numpy, no codec libs. PPM: header tokens (width, height, maxval;
+    ``#`` comments allowed) then raw RGB bytes. Formats whose codecs
+    live outside the stdlib (JPEG/WebP/...) still raise — swap in
+    PIL/torchvision decode on a real cluster at this exact seam.
     """
     import numpy as np
 
     if payload.startswith(b"BM"):
         return _decode_bmp(payload)
+    if payload.startswith(b"\x89PNG"):
+        return _decode_png(payload)
     if not payload.startswith(b"P6"):
         raise NotImplementedError(
-            "only PPM(P6) and 24-bit BMP decode without codec libs; "
-            "plug PIL in here"
+            "only PPM(P6), 24-bit BMP, and 8-bit PNG decode without codec "
+            "libs; plug PIL in here"
         )
     # tokenize header: magic, width, height, maxval; '#' starts a comment
     pos, tokens = 2, []

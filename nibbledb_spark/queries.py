@@ -4118,3 +4118,40 @@ def restore_rollback_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in rows[1:]:
         out = out.unionByName(s)
     return out.orderBy("version")
+
+
+_GAP_US = 1_200_000_000  # 20 min: report any silence longer than this
+
+
+@declared(
+    "ts_gaps",
+    _POINTS_CTE
+    + f"""
+, o AS (
+  SELECT series, ts, lag(ts) OVER w AS pt
+  FROM points WINDOW w AS (PARTITION BY series ORDER BY ts ASC, value ASC)
+)
+SELECT series, pt AS gap_start, ts AS gap_end, ts - pt AS gap_us
+FROM o WHERE pt IS NOT NULL AND ts - pt > {_GAP_US}
+""",
+)
+def ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap / absent-series detection: consecutive-point silences longer
+    than the threshold, per series — the monitoring primitive behind
+    "no data" alerts (PromQL absent(), Timescale gap detection). Same
+    single window shuffle as ts_delta; the filter keeps only the
+    offending pairs so output is tiny regardless of corpus size."""
+    from pyspark.sql import Window as W
+
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    w = W.partitionBy("series").orderBy(F.col("ts").asc(), F.col("value").asc())
+    pt = F.lag("ts").over(w)
+    return (
+        pts.select(
+            "series",
+            pt.alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            (F.col("ts") - pt).alias("gap_us"),
+        )
+        .where(F.col("gap_start").isNotNull() & (F.col("gap_us") > _GAP_US))
+    )

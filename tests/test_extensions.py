@@ -1018,3 +1018,113 @@ def test_ivfpq_index_incremental_add(spark, clustered_ann, tmp_path):
     )
     want = sorted(tuple(r) for r in pq_adc_topk(corpus, q5, 5).collect())
     assert got == want and len(got) == 100
+
+
+def _png_bytes(img, ctype, filter_type):
+    """Spec-correct PNG encoder for the decode tests: every scanline
+    uses ``filter_type`` (applying the filter forward so the decoder
+    must invert it); proper chunk CRCs; one IDAT."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = img.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        raw.append(filter_type)
+        if filter_type == 0:
+            flt = line
+        elif filter_type == 1:
+            a = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            flt = (line - a) & 0xFF
+        elif filter_type == 2:
+            flt = (line - prev) & 0xFF
+        elif filter_type == 3:
+            a = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            flt = (line - ((a + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            flt = np.empty(w * ch, np.int32)
+            for i in range(w * ch):
+                a = int(line[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                flt[i] = (line[i] - pred) & 0xFF
+        raw.extend(flt.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_and_color_types(spark):
+    """The pure-stdlib PNG decoder must invert every scanline filter
+    (None/Sub/Up/Average/Paeth) exactly, expand grayscale, drop alpha,
+    and flag hostile payloads instead of crashing."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(7, 13, 3), dtype=np.uint8)
+    for f in range(5):
+        got = decode_image(_png_bytes(rgb, 2, f))
+        assert np.array_equal(got, rgb), f"filter {f} round-trip"
+
+    gray = rng.integers(0, 256, size=(5, 9, 1), dtype=np.uint8)
+    got = decode_image(_png_bytes(gray, 0, 4))
+    assert got.shape == (5, 9, 3)
+    assert np.array_equal(got[:, :, 0], gray[:, :, 0])
+
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    got = decode_image(_png_bytes(rgba, 6, 3))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated|size mismatch|corrupt"):
+        decode_image(_png_bytes(rgb, 2, 0)[:-20])
+    with _pytest.raises(ValueError, match="signature"):
+        decode_image(b"\x89PNGxxxx")
+
+
+def test_png_features_through_mapinpandas(spark):
+    """PNG payloads flow through the same Arrow-batched feature seam as
+    PPM/BMP: real pixel statistics come back for decodable media."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_stats_features,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(_png_bytes(img, 2, 4)),
+         ("image/png", 8, 8, None)),
+        (2, "image", bytearray(b"\x89PNG\r\n\x1a\ngarbage"),
+         ("image/png", 0, 0, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in image_stats_features(media).collect()}
+    ok = out[1]
+    assert ok["decoded"] is True
+    assert abs(ok["feature"][0] - float(img[:, :, 0].mean()) / 255.0) < 1e-6
+    assert out[2]["decoded"] is False and out[2]["feature"] is None
