@@ -22,6 +22,8 @@ prepared-plan reuse measured in bench.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -567,13 +569,29 @@ def pq_codebook(
     codewords: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strided: bool = False,
 ) -> DataFrame:
-    """(j, c, cw): per-subspace codebook from the ``codewords`` lowest-id
-    vectors — the same deterministic lowest-id convention as
-    ``ivf_topk``'s centroids, which keeps the whole PQ pipeline
-    oracle-replicable (a trained k-means codebook slots in the same
-    shape; see ``kmeans_centroids``)."""
-    head = corpus.where(F.col(id_col) < codewords)
+    """(j, c, cw): per-subspace codebook from ``codewords`` corpus
+    vectors — by default the lowest-id convention (same as
+    ``ivf_topk``'s centroids), which keeps the whole PQ pipeline
+    oracle-replicable; ``strided=True`` instead samples ids evenly
+    across the id range, which matters when the low ids are atypical
+    (e.g. RESIDUAL vectors, where the cluster centers' own residuals
+    are near zero and would make a degenerate all-zero codebook). A
+    trained k-means codebook slots in the same shape."""
+    if strided:
+        w = Window.orderBy(F.col(id_col))
+        n = corpus.count()
+        stride = max(1, n // codewords)
+        head = (
+            corpus.withColumn("__rn", F.row_number().over(w))
+            .where((F.col("__rn") - 1) % stride == 0)
+            .orderBy("__rn")
+            .limit(codewords)
+            .drop("__rn")
+        )
+    else:
+        head = corpus.where(F.col(id_col) < codewords)
     return _subvectors(head, "c", id_col, vec_col, m, dsub).select(
         "j", F.col("c"), F.col("sv").alias("cw")
     )
@@ -595,6 +613,31 @@ def _pq_lut(
         F.floor(_l2sq(F.col("sv"), F.col("cw")) * mlt + F.lit(0.5))
         .cast("long")
         .alias("dq"),
+    )
+
+
+def _residuals(vectors_with_cid: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, cid, res): vector minus its assigned centroid, in doubles —
+    the FAISS by_residual transform. Centroids broadcast; row-local."""
+    return (
+        vectors_with_cid.join(
+            F.broadcast(cents.select("cid", "cvec")), "cid"
+        ).select(
+            "id",
+            "cid",
+            F.zip_with(
+                "v", "cvec", lambda x, y: x.cast("double") - y.cast("double")
+            ).alias("res"),
+        )
+    )
+
+
+def _pack_codes(codes: DataFrame) -> DataFrame:
+    """(id, codes): the m per-subspace codes as one j-ordered array."""
+    return codes.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"]
+        ).alias("codes")
     )
 
 
@@ -745,6 +788,7 @@ def build_ivfpq_index(
     codewords: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    by_residual: bool = False,
 ) -> None:
     """IVF+PQ index (the FAISS IVFPQ shape, Jegou et al. TPAMI 2011):
     a k-means coarse quantizer routes vectors to posting lists, and
@@ -754,34 +798,53 @@ def build_ivfpq_index(
 
     Layout: ``path/centroids`` (cid, cvec), ``path/codebook``
     (j, c, cw) — both tiny, broadcast at query time — and
-    ``path/postings/cid=N/`` (id, codes). Codes are computed on the raw
-    vectors (not centroid residuals): the residual variant needs a
-    per-list codebook pass and buys recall only when lists are tight;
-    the seam is ``pq_encode``'s input. Partition pruning over cid works
-    exactly as in :func:`build_ivf_index`."""
+    ``path/postings/cid=N/`` (id, codes), plus ``path/pq_meta.json``
+    recording the encoding mode. ``by_residual=False`` codes the raw
+    vectors (oracle-replicable, probe-all == global ADC);
+    ``by_residual=True`` is the FAISS default: each vector's RESIDUAL
+    against its assigned centroid is what gets coded, so the codebook
+    spends its 16 cells on within-list offsets instead of re-describing
+    the coarse structure the centroid already captured — that is what
+    makes ADC able to rank members of the same tight cluster (pinned:
+    residual ADC recall beats raw ADC recall on the clustered fixture).
+    The residual codebook uses strided id sampling because the cluster
+    centers' own residuals are near zero (a lowest-id codebook would be
+    degenerate). Partition pruning over cid works exactly as in
+    :func:`build_ivf_index`."""
+    import json as _json
+
     cents = kmeans_centroids(
         corpus, n_centroids, n_iter=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    cb = pq_codebook(
-        corpus, m=m, dsub=dsub, codewords=codewords, id_col=id_col, vec_col=vec_col
-    )
-    cb.write.mode("overwrite").parquet(f"{path}/codebook")
-    codes = pq_encode(corpus, cb, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
-    packed = codes.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"]
-        ).alias("codes")
-    )
     inv = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col,
                      cid_col="cid", cvec_col="cvec")
+    if by_residual:
+        vw = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).join(inv, "id")
+        resid = _residuals(vw, cents)
+        cb = pq_codebook(
+            resid, m=m, dsub=dsub, codewords=codewords,
+            id_col="id", vec_col="res", strided=True,
+        )
+        codes = pq_encode(resid, cb, m=m, dsub=dsub, id_col="id", vec_col="res")
+    else:
+        cb = pq_codebook(
+            corpus, m=m, dsub=dsub, codewords=codewords,
+            id_col=id_col, vec_col=vec_col,
+        )
+        codes = pq_encode(corpus, cb, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
+    cb.write.mode("overwrite").parquet(f"{path}/codebook")
     (
-        inv.join(packed, "id")
+        inv.join(_pack_codes(codes), "id")
         .repartition("cid")
         .write.mode("overwrite")
         .partitionBy("cid")
         .parquet(f"{path}/postings")
     )
+    with open(os.path.join(path, "pq_meta.json"), "w") as f:
+        _json.dump({"by_residual": by_residual}, f)
 
 
 def ivfpq_topk_indexed(
@@ -803,13 +866,24 @@ def ivfpq_topk_indexed(
     ``rerank_with`` supplies the full-vector table — rerank the top
     ``n_candidates`` compressed-domain candidates by exact cosine.
 
-    Probing every list reproduces :func:`pq_adc_topk` exactly (pinned
-    test), which is the oracle chain: ADC is hash-verified globally,
-    and IVF only restricts which lists contribute. Returns
+    Probing every list reproduces :func:`pq_adc_topk` exactly for a
+    raw-coded index (pinned test), which is the oracle chain: ADC is
+    hash-verified globally, and IVF only restricts which lists
+    contribute. A by_residual index instead builds its lookup table
+    per (query, probed list) — the LUT holds distances from the
+    query's residual against THAT list's centroid, m x codewords rows
+    per probe, still broadcast-sized. Returns
     (query_id, neighbor_id, rank, adc_dist), or cos_sim when reranked."""
+    import json as _json
+
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebook")
     post = spark.read.parquet(f"{path}/postings")
+    by_residual = False
+    mp = os.path.join(path, "pq_meta.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            by_residual = _json.load(f).get("by_residual", False)
     meta = cb.agg(
         F.countDistinct("j").alias("m"), F.first(F.size("cw")).alias("dsub")
     ).collect()[0]
@@ -824,25 +898,68 @@ def ivfpq_topk_indexed(
     probes = (
         qs.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("query_id", "cid")
+        .select("query_id", "qv", "cid")
     )
-    lut = _pq_lut(queries, cb, m, dsub, mlt, id_col, vec_col)
-    cand = post.join(F.broadcast(probes), "cid").where(
+    cand = post.join(F.broadcast(probes.select("query_id", "cid")), "cid").where(
         F.col("id") != F.col("query_id")
     )
-    ex = cand.select(
-        "query_id", "id", F.posexplode("codes").alias("j", "code")
-    )
-    scored = (
-        ex.join(
-            F.broadcast(lut),
-            (ex["query_id"] == lut["query_id"])
-            & (ex["j"] == lut["j"])
-            & (ex["code"] == lut["c"]),
+    if by_residual:
+        qres = probes.withColumnRenamed("qv", "v").withColumnRenamed(
+            "query_id", "id"
         )
-        .groupBy(ex["query_id"], "id")
-        .agg(F.sum("dq").alias("dql"))
-    )
+        qres = _residuals(qres, cents).select(
+            F.col("id").alias("query_id"), "cid", F.col("res")
+        )
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.slice(F.col("res"), j * dsub + 1, dsub).alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+        qsub = qres.select(
+            "query_id", "cid", F.explode(subs).alias("s")
+        ).select("query_id", "cid", "s.j", "s.sv")
+        lut = qsub.join(F.broadcast(cb), "j").select(
+            "query_id",
+            "cid",
+            "j",
+            "c",
+            F.floor(_l2sq(F.col("sv"), F.col("cw")) * mlt + F.lit(0.5))
+            .cast("long")
+            .alias("dq"),
+        )
+        ex = cand.select(
+            "query_id", "cid", "id", F.posexplode("codes").alias("j", "code")
+        )
+        scored = (
+            ex.join(
+                F.broadcast(lut),
+                (ex["query_id"] == lut["query_id"])
+                & (ex["cid"] == lut["cid"])
+                & (ex["j"] == lut["j"])
+                & (ex["code"] == lut["c"]),
+            )
+            .groupBy(ex["query_id"], "id")
+            .agg(F.sum("dq").alias("dql"))
+        )
+    else:
+        lut = _pq_lut(queries, cb, m, dsub, mlt, id_col, vec_col)
+        ex = cand.select(
+            "query_id", "id", F.posexplode("codes").alias("j", "code")
+        )
+        scored = (
+            ex.join(
+                F.broadcast(lut),
+                (ex["query_id"] == lut["query_id"])
+                & (ex["j"] == lut["j"])
+                & (ex["code"] == lut["c"]),
+            )
+            .groupBy(ex["query_id"], "id")
+            .agg(F.sum("dq").alias("dql"))
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("dql").asc(), F.col("id").asc())
     ranked = scored.withColumn("rank", F.row_number().over(w))
     if rerank_with is None:
@@ -891,24 +1008,35 @@ def ivfpq_index_add(
     the same centroids and codebook over the union corpus (pinned
     test). Neither the old corpus nor the new vectors ever shuffle;
     the append is one broadcast assignment + one broadcast encode."""
+    import json as _json
+
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebook")
+    by_residual = False
+    mp = os.path.join(path, "pq_meta.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            by_residual = _json.load(f).get("by_residual", False)
     meta = cb.agg(
         F.countDistinct("j").alias("m"), F.first(F.size("cw")).alias("dsub")
     ).collect()[0]
-    codes = pq_encode(
-        new_vectors, cb, m=meta["m"], dsub=meta["dsub"],
-        id_col=id_col, vec_col=vec_col,
-    )
-    packed = codes.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("j", "code"))), lambda s: s["code"]
-        ).alias("codes")
-    )
     inv = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col,
                      cid_col="cid", cvec_col="cvec")
+    if by_residual:
+        vw = new_vectors.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).join(inv, "id")
+        codes = pq_encode(
+            _residuals(vw, cents), cb, m=meta["m"], dsub=meta["dsub"],
+            id_col="id", vec_col="res",
+        )
+    else:
+        codes = pq_encode(
+            new_vectors, cb, m=meta["m"], dsub=meta["dsub"],
+            id_col=id_col, vec_col=vec_col,
+        )
     (
-        inv.join(packed, "id")
+        inv.join(_pack_codes(codes), "id")
         .repartition("cid")
         .write.mode("append")
         .partitionBy("cid")
