@@ -137,12 +137,17 @@ def _decode_png(payload: bytes) -> object:
         raise NotImplementedError(f"PNG color type {ctype} not supported")
     if w <= 0 or h <= 0 or w * h > 64_000_000:  # hostile-header bound
         raise ValueError(f"invalid PNG dimensions {w}x{h}")
+    stride = w * channels
+    expect = h * (stride + 1)
+    # bound the inflate by the size the header promises BEFORE allocating:
+    # a decompression bomb must come back as a flagged ValueError, not a
+    # MemoryError that kills the whole Arrow batch
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expect + 1)
     except zlib.error as e:
         raise ValueError(f"corrupt PNG stream: {e}") from e
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expect or d.decompress(b"", 1):
         raise ValueError("PNG pixel data size mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)

@@ -545,8 +545,10 @@ def _l2sq(a: Column, b: Column) -> Column:
 
 
 def _subvectors(df: DataFrame, id_out: str, id_col: str, vec_col: str,
-                m: int, dsub: int) -> DataFrame:
-    """(id, j, sv): the m contiguous dsub-dim slices of each vector."""
+                m: int, dsub: int, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *extra, j, sv): the m contiguous dsub-dim slices of each
+    vector; ``extra`` columns pass through (the residual query path
+    keys its LUT by (query_id, cid))."""
     subs = F.array(
         *[
             F.struct(
@@ -556,9 +558,9 @@ def _subvectors(df: DataFrame, id_out: str, id_col: str, vec_col: str,
             for j in range(m)
         ]
     )
-    return df.select(F.col(id_col).alias(id_out), F.explode(subs).alias("s")).select(
-        id_out, "s.j", "s.sv"
-    )
+    return df.select(
+        F.col(id_col).alias(id_out), *extra, F.explode(subs).alias("s")
+    ).select(id_out, *extra, "s.j", "s.sv")
 
 
 def pq_codebook(
@@ -569,27 +571,23 @@ def pq_codebook(
     codewords: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    strided: bool = False,
+    sampled: bool = False,
 ) -> DataFrame:
     """(j, c, cw): per-subspace codebook from ``codewords`` corpus
     vectors — by default the lowest-id convention (same as
     ``ivf_topk``'s centroids), which keeps the whole PQ pipeline
-    oracle-replicable; ``strided=True`` instead samples ids evenly
-    across the id range, which matters when the low ids are atypical
-    (e.g. RESIDUAL vectors, where the cluster centers' own residuals
-    are near zero and would make a degenerate all-zero codebook). A
-    trained k-means codebook slots in the same shape."""
-    if strided:
-        w = Window.orderBy(F.col(id_col))
-        n = corpus.count()
-        stride = max(1, n // codewords)
-        head = (
-            corpus.withColumn("__rn", F.row_number().over(w))
-            .where((F.col("__rn") - 1) % stride == 0)
-            .orderBy("__rn")
-            .limit(codewords)
-            .drop("__rn")
-        )
+    oracle-replicable; ``sampled=True`` instead draws the ``codewords``
+    smallest id-hashes — a deterministic uniform sample (the
+    sample_exact_k trick: TakeOrderedAndProject, per-partition top-k,
+    NO global window or extra count job), which matters when the low
+    ids are atypical (e.g. RESIDUAL vectors, where the cluster
+    centers' own residuals are near zero and would make a degenerate
+    all-zero codebook). A trained k-means codebook slots in the same
+    shape."""
+    if sampled:
+        head = corpus.orderBy(
+            F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+        ).limit(codewords)
     else:
         head = corpus.where(F.col(id_col) < codewords)
     return _subvectors(head, "c", id_col, vec_col, m, dsub).select(
@@ -597,23 +595,68 @@ def pq_codebook(
     )
 
 
-def _pq_lut(
-    queries: DataFrame, cb: DataFrame, m: int, dsub: int, mlt: float,
-    id_col: str, vec_col: str,
-) -> DataFrame:
-    """(query_id, j, c, dq): the per-query ADC lookup table, quantized
-    to scaled longs. The ONE definition of the quantization — the
+def _lut_quantize(qsub: DataFrame, cb: DataFrame, mlt: float,
+                  keys: tuple[str, ...]) -> DataFrame:
+    """(*keys, j, c, dq): subvector-to-codeword distances quantized to
+    scaled longs. The ONE definition of the quantization — the
     probe-all == global-ADC pin and the DuckDB oracle both depend on
     every PQ path computing these bits identically."""
-    qsub = _subvectors(queries, "query_id", id_col, vec_col, m, dsub)
     return qsub.join(F.broadcast(cb), "j").select(
-        "query_id",
+        *keys,
         "j",
         "c",
         F.floor(_l2sq(F.col("sv"), F.col("cw")) * mlt + F.lit(0.5))
         .cast("long")
         .alias("dq"),
     )
+
+
+def _pq_lut(
+    queries: DataFrame, cb: DataFrame, m: int, dsub: int, mlt: float,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(query_id, j, c, dq): the per-query ADC lookup table."""
+    qsub = _subvectors(queries, "query_id", id_col, vec_col, m, dsub)
+    return _lut_quantize(qsub, cb, mlt, ("query_id",))
+
+
+def _adc_scores(ex: DataFrame, lut: DataFrame,
+                keys: tuple[str, ...]) -> DataFrame:
+    """(query_id, id, dql): sum of LUT lookups per candidate — the ADC
+    score as an order-independent long. ``keys`` are the LUT join keys
+    beyond (j, code) — ("query_id",) for raw coding, ("query_id",
+    "cid") for residual coding."""
+    cond = (ex["j"] == lut["j"]) & (ex["code"] == lut["c"])
+    for kcol in keys:
+        cond = (ex[kcol] == lut[kcol]) & cond
+    return (
+        ex.join(F.broadcast(lut), cond)
+        .groupBy(ex["query_id"], "id")
+        .agg(F.sum("dq").alias("dql"))
+    )
+
+
+def _write_pq_meta(path: str, by_residual: bool) -> None:
+    import json as _json
+
+    with open(os.path.join(path, "pq_meta.json"), "w") as f:
+        _json.dump({"by_residual": by_residual}, f)
+
+
+def _read_pq_meta(path: str) -> bool:
+    """Encoding mode of a persisted PQ index. FAIL CLOSED: scoring
+    residual codes with raw-query LUTs (or vice versa) returns silently
+    wrong neighbors, so a missing sidecar is an error, never a default."""
+    import json as _json
+
+    mp = os.path.join(path, "pq_meta.json")
+    if not os.path.exists(mp):
+        raise ValueError(
+            f"{mp} missing: incomplete or foreign IVFPQ index "
+            "(the encoding mode cannot be guessed)"
+        )
+    with open(mp) as f:
+        return bool(_json.load(f).get("by_residual", False))
 
 
 def _residuals(vectors_with_cid: DataFrame, cents: DataFrame) -> DataFrame:
@@ -807,12 +850,10 @@ def build_ivfpq_index(
     the coarse structure the centroid already captured — that is what
     makes ADC able to rank members of the same tight cluster (pinned:
     residual ADC recall beats raw ADC recall on the clustered fixture).
-    The residual codebook uses strided id sampling because the cluster
-    centers' own residuals are near zero (a lowest-id codebook would be
-    degenerate). Partition pruning over cid works exactly as in
+    The residual codebook uses deterministic hash sampling because the
+    cluster centers' own residuals are near zero (a lowest-id codebook
+    would be degenerate). Partition pruning over cid works exactly as in
     :func:`build_ivf_index`."""
-    import json as _json
-
     cents = kmeans_centroids(
         corpus, n_centroids, n_iter=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
@@ -826,7 +867,7 @@ def build_ivfpq_index(
         resid = _residuals(vw, cents)
         cb = pq_codebook(
             resid, m=m, dsub=dsub, codewords=codewords,
-            id_col="id", vec_col="res", strided=True,
+            id_col="id", vec_col="res", sampled=True,
         )
         codes = pq_encode(resid, cb, m=m, dsub=dsub, id_col="id", vec_col="res")
     else:
@@ -836,6 +877,7 @@ def build_ivfpq_index(
         )
         codes = pq_encode(corpus, cb, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
     cb.write.mode("overwrite").parquet(f"{path}/codebook")
+    _write_pq_meta(path, by_residual)  # before postings: readers fail closed
     (
         inv.join(_pack_codes(codes), "id")
         .repartition("cid")
@@ -843,8 +885,6 @@ def build_ivfpq_index(
         .partitionBy("cid")
         .parquet(f"{path}/postings")
     )
-    with open(os.path.join(path, "pq_meta.json"), "w") as f:
-        _json.dump({"by_residual": by_residual}, f)
 
 
 def ivfpq_topk_indexed(
@@ -874,16 +914,10 @@ def ivfpq_topk_indexed(
     query's residual against THAT list's centroid, m x codewords rows
     per probe, still broadcast-sized. Returns
     (query_id, neighbor_id, rank, adc_dist), or cos_sim when reranked."""
-    import json as _json
-
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebook")
     post = spark.read.parquet(f"{path}/postings")
-    by_residual = False
-    mp = os.path.join(path, "pq_meta.json")
-    if os.path.exists(mp):
-        with open(mp) as f:
-            by_residual = _json.load(f).get("by_residual", False)
+    by_residual = _read_pq_meta(path)
     meta = cb.agg(
         F.countDistinct("j").alias("m"), F.first(F.size("cw")).alias("dsub")
     ).collect()[0]
@@ -904,62 +938,26 @@ def ivfpq_topk_indexed(
         F.col("id") != F.col("query_id")
     )
     if by_residual:
-        qres = probes.withColumnRenamed("qv", "v").withColumnRenamed(
-            "query_id", "id"
+        qres = _residuals(
+            probes.withColumnRenamed("qv", "v").withColumnRenamed(
+                "query_id", "id"
+            ),
+            cents,
+        ).select(F.col("id").alias("query_id"), "cid", F.col("res"))
+        qsub = _subvectors(
+            qres, "query_id", "query_id", "res", m, dsub, extra=("cid",)
         )
-        qres = _residuals(qres, cents).select(
-            F.col("id").alias("query_id"), "cid", F.col("res")
-        )
-        subs = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    F.slice(F.col("res"), j * dsub + 1, dsub).alias("sv"),
-                )
-                for j in range(m)
-            ]
-        )
-        qsub = qres.select(
-            "query_id", "cid", F.explode(subs).alias("s")
-        ).select("query_id", "cid", "s.j", "s.sv")
-        lut = qsub.join(F.broadcast(cb), "j").select(
-            "query_id",
-            "cid",
-            "j",
-            "c",
-            F.floor(_l2sq(F.col("sv"), F.col("cw")) * mlt + F.lit(0.5))
-            .cast("long")
-            .alias("dq"),
-        )
+        lut = _lut_quantize(qsub, cb, mlt, ("query_id", "cid"))
         ex = cand.select(
             "query_id", "cid", "id", F.posexplode("codes").alias("j", "code")
         )
-        scored = (
-            ex.join(
-                F.broadcast(lut),
-                (ex["query_id"] == lut["query_id"])
-                & (ex["cid"] == lut["cid"])
-                & (ex["j"] == lut["j"])
-                & (ex["code"] == lut["c"]),
-            )
-            .groupBy(ex["query_id"], "id")
-            .agg(F.sum("dq").alias("dql"))
-        )
+        scored = _adc_scores(ex, lut, ("query_id", "cid"))
     else:
         lut = _pq_lut(queries, cb, m, dsub, mlt, id_col, vec_col)
         ex = cand.select(
             "query_id", "id", F.posexplode("codes").alias("j", "code")
         )
-        scored = (
-            ex.join(
-                F.broadcast(lut),
-                (ex["query_id"] == lut["query_id"])
-                & (ex["j"] == lut["j"])
-                & (ex["code"] == lut["c"]),
-            )
-            .groupBy(ex["query_id"], "id")
-            .agg(F.sum("dq").alias("dql"))
-        )
+        scored = _adc_scores(ex, lut, ("query_id",))
     w = Window.partitionBy("query_id").orderBy(F.col("dql").asc(), F.col("id").asc())
     ranked = scored.withColumn("rank", F.row_number().over(w))
     if rerank_with is None:
@@ -1008,15 +1006,9 @@ def ivfpq_index_add(
     the same centroids and codebook over the union corpus (pinned
     test). Neither the old corpus nor the new vectors ever shuffle;
     the append is one broadcast assignment + one broadcast encode."""
-    import json as _json
-
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebook")
-    by_residual = False
-    mp = os.path.join(path, "pq_meta.json")
-    if os.path.exists(mp):
-        with open(mp) as f:
-            by_residual = _json.load(f).get("by_residual", False)
+    by_residual = _read_pq_meta(path)
     meta = cb.agg(
         F.countDistinct("j").alias("m"), F.first(F.size("cw")).alias("dsub")
     ).collect()[0]

@@ -544,9 +544,9 @@ class SnapshotLog:
         Raises if any of the target version's files were already
         vacuumed (the restore would commit dangling paths). Note for
         change-feed consumers: the restore commit re-adds the restored
-        files, so ``inserts_between`` across it reports the restored
-        rows as inserts — a restore genuinely re-introduces data the
-        head had dropped."""
+        files the head had dropped (and ONLY those — files live at both
+        ends are not re-listed), so ``inserts_between`` across it
+        reports exactly the genuinely re-introduced rows as inserts."""
         head = self.latest_version()
         if head is None:
             raise ValueError("cannot restore an empty table")
@@ -564,12 +564,20 @@ class SnapshotLog:
                 f"were vacuumed (e.g. {missing[0]})"
             )
         cur_files, _ = self._resolve(head)
+        # commit only the symmetric difference: files live at BOTH ends
+        # were never dropped, and listing them as adds would make
+        # inserts_between replay rows that never left the table
+        cur_paths = {fe.path for fe in cur_files}
+        target_paths = {fe.path for fe in target_files}
+        add = [fe for fe in target_files if fe.path not in cur_paths]
+        remove = sorted(cur_paths - target_paths)
         return self._commit(
             "restore",
-            target_files,
-            [fe.path for fe in cur_files],
+            add,
+            remove,
             target_schema,
-            {"restore_of": version, "restored_files": len(target_files)},
+            {"restore_of": version, "restored_files": len(target_files),
+             "readded_files": len(add)},
             expected_version=head + 1,
             retry_append=False,
         )

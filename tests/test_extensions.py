@@ -164,7 +164,11 @@ def test_multimodal_feature_plumbing(spark, docs):
 def test_decode_stub_raises(spark):
     from nibbledb_spark.operators.multimodal import decode_image
 
+    # JPEG stays stubbed (codec outside the stdlib); a PNG prefix that
+    # is not the full 8-byte signature is a malformed file, not a stub
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0jpeg")
+    with pytest.raises(ValueError, match="signature"):
         decode_image(b"\x89PNG")
 
 
@@ -1182,3 +1186,51 @@ def test_ivfpq_residual_beats_raw_adc(spark, clustered_ann, tmp_path):
     out = ivfpq_topk_indexed(spark, grown, queries, 5, nprobe=12).collect()
     assert len(out) == 5 * 120
     assert any(r["neighbor_id"] >= 1500 for r in out)
+
+
+def test_png_bomb_bounded_and_flagged(spark):
+    """A PNG declaring small dimensions but carrying a huge inflate
+    payload must come back as a flagged ValueError (bounded inflate),
+    never a MemoryError that kills the batch."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from nibbledb_spark.operators.multimodal import decode_image
+
+    def chunk(typ, data):
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # claims 2x2 RGB
+    bomb = zlib.compress(b"\x00" * 50_000_000)  # inflates to 50 MB
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="size mismatch"):
+        decode_image(payload)
+
+
+def test_ivfpq_meta_fails_closed(spark, clustered_ann, tmp_path):
+    """An IVFPQ index without its pq_meta.json sidecar must refuse to
+    answer: guessing the encoding mode would silently return garbage
+    neighbors for the mode it guesses wrong."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from nibbledb_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+    )
+
+    corpus, queries, _ = clustered_ann
+    path = str(tmp_path / "nomtea")
+    build_ivfpq_index(corpus, path, n_centroids=4, kmeans_iters=1)
+    _os.remove(_os.path.join(path, "pq_meta.json"))
+    with _pytest.raises(ValueError, match="pq_meta"):
+        ivfpq_topk_indexed(spark, path, queries.limit(2), 3, nprobe=2)

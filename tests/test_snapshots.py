@@ -700,3 +700,20 @@ def test_restore_refuses_vacuumed_target(spark, tmp_path):
     assert removed  # v0's files are gone
     with pytest.raises(ValueError, match="vacuumed"):
         log.restore(0)
+
+
+def test_restore_change_feed_reports_only_reintroduced_rows(spark, log):
+    """The restore commit must carry only the symmetric difference:
+    files live at both ends are not re-listed, so inserts_between
+    across a restore reports exactly the genuinely re-introduced rows."""
+    log.append(_df(spark, 0, 50))        # v0: files A
+    log.append(_df(spark, 50, 60))       # v1: files B
+    log.restore(0)                       # v2: drops B; A was never dropped
+    assert log.inserts_between(1, 2).count() == 0
+    e = log._read_entry(2)
+    assert e.add == [] and len(e.remove) > 0
+
+    log.restore(1)                       # v3: re-introduces B's rows only
+    ins = log.inserts_between(2, 3)
+    assert sorted(r["id"] for r in ins.collect()) == list(range(50, 60))
+    assert log.read().count() == 60
