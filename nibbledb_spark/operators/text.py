@@ -316,3 +316,78 @@ def repetition_stats(
             "mean_word_len",
         )
     )
+
+
+def lm_quality_scores(
+    docs: DataFrame,
+    ref: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale: int = 6,
+) -> DataFrame:
+    """CCNet-style language-model quality filtering, exact-arithmetic
+    edition: score every document by the mean conditional probability
+    of its token bigrams under counts trained on ``ref`` (the curated
+    slice). Documents whose text looks like the reference corpus score
+    high; gibberish, boilerplate, and wrong-language text score low —
+    the classic model-based quality gate in LLM data pipelines
+    (Wenzek et al., CCNet, LREC 2020).
+
+    Engine-exactness: the usual formulation (mean log-prob /
+    perplexity) sums libm logs, whose last ulp differs across engines
+    and whose sum is order-dependent. We instead use the mean SCALED
+    probability: p = (c(w1,w2) * 10^scale) DIV c(w1) — integer floor
+    division, summed as longs (order-independent), divided once at the
+    end. Monotone quality signal, bit-identical on any engine or
+    partitioning. Unseen contexts and unseen bigrams score 0.
+
+    Scale shape: the count model is one hash agg over the reference
+    slice; scoring is two equi-joins keyed on tokens (broadcast when
+    the model is small, plain shuffled hash joins otherwise) and one
+    per-doc agg. No Python anywhere.
+
+    Returns (id, n_bigrams, score_sum, lm_score); documents with fewer
+    than two tokens have no bigrams and drop out (same on both
+    engines).
+    """
+    m = 10**scale
+
+    def bigrams(df: DataFrame, *keep: str) -> DataFrame:
+        w = tokens(F.col(text_col))
+        pairs = F.when(
+            F.size(w) >= 2,
+            F.expr(
+                # Spark arrays are 0-indexed in bracket syntax; the
+                # sequence guard avoids the descending-sequence gotcha
+                # for 1-token docs
+                f"transform(sequence(0, size(split({text_col}, '\\\\s+')) - 2),"
+                " i -> struct(split(" + text_col + ", '\\\\s+')[i] AS w1,"
+                " split(" + text_col + ", '\\\\s+')[i+1] AS w2))"
+            ),
+        ).otherwise(F.array())
+        return df.select(*keep, F.explode(pairs).alias("b")).select(
+            *keep, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        )
+
+    ref_bi = bigrams(ref.select(text_col))
+    c12 = ref_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = ref_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+
+    doc_bi = bigrams(
+        docs.select(F.col(id_col).alias("id"), text_col), "id"
+    )
+    p = F.when(
+        F.col("c12").isNotNull() & F.col("c1").isNotNull(),
+        F.expr(f"(c12 * {m}) DIV c1"),
+    ).otherwise(F.lit(0).cast("long"))
+    scored = (
+        doc_bi.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select("id", p.alias("p"))
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("p").alias("score_sum"),
+        (F.sum("p").cast("double") / F.count(F.lit(1))).alias("lm_score"),
+    )

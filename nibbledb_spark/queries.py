@@ -4155,3 +4155,50 @@ def ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("gap_start").isNotNull() & (F.col("gap_us") > _GAP_US))
     )
+
+
+@declared(
+    "lm_quality_bigram",
+    """
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(text, '\\s+') AS w FROM documents
+),
+bi AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+         unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+  FROM t WHERE len(w) >= 2
+),
+c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi
+  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bi
+  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1
+),
+scored AS (
+  SELECT bi.doc_id,
+         CASE WHEN c12.c12 IS NOT NULL AND c1.c1 IS NOT NULL
+              THEN (c12.c12 * 1000000) // c1.c1
+              ELSE CAST(0 AS BIGINT) END AS p
+  FROM bi LEFT JOIN c12 ON bi.w1 = c12.w1 AND bi.w2 = c12.w2
+          LEFT JOIN c1 ON bi.w1 = c1.w1
+)
+SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(p) AS BIGINT) AS score_sum,
+       CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) / COUNT(*) AS lm_score
+FROM scored GROUP BY doc_id
+""",
+)
+def lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (CCNet-style): bigram counts
+    trained on the curated sources (src0-src3) score every document by
+    mean scaled conditional probability — integer floor-division
+    probabilities summed as longs, so the approximate-in-spirit
+    quality model is EXACT in arithmetic and fully oracle-matched."""
+    from nibbledb_spark.operators.text import lm_quality_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("source").isin("src0", "src1", "src2", "src3"))
+    return lm_quality_scores(docs, ref)

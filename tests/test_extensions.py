@@ -1234,3 +1234,28 @@ def test_ivfpq_meta_fails_closed(spark, clustered_ann, tmp_path):
     _os.remove(_os.path.join(path, "pq_meta.json"))
     with _pytest.raises(ValueError, match="pq_meta"):
         ivfpq_topk_indexed(spark, path, queries.limit(2), 3, nprobe=2)
+
+
+def test_lm_quality_scores_separate_fluent_from_gibberish(spark):
+    """The bigram quality model must score reference-like text above
+    token-salad: the fluent doc reuses the reference's bigrams, the
+    gibberish doc has none of them."""
+    from nibbledb_spark.operators.text import lm_quality_scores
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat and the dog sat on the rug")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the rug"),          # fluent: known bigrams
+            (2, "rug the on mat cat sat dog the"),  # same words, salad
+            (3, "zx qv wk jj pp"),                  # unseen vocabulary
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in lm_quality_scores(docs, ref).collect()}
+    assert out[1]["lm_score"] > out[2]["lm_score"] >= out[3]["lm_score"]
+    assert out[3]["lm_score"] == 0.0
+    assert out[1]["n_bigrams"] == 5
