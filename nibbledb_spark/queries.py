@@ -4202,3 +4202,73 @@ def lm_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     ref = docs.where(F.col("source").isin("src0", "src1", "src2", "src3"))
     return lm_quality_scores(docs, ref)
+
+
+@declared(
+    "ts_seasonal_residuals",
+    _POINTS_CTE
+    + """
+, h AS (
+  SELECT series, ts, value, CAST((ts // 3600000000) % 24 AS BIGINT) AS hod
+  FROM points
+),
+season AS (
+  SELECT series, hod,
+         CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000 / COUNT(*) AS hod_mean,
+         CAST(SUM(CAST(FLOOR(value * value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000 / COUNT(*) AS hod_m2
+  FROM h GROUP BY 1, 2
+),
+sd AS (
+  SELECT series, hod, hod_mean,
+         hod_m2 - hod_mean * hod_mean AS hod_var
+  FROM season
+)
+SELECT h.series, h.ts, h.hod, h.value,
+       h.value - sd.hod_mean AS resid,
+       (h.value - sd.hod_mean) / SQRT(sd.hod_var) AS zscore
+FROM h JOIN sd ON h.series = sd.series AND h.hod = sd.hod
+WHERE sd.hod_var > 0
+  AND abs((h.value - sd.hod_mean) / SQRT(sd.hod_var)) > 2.5
+""",
+)
+def ts_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: each point scored against its
+    series' hour-of-day profile (the diurnal-seasonality baseline every
+    monitoring tsdb fits) — points more than 2.5 population-sd from
+    their hour's mean are anomalies. Hour means use scaled-long sums
+    (order-independent exact); stddev_pop matches DuckDB bit-for-bit
+    (same parity class as ts_agg_float). One hash agg over (series,
+    hour) + one broadcast-size join back — two exchanges total."""
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    # integer DIV, not double division: a double quotient that rounds
+    # up across an hour boundary would misassign the hour
+    hod = F.expr("(ts DIV 3600000000) % 24")
+    h = pts.select("series", "ts", "value", hod.alias("hod"))
+    season = h.groupBy("series", "hod").agg(
+        (
+            F.sum(_scaled_long(F.col("value"), 6)).cast("double")
+            / 1_000_000
+            / F.count("*")
+        ).alias("hod_mean"),
+        (
+            F.sum(_scaled_long(F.col("value") * F.col("value"), 6)).cast("double")
+            / 1_000_000
+            / F.count("*")
+        ).alias("hod_m2"),
+    )
+    sd = season.select(
+        "series", "hod", "hod_mean",
+        (F.col("hod_m2") - F.col("hod_mean") * F.col("hod_mean")).alias("hod_var"),
+    )
+    z = (F.col("value") - F.col("hod_mean")) / F.sqrt(F.col("hod_var"))
+    return (
+        h.join(F.broadcast(sd), ["series", "hod"])
+        .where((F.col("hod_var") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "series", "ts", "hod", "value",
+            (F.col("value") - F.col("hod_mean")).alias("resid"),
+            z.alias("zscore"),
+        )
+    )
