@@ -4272,3 +4272,192 @@ def ts_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("zscore"),
         )
     )
+
+
+@declared(
+    "ts_corr_pairs",
+    _POINTS_CTE
+    + """
+, b AS (
+  SELECT series, ts // 3600000000 AS bucket,
+         CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+              // COUNT(*) AS BIGINT) AS xm
+  FROM points GROUP BY 1, 2
+),
+p AS (
+  SELECT a.series AS series_a, c.series AS series_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.xm) AS BIGINT) AS sx, CAST(SUM(c.xm) AS BIGINT) AS sy,
+         CAST(SUM(a.xm * c.xm) AS BIGINT) AS sxy,
+         CAST(SUM(a.xm * a.xm) AS BIGINT) AS sx2,
+         CAST(SUM(c.xm * c.xm) AS BIGINT) AS sy2
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.series < c.series
+  GROUP BY 1, 2
+)
+SELECT series_a, series_b, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (SQRT(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * SQRT(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_ab
+FROM p
+ORDER BY series_a, series_b
+""",
+)
+def ts_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between every pair of series over
+    hour-aligned bucket means (cross-series co-movement, the tsdb
+    `corr(metric_a, metric_b)` analytics shape).
+
+    Exactness: the per-bucket representative is the *floor-divided
+    scaled mean* ``SUM(round(value*100)) DIV COUNT(*)`` — an integer
+    both engines compute identically regardless of partition/merge
+    order, and whose magnitude is bounded by the value domain (~5e4),
+    NOT by points-per-bucket. The pair sufficient statistics are then
+    sums of int64 products bounded by buckets x 2.4e9 — int64-safe at
+    any ingest rate, unlike raw per-bucket sums whose squares overflow
+    past ~1e9 points/bucket. The r formula is the same IEEE expression
+    tree on both engines (corr_quantity_price pattern).
+
+    Scale: one map-side-combined hash agg to (series, bucket) — the
+    only shuffle that sees row volume; the bucket-mean table is
+    |series| x |buckets| (time-bounded, data-volume-independent), so
+    the self-join fans out k^2/2 pairs per bucket over a tiny input.
+    At k in the thousands you'd restrict to a target-pair list before
+    the join (an equi-join on a broadcast pair table), not all-pairs."""
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    b = (
+        pts.groupBy("series", F.expr("ts DIV 3600000000").alias("bucket"))
+        .agg(
+            F.sum(_scaled_long(F.col("value"), 2)).alias("sv"),
+            F.count(F.lit(1)).alias("nb"),
+        )
+        .select("series", "bucket", F.expr("sv DIV nb").alias("xm"))
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.series") < F.col("c.series")),
+    )
+    xm_a, xm_c = F.col("a.xm"), F.col("c.xm")
+    p = pairs.groupBy(
+        F.col("a.series").alias("series_a"), F.col("c.series").alias("series_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xm_a).alias("sx"),
+        F.sum(xm_c).alias("sy"),
+        F.sum(xm_a * xm_c).alias("sxy"),
+        F.sum(xm_a * xm_a).alias("sx2"),
+        F.sum(xm_c * xm_c).alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    r = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy)
+    )
+    return p.select("series_a", "series_b", "n", r.alias("corr_ab")).orderBy(
+        "series_a", "series_b"
+    )
+
+
+@declared(
+    "window_ntile_quartiles",
+    """
+WITH s AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend_c
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(spend_c AS DOUBLE) / 100 AS spend,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM s
+WINDOW w AS (ORDER BY spend_c DESC, o_custkey ASC)
+ORDER BY o_custkey
+""",
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — NTILE / PERCENT_RANK / CUME_DIST
+    (the window subfamily rank/row_number queries don't touch) over
+    customer lifetime spend.
+
+    Determinism: spend accumulates as a scaled-long sum (exact, order-
+    independent) and the window orders by (spend_c, o_custkey) — a
+    unique key, so tile boundaries and every rank are forced. The
+    rational outputs ((rank-1)/(n-1), pos/n) are single int/int double
+    divisions, identical on both engines.
+
+    Scale: an unpartitioned ORDER BY window is a single-ordering
+    operation — fine at customer-dimension cardinality (dimensions are
+    orders of magnitude under fact volume). For a fact-scale global
+    quantile assignment you'd sample range boundaries first (the
+    RangePartitioner trick) and broadcast them as a bucket lookup
+    instead of sorting the world into one partition."""
+    orders = _t(spark, sf_dir, "orders")
+    s = orders.groupBy("o_custkey").agg(
+        F.sum(_scaled_long(F.col("o_totalprice"), 2)).alias("spend_c")
+    )
+    w = Window.orderBy(F.col("spend_c").desc(), F.col("o_custkey").asc())
+    return s.select(
+        "o_custkey",
+        (F.col("spend_c").cast("double") / 100).alias("spend"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("o_custkey")
+
+
+@declared(
+    "argmax_latest_order",
+    """
+SELECT o_custkey,
+       MAX_BY(o_orderkey, ordk) AS latest_orderkey,
+       STRFTIME(MAX_BY(CAST(o_orderdate AS DATE), ordk), '%Y-%m-%d') AS latest_date,
+       MAX_BY(o_totalprice, ordk) AS latest_total
+FROM (
+  SELECT *,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') * 10000000000
+           + o_orderkey AS ordk
+  FROM orders
+) t
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+def argmax_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregates — MAX_BY (DuckDB arg_max) — newest order per
+    customer in ONE hash aggregate, no window, no self-join: the
+    aggregate family's answer to top-1-per-group (contrast
+    window_top3_per_customer, which pays a per-group sort for n>1).
+
+    Determinism: DuckDB's arg_max takes only scalar ordering keys, so
+    the tiebreak is the composite BIGINT ``epoch_days * 1e10 +
+    o_orderkey`` — exact while o_orderkey < 1e10 (TPC-H reaches that
+    at SF ~1700; past it, widen the multiplier or switch the Spark
+    side to a struct ordering key, which max_by supports natively).
+
+    Scale: a single map-side-combined hash agg over the fact table —
+    partial argmax states merge associatively, so the shuffle carries
+    one row per (partition, custkey), not raw orders."""
+    orders = _t(spark, sf_dir, "orders")
+    ordk = F.expr(
+        "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') * 10000000000L"
+        " + o_orderkey"
+    )
+    return (
+        orders.withColumn("ordk", ordk)
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("max_by(o_orderkey, ordk)").alias("latest_orderkey"),
+            F.expr(
+                "date_format(max_by(CAST(o_orderdate AS DATE), ordk), 'yyyy-MM-dd')"
+            ).alias("latest_date"),
+            F.expr("max_by(o_totalprice, ordk)").alias("latest_total"),
+        )
+        .orderBy("o_custkey")
+    )
