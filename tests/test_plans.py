@@ -411,3 +411,31 @@ def test_pq_plan_shape(spark):
     p = plan(pq, "simple")
     assert "BroadcastHashJoin" in p
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_round4_third_batch_plan_shapes(spark):
+    """Plan pins for the correlation/ntile/argmax additions: the pair
+    join must broadcast the tiny bucket-mean table (never nested-loop),
+    argmax must be ONE map-side-combined hash agg (no window, no join),
+    and the unpartitioned ntile window must sit on top of a partial
+    aggregate so only customer-cardinality rows reach one partition."""
+    from nibbledb_spark.plans.scale import exchange_count
+    from nibbledb_spark.queries import QUERIES
+
+    corr = QUERIES["ts_corr_pairs"](spark, SF)
+    pc = plan(corr, "simple")
+    assert "BroadcastHashJoin" in pc
+    assert "NestedLoop" not in pc and "CartesianProduct" not in pc
+    # bucket agg + broadcast side + pair agg + cosmetic order
+    assert exchange_count(corr) <= 4
+
+    am = QUERIES["argmax_latest_order"](spark, SF)
+    pa = plan(am, "simple")
+    assert "partial_max_by" in pa  # shuffle carries merged argmax states
+    assert "Window" not in pa and "Join" not in pa
+    assert exchange_count(am) <= 2  # agg + cosmetic order
+
+    nt = QUERIES["window_ntile_quartiles"](spark, SF)
+    pn = plan(nt, "simple")
+    assert "partial_sum" in pn  # spend reduces before the global window
+    assert exchange_count(nt) <= 2  # agg + single-partition window
