@@ -75,6 +75,27 @@ def _ssum_sql(expr: str, scale: int) -> str:
     return f"CAST(SUM(CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT)) AS DOUBLE) / {m}"
 
 
+# Pearson r from the six exact-integer sufficient statistics
+# (n, sx, sy, sxy, sx2, sy2). ONE definition per engine so the
+# "identical IEEE expression tree on both sides" invariant lives in
+# exactly two strings that must mirror each other — consumers
+# (corr_quantity_price, ts_corr_pairs) cannot drift independently.
+_PEARSON_R_SQL = """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (SQRT(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * SQRT(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""
+
+
+def _pearson_r():
+    """Column-side twin of _PEARSON_R_SQL (same operation order)."""
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    return (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Part A — the reference's time-series surface, on events-as-points
 # (series = event_type, ts = epoch µs, tag = parsed props, value)
@@ -3020,7 +3041,7 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "corr_quantity_price",
-    """
+    f"""
 WITH s AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS BIGINT) AS n,
@@ -3032,9 +3053,7 @@ WITH s AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / (SQRT(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            * SQRT(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       {_PEARSON_R_SQL}
          AS corr_qty_price
 FROM s
 ORDER BY l_returnflag
@@ -3059,16 +3078,9 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x).alias("sx2"),
         F.sum(y * y).alias("sy2"),
     )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
-    r = (nd * sxy - sx * sy) / (
-        F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy)
-    )
-    return s.select("l_returnflag", "n", r.alias("corr_qty_price")).orderBy(
-        "l_returnflag"
-    )
+    return s.select(
+        "l_returnflag", "n", _pearson_r().alias("corr_qty_price")
+    ).orderBy("l_returnflag")
 
 
 @declared(
@@ -4277,11 +4289,11 @@ def ts_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "ts_corr_pairs",
     _POINTS_CTE
-    + """
+    + f"""
 , b AS (
   SELECT series, ts // 3600000000 AS bucket,
-         CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-              // COUNT(*) AS BIGINT) AS xm
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           // COUNT(*) AS xm
   FROM points GROUP BY 1, 2
 ),
 p AS (
@@ -4295,9 +4307,7 @@ p AS (
   GROUP BY 1, 2
 )
 SELECT series_a, series_b, n,
-       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / (SQRT(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            * SQRT(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       {_PEARSON_R_SQL}
          AS corr_ab
 FROM p
 ORDER BY series_a, series_b
@@ -4308,10 +4318,12 @@ def ts_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour-aligned bucket means (cross-series co-movement, the tsdb
     `corr(metric_a, metric_b)` analytics shape).
 
-    Exactness: the per-bucket representative is the *floor-divided
-    scaled mean* ``SUM(round(value*100)) DIV COUNT(*)`` — an integer
-    both engines compute identically regardless of partition/merge
-    order, and whose magnitude is bounded by the value domain (~5e4),
+    Exactness: the per-bucket representative is the *integer-divided
+    scaled mean* ``SUM(round(value*100)) DIV COUNT(*)`` — Spark DIV and
+    DuckDB // both truncate toward zero (floor only for non-negative
+    sums like these; Python's // would disagree on negatives) — an
+    integer both engines compute identically regardless of partition/
+    merge order, whose magnitude is bounded by the value domain (~5e4),
     NOT by points-per-bucket. The pair sufficient statistics are then
     sums of int64 products bounded by buckets x 2.4e9 — int64-safe at
     any ingest rate, unlike raw per-bucket sums whose squares overflow
@@ -4350,16 +4362,9 @@ def ts_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(xm_a * xm_a).alias("sx2"),
         F.sum(xm_c * xm_c).alias("sy2"),
     )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
-    r = (nd * sxy - sx * sy) / (
-        F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy)
-    )
-    return p.select("series_a", "series_b", "n", r.alias("corr_ab")).orderBy(
-        "series_a", "series_b"
-    )
+    return p.select(
+        "series_a", "series_b", "n", _pearson_r().alias("corr_ab")
+    ).orderBy("series_a", "series_b")
 
 
 @declared(
