@@ -4466,3 +4466,143 @@ def argmax_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@declared(
+    "bitmask_user_event_flags",
+    """
+WITH f AS (
+  SELECT user_id,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'signup' THEN 4 WHEN 'purchase' THEN 8 ELSE 16 END AS flag
+  FROM events
+)
+SELECT user_id,
+       CAST(BIT_OR(flag) AS BIGINT) AS flags_any,
+       CAST(BIT_AND(flag) AS BIGINT) AS flags_all,
+       CAST(BIT_XOR(flag) AS BIGINT) AS flags_parity,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM f GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def bitmask_user_event_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregates — BIT_OR / BIT_AND / BIT_XOR — the compact
+    set-membership encoding: one bit per event kind, OR-folded into a
+    per-user "which kinds has this user ever produced" mask (the
+    funnel-flags idiom; AND = kinds present in EVERY event, XOR =
+    parity, a cheap duplicate-detection signal).
+
+    Determinism: bitwise folds are associative and commutative, so
+    partition/merge order cannot change the result — EXACT parity with
+    no scaled-arithmetic machinery needed.
+
+    Scale: one map-side-combined hash agg; the merged state is a
+    single int64 per (partition, user), so the shuffle is as small as
+    a count's. The CASE mapping is explicit (not hashed) so bit
+    positions are stable across engines and releases."""
+    events = _t(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "purchase", 8)
+        .otherwise(16)
+    )
+    return (
+        events.select("user_id", flag.alias("flag"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(bit_or(flag) AS BIGINT)").alias("flags_any"),
+            F.expr("CAST(bit_and(flag) AS BIGINT)").alias("flags_all"),
+            F.expr("CAST(bit_xor(flag) AS BIGINT)").alias("flags_parity"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@declared(
+    "ts_moments_skew_kurt",
+    _POINTS_CTE
+    + """
+, r AS (SELECT series, CAST(FLOOR(value + 0.5) AS BIGINT) AS v FROM points),
+s AS (
+  SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2,
+         CAST(SUM(v * v * v) AS BIGINT) AS s3,
+         CAST(SUM(v * v * v * v) AS BIGINT) AS s4
+  FROM r GROUP BY series
+),
+m AS (
+  SELECT series, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+  FROM s
+),
+c AS (
+  SELECT series, n, mu,
+         r2 - mu * mu AS m2,
+         r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+         r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu AS m4
+  FROM m
+)
+SELECT series, n, mu AS mean_r,
+       m3 / (m2 * SQRT(m2)) AS skewness,
+       m4 / (m2 * m2) - 3 AS excess_kurtosis
+FROM c
+ORDER BY series
+""",
+)
+def ts_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics — per-series skewness and excess
+    kurtosis — WITHOUT the built-in skewness()/kurtosis() (whose
+    streaming-merge update order differs between engines in the last
+    ulp, the stddev_pop-in-predicates lesson from NOTES.md): the four
+    raw power sums accumulate as exact int64s over values rounded to
+    integers (documented quantization, the FLOOR(l_extendedprice)
+    trick from corr_quantity_price), and the central-moment formulas
+    then run the identical IEEE tree on both engines. POWER(m2, 1.5)
+    is deliberately m2 * SQRT(m2): mul and sqrt are correctly-rounded
+    IEEE ops, while libm pow differs across implementations.
+
+    Overflow bound: v <= ~500 so v^4 <= ~6e10, giving int64 headroom
+    of ~1.5e8 points per series; past that, pre-aggregate per
+    (series, hour) bucket means first (the ts_corr_pairs shape).
+
+    Scale: one map-side-combined hash agg — the only shuffle — then
+    row-local arithmetic on one row per series."""
+    pts = points_from_events(spark, sf_dir).select("series", "value")
+    v = F.floor(F.col("value") + F.lit(0.5)).cast("long")
+    s = pts.select("series", v.alias("v")).groupBy("series").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v")).alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m = s.select("series", "n", mu.alias("mu"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"))
+    mu, r2, r3, r4 = F.col("mu"), F.col("r2"), F.col("r3"), F.col("r4")
+    c = m.select(
+        "series", "n", "mu",
+        (r2 - mu * mu).alias("m2"),
+        (r3 - F.lit(3) * mu * r2 + F.lit(2) * mu * mu * mu).alias("m3"),
+        (
+            r4 - F.lit(4) * mu * r3 + F.lit(6) * mu * mu * r2
+            - F.lit(3) * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    return c.select(
+        "series", "n", F.col("mu").alias("mean_r"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3)).alias("excess_kurtosis"),
+    ).orderBy("series")

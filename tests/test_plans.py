@@ -439,3 +439,24 @@ def test_round4_third_batch_plan_shapes(spark):
     pn = plan(nt, "simple")
     assert "partial_sum" in pn  # spend reduces before the global window
     assert exchange_count(nt) <= 2  # agg + single-partition window
+
+
+def test_round4_fourth_batch_plan_shapes(spark):
+    """Plan pins for the bitwise-aggregate and higher-moment queries:
+    both must be single map-side-combined hash aggregates — the merged
+    state per key is a handful of int64s, so the shuffle carries
+    per-partition partials, never raw events/points."""
+    from nibbledb_spark.plans.scale import exchange_count
+    from nibbledb_spark.queries import QUERIES
+
+    bm = QUERIES["bitmask_user_event_flags"](spark, SF)
+    pb = plan(bm, "simple")
+    assert "partial_bit_or" in pb
+    assert "Window" not in pb and "Join" not in pb
+    assert exchange_count(bm) <= 2  # agg + cosmetic order
+
+    mo = QUERIES["ts_moments_skew_kurt"](spark, SF)
+    pm = plan(mo, "simple")
+    assert "partial_sum" in pm
+    assert "Window" not in pm and "Join" not in pm
+    assert exchange_count(mo) <= 2
