@@ -385,6 +385,48 @@ def ts_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ts_quantiles_approx_bound",
+    "SELECT event_type AS series, CAST(0 AS BIGINT) AS n_outside_bound "
+    "FROM events GROUP BY 1 ORDER BY 1",
+)
+def ts_quantiles_approx_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable bound assertion for ts_quantiles_approx (round-4
+    verdict #2): the GK-sketch output can't hash-match across engines,
+    but ``|approx_p - exact_p| <= 5% of the series' spread`` can — both
+    sides of the comparison run in ONE Spark plan (exact percentile +
+    min/max in one agg, the sketch in another, joined on series) and
+    the per-series violation count's oracle is the constant 0. One row
+    per series keeps the check data-derived (series names must match
+    too), mirroring tests/test_extensions.py::test_approx_quantiles_bound."""
+    pts = points_from_events(spark, sf_dir)
+    exact = pts.groupBy("series").agg(
+        F.expr("percentile(value, 0.25)").alias("e25"),
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.75)").alias("e75"),
+        F.expr("percentile(value, 0.95)").alias("e95"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    approx = pts.groupBy("series").agg(
+        F.expr(
+            "approx_percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)"
+        ).alias("q")
+    )
+    spread = F.when(F.col("hi") > F.col("lo"), F.col("hi") - F.col("lo")).otherwise(
+        F.lit(1.0)
+    )
+    viol = None
+    for i, e in enumerate(("e25", "e50", "e75", "e95")):
+        v = (F.abs(F.col("q")[i] - F.col(e)) > F.lit(0.05) * spread).cast("long")
+        viol = v if viol is None else viol + v
+    return (
+        exact.join(approx, "series")
+        .select("series", viol.alias("n_outside_bound"))
+        .orderBy("series")
+    )
+
+
+@declared(
     "interval_overlap_series_days",
     _POINTS_CTE
     + f"""
@@ -1079,9 +1121,46 @@ def count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared("approx_distinct_parts")  # APPROX class: rows-only check, no oracle
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct; validated against the exact count with
-    a 5% relative bound (tests/test_queries.py), never hash-matched."""
+    a 5% relative bound (tests/test_queries.py and, driver-visibly, the
+    approx_distinct_parts_bound sibling), never hash-matched — the HLL++
+    register layout is engine-specific."""
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
+
+
+@declared(
+    "approx_distinct_parts_bound",
+    """
+SELECT COUNT(DISTINCT l_partkey) AS n_exact_parts,
+       CAST(0 AS BIGINT) AS n_outside_bound
+FROM lineitem
+""",
+)
+def approx_distinct_parts_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable bound assertion for approx_distinct_parts
+    (round-4 verdict #2): the HLL estimate itself can't hash-match
+    across engines, but ``|approx - exact| / exact <= 0.05`` CAN — the
+    comparison runs inside one Spark plan and emits a violation count
+    whose oracle is the constant 0 (plus the exact distinct count, so
+    the row stays data-derived). The hash matches iff the pinned
+    APPROX-class bound holds on the driver's own data."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    return agg.select(
+        F.col("exact").alias("n_exact_parts"),
+        F.when(
+            F.abs(F.col("approx") - F.col("exact")).cast("double")
+            / F.col("exact").cast("double")
+            > 0.05,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_outside_bound"),
+    )
 
 
 @declared(
@@ -1757,6 +1836,25 @@ def _dot_sql(a: str, b: str, dim: int = 64) -> str:
     return f"({terms})"
 
 
+def _srp_sig_sql(vec: str, n_planes: int, plane_offset: int, dim: int = 64) -> str:
+    """DuckDB replica of operators.similarity.srp_signature: the SAME
+    deterministic hyperplanes (splitmix-mixed constants, inlined as
+    literals — repr round-trips doubles exactly), the SAME left-fold dot
+    order, the SAME sign test, so both engines land every vector in the
+    same bucket."""
+    from nibbledb_spark.operators.similarity import _hyperplane
+
+    bits = []
+    for b in range(n_planes):
+        plane = _hyperplane(dim, plane_offset + b)
+        terms = " + ".join(
+            f"(CAST({vec}[{i + 1}] AS DOUBLE) * CAST({plane[i]!r} AS DOUBLE))"
+            for i in range(dim)
+        )
+        bits.append(f"CASE WHEN ({terms}) > 0 THEN {2 ** b} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
 @declared(
     "embed_norms",
     f"""
@@ -1836,9 +1934,51 @@ def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_cosine(e, 0.4)
 
 
-@declared("srp_ann_topk")  # APPROX class: rows-only; recall checked in pytest
+@declared(
+    "srp_ann_topk",
+    f"""
+WITH sigs AS (
+  SELECT vec_id,
+         {_srp_sig_sql('embedding', 6, 0)} AS s0,
+         {_srp_sig_sql('embedding', 6, 6)} AS s1
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, s0, s1 FROM sigs WHERE vec_id < 5),
+cand AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id FROM q JOIN sigs c ON q.s0 = c.s0
+  UNION
+  SELECT q.query_id, c.vec_id FROM q JOIN sigs c ON q.s1 = c.s1
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_dot_sql('qe.embedding', 'ce.embedding')}
+           / (SQRT({_dot_sql('qe.embedding', 'qe.embedding')})
+              * SQRT({_dot_sql('ce.embedding', 'ce.embedding')})) AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+  WHERE cand.neighbor_id <> cand.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+""",
+)
 def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via signed-random-projection buckets (scale path)."""
+    """Approximate NN via signed-random-projection buckets (scale path).
+
+    Promoted from APPROX/rows-only to a FULL hash-matched oracle in
+    round 5: nothing in the pipeline is actually engine-specific — the
+    hyperplanes are fixed splitmix constants, the bucket test and the
+    candidate equi-joins are set operations, and the exact-cosine
+    rescoring plus (cos DESC, neighbor ASC) ranking replicate
+    bit-identically in DuckDB (same trick as ivf_ann_topk /
+    embed_near_dup_pairs_bucketed). The recall floors stay pinned in
+    pytest; the driver now checks the *result*, not just the shape."""
     from nibbledb_spark.operators.similarity import srp_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1915,6 +2055,44 @@ def ivf_ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_centroids(e, 8, n_iter=3)
     return ivf_topk(
         e, e.where(F.col("vec_id") < 5), 3, nprobe=2, centroids=cents
+    )
+
+
+@declared(
+    "ivf_kmeans_probe_all_bound",
+    """
+SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 5)
+            * LEAST(3, (SELECT COUNT(*) FROM embeddings) - 1) AS BIGINT)
+         AS n_exact_rows,
+       CAST(0 AS BIGINT) AS n_mismatched
+""",
+)
+def ivf_kmeans_probe_all_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable correctness pin for the kmeans-IVF pipeline
+    (round-4 verdict #2): Lloyd's rounds aren't expressible in one SQL
+    statement, but the invariant "probing ALL inverted lists recovers
+    EXACTLY the brute-force top-k" is — it holds for ANY centroid set
+    iff the assignment partitions the corpus (no vector dropped or
+    duplicated) and scoring/ranking are exact. Both sides run in one
+    Spark plan (kmeans-IVF with nprobe=k vs cosine_topk) and the
+    symmetric difference count's oracle is the constant 0; n_exact_rows
+    = n_queries × min(k, corpus−1) keeps the row data-derived. The
+    recall floors for the real nprobe<k setting stay pinned in pytest
+    (test_kmeans_centroids_beat_fixed_init)."""
+    from nibbledb_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    cents = kmeans_centroids(e, 8, n_iter=3)
+    ivf = ivf_topk(e, q, 3, nprobe=8, centroids=cents)
+    exact = cosine_topk(e, q, 3)
+    diff = ivf.exceptAll(exact).unionByName(exact.exceptAll(ivf))
+    return exact.agg(F.count(F.lit(1)).alias("n_exact_rows")).crossJoin(
+        diff.agg(F.count(F.lit(1)).alias("n_mismatched"))
     )
 
 
@@ -2539,13 +2717,48 @@ def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
-@declared("cms_event_type_counts")  # APPROX: rows-only; bounds pinned in pytest
+# DuckDB replica of operators.sketch._bucket: row-seeded md5-prefix
+# bucket in [0, width). Identical text in, identical md5 hex out, and
+# the first 8 hex chars fit a BIGINT, so the modulo agrees exactly.
+def _cms_bucket_sql(row_expr: str, key_expr: str, width: int) -> str:
+    return (
+        f"CAST(CAST(concat('0x', substr(md5(concat({row_expr}, ':', "
+        f"{key_expr})), 1, 8)) AS BIGINT) % {width} AS INT)"
+    )
+
+
+@declared(
+    "cms_event_type_counts",
+    f"""
+WITH r4 AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+cells AS (
+  SELECT r, {_cms_bucket_sql('r', 'event_type', 256)} AS bucket
+  FROM events, r4
+),
+sketch AS (SELECT r, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+keys AS (SELECT DISTINCT event_type FROM events),
+probes AS (
+  SELECT event_type, r, {_cms_bucket_sql('r', 'event_type', 256)} AS bucket
+  FROM keys, r4
+)
+SELECT p.event_type, MIN(COALESCE(s.cnt, 0)) AS est_count
+FROM probes p LEFT JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+GROUP BY p.event_type
+ORDER BY p.event_type
+""",
+)
 def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch estimates for per-event-type counts: the
     fixed-space frequency sketch (operators/sketch.py) probed for the
-    distinct event types. APPROX class — the one-sided CMS error bound
-    (est >= true; est <= true + N/width w.h.p.) is pytest-pinned, so no
-    SQL oracle; the driver records rows-only."""
+    distinct event types.
+
+    Promoted from APPROX/rows-only to a FULL oracle in round 5: the
+    sketch's hashes are the repo-wide portable md5-prefix buckets, so
+    the whole d×w cell table — and therefore every min-over-cells
+    estimate — is engine-independent. The oracle rebuilds the exact
+    sketch in DuckDB (4 rows × 256 buckets, same '{{r}}:{{key}}' seeds)
+    and probes it identically; the CMS error bounds and mergeability
+    stay pinned in pytest."""
     from nibbledb_spark.operators.sketch import cms_build, cms_estimate
 
     ev = _t(spark, sf_dir, "events")
@@ -2754,36 +2967,66 @@ def prep_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared("embed_near_dup_pairs_srp")  # APPROX: rows-only; subset+recall in pytest
+def _srp_sigs_select_sql(n_planes: int, n_tables: int) -> str:
+    """s0..s{L-1} signature columns, one per hash table (table t uses
+    plane offsets [t*b, (t+1)*b) — mirror of near_dup_pairs_srp)."""
+    return ",\n         ".join(
+        f"{_srp_sig_sql('embedding', n_planes, t * n_planes)} AS s{t}"
+        for t in range(n_tables)
+    )
+
+
+def _srp_pairs_cand_sql(n_tables: int) -> str:
+    """UNION of per-table self-equi-joins on the SRP signature — the
+    DuckDB replica of near_dup_pairs_srp's candidate generation."""
+    arms = [
+        f"SELECT a.vec_id AS id1, b.vec_id AS id2\n"
+        f"  FROM sigs a JOIN sigs b ON a.s{t} = b.s{t} AND a.vec_id < b.vec_id"
+        for t in range(n_tables)
+    ]
+    return "\n  UNION\n".join(arms)
+
+
+@declared(
+    "embed_near_dup_pairs_srp",
+    f"""
+WITH sigs AS (
+  SELECT vec_id,
+         {_srp_sigs_select_sql(4, 8)}
+  FROM embeddings WHERE vec_id < 200
+),
+cand AS (
+  {_srp_pairs_cand_sql(8)}
+)
+SELECT cand.id1, cand.id2,
+       {_dot_sql('e1.embedding', 'e2.embedding')}
+         / (SQRT({_dot_sql('e1.embedding', 'e1.embedding')})
+            * SQRT({_dot_sql('e2.embedding', 'e2.embedding')})) AS cos_sim
+FROM cand
+JOIN embeddings e1 ON e1.vec_id = cand.id1
+JOIN embeddings e2 ON e2.vec_id = cand.id2
+WHERE {_dot_sql('e1.embedding', 'e2.embedding')}
+         / (SQRT({_dot_sql('e1.embedding', 'e1.embedding')})
+            * SQRT({_dot_sql('e2.embedding', 'e2.embedding')})) >= 0.4
+""",
+)
 def embed_near_dup_pairs_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-bucketed embedding near-dup pairs — the scale path for
     embed_near_dup_pairs (candidates from LSH buckets, exact cosine
-    verify on candidates only)."""
+    verify on candidates only).
+
+    Promoted from APPROX/rows-only to a FULL oracle in round 5: all 8
+    hash tables are replicated in DuckDB (fixed hyperplanes inlined as
+    literals, identical fold order — the embed_near_dup_pairs_bucketed
+    trick at L=8), so the driver hash now pins candidate generation,
+    dedup, and the exact-cosine verify end to end. The subset-of-exact
+    and recall properties stay pinned in pytest."""
     from nibbledb_spark.operators.similarity import near_dup_pairs_srp
 
     # cos 0.4 is a wide angle (θ≈66°, per-plane agreement p≈0.63): short
     # 4-bit signatures over 8 tables keep P(miss) = (1-p^4)^8 ≈ 0.25
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     return near_dup_pairs_srp(e, 0.4, dim=64, n_planes=4, n_tables=8)
-
-
-def _srp_sig_sql(vec: str, n_planes: int, plane_offset: int, dim: int = 64) -> str:
-    """DuckDB replica of operators.similarity.srp_signature: the SAME
-    deterministic hyperplanes (splitmix-mixed constants, inlined as
-    literals — repr round-trips doubles exactly), the SAME left-fold dot
-    order, the SAME sign test, so both engines land every vector in the
-    same bucket."""
-    from nibbledb_spark.operators.similarity import _hyperplane
-
-    bits = []
-    for b in range(n_planes):
-        plane = _hyperplane(dim, plane_offset + b)
-        terms = " + ".join(
-            f"(CAST({vec}[{i + 1}] AS DOUBLE) * CAST({plane[i]!r} AS DOUBLE))"
-            for i in range(dim)
-        )
-        bits.append(f"CASE WHEN ({terms}) > 0 THEN {2 ** b} ELSE 0 END")
-    return "(" + " + ".join(bits) + ")"
 
 
 @declared(
