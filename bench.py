@@ -66,10 +66,16 @@ def sf_of(path: str) -> float:
 
 
 def time_spark(spark, fn, runs: int = 5) -> float:
+    # Materialize through Arrow (toPandas) — the engine's result path.
+    # Py4J row-at-a-time collect() was the measured bottleneck on
+    # wide/tall results (ts_range 0.113s -> 0.050s, window_top3 0.178s
+    # -> 0.058s at sf0.1); the DuckDB baseline mirrors with .df() so
+    # both sides pay one columnar-to-pandas hop, the same channel the
+    # driver's correctness compare uses.
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
+        fn(spark, SF_DIR).toPandas()
         samples.append(time.perf_counter() - t0)
     return statistics.median(samples)
 
@@ -378,12 +384,12 @@ def main() -> int:
     # steady-state on both sides.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     for name in headline:
-        QUERIES[name](spark, SF_DIR).collect()
+        QUERIES[name](spark, SF_DIR).toPandas()
 
     timings: dict[str, float] = {}
     for name in headline:
         fn = QUERIES[name]
-        fn(spark, SF_DIR).collect()  # warm the exact plan (codegen compile, footers)
+        fn(spark, SF_DIR).toPandas()  # warm the exact plan (codegen compile, footers)
         timings[name] = round(time_spark(spark, fn), 4)
         log(f"spark {name}: {timings[name]:.3f}s")
 
@@ -407,20 +413,20 @@ def main() -> int:
                     f"read_parquet('{SF_DIR}/{t}.parquet')"
                 )
             samples = []
-            con.execute(ORACLE[name]).fetchall()  # warm
+            con.execute(ORACLE[name]).df()  # warm (pandas channel, like Spark)
             for _ in range(5):
                 t0 = time.perf_counter()
-                con.execute(ORACLE[name]).fetchall()
+                con.execute(ORACLE[name]).df()
                 samples.append(time.perf_counter() - t0)
             duck = statistics.median(samples)
             # prepared-statement analogue: plan built once, executed 5x —
             # isolates execution throughput from per-call planning cost
             df = QUERIES[name](spark, SF_DIR)
-            df.collect()
+            df.toPandas()
             prep_samples = []
             for _ in range(5):
                 t0 = time.perf_counter()
-                df.collect()
+                df.toPandas()
                 prep_samples.append(time.perf_counter() - t0)
             prep = statistics.median(prep_samples)
             ratio = timings[name] / duck if duck > 0 else float("inf")
