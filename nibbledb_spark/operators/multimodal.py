@@ -187,14 +187,275 @@ def _decode_png(payload: bytes) -> object:
     return img
 
 
+# JPEG natural index of each coefficient in zigzag scan order (ITU T.81
+# Figure 5 — public spec constants).
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_huff_table(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman table (T.81 Annex C): (length, code) -> symbol."""
+    lut, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            if k >= len(symbols):
+                raise ValueError("truncated JPEG huffman table")
+            lut[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment: un-stuffs
+    0xFF00, byte-aligns at restart markers, and treats reaching any
+    other marker mid-read as truncation (a valid baseline stream never
+    starves — trailing bits in the last byte are padding we never ask
+    for)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.p, self.acc, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.p >= len(self.d):
+                raise ValueError("truncated JPEG scan")
+            b = self.d[self.p]
+            if b == 0xFF:
+                nxt = self.d[self.p + 1] if self.p + 1 < len(self.d) else 0xD9
+                if nxt != 0x00:
+                    raise ValueError("truncated JPEG scan (marker reached)")
+                self.p += 2
+            else:
+                self.p += 1
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def restart(self) -> None:
+        self.n = 0  # drop padding bits: restart markers are byte-aligned
+        if (
+            self.p + 2 > len(self.d)
+            or self.d[self.p] != 0xFF
+            or not (0xD0 <= self.d[self.p + 1] <= 0xD7)
+        ):
+            raise ValueError("missing JPEG restart marker")
+        self.p += 2
+
+    def huff(self, tbl: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = tbl.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+    def receive_extend(self, s: int) -> int:
+        """T.81 F.2.2.1: read an s-bit magnitude, sign-extend."""
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
+        return v
+
+
+def _decode_jpeg(payload: bytes) -> object:
+    """Baseline JFIF (SOF0/SOF1 huffman-sequential) -> HxWx3 uint8 RGB.
+
+    Pure stdlib + numpy (T.81 is a public spec): marker parse -> DQT /
+    DHT / DRI / SOF / SOS -> huffman-decode the MCU stream (DC
+    prediction, AC run-length, restart intervals) -> dequantize,
+    de-zigzag, batched orthonormal 8x8 IDCT (one matmul per component,
+    not per block) -> chroma upsample by replication -> YCbCr->RGB.
+    Progressive (SOF2), arithmetic, hierarchical, 12-bit, and CMYK
+    payloads raise NotImplementedError — those codecs stay at the
+    documented PIL swap-in seam."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG signature")
+    qt: dict[int, object] = {}
+    hufftabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan = None
+    ri = 0
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        m = payload[pos + 1]
+        pos += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            break
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment")
+        ln = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if ln < 2 or pos + ln > len(payload):
+            raise ValueError("truncated JPEG segment")
+        seg = payload[pos + 2 : pos + ln]
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                width = 128 if pq else 64
+                raw = seg[i : i + width]
+                if len(raw) != width:
+                    raise ValueError("truncated JPEG quant table")
+                i += width
+                dt = ">u2" if pq else np.uint8
+                qt[tq] = np.frombuffer(raw, dtype=dt).astype(np.int32)
+        elif m == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1 : i + 17])
+                nsym = sum(counts)
+                symbols = list(seg[i + 17 : i + 17 + nsym])
+                if len(symbols) != nsym:
+                    raise ValueError("truncated JPEG huffman table")
+                hufftabs[(tc, th)] = _jpeg_huff_table(counts, symbols)
+                i += 17 + nsym
+        elif m in (0xC0, 0xC1):  # baseline / extended-sequential huffman
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            h_img, w_img, nc = struct.unpack(">HHB", seg[1:6])
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG frame header")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = (h_img, w_img, comps)
+        elif m == 0xC2:
+            raise NotImplementedError("progressive JPEG not supported (baseline only)")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG coding process")
+        elif m == 0xDD:
+            ri = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS: header, then the entropy-coded segment
+            ns = seg[0]
+            sel = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            scan = (sel, pos + ln)
+            break
+        pos += ln
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h_img, w_img, comps = frame
+    sel, data_pos = scan
+    if not (0 < h_img and 0 < w_img) or h_img * w_img > 64_000_000:
+        raise ValueError(f"invalid JPEG dimensions {w_img}x{h_img}")
+    if len(comps) == 4:
+        raise NotImplementedError("CMYK JPEG not supported")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) or hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("invalid JPEG sampling factors")
+        if c["tq"] not in qt:
+            raise ValueError("JPEG component references missing quant table")
+    mcux = (w_img + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h_img + 8 * vmax - 1) // (8 * vmax)
+    order = []
+    for cs, td, ta in sel:
+        comp = next((c for c in comps if c["id"] == cs), None)
+        if comp is None:
+            raise ValueError("JPEG scan references unknown component")
+        if (0, td) not in hufftabs or (1, ta) not in hufftabs:
+            raise ValueError("JPEG scan references missing huffman table")
+        order.append((comp, hufftabs[(0, td)], hufftabs[(1, ta)]))
+    if len(order) != len(comps):
+        raise NotImplementedError("multi-scan JPEG not supported (baseline only)")
+    for c in comps:
+        c["zz"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+
+    br = _JpegBits(payload, data_pos)
+    pred = dict.fromkeys((c["id"] for c in comps), 0)
+    for mi in range(mcux * mcuy):
+        if ri and mi and mi % ri == 0:
+            br.restart()
+            pred = dict.fromkeys(pred, 0)
+        my, mx = divmod(mi, mcux)
+        for comp, dct, act in order:
+            for v in range(comp["v"]):
+                for h in range(comp["h"]):
+                    coef = np.zeros(64, dtype=np.int32)
+                    s = br.huff(dct)
+                    pred[comp["id"]] += br.receive_extend(s)
+                    coef[0] = pred[comp["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = br.huff(act)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                break  # EOB
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC coefficient overrun")
+                        coef[k] = br.receive_extend(s)
+                        k += 1
+                    comp["zz"][my * comp["v"] + v, mx * comp["h"] + h] = coef
+
+    # orthonormal 8x8 IDCT basis: spatial = M.T @ S @ M
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    M = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    M[0] /= np.sqrt(2.0)
+    planes = []
+    for c in comps:
+        deq = c["zz"] * qt[c["tq"]][None, None, :]  # both in zigzag order
+        nat = np.zeros_like(deq)
+        nat[..., _JPEG_ZIGZAG] = deq
+        blocks = nat.reshape(nat.shape[0], nat.shape[1], 8, 8).astype(np.float64)
+        spatial = M.T @ blocks @ M + 128.0
+        bh, bw = blocks.shape[:2]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:h_img, :w_img])
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    yy, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            yy + 1.402 * cr,
+            yy - 0.344136 * cb - 0.714136 * cr,
+            yy + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes) -> object:
     """Decode a binary image payload to an HxWx3 uint8 numpy array.
 
-    REAL for binary PPM (P6, maxval 255), uncompressed 24-bit BMP, and
-    8-bit non-interlaced PNG (gray/RGB/RGBA via stdlib zlib) — pure
-    numpy, no codec libs. PPM: header tokens (width, height, maxval;
-    ``#`` comments allowed) then raw RGB bytes. Formats whose codecs
-    live outside the stdlib (JPEG/WebP/...) still raise — swap in
+    REAL for binary PPM (P6, maxval 255), uncompressed 24-bit BMP,
+    8-bit non-interlaced PNG (gray/RGB/RGBA via stdlib zlib), and
+    baseline JFIF JPEG (huffman-sequential SOF0/SOF1, incl. 4:2:0
+    chroma subsampling and restart intervals) — pure numpy, no codec
+    libs. PPM: header tokens (width, height, maxval; ``#`` comments
+    allowed) then raw RGB bytes. Codecs that genuinely need libraries
+    (progressive JPEG, WebP, AVIF, ...) still raise — swap in
     PIL/torchvision decode on a real cluster at this exact seam.
     """
     import numpy as np
@@ -203,10 +464,12 @@ def decode_image(payload: bytes) -> object:
         return _decode_bmp(payload)
     if payload.startswith(b"\x89PNG"):
         return _decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        return _decode_jpeg(payload)
     if not payload.startswith(b"P6"):
         raise NotImplementedError(
-            "only PPM(P6), 24-bit BMP, and 8-bit PNG decode without codec "
-            "libs; plug PIL in here"
+            "only PPM(P6), 24-bit BMP, 8-bit PNG, and baseline JPEG decode "
+            "without codec libs; plug PIL in here"
         )
     # tokenize header: magic, width, height, maxval; '#' starts a comment
     pos, tokens = 2, []

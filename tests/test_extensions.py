@@ -164,9 +164,12 @@ def test_multimodal_feature_plumbing(spark, docs):
 def test_decode_stub_raises(spark):
     from nibbledb_spark.operators.multimodal import decode_image
 
-    # JPEG stays stubbed (codec outside the stdlib); a PNG prefix that
-    # is not the full 8-byte signature is a malformed file, not a stub
+    # WebP stays stubbed (codec outside the stdlib — baseline JPEG got a
+    # real decoder in r5); a truncated JPEG is a malformed file
+    # (ValueError), not a stub; same for a partial PNG signature
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0jpeg")
     with pytest.raises(ValueError, match="signature"):
         decode_image(b"\x89PNG")
@@ -1282,3 +1285,276 @@ def test_near_dup_exact_guard(spark):
     # tiny corpora pass through the guard unchanged
     small = big.where(F.col("vec_id") < 3)
     assert near_dup_pairs_cosine(small, 0.9).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG decode (pure stdlib+numpy huffman/IDCT — completes the
+# multimodal codec story the same way PNG did in r4)
+# ---------------------------------------------------------------------------
+
+# ITU T.81 Annex K typical huffman tables (public spec constants); used
+# by the test encoder for both luma and chroma.
+_JDC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JDC_SYMS = list(range(12))
+_JAC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JAC_SYMS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_bytes(rgb, subsample=False, restart_interval=0):
+    """Spec-correct baseline JFIF encoder for the decode tests: forward
+    orthonormal DCT, all-ones quant tables (so the only loss is DCT
+    coefficient rounding), Annex K huffman tables, optional 4:2:0
+    chroma subsampling and restart intervals, proper byte stuffing."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    ]
+    hs = [2, 1, 1] if subsample else [1, 1, 1]
+    vs = [2, 1, 1] if subsample else [1, 1, 1]
+    hmax, vmax = max(hs), max(vs)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    if subsample:
+        # average 2x2 for chroma (after edge-padding to even dims)
+        for i in (1, 2):
+            p = planes[i]
+            pe = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+            planes[i] = 0.25 * (pe[0::2, 0::2] + pe[1::2, 0::2] + pe[0::2, 1::2] + pe[1::2, 1::2])
+    # pad every plane to its full block grid by edge replication
+    for i in range(3):
+        p = planes[i]
+        th, tw = mcuy * vs[i] * 8, mcux * hs[i] * 8
+        planes[i] = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+
+    M = 0.5 * np.cos(
+        (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
+    )
+    M[0] /= np.sqrt(2.0)
+    zz = __import__(
+        "nibbledb_spark.operators.multimodal", fromlist=["_JPEG_ZIGZAG"]
+    )._JPEG_ZIGZAG
+
+    def hufflut(counts, syms):
+        lut, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                lut[syms[k]] = (ln, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return lut
+
+    dcl, acl = hufflut(_JDC_COUNTS, _JDC_SYMS), hufflut(_JAC_COUNTS, _JAC_SYMS)
+    bits: list[int] = []
+
+    def put(ln, code):
+        for i in range(ln - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_mag(v):
+        s = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        if v < 0:
+            v = v + (1 << s) - 1
+        put(s, v)
+        return s
+
+    def encode_block(blk, pred):
+        S = M @ (blk - 128.0) @ M.T
+        q = np.round(S).astype(int)
+        zig = q.reshape(-1)[zz]
+        diff = int(zig[0]) - pred
+        if diff == 0:
+            put(*dcl[0])
+        else:
+            s = int(abs(diff)).bit_length()
+            put(*dcl[s])
+            put_mag(diff)
+        run = 0
+        for k in range(1, 64):
+            v = int(zig[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(*acl[0xF0])
+                run -= 16
+            s = int(abs(v)).bit_length()
+            put(*acl[(run << 4) | s])
+            put_mag(v)
+            run = 0
+        if run:
+            put(*acl[0x00])
+        return int(zig[0])
+
+    def flush_scan():
+        while len(bits) % 8:
+            bits.append(1)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0)
+        bits.clear()
+        return bytes(out)
+
+    scan = bytearray()
+    preds = [0, 0, 0]
+    rst = 0
+    for mi in range(mcux * mcuy):
+        if restart_interval and mi and mi % restart_interval == 0:
+            scan += flush_scan()
+            scan += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            preds = [0, 0, 0]
+        my, mx = divmod(mi, mcux)
+        for ci in range(3):
+            p = planes[ci]
+            for v in range(vs[ci]):
+                for hh in range(hs[ci]):
+                    by, bx = my * vs[ci] + v, mx * hs[ci] + hh
+                    blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    preds[ci] = encode_block(blk, preds[ci])
+    scan += flush_scan()
+
+    def seg(marker, body):
+        return b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HHB", h, w, 3)
+        + b"".join(
+            bytes([cid, (hs[i] << 4) | vs[i], 0]) for i, cid in enumerate((1, 2, 3))
+        ),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_JDC_COUNTS) + bytes(_JDC_SYMS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JAC_COUNTS) + bytes(_JAC_SYMS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(
+        0xDA, bytes([3]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3)) + bytes([0, 63, 0])
+    )
+    return out + bytes(scan) + b"\xff\xd9"
+
+
+def test_jpeg_decode_444_round_trip(spark):
+    """Baseline 4:4:4 JPEG with all-ones quant tables must reconstruct
+    within DCT-rounding tolerance (a few counts per channel after two
+    colorspace hops), across a non-multiple-of-8 size."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(23)
+    # smooth image: low-frequency content keeps quantized-coefficient
+    # rounding from amplifying through the IDCT
+    base = rng.integers(40, 216, size=(3, 4, 3))
+    rgb = np.repeat(np.repeat(base, 7, axis=0), 5, axis=1).astype(np.uint8)  # 21x20
+    got = decode_image(_jpeg_bytes(rgb))
+    assert got.shape == rgb.shape and got.dtype == np.uint8
+    err = np.abs(got.astype(int) - rgb.astype(int)).max()
+    assert err <= 4, f"max abs error {err}"
+
+
+def test_jpeg_decode_420_and_restart(spark):
+    """4:2:0 chroma subsampling (2x2 MCUs, 4Y+Cb+Cr interleave) and
+    restart intervals (DC predictor reset, byte-aligned RSTn) both
+    decode; gray-content chroma loss is nil so tolerance stays tight."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(29)
+    lum = rng.integers(30, 226, size=(5, 6, 1))
+    rgb = np.repeat(np.repeat(np.repeat(lum, 7, axis=0), 6, axis=1), 3, axis=2).astype(
+        np.uint8
+    )  # 35x36 gray-valued RGB
+    for ri in (0, 2):
+        got = decode_image(_jpeg_bytes(rgb, subsample=True, restart_interval=ri))
+        assert got.shape == rgb.shape
+        err = np.abs(got.astype(int) - rgb.astype(int)).max()
+        assert err <= 4, f"ri={ri} max abs error {err}"
+
+
+def test_jpeg_decode_flags_hostile_payloads(spark):
+    """Corrupt JPEG payloads are flagged as ValueError (the Arrow-batch
+    contract: one bad file must not kill the batch); genuinely
+    unsupported coding processes raise NotImplementedError at the
+    documented codec seam."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from nibbledb_spark.operators.multimodal import decode_image
+
+    rgb = np.full((8, 8, 3), 90, dtype=np.uint8)
+    good = _jpeg_bytes(rgb)
+    with _pytest.raises(ValueError, match="truncated|corrupt"):
+        decode_image(good[:-12])
+    with _pytest.raises(ValueError):
+        decode_image(good[:2] + b"\x00\x00" + good[2:])
+    # progressive: swap SOF0 for SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_image(prog)
+    # hostile dims: SOF claims 40000x40000
+    i = good.index(b"\xff\xc0")
+    bad_dims = (
+        good[: i + 5] + struct.pack(">HH", 40000, 40000) + good[i + 9 :]
+    )
+    with _pytest.raises(ValueError, match="dimensions"):
+        decode_image(bad_dims)
+
+
+def test_jpeg_features_through_mapinpandas(spark):
+    """JPEG payloads flow through the same Arrow-batched feature seam
+    as PPM/BMP/PNG — real pixel statistics for decodable media, a
+    flagged row (not a crash) for the corrupt one."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_stats_features,
+    )
+
+    img = np.full((16, 16, 3), 200, dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(_jpeg_bytes(img)), ("image/jpeg", 16, 16, None)),
+        (2, "image", bytearray(b"\xff\xd8\xff\xe0garbage"), ("image/jpeg", 0, 0, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in image_stats_features(media).collect()}
+    assert out[1]["feature"] is not None
+    # mean of a flat-200 image, /255-normalized like every feature
+    assert abs(out[1]["feature"][0] - 200.0 / 255.0) < 3.0 / 255.0
+    assert out[2]["feature"] is None
