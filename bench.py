@@ -337,6 +337,65 @@ def snapshot_bench(spark) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stress_bench(spark) -> None:
+    """xN-union stress protocol (BASELINE.md: Scale stress) for the two
+    heaviest declared pipelines: replicate the sf tables with remapped
+    ids so every row gains N-1 planted exact clones — the worst case
+    for near-dup candidate blowup — and show cost stays bounded by the
+    PAIR LIST (keep-best) / corpus-linear ADC scan (PQ), never
+    quadratic in the corpus. Diagnostics to stderr."""
+    import pyspark.sql.functions as F
+
+    from nibbledb_spark.operators.dedup import near_dup_components
+    from nibbledb_spark.operators.similarity import pq_adc_topk
+    from nibbledb_spark.operators.text import quality_scores
+    from pyspark.sql import Window
+
+    def replicate(df, id_col, mult):
+        out = None
+        for kk in range(mult):
+            d = df.withColumn(id_col, F.col(id_col) + F.lit(kk * 10_000_000))
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    for mult in (1, 10):
+        stressed = replicate(docs, "doc_id", mult)
+        t0 = time.perf_counter()
+        comp = near_dup_components(stressed, threshold=0.5)
+        q = quality_scores(stressed).select("doc_id", "quality_score")
+        joined = comp.join(q, "doc_id")
+        w = Window.partitionBy("component").orderBy(
+            F.col("quality_score").desc(), F.col("doc_id").asc()
+        )
+        out = (
+            joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("component", F.col("doc_id").alias("keep_id"))
+        )
+        n = out.count()
+        log(
+            f"stress near_dup_keep_best x{mult:<3} ({stressed.count():>6,} docs): "
+            f"{time.perf_counter() - t0:.1f}s -> {n:,} canonical clusters"
+        )
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    for mult in (1, 10, 100):
+        e = replicate(emb, "vec_id", mult)
+        queries = emb.where(F.col("vec_id") < 5)
+        df = pq_adc_topk(e, queries, 3)
+        df.count()  # warm (codebook build + encode plan)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.count()
+            samples.append(time.perf_counter() - t0)
+        log(
+            f"stress pq_ann_topk x{mult:<3} ({e.count():>7,} vectors): "
+            f"{statistics.median(samples):.2f}s per ADC scan (prepared)"
+        )
+
+
 def main() -> int:
     from nibbledb_spark.queries import ORACLE, QUERIES
     from nibbledb_spark.session import get_spark
@@ -350,6 +409,11 @@ def main() -> int:
         if arg == "--names" and i + 1 < len(sys.argv):
             headline = [n for n in sys.argv[i + 1].split(",") if n]
     spark = get_spark("bench")
+
+    if "--stress" in sys.argv:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        stress_bench(spark)
+        return 0
 
     if "--snapshots" in sys.argv:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
