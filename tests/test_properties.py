@@ -236,3 +236,43 @@ def test_star_components_match_union_find(spark, edges):
     assert {k: v for k, v in got.items() if k in real} == {
         k: v for k, v in want.items() if k in real
     }
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec property: random smooth images round-trip within the
+# DCT-rounding tolerance across sizes, subsampling, and restart settings
+# (pure-Python check — no Spark work per example, so examples are cheap)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    h8=st.integers(min_value=1, max_value=3),
+    w8=st.integers(min_value=1, max_value=3),
+    oh=st.integers(min_value=0, max_value=7),
+    ow=st.integers(min_value=0, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31),
+    subsample=st.booleans(),
+    ri=st.sampled_from([0, 1, 3]),
+)
+def test_jpeg_round_trip_property(h8, w8, oh, ow, seed, subsample, ri):
+    """decode(encode(img)) stays within a few counts of img for smooth
+    content at ANY size (including non-multiple-of-8 edges, where the
+    codec pads and crops), with and without 4:2:0 subsampling and
+    restart intervals. Gray-valued RGB keeps chroma constant, so 4:2:0
+    averaging is lossless and the tolerance stays the DCT-rounding one."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_image
+    from test_extensions import _jpeg_bytes
+
+    rng = np.random.default_rng(seed)
+    h, w = h8 * 8 + oh, w8 * 8 + ow
+    # smooth luminance: coarse 8x-upsampled noise (low frequency)
+    base = rng.integers(30, 226, size=(-(-h // 8), -(-w // 8), 1))
+    lum = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)[:h, :w]
+    rgb = np.repeat(lum, 3, axis=2).astype(np.uint8)
+    got = decode_image(_jpeg_bytes(rgb, subsample=subsample, restart_interval=ri))
+    assert got.shape == rgb.shape
+    err = np.abs(got.astype(int) - rgb.astype(int)).max()
+    assert err <= 4, (h, w, subsample, ri, err)

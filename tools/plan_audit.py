@@ -95,6 +95,11 @@ def main() -> int:
         "the declared theta join, and the similarity brute-force paths "
         "where a BROADCAST query set sweeps the corpus scan (the corpus "
         "side never shuffles; the LSH/IVF variants are the scale path). "
+        "The one all-pairs case, embed_near_dup_pairs, is the declared "
+        "EXACT baseline and is hard-capped at 20k rows (raises past "
+        "that; tests/test_extensions.py::test_near_dup_exact_guard), so "
+        "its nested loop cannot run over a real corpus — "
+        "embed_near_dup_pairs_bucketed is the production name. "
         "Every equi-join hashes or merges.",
         "",
     ]
