@@ -1046,6 +1046,53 @@ def asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @declared(
+    "asof_nearest_purchase_to_click",
+    """
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT c.event_id, p.ts AS pts, ABS(p.ts - c.ts) AS d
+  FROM clicks c LEFT JOIN purchases p ON p.user_id = c.user_id
+)
+SELECT event_id, pts AS nearest_purchase_ts FROM (
+  SELECT event_id, pts,
+         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d ASC, pts ASC) AS rn
+  FROM pairs
+) WHERE rn = 1
+""",
+)
+def asof_nearest_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the third direction of operators/asof.py:
+    for every click, the purchase ts (same user) closest in absolute
+    time, backward winning exact ties (so the oracle's tiebreak is
+    `d ASC, pts ASC`: the earlier timestamp). The operator is the
+    backward and forward passes composed — two frames over ONE keyed
+    shuffle — where the oracle's join-then-rank formulation is the
+    quadratic blowup the operator exists to avoid."""
+    from nibbledb_spark.operators.asof import asof_join
+
+    raw = _t(spark, sf_dir, "events")
+    ts_us = event_ts_us(raw)
+    clicks = raw.where(F.col("event_type") == "click").select(
+        "user_id", ts_us.alias("ts"), "event_id"
+    )
+    purchases = raw.where(F.col("event_type") == "purchase").select(
+        "user_id", ts_us.alias("ts")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        value_cols=["ts"],
+        suffix="_p",
+        direction="nearest",
+    )
+    return joined.select("event_id", F.col("ts_p").alias("nearest_purchase_ts"))
+
+
+@declared(
     "rollup_customers_region_nation",
     """
 SELECT r_name, n_name, COUNT(*) AS n_customers
@@ -3742,6 +3789,133 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("r_name", "n_name")
+    )
+
+
+@declared(
+    "q7_volume_shipping",
+    f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_ssum_sql('volume', 4)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations, by year):
+    the disjunctive cross-nation predicate is the classic case where
+    join order matters — pushing the nation-name filters INTO the
+    supplier and customer sides first shrinks both to ~2/25 of their
+    rows before any fact-table join, leaving the pair disjunction as a
+    cheap residual on tiny joined columns.
+
+    Scale shape: nation broadcasts (25 rows), the filtered supplier /
+    customer sides stay optimizer-chosen (AQE broadcasts them when the
+    runtime size fits), and lineitem<->orders is the one unavoidable
+    big shuffle. Revenue is the scale-4 scaled-long sum (same class as
+    q1's sum_disc_price) so grouping totals are bit-identical across
+    engines and partitionings."""
+    n = _t(spark, sf_dir, "nation")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _ssum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@declared(
+    "q10_returned_items",
+    f"""
+SELECT c_custkey, c_name, {_ssum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (top returned-item customers in a quarter):
+    date + returnflag filters push to both fact scans, nation
+    broadcasts, and the top-20 is a TakeOrdered over the aggregated
+    customer rows — never a global sort. Revenue is the scale-4
+    scaled-long sum so the DESC ordering (and therefore row SELECTION
+    at the LIMIT boundary) is deterministic; c_custkey breaks exact
+    revenue ties on both engines."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _ssum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
     )
 
 
