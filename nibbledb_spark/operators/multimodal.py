@@ -256,29 +256,216 @@ class _JpegBits:
                 return sym
         raise ValueError("invalid JPEG huffman code")
 
+    def bits(self, n: int) -> int:
+        """Read n raw bits MSB-first (EOB-run extensions etc.)."""
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
     def receive_extend(self, s: int) -> int:
         """T.81 F.2.2.1: read an s-bit magnitude, sign-extend."""
         if s == 0:
             return 0
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.bit()
+        v = self.bits(s)
         if v < (1 << (s - 1)):
             v -= (1 << s) - 1
         return v
 
 
+def _jpeg_next_marker(payload: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next real marker (skips
+    stuffed 0xFF00 and restart markers)."""
+    while pos < len(payload):
+        if (
+            payload[pos] == 0xFF
+            and pos + 1 < len(payload)
+            and payload[pos + 1] != 0x00
+            and not (0xD0 <= payload[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    return pos
+
+
+def _jpeg_decode_scan(
+    payload: bytes,
+    pos: int,
+    comps: list,
+    scan: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    ri: int,
+    mcux: int,
+    mcuy: int,
+    progressive: bool,
+) -> int:
+    """Decode ONE entropy-coded segment into the components'
+    coefficient arrays (T.81 F.2 sequential; G.1.2 progressive with
+    spectral selection + successive approximation). Returns the
+    position of the next marker.
+
+    ``scan`` is [(comp, dc_table_or_None, ac_table_or_None), ...] in
+    scan order; coefficient arrays persist ACROSS scans, which is what
+    makes progressive refinement work."""
+    br = _JpegBits(payload, pos)
+    pred = {id(c): 0 for c, _, _ in scan}
+    eobrun = [0]
+    p1, m1 = 1 << al, -1 << al
+    # NB: coefficient arrays hold ZIGZAG order throughout — index k is
+    # the scan position; de-zigzag happens once at dequant time.
+
+    def refine_nonzero(coef, k):
+        """Append one correction bit to an already-nonzero coefficient
+        (G.1.2.3): magnitude grows only when the bit is 1 and this
+        refinement level isn't set yet."""
+        v = coef[k]
+        if br.bit() and (v & p1) == 0:
+            coef[k] = v + (p1 if v >= 0 else m1)
+
+    def decode_block_seq(coef, comp, dct, act):
+        s = br.huff(dct)
+        pred[id(comp)] += br.receive_extend(s)
+        coef[0] = pred[id(comp)]
+        k = 1
+        while k <= 63:
+            rs = br.huff(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    break  # EOB
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC coefficient overrun")
+            coef[k] = br.receive_extend(s)
+            k += 1
+
+    def decode_block_dc(coef, comp, dct):
+        if ah == 0:  # first DC scan: diff at reduced precision
+            s = br.huff(dct)
+            pred[id(comp)] += br.receive_extend(s)
+            coef[0] = pred[id(comp)] << al
+        elif br.bit():  # refinement: one raw bit per block
+            coef[0] |= p1
+
+    def decode_block_ac_first(coef, act):
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.huff(act)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn: (1<<r)+ext blocks end here incl. this one
+                    eobrun[0] = (1 << r) - 1 + br.bits(r)
+                    break
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC coefficient overrun")
+            coef[k] = br.receive_extend(s) << al
+            k += 1
+
+    def decode_block_ac_refine(coef, act):
+        k = ss
+        if eobrun[0] == 0:
+            while k <= se:
+                rs = br.huff(act)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:  # EOBn (includes this block)
+                        eobrun[0] = (1 << r) + br.bits(r)
+                        break
+                    # r == 15: sixteen zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("invalid JPEG AC refinement magnitude")
+                    val = p1 if br.bit() else m1
+                while k <= se:
+                    if coef[k] != 0:
+                        refine_nonzero(coef, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("JPEG AC refinement overrun")
+                    coef[k] = val
+                k += 1
+        if eobrun[0] > 0:
+            while k <= se:
+                if coef[k] != 0:
+                    refine_nonzero(coef, k)
+                k += 1
+            eobrun[0] -= 1
+
+    def decode_block(coef, comp, dct, act):
+        if not progressive:
+            decode_block_seq(coef, comp, dct, act)
+        elif ss == 0:
+            decode_block_dc(coef, comp, dct)
+        elif ah == 0:
+            decode_block_ac_first(coef, act)
+        else:
+            decode_block_ac_refine(coef, act)
+
+    def do_restart():
+        br.restart()
+        for key in pred:
+            pred[key] = 0
+        eobrun[0] = 0
+
+    if len(scan) > 1:
+        # interleaved: MCU order, every selected component's h x v blocks
+        for mi in range(mcux * mcuy):
+            if ri and mi and mi % ri == 0:
+                do_restart()
+            my, mx = divmod(mi, mcux)
+            for comp, dct, act in scan:
+                for v in range(comp["v"]):
+                    for h in range(comp["h"]):
+                        decode_block(
+                            comp["zz"][my * comp["v"] + v, mx * comp["h"] + h],
+                            comp,
+                            dct,
+                            act,
+                        )
+    else:
+        # non-interleaved: the single component's own block grid,
+        # row-major, restart interval counted in blocks
+        comp, dct, act = scan[0]
+        for bi in range(comp["nbh"] * comp["nbw"]):
+            if ri and bi and bi % ri == 0:
+                do_restart()
+            by, bx = divmod(bi, comp["nbw"])
+            decode_block(comp["zz"][by, bx], comp, dct, act)
+
+    return _jpeg_next_marker(payload, br.p)
+
+
 def _decode_jpeg(payload: bytes) -> object:
-    """Baseline JFIF (SOF0/SOF1 huffman-sequential) -> HxWx3 uint8 RGB.
+    """JFIF JPEG -> HxWx3 uint8 RGB: baseline AND progressive,
+    huffman-coded, 8-bit.
 
     Pure stdlib + numpy (T.81 is a public spec): marker parse -> DQT /
-    DHT / DRI / SOF / SOS -> huffman-decode the MCU stream (DC
-    prediction, AC run-length, restart intervals) -> dequantize,
-    de-zigzag, batched orthonormal 8x8 IDCT (one matmul per component,
-    not per block) -> chroma upsample by replication -> YCbCr->RGB.
-    Progressive (SOF2), arithmetic, hierarchical, 12-bit, and CMYK
-    payloads raise NotImplementedError — those codecs stay at the
-    documented PIL swap-in seam."""
+    DHT / DRI / SOF / SOS -> huffman-decode every entropy-coded scan
+    into persistent per-component coefficient arrays (sequential F.2;
+    progressive G.1.2: DC first/refine, AC spectral-selection bands,
+    successive-approximation refinement with EOB runs; restart
+    intervals in both) -> dequantize, de-zigzag, batched orthonormal
+    8x8 IDCT (one matmul per component, not per block) -> chroma
+    upsample by replication -> YCbCr->RGB. Arithmetic coding,
+    hierarchical, 12-bit, and CMYK payloads raise NotImplementedError —
+    those stay at the documented PIL swap-in seam."""
     import struct
 
     import numpy as np
@@ -288,7 +475,9 @@ def _decode_jpeg(payload: bytes) -> object:
     qt: dict[int, object] = {}
     hufftabs: dict[tuple[int, int], dict] = {}
     frame = None
-    scan = None
+    comps: list = []
+    progressive = False
+    geom = None  # (mcux, mcuy) once SOF seen
     ri = 0
     pos = 2
     while pos + 2 <= len(payload):
@@ -329,91 +518,91 @@ def _decode_jpeg(payload: bytes) -> object:
                     raise ValueError("truncated JPEG huffman table")
                 hufftabs[(tc, th)] = _jpeg_huff_table(counts, symbols)
                 i += 17 + nsym
-        elif m in (0xC0, 0xC1):  # baseline / extended-sequential huffman
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext-sequential / progressive
+            progressive = m == 0xC2
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
             h_img, w_img, nc = struct.unpack(">HHB", seg[1:6])
             if len(seg) < 6 + 3 * nc:
                 raise ValueError("truncated JPEG frame header")
+            if not (0 < h_img and 0 < w_img) or h_img * w_img > 64_000_000:
+                raise ValueError(f"invalid JPEG dimensions {w_img}x{h_img}")
+            if nc == 4:
+                raise NotImplementedError("CMYK JPEG not supported")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = (h_img, w_img, comps)
-        elif m == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported (baseline only)")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if (
+                    not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4)
+                    or hmax % c["h"]
+                    or vmax % c["v"]
+                ):
+                    raise ValueError("invalid JPEG sampling factors")
+            mcux = (w_img + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h_img + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # interleaved grid (>= the non-interleaved grid)
+                c["zz"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                # non-interleaved block grid (T.81 A.1.1 component dims)
+                cw = -(-(w_img * c["h"]) // hmax)
+                ch = -(-(h_img * c["v"]) // vmax)
+                c["nbw"], c["nbh"] = -(-cw // 8), -(-ch // 8)
+            frame = (h_img, w_img)
+            geom = (mcux, mcuy, hmax, vmax)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG coding process")
+            raise NotImplementedError("non-huffman/hierarchical JPEG coding process")
         elif m == 0xDD:
             ri = struct.unpack(">H", seg[:2])[0]
-        elif m == 0xDA:  # SOS: header, then the entropy-coded segment
+        elif m == 0xDA:  # SOS header + entropy-coded segment
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            sel = [
-                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
-                for c in range(ns)
-            ]
-            scan = (sel, pos + ln)
-            break
+            if len(seg) < 4 + 2 * ns:
+                raise ValueError("truncated JPEG scan header")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0  # baseline ignores them
+            elif ss == 0 and se != 0:
+                raise ValueError("progressive DC scan with nonzero Se")
+            elif ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            scan = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next((x for x in comps if x["id"] == cs), None)
+                if comp is None:
+                    raise ValueError("JPEG scan references unknown component")
+                td, ta = tdta >> 4, tdta & 15
+                # DC table needed unless this is a DC-refinement scan;
+                # AC table needed only when the scan covers AC coefficients
+                need_dc = ss == 0 and not (progressive and ah > 0)
+                need_ac = se > 0
+                dct = hufftabs.get((0, td))
+                act = hufftabs.get((1, ta))
+                if (need_dc and dct is None) or (need_ac and act is None):
+                    raise ValueError("JPEG scan references missing huffman table")
+                scan.append((comp, dct, act))
+            mcux, mcuy = geom[0], geom[1]
+            pos = _jpeg_decode_scan(
+                payload, pos + ln, comps, scan, ss, se, ah, al, ri,
+                mcux, mcuy, progressive,
+            )
+            continue
         pos += ln
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
-    h_img, w_img, comps = frame
-    sel, data_pos = scan
-    if not (0 < h_img and 0 < w_img) or h_img * w_img > 64_000_000:
-        raise ValueError(f"invalid JPEG dimensions {w_img}x{h_img}")
-    if len(comps) == 4:
-        raise NotImplementedError("CMYK JPEG not supported")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
+    if frame is None or not any(c["zz"].any() for c in comps):
+        if frame is None:
+            raise ValueError("JPEG missing SOF/SOS")
+    h_img, w_img = frame
+    mcux, mcuy, hmax, vmax = geom
     for c in comps:
-        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) or hmax % c["h"] or vmax % c["v"]:
-            raise ValueError("invalid JPEG sampling factors")
         if c["tq"] not in qt:
             raise ValueError("JPEG component references missing quant table")
-    mcux = (w_img + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h_img + 8 * vmax - 1) // (8 * vmax)
-    order = []
-    for cs, td, ta in sel:
-        comp = next((c for c in comps if c["id"] == cs), None)
-        if comp is None:
-            raise ValueError("JPEG scan references unknown component")
-        if (0, td) not in hufftabs or (1, ta) not in hufftabs:
-            raise ValueError("JPEG scan references missing huffman table")
-        order.append((comp, hufftabs[(0, td)], hufftabs[(1, ta)]))
-    if len(order) != len(comps):
-        raise NotImplementedError("multi-scan JPEG not supported (baseline only)")
-    for c in comps:
-        c["zz"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
-
-    br = _JpegBits(payload, data_pos)
-    pred = dict.fromkeys((c["id"] for c in comps), 0)
-    for mi in range(mcux * mcuy):
-        if ri and mi and mi % ri == 0:
-            br.restart()
-            pred = dict.fromkeys(pred, 0)
-        my, mx = divmod(mi, mcux)
-        for comp, dct, act in order:
-            for v in range(comp["v"]):
-                for h in range(comp["h"]):
-                    coef = np.zeros(64, dtype=np.int32)
-                    s = br.huff(dct)
-                    pred[comp["id"]] += br.receive_extend(s)
-                    coef[0] = pred[comp["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = br.huff(act)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r != 15:
-                                break  # EOB
-                            k += 16  # ZRL
-                            continue
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC coefficient overrun")
-                        coef[k] = br.receive_extend(s)
-                        k += 1
-                    comp["zz"][my * comp["v"] + v, mx * comp["h"] + h] = coef
 
     # orthonormal 8x8 IDCT basis: spatial = M.T @ S @ M
     u = np.arange(8).reshape(8, 1)
@@ -451,12 +640,14 @@ def decode_image(payload: bytes) -> object:
 
     REAL for binary PPM (P6, maxval 255), uncompressed 24-bit BMP,
     8-bit non-interlaced PNG (gray/RGB/RGBA via stdlib zlib), and
-    baseline JFIF JPEG (huffman-sequential SOF0/SOF1, incl. 4:2:0
-    chroma subsampling and restart intervals) — pure numpy, no codec
-    libs. PPM: header tokens (width, height, maxval; ``#`` comments
-    allowed) then raw RGB bytes. Codecs that genuinely need libraries
-    (progressive JPEG, WebP, AVIF, ...) still raise — swap in
-    PIL/torchvision decode on a real cluster at this exact seam.
+    huffman-coded JFIF JPEG — BOTH baseline (SOF0/SOF1, incl. 4:2:0
+    chroma subsampling and restart intervals) and progressive (SOF2:
+    spectral selection + successive approximation with EOB runs) —
+    pure numpy, no codec libs. PPM: header tokens (width, height,
+    maxval; ``#`` comments allowed) then raw RGB bytes. Codecs that
+    genuinely need libraries (arithmetic-coded JPEG, WebP, AVIF, ...)
+    still raise — swap in PIL/torchvision decode on a real cluster at
+    this exact seam.
     """
     import numpy as np
 
@@ -468,8 +659,8 @@ def decode_image(payload: bytes) -> object:
         return _decode_jpeg(payload)
     if not payload.startswith(b"P6"):
         raise NotImplementedError(
-            "only PPM(P6), 24-bit BMP, 8-bit PNG, and baseline JPEG decode "
-            "without codec libs; plug PIL in here"
+            "only PPM(P6), 24-bit BMP, 8-bit PNG, and huffman JPEG "
+            "(baseline + progressive) decode without codec libs; plug PIL in here"
         )
     # tokenize header: magic, width, height, maxval; '#' starts a comment
     pos, tokens = 2, []

@@ -1523,10 +1523,15 @@ def test_jpeg_decode_flags_hostile_payloads(spark):
         decode_image(good[:-12])
     with _pytest.raises(ValueError):
         decode_image(good[:2] + b"\x00\x00" + good[2:])
-    # progressive: swap SOF0 for SOF2
+    # a baseline stream RELABELED as progressive (SOF2) is malformed —
+    # its interleaved Ss=0/Se=63 scan is illegal in a progressive frame
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    with _pytest.raises(ValueError, match="progressive DC scan"):
         decode_image(prog)
+    # arithmetic-coded SOF stays at the NotImplementedError codec seam
+    arith = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with _pytest.raises(NotImplementedError, match="non-huffman"):
+        decode_image(arith)
     # hostile dims: SOF claims 40000x40000
     i = good.index(b"\xff\xc0")
     bad_dims = (
@@ -1558,3 +1563,305 @@ def test_jpeg_features_through_mapinpandas(spark):
     # mean of a flat-200 image, /255-normalized like every feature
     assert abs(out[1]["feature"][0] - 200.0 / 255.0) < 3.0 / 255.0
     assert out[2]["feature"] is None
+
+
+def _jpeg_progressive_bytes(rgb, restart_interval=0):
+    """Spec-correct PROGRESSIVE JFIF encoder (T.81 G.1.2) for the
+    decode tests: 4:4:4, all-ones quant (loss = DCT rounding only, so
+    progressive and baseline decode IDENTICALLY), successive
+    approximation Al=1 -> Al=0 on both DC and AC, spectral selection
+    (bands 1-5 and 6-63), EOB-run accumulation with buffered correction
+    bits, optional restart intervals. DC scans use the Annex K table;
+    AC scans use a complete-minus-one 8-bit table (symbols 0x00-0xFE)
+    so every EOBn/ZRL/(r,s) symbol is codable."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    r_ = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    planes = [
+        0.299 * r_ + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r_ - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r_ - 0.418688 * g - 0.081312 * b,
+    ]
+    bw8, bh8 = -(-w // 8), -(-h // 8)
+    M = 0.5 * np.cos(
+        (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
+    )
+    M[0] /= np.sqrt(2.0)
+    zz = __import__(
+        "nibbledb_spark.operators.multimodal", fromlist=["_JPEG_ZIGZAG"]
+    )._JPEG_ZIGZAG
+
+    coefs = []  # per component: (bh8, bw8, 64) int, zigzag order
+    for p in planes:
+        p = np.pad(p, ((0, bh8 * 8 - h), (0, bw8 * 8 - w)), mode="edge")
+        arr = np.zeros((bh8, bw8, 64), dtype=int)
+        for by in range(bh8):
+            for bx in range(bw8):
+                S = M @ (p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ M.T
+                arr[by, bx] = np.round(S).reshape(-1)[zz]
+        coefs.append(arr)
+
+    # --- huffman tables ----------------------------------------------------
+    def hufflut(counts, syms):
+        lut, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                lut[syms[k]] = (ln, code)
+                k += 1
+                code += 1
+            code <<= 1
+        return lut
+
+    AC8_COUNTS = [0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0]
+    AC8_SYMS = list(range(255))
+    dcl = hufflut(_JDC_COUNTS, _JDC_SYMS)
+    acl = hufflut(AC8_COUNTS, AC8_SYMS)
+
+    bits: list[int] = []
+    out = bytearray()
+
+    def put(ln, code):
+        for i in range(ln - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def put_raw(v, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    def flush_bits():
+        while len(bits) % 8:
+            bits.append(1)
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for bit in bits[i : i + 8]:
+                byte = (byte << 1) | bit
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0)
+        bits.clear()
+
+    def seg(marker, body):
+        return b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body
+
+    # --- frame + table headers --------------------------------------------
+    out += b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += seg(
+        0xC2,  # SOF2: progressive
+        bytes([8])
+        + struct.pack(">HHB", h, w, 3)
+        + b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3)),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_JDC_COUNTS) + bytes(_JDC_SYMS))
+    out += seg(0xC4, bytes([0x10]) + bytes(AC8_COUNTS) + bytes(AC8_SYMS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # DC table 0, AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    rstn = [0]
+
+    def emit_restart():
+        flush_bits()
+        out.append(0xFF)
+        out.append(0xD0 + rstn[0])
+        rstn[0] = (rstn[0] + 1) % 8
+
+    # --- DC scans (interleaved, all components) ----------------------------
+    def dc_scan(ah, al):
+        out.extend(sos_header((1, 2, 3), 0, 0, ah, al))
+        pred = [0, 0, 0]
+        for mi in range(bh8 * bw8):
+            if restart_interval and mi and mi % restart_interval == 0:
+                emit_restart()
+                pred = [0, 0, 0]
+            my, mx = divmod(mi, bw8)
+            for ci in range(3):
+                dc = int(coefs[ci][my, mx, 0])
+                if ah == 0:
+                    t = dc >> al  # arithmetic shift per G.1.2.1
+                    diff = t - pred[ci]
+                    pred[ci] = t
+                    if diff == 0:
+                        put(*dcl[0])
+                    else:
+                        s = int(abs(diff)).bit_length()
+                        put(*dcl[s])
+                        put_raw(diff if diff > 0 else diff + (1 << s) - 1, s)
+                else:
+                    bits.append((dc >> al) & 1)
+        flush_bits()
+
+    # --- AC scans (non-interleaved, one component) --------------------------
+    def ac_first_scan(ci, ss, se, al):
+        out.extend(sos_header((ci + 1,), ss, se, 0, al))
+        arr = coefs[ci]
+        eobrun = [0]
+
+        def flush_eobrun():
+            if eobrun[0]:
+                nbits = eobrun[0].bit_length() - 1
+                put(*acl[nbits << 4])
+                put_raw(eobrun[0] - (1 << nbits), nbits)
+                eobrun[0] = 0
+
+        for bi in range(bh8 * bw8):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush_eobrun()
+                emit_restart()
+            by, bx = divmod(bi, bw8)
+            blk = arr[by, bx]
+            # point transform toward zero (G.1.2.2)
+            t = [
+                (abs(int(blk[k])) >> al) * (1 if blk[k] > 0 else -1)
+                for k in range(ss, se + 1)
+            ]
+            nz = [i for i, v in enumerate(t) if v != 0]
+            if not nz:
+                eobrun[0] += 1
+                if eobrun[0] == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = t[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put(*acl[0xF0])
+                    run -= 16
+                s = int(abs(v)).bit_length()
+                put(*acl[(run << 4) | s])
+                put_raw(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if nz[-1] < se - ss:
+                eobrun[0] += 1
+                if eobrun[0] == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        flush_bits()
+
+    def ac_refine_scan(ci, ss, se, al):
+        """G.1.2.3 / libjpeg encode_mcu_AC_refine: newly-nonzero coefs
+        emit (r,1)+sign, history coefs buffer correction bits that ride
+        after the next emitted symbol (ZRL or EOBn)."""
+        out.extend(sos_header((ci + 1,), ss, se, al + 1, al))
+        arr = coefs[ci]
+        eobrun = [0]
+        pending: list[int] = []  # correction bits owed after next EOBn
+
+        def flush_eobrun():
+            if eobrun[0]:
+                nbits = eobrun[0].bit_length() - 1
+                put(*acl[nbits << 4])
+                put_raw(eobrun[0] - (1 << nbits), nbits)
+                bits.extend(pending)
+                pending.clear()
+                eobrun[0] = 0
+
+        for bi in range(bh8 * bw8):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush_eobrun()
+                emit_restart()
+            by, bx = divmod(bi, bw8)
+            blk = arr[by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            # EOB position: after the last NEW ±1 at this level
+            eobpos = -1
+            for i, v in enumerate(absv):
+                if v == 1:
+                    eobpos = i
+            run = 0
+            br: list[int] = []  # correction bits since last emitted symbol
+            for i, v in enumerate(absv):
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eobpos:
+                    flush_eobrun()
+                    put(*acl[0xF0])
+                    run -= 16
+                    bits.extend(br)
+                    br.clear()
+                if v > 1:  # history-nonzero: one correction bit
+                    br.append(v & 1)
+                    continue
+                # v == 1: newly nonzero at this level
+                flush_eobrun()
+                put(*acl[(run << 4) | 1])
+                bits.append(1 if blk[ss + i] > 0 else 0)
+                bits.extend(br)
+                br.clear()
+                run = 0
+            if run > 0 or br:
+                eobrun[0] += 1
+                pending.extend(br)
+                if eobrun[0] == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        flush_bits()
+
+    # scan script: DC SA first+refine, then per-component spectral bands
+    # with SA first (Al=1) and refinement (Al=0)
+    dc_scan(0, 1)
+    dc_scan(1, 0)
+    for ci in range(3):
+        ac_first_scan(ci, 1, 5, 1)
+        ac_first_scan(ci, 6, 63, 1)
+    for ci in range(3):
+        ac_refine_scan(ci, 1, 5, 0)
+        ac_refine_scan(ci, 6, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_equals_baseline(spark):
+    """Progressive decode must produce EXACTLY the pixels of the
+    baseline decode of the same quantized coefficients — successive
+    approximation (DC and AC), spectral selection, and EOB-run
+    correction bits reconstruct the full-precision coefficients, so
+    after identical dequant+IDCT the outputs are byte-identical."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(20, 236, size=(4, 3, 3))
+    rgb = np.repeat(np.repeat(base, 6, axis=0), 7, axis=1).astype(np.uint8)  # 24x21
+    seq = decode_image(_jpeg_bytes(rgb))
+    for ri in (0, 2):
+        prog = decode_image(_jpeg_progressive_bytes(rgb, restart_interval=ri))
+        assert np.array_equal(prog, seq), f"ri={ri}"
+    err = np.abs(seq.astype(int) - rgb.astype(int)).max()
+    assert err <= 4  # and both are still faithful to the source
+
+
+def test_jpeg_progressive_sparse_and_flat(spark):
+    """Degenerate progressive content: flat blocks (pure EOB runs
+    spanning many blocks) and a single hot pixel (long zero runs + ZRL
+    in refinement) both reconstruct exactly."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_image
+
+    flat = np.full((24, 16, 3), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(_jpeg_progressive_bytes(flat)), decode_image(_jpeg_bytes(flat))
+    )
+    hot = np.full((16, 16, 3), 50, dtype=np.uint8)
+    hot[3, 11] = [250, 40, 160]
+    assert np.array_equal(
+        decode_image(_jpeg_progressive_bytes(hot)), decode_image(_jpeg_bytes(hot))
+    )

@@ -266,6 +266,8 @@ def test_jpeg_round_trip_property(h8, w8, oh, ow, seed, subsample, ri):
     from nibbledb_spark.operators.multimodal import decode_image
     from test_extensions import _jpeg_bytes
 
+    from test_extensions import _jpeg_progressive_bytes
+
     rng = np.random.default_rng(seed)
     h, w = h8 * 8 + oh, w8 * 8 + ow
     # smooth luminance: coarse 8x-upsampled noise (low frequency)
@@ -276,3 +278,9 @@ def test_jpeg_round_trip_property(h8, w8, oh, ow, seed, subsample, ri):
     assert got.shape == rgb.shape
     err = np.abs(got.astype(int) - rgb.astype(int)).max()
     assert err <= 4, (h, w, subsample, ri, err)
+    if not subsample:
+        # progressive (4:4:4 only) must match the sequential decode of
+        # the same coefficients EXACTLY, at every size and restart pitch
+        seq = decode_image(_jpeg_bytes(rgb))
+        prog = decode_image(_jpeg_progressive_bytes(rgb, restart_interval=ri))
+        assert np.array_equal(prog, seq), (h, w, ri)
