@@ -460,3 +460,53 @@ def test_round4_fourth_batch_plan_shapes(spark):
     assert "partial_sum" in pm
     assert "Window" not in pm and "Join" not in pm
     assert exchange_count(mo) <= 2
+
+
+def test_round5_additions_plan_shapes(spark):
+    """Plan pins for the round-5 query additions.
+
+    q7: the two-nation name filters must reach the supplier/customer
+    sides as broadcast-nation hash joins BEFORE the fact joins, and
+    nothing may nested-loop despite the disjunctive pair predicate
+    (it runs as a residual filter, not a join condition).
+    q10: both fact scans carry pushed filters (orderdate range,
+    returnflag) and the top-20 is a TakeOrdered, never a global sort.
+    asof_nearest: the backward+forward composition stays window-based —
+    no join at all, and only the one keyed exchange (plus AQE reuse).
+    """
+    from nibbledb_spark.plans.scale import exchange_count
+    from nibbledb_spark.queries import QUERIES
+
+    q7 = QUERIES["q7_volume_shipping"](spark, SF)
+    p7 = plan(q7, "simple")
+    assert "BroadcastHashJoin" in p7
+    assert "NestedLoop" not in p7 and "CartesianProduct" not in p7
+
+    q10 = QUERIES["q10_returned_items"](spark, SF)
+    p10 = plan(q10, "simple")
+    assert "TakeOrderedAndProject" in p10
+    assert "NestedLoop" not in p10 and "CartesianProduct" not in p10
+    pf = plan(q10, "formatted")
+    assert pf.count("PushedFilters: [IsNotNull") >= 2  # both fact scans filter
+
+    near = QUERIES["asof_nearest_purchase_to_click"](spark, SF)
+    pn = plan(near, "simple")
+    assert "Join" not in pn  # union + windows, never a join
+    assert "Window" in pn
+
+
+def test_round5_bound_query_plan_shapes(spark):
+    """The bound-assertion queries must keep approx and exact in ONE
+    plan without degrading either side: the HLL bound is two aggregates
+    over one scan (no join — a single agg computes both), and the
+    quantile bound joins the two per-series aggregates with a hash or
+    sort-merge join on series, never a nested loop."""
+    from nibbledb_spark.queries import QUERIES
+
+    hll = QUERIES["approx_distinct_parts_bound"](spark, SF)
+    ph = plan(hll, "simple")
+    assert "Join" not in ph  # one aggregate computes approx AND exact
+
+    qb = QUERIES["ts_quantiles_approx_bound"](spark, SF)
+    pq = plan(qb, "simple")
+    assert "NestedLoop" not in pq and "CartesianProduct" not in pq
