@@ -476,6 +476,7 @@ def _decode_jpeg(payload: bytes) -> object:
     hufftabs: dict[tuple[int, int], dict] = {}
     frame = None
     comps: list = []
+    saw_scan = False
     progressive = False
     geom = None  # (mcux, mcuy) once SOF seen
     ri = 0
@@ -589,15 +590,15 @@ def _decode_jpeg(payload: bytes) -> object:
                     raise ValueError("JPEG scan references missing huffman table")
                 scan.append((comp, dct, act))
             mcux, mcuy = geom[0], geom[1]
+            saw_scan = True
             pos = _jpeg_decode_scan(
                 payload, pos + ln, comps, scan, ss, se, ah, al, ri,
                 mcux, mcuy, progressive,
             )
             continue
         pos += ln
-    if frame is None or not any(c["zz"].any() for c in comps):
-        if frame is None:
-            raise ValueError("JPEG missing SOF/SOS")
+    if frame is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/SOS")
     h_img, w_img = frame
     mcux, mcuy, hmax, vmax = geom
     for c in comps:
@@ -754,11 +755,45 @@ def image_stats_features(media: DataFrame, *, grid: int = 2) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(run, schema)
 
 
+def _g711_ulaw_to_linear(codes):
+    """ITU-T G.711 mu-law -> linear int16 (pure arithmetic, the
+    standard segment/mantissa expansion; public-spec constants)."""
+    import numpy as np
+
+    u = (~codes) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = ((mantissa.astype(np.int32) << 3) + 0x84) << exponent
+    magnitude -= 0x84
+    return np.where(sign != 0, -magnitude, magnitude).astype(np.int16)
+
+
+def _g711_alaw_to_linear(codes):
+    """ITU-T G.711 A-law -> linear int16 (even-bit inversion then
+    segment expansion). NB the A-law sign convention is the opposite of
+    mu-law's: bit 0x80 SET means a positive sample."""
+    import numpy as np
+
+    a = codes ^ 0x55
+    exponent = (a >> 4) & 0x07
+    mantissa = (a & 0x0F).astype(np.int32)
+    magnitude = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    return np.where(codes & 0x80, magnitude, -magnitude).astype(np.int16)
+
+
 def decode_audio(payload: bytes) -> tuple[object, int]:
-    """Decode a PCM WAV payload to (samples float64 in [-1, 1] shaped
-    (n, channels), sample_rate). REAL for 16-bit PCM RIFF/WAVE — header
-    walk over chunks, then ``frombuffer`` — no audio libraries.
-    Compressed codecs (mp3/aac/opus) raise at this seam."""
+    """Decode a WAV payload to (samples float64 in [-1, 1] shaped
+    (n, channels), sample_rate). REAL for RIFF/WAVE linear PCM (16-bit,
+    format 1) and G.711 companded telephony audio (format 6 A-law,
+    format 7 mu-law — one byte per sample, expanded by the public-spec
+    segment arithmetic) — header walk over chunks, then ``frombuffer``,
+    no audio libraries. Compressed codecs (mp3/aac/opus) raise at this
+    seam."""
     import struct
 
     import numpy as np
@@ -778,9 +813,22 @@ def decode_audio(payload: bytes) -> tuple[object, int]:
     if fmt is None or data is None:
         raise ValueError("truncated WAV: missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError("only 16-bit PCM supported without codec libs")
-    samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_format in (6, 7) and bits == 8:
+        codes = np.frombuffer(data, dtype=np.uint8)
+        lin = (
+            _g711_alaw_to_linear(codes)
+            if audio_format == 6
+            else _g711_ulaw_to_linear(codes)
+        )
+        samples = lin.astype(np.float64) / 32768.0
+    else:
+        raise NotImplementedError(
+            "only 16-bit PCM and G.711 A-law/mu-law WAV decode without codec libs"
+        )
+    if channels < 1 or len(samples) % channels:
+        raise ValueError("WAV data size does not match channel count")
     return samples.reshape(-1, channels), rate
 
 

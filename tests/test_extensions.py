@@ -1865,3 +1865,60 @@ def test_jpeg_progressive_sparse_and_flat(spark):
     assert np.array_equal(
         decode_image(_jpeg_progressive_bytes(hot)), decode_image(_jpeg_bytes(hot))
     )
+
+
+def test_wav_g711_decode(spark):
+    """G.711 companded WAV (format 6 A-law / 7 mu-law) decodes through
+    the same chunk walk as linear PCM: encode a sine with the CCITT
+    reference compressors here, decode with the engine, and require the
+    expanded samples to track the 16-bit original within the segment
+    quantization error (<= 1/64 full scale at these amplitudes), with
+    sign preserved everywhere."""
+    import struct
+
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_audio
+
+    def ulaw_encode(x):  # CCITT linear2ulaw
+        BIAS, CLIP = 0x84, 32635
+        sign = 0x80 if x < 0 else 0
+        x = min(abs(int(x)), CLIP) + BIAS
+        exponent = x.bit_length() - 8
+        mantissa = (x >> (exponent + 3)) & 0x0F
+        return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+    def alaw_encode(x):  # CCITT linear2alaw (sign bit 1 = positive)
+        x = int(x)
+        mask = 0xD5 if x >= 0 else 0x55
+        x = abs(x) >> 3  # 16 -> 13 bit
+        if x >= 0x1000:
+            x = 0xFFF
+        if x >= 0x20:
+            seg = x.bit_length() - 5  # seg_end = 0x1F,0x3F,...,0xFFF
+            mantissa = (x >> (seg if seg >= 2 else 1)) & 0x0F
+            code = (seg << 4) | mantissa
+        else:
+            code = x >> 1
+        return (code ^ mask) & 0xFF
+
+    n, rate = 256, 8000
+    t = np.arange(n)
+    pcm = (20000 * np.sin(2 * np.pi * 13 * t / n)).astype(np.int16)
+
+    def wav(fmt_code, frames: bytes, bits):
+        fmt = struct.pack("<HHIIHH", fmt_code, 1, rate, rate * bits // 8, bits // 8, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(frames)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(frames)) + frames
+        )
+
+    for code, enc in ((7, ulaw_encode), (6, alaw_encode)):
+        frames = bytes(enc(v) for v in pcm)
+        samples, got_rate = decode_audio(wav(code, frames, 8))
+        assert got_rate == rate and samples.shape == (n, 1)
+        err = np.abs(samples[:, 0] - pcm.astype(np.float64) / 32768.0)
+        assert err.max() <= 1 / 64, (code, err.max())
+        big = np.abs(pcm) > 2000
+        assert (np.sign(samples[big, 0]) == np.sign(pcm[big])).all(), code
