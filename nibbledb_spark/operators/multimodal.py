@@ -3,9 +3,13 @@
 Media (image/audio/video) rides as opaque ``binary`` payload columns
 with a typed metadata struct. The Spark-side plumbing — schema,
 partition sizing, Arrow batch shape through ``mapInPandas`` — is real
-and tested; the actual codec work is stubbed (decode libs are not in
-this container) behind ``NotImplementedError`` or a clearly-marked
-deterministic fake so the pipeline shape can be exercised end-to-end.
+and tested. So are most codecs by now, pure stdlib+numpy: PPM(P6),
+24-bit BMP, 8-bit PNG (all filters), huffman JPEG (baseline AND
+progressive incl. successive approximation), 16-bit PCM WAV, and
+G.711 A-law/mu-law WAV. Codecs that genuinely need external libraries
+(video frame decode, WebP/AVIF, mp3/aac/opus, arithmetic-coded JPEG)
+stay behind ``NotImplementedError`` or a clearly-marked deterministic
+fake so the pipeline shape can still be exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -88,68 +92,19 @@ def _decode_bmp(payload: bytes) -> object:
     return bgr[:, :, ::-1].copy()  # BGR -> RGB
 
 
-def _decode_png(payload: bytes) -> object:
-    """8-bit non-interlaced PNG -> HxWx3 uint8 RGB — REAL decode with
-    zlib (stdlib) + numpy, no codec libs: chunk walk (IHDR/IDAT/IEND,
-    CRCs skipped), inflate, then scanline unfiltering per the spec
-    (None/Sub/Up/Average/Paeth). Grayscale expands to RGB; RGBA drops
-    alpha. Palette, 16-bit, and interlaced files raise at the same
-    documented seam as the other codecs.
+def _png_unfilter(rows, stride, channels):
+    """Invert PNG scanline filters for one (sub-)image: rows is a
+    (h, stride+1) uint8 array (filter byte + filtered bytes); returns
+    the (h, stride) reconstructed bytes.
 
     Cost note: Sub/Average/Paeth rows are byte-sequential by
     definition (each byte depends on the one bpp earlier), so those
     rows decode in a Python loop — fine inside the Arrow-batched
     ``mapInPandas`` seam at fixture scale; swap PIL in at this seam for
-    production throughput.
-    """
-    import struct
-    import zlib
-
+    production throughput."""
     import numpy as np
 
-    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("bad PNG signature")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(payload):
-        ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
-        pos += 8
-        if ln > len(payload) or pos + ln + 4 > len(payload):
-            raise ValueError("truncated PNG chunk")
-        data = payload[pos : pos + ln]
-        pos += ln + 4  # skip CRC (integrity is the transport's problem)
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if ihdr is None or len(ihdr) != 13 or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if comp != 0 or filt != 0:
-        raise ValueError("invalid PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("interlaced PNG not supported")
-    if depth != 8:
-        raise NotImplementedError("only 8-bit PNG supported")
-    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
-    if channels is None:
-        raise NotImplementedError(f"PNG color type {ctype} not supported")
-    if w <= 0 or h <= 0 or w * h > 64_000_000:  # hostile-header bound
-        raise ValueError(f"invalid PNG dimensions {w}x{h}")
-    stride = w * channels
-    expect = h * (stride + 1)
-    # bound the inflate by the size the header promises BEFORE allocating:
-    # a decompression bomb must come back as a flagged ValueError, not a
-    # MemoryError that kills the whole Arrow batch
-    try:
-        d = zlib.decompressobj()
-        raw = d.decompress(b"".join(idat), expect + 1)
-    except zlib.error as e:
-        raise ValueError(f"corrupt PNG stream: {e}") from e
-    if len(raw) != expect or d.decompress(b"", 1):
-        raise ValueError("PNG pixel data size mismatch")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    h = rows.shape[0]
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -179,7 +134,106 @@ def _decode_png(payload: bytes) -> object:
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = cur
         prev = cur
-    img = out.reshape(h, w, channels)
+    return out
+
+
+# Adam7 interlace passes: (x_offset, y_offset, x_stride, y_stride)
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _decode_png(payload: bytes) -> object:
+    """8-bit PNG -> HxWx3 uint8 RGB — REAL decode with zlib (stdlib) +
+    numpy, no codec libs: chunk walk (IHDR/PLTE/IDAT/IEND, CRCs
+    skipped), inflate, scanline unfiltering per the spec
+    (None/Sub/Up/Average/Paeth), both sequential and Adam7-interlaced
+    layouts (each interlace pass unfilters independently, then pixels
+    scatter by the pass grid). Grayscale expands to RGB; RGBA drops
+    alpha; palette (color type 3) maps through PLTE. 16-bit and
+    sub-byte palette depths raise at the same documented seam as the
+    other codecs.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
+        pos += 8
+        if ln > len(payload) or pos + ln + 4 > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos : pos + ln]
+        pos += ln + 4  # skip CRC (integrity is the transport's problem)
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if depth != 8:
+        raise NotImplementedError("only 8-bit PNG supported")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype} not supported")
+    if ctype == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing/invalid PLTE")
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if w <= 0 or h <= 0 or w * h > 64_000_000:  # hostile-header bound
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
+
+    if interlace == 0:
+        sub = [(0, 0, 1, 1, w, h)]
+    else:
+        sub = []
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                sub.append((x0, y0, dx, dy, pw, ph))
+    expect = sum(ph * (pw * channels + 1) for _, _, _, _, pw, ph in sub)
+    # bound the inflate by the size the header promises BEFORE allocating:
+    # a decompression bomb must come back as a flagged ValueError, not a
+    # MemoryError that kills the whole Arrow batch
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expect + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from e
+    if len(raw) != expect or d.decompress(b"", 1):
+        raise ValueError("PNG pixel data size mismatch")
+
+    img = np.zeros((h, w, channels), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in sub:
+        stride = pw * channels
+        size = ph * (stride + 1)
+        rows = np.frombuffer(raw[off : off + size], dtype=np.uint8).reshape(
+            ph, stride + 1
+        )
+        off += size
+        pix = _png_unfilter(rows, stride, channels).reshape(ph, pw, channels)
+        img[y0::dy, x0::dx] = pix
+    if ctype == 3:
+        idx = img[:, :, 0]
+        if int(idx.max()) * 3 >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return palette[idx]
     if channels == 1:
         img = np.repeat(img, 3, axis=2)
     elif channels == 4:

@@ -1027,13 +1027,8 @@ def test_ivfpq_index_incremental_add(spark, clustered_ann, tmp_path):
     assert got == want and len(got) == 100
 
 
-def _png_bytes(img, ctype, filter_type):
-    """Spec-correct PNG encoder for the decode tests: every scanline
-    uses ``filter_type`` (applying the filter forward so the decoder
-    must invert it); proper chunk CRCs; one IDAT."""
-    import struct
-    import zlib
-
+def _png_filter_pass(img, filter_type):
+    """Forward-filter one (sub-)image's scanlines (encoder side)."""
     import numpy as np
 
     h, w, ch = img.shape
@@ -1064,6 +1059,33 @@ def _png_bytes(img, ctype, filter_type):
                 flt[i] = (line[i] - pred) & 0xFF
         raw.extend(flt.astype(np.uint8).tobytes())
         prev = line
+    return bytes(raw)
+
+
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_bytes(img, ctype, filter_type, interlace=0, palette=None):
+    """Spec-correct PNG encoder for the decode tests: every scanline
+    uses ``filter_type`` (applying the filter forward so the decoder
+    must invert it); proper chunk CRCs; one IDAT; optional Adam7
+    interlacing (each pass filtered independently) and a PLTE chunk
+    for palette images (ctype 3, img is (h, w, 1) indices)."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    if interlace == 0:
+        raw = _png_filter_pass(img, filter_type)
+    else:
+        raw = b"".join(
+            _png_filter_pass(img[y0::dy, x0::dx], filter_type)
+            for x0, y0, dx, dy in _ADAM7
+            if img[y0::dy, x0::dx].size
+        )
 
     def chunk(typ, data):
         body = typ + data
@@ -1071,13 +1093,11 @@ def _png_bytes(img, ctype, filter_type):
             ">I", zlib.crc32(body) & 0xFFFFFFFF
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette.reshape(-1)))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
 def test_png_decode_all_filters_and_color_types(spark):
@@ -1922,3 +1942,34 @@ def test_wav_g711_decode(spark):
         assert err.max() <= 1 / 64, (code, err.max())
         big = np.abs(pcm) > 2000
         assert (np.sign(samples[big, 0]) == np.sign(pcm[big])).all(), code
+
+
+def test_png_adam7_and_palette(spark):
+    """Adam7-interlaced PNGs (all five filters, per-pass filtering) and
+    palette PNGs (PLTE mapping, incl. interlaced-palette combined) must
+    decode pixel-exactly; out-of-range palette indices are flagged."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(41)
+    rgb = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    for f in range(5):
+        got = decode_image(_png_bytes(rgb, 2, f, interlace=1))
+        assert np.array_equal(got, rgb), f"adam7 filter {f}"
+    # sizes below one full pass block (every pass-empty branch)
+    tiny = rng.integers(0, 256, size=(3, 2, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(_png_bytes(tiny, 2, 4, interlace=1)), tiny)
+
+    palette = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    idx = rng.integers(0, 17, size=(9, 14, 1), dtype=np.uint8)
+    for il in (0, 1):
+        got = decode_image(_png_bytes(idx, 3, 3, interlace=il, palette=palette))
+        assert np.array_equal(got, palette[idx[:, :, 0]]), f"palette il={il}"
+
+    import pytest as _pytest
+
+    bad = idx.copy()
+    bad[0, 0, 0] = 200  # beyond the 17-entry palette
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_image(_png_bytes(bad, 3, 0, palette=palette))
