@@ -3919,6 +3919,95 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q18_QTY_SUM = "SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))"
+
+
+@declared(
+    "q18_large_volume_customers",
+    f"""
+SELECT c_custkey, c_name, o_orderkey,
+       STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+       o_totalprice,
+       CAST({_Q18_QTY_SUM} AS DOUBLE) / 100 AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING {_Q18_QTY_SUM} > 25000)
+GROUP BY c_custkey, c_name, o_orderkey, o_date, o_totalprice
+""",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN over a grouped
+    HAVING subquery — the aggregate-then-semi-join plan, the one
+    subquery position the existing subquery_* trio doesn't cover.
+    Catalyst rewrites the IN into a left-semi join against the
+    pre-aggregated big-order keys, so the fact table is filtered by a
+    SMALL derived set before the customer join — at 100 TB the semi
+    join's build side is only the qualifying orders, never lineitem.
+    Quantity sums are scale-2 scaled-long on both engines so the
+    HAVING boundary selects identical orders."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
+               o_totalprice,
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100 AS total_qty
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 25000)
+        GROUP BY c_custkey, c_name, o_orderkey,
+                 date_format(o_orderdate, 'yyyy-MM-dd'), o_totalprice
+        """
+    )
+
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM late l1
+  WHERE l1.is_late
+    AND EXISTS (SELECT 1 FROM late l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.is_late)
+) w
+JOIN supplier ON s_suppkey = w.l_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY s_suppkey
+"""
+
+
+@declared("q21_suppliers_kept_waiting", _Q21_SQL)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting): the EXISTS +
+    NOT-EXISTS pair with INEQUALITY correlation (other suppliers on the
+    same order) — the classic decorrelation stress. "Late" adapts to
+    this schema as shipping >90 days after the order date. Catalyst
+    decorrelates both subqueries into a left-semi and a left-anti join
+    on l_orderkey with the suppkey inequality as a residual; the same
+    SQL text runs verbatim on DuckDB, so the oracle is the literal
+    query. Scale shape: three scans of the same late CTE hash-join on
+    orderkey — no correlated per-row re-execution survives planning."""
+    _views(spark, sf_dir, "supplier", "orders", "lineitem")
+    return spark.sql(_Q21_SQL)
+
+
 # 6-hour inactivity gap: events span one month with median per-user gap
 # ~7.3 h, so this threshold actually splits AND actually merges.
 _SESSION_GAP_US = 6 * 3600 * 1_000_000

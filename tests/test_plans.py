@@ -510,3 +510,21 @@ def test_round5_bound_query_plan_shapes(spark):
     qb = QUERIES["ts_quantiles_approx_bound"](spark, SF)
     pq = plan(qb, "simple")
     assert "NestedLoop" not in pq and "CartesianProduct" not in pq
+
+
+def test_q18_q21_plan_shapes(spark):
+    """Q18's IN-over-grouped-HAVING must plan as a semi join against
+    the pre-aggregated key set (never a per-row subquery or nested
+    loop); Q21's EXISTS/NOT-EXISTS pair must decorrelate into semi +
+    anti joins on the order key."""
+    from nibbledb_spark.queries import QUERIES
+
+    q18 = QUERIES["q18_large_volume_customers"](spark, SF)
+    p18 = plan(q18, "simple")
+    assert "LeftSemi" in p18
+    assert "NestedLoop" not in p18 and "CartesianProduct" not in p18
+
+    q21 = QUERIES["q21_suppliers_kept_waiting"](spark, SF)
+    p21 = plan(q21, "simple")
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "NestedLoop" not in p21 and "CartesianProduct" not in p21
