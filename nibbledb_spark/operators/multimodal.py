@@ -92,10 +92,11 @@ def _decode_bmp(payload: bytes) -> object:
     return bgr[:, :, ::-1].copy()  # BGR -> RGB
 
 
-def _png_unfilter(rows, stride, channels):
+def _png_unfilter(rows, stride, bpp):
     """Invert PNG scanline filters for one (sub-)image: rows is a
-    (h, stride+1) uint8 array (filter byte + filtered bytes); returns
-    the (h, stride) reconstructed bytes.
+    (h, stride+1) uint8 array (filter byte + filtered bytes); ``bpp``
+    is the filter delta distance in BYTES (1 for sub-byte depths, e.g.
+    6 for 16-bit RGB); returns the (h, stride) reconstructed bytes.
 
     Cost note: Sub/Average/Paeth rows are byte-sequential by
     definition (each byte depends on the one bpp earlier), so those
@@ -117,14 +118,14 @@ def _png_unfilter(rows, stride, channels):
         elif f in (1, 3, 4):
             cur = np.empty(stride, dtype=np.int32)
             for i in range(stride):
-                a = int(cur[i - channels]) if i >= channels else 0
+                a = int(cur[i - bpp]) if i >= bpp else 0
                 b = int(prev[i])
                 if f == 1:  # Sub
                     v = line[i] + a
                 elif f == 3:  # Average
                     v = line[i] + ((a + b) >> 1)
                 else:  # Paeth
-                    c = int(prev[i - channels]) if i >= channels else 0
+                    c = int(prev[i - bpp]) if i >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -151,9 +152,9 @@ def _decode_png(payload: bytes) -> object:
     (None/Sub/Up/Average/Paeth), both sequential and Adam7-interlaced
     layouts (each interlace pass unfilters independently, then pixels
     scatter by the pass grid). Grayscale expands to RGB; RGBA drops
-    alpha; palette (color type 3) maps through PLTE. 16-bit and
-    sub-byte palette depths raise at the same documented seam as the
-    other codecs.
+    alpha; palette (color type 3) maps through PLTE at depths 1/2/4/8;
+    1/2/4-bit grayscale expands to the full 8-bit range; 16-bit samples
+    keep their high byte (the standard 8-bit view).
     """
     import struct
     import zlib
@@ -185,11 +186,12 @@ def _decode_png(payload: bytes) -> object:
         raise ValueError("invalid PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
-    if depth != 8:
-        raise NotImplementedError("only 8-bit PNG supported")
     channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
     if channels is None:
         raise NotImplementedError(f"PNG color type {ctype} not supported")
+    valid_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 6: (8, 16)}
+    if depth not in valid_depths[ctype]:
+        raise ValueError(f"invalid PNG depth {depth} for color type {ctype}")
     if ctype == 3:
         if plte is None or len(plte) % 3 or not plte:
             raise ValueError("palette PNG missing/invalid PLTE")
@@ -206,7 +208,12 @@ def _decode_png(payload: bytes) -> object:
             ph = (h - y0 + dy - 1) // dy
             if pw > 0 and ph > 0:
                 sub.append((x0, y0, dx, dy, pw, ph))
-    expect = sum(ph * (pw * channels + 1) for _, _, _, _, pw, ph in sub)
+    bpp = max(1, channels * depth // 8)  # filter delta distance, bytes
+
+    def pass_stride(pw):
+        return -(-(pw * channels * depth) // 8)
+
+    expect = sum(ph * (pass_stride(pw) + 1) for _, _, _, _, pw, ph in sub)
     # bound the inflate by the size the header promises BEFORE allocating:
     # a decompression bomb must come back as a flagged ValueError, not a
     # MemoryError that kills the whole Arrow batch
@@ -221,13 +228,27 @@ def _decode_png(payload: bytes) -> object:
     img = np.zeros((h, w, channels), dtype=np.uint8)
     off = 0
     for x0, y0, dx, dy, pw, ph in sub:
-        stride = pw * channels
+        stride = pass_stride(pw)
         size = ph * (stride + 1)
         rows = np.frombuffer(raw[off : off + size], dtype=np.uint8).reshape(
             ph, stride + 1
         )
         off += size
-        pix = _png_unfilter(rows, stride, channels).reshape(ph, pw, channels)
+        flat = _png_unfilter(rows, stride, bpp)
+        if depth == 8:
+            pix = flat.reshape(ph, pw, channels)
+        elif depth == 16:
+            # big-endian sample pairs; keep the high byte (8-bit view)
+            pix = flat.reshape(ph, pw, channels, 2)[:, :, :, 0]
+        else:
+            # sub-byte gray/palette: unpack MSB-first, regroup per pixel
+            cells = np.unpackbits(flat, axis=1)[:, : pw * depth].reshape(
+                ph, pw, depth
+            )
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            pix = (cells * weights).sum(axis=2).astype(np.uint8)[:, :, None]
+            if ctype == 0:  # expand 1/2/4-bit gray to full 8-bit range
+                pix = pix * np.uint8(255 // ((1 << depth) - 1))
         img[y0::dy, x0::dx] = pix
     if ctype == 3:
         idx = img[:, :, 0]
