@@ -4435,6 +4435,59 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m4(pts, _RESAMPLE_US)
 
 
+@declared(
+    "ts_downsample_lttb",
+    _POINTS_CTE
+    + f"""
+, b AS (
+  SELECT series, ts - (((ts % {_RESAMPLE_US}) + {_RESAMPLE_US}) % {_RESAMPLE_US}) AS bucket_us,
+         ts, value
+  FROM points
+),
+ag AS (
+  SELECT series, bucket_us,
+         CAST(SUM(ts) AS DOUBLE) / COUNT(*) AS avg_t,
+         CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS avg_v
+  FROM b GROUP BY 1, 2
+),
+n AS (
+  SELECT series, bucket_us,
+         LAG(avg_t) OVER w AS lt, LAG(avg_v) OVER w AS lv,
+         LEAD(avg_t) OVER w AS rt, LEAD(avg_v) OVER w AS rv
+  FROM ag WINDOW w AS (PARTITION BY series ORDER BY bucket_us)
+),
+s AS (
+  SELECT b.series, b.bucket_us, b.ts, b.value, n.lt, n.lv, n.rt, n.rv,
+         ABS((n.lt - n.rt) * (b.value - n.lv)
+             - (n.lt - CAST(b.ts AS DOUBLE)) * (n.rv - n.lv)) AS area
+  FROM b JOIN n ON b.series = n.series AND b.bucket_us = n.bucket_us
+)
+SELECT series, bucket_us, ts, value FROM (
+  SELECT series, bucket_us, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY series, bucket_us ORDER BY
+           CASE WHEN lt IS NOT NULL AND rt IS NOT NULL THEN area END DESC NULLS LAST,
+           CASE WHEN rt IS NULL AND lt IS NOT NULL THEN ts END DESC NULLS LAST,
+           ts ASC, value ASC) AS rn
+  FROM s
+) WHERE rn = 1
+""",
+)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-area downsampling — the parallel bucket-average LTTB
+    variant (operators/timeseries.py lttb; Steinarsson 2014): one
+    representative point per (series, 1h bucket), chosen by largest
+    triangle against the neighbor buckets' average points. Complements
+    ts_downsample_m4 with the perceptual single-point-per-bucket
+    reduction (M4 keeps 4). Fully oracle-matched: exact int64/scaled
+    sums make the anchors identical, the area is one fixed IEEE tree,
+    and the NULLS LAST ordering is written explicitly because Spark
+    and DuckDB default NULL placement differently on ASC."""
+    from nibbledb_spark.operators.timeseries import lttb
+
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    return lttb(pts, _RESAMPLE_US)
+
+
 _NOTIN_SQL = """
 SELECT s_suppkey, s_name, s_nationkey FROM supplier
 WHERE s_suppkey NOT IN (

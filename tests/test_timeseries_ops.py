@@ -300,3 +300,45 @@ def test_m4_selects_extremes(spark):
     assert (b0["t_max"], b0["v_max"]) == (2_000_000, 9.0)
     b1 = out[60_000_000]
     assert b1["t_first"] == b1["t_last"] == 60_000_000
+
+
+def test_lttb_downsample_semantics(spark):
+    """lttb picks, per (series, bucket), the point with the largest
+    triangle against the neighbor-bucket averages — verified against a
+    brute-force numpy recomputation on a planted fixture; first/last
+    buckets keep their first/last point; exactly one row per non-empty
+    bucket."""
+    import numpy as np
+
+    from nibbledb_spark.operators.timeseries import lttb
+
+    W = 100
+    rows = []
+    rng = np.random.default_rng(7)
+    for b in range(5):  # 5 buckets, 6 points each, bucket 3 is empty
+        if b == 3:
+            continue
+        for j in range(6):
+            rows.append(("s", b * W + 10 + j * 15, float(rng.integers(-50, 50))))
+    pts = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = {r["bucket_us"]: (r["ts"], r["value"]) for r in lttb(pts, W).collect()}
+    assert set(out) == {0, 100, 200, 400}  # one row per NON-EMPTY bucket
+
+    data = {}
+    for s, t, v in rows:
+        data.setdefault(t // W * W, []).append((t, v))
+    avgs = {
+        b: (sum(t for t, _ in ps) / len(ps), sum(v for _, v in ps) / len(ps))
+        for b, ps in data.items()
+    }
+    order = sorted(data)
+    assert out[order[0]] == data[order[0]][0]  # first bucket -> first point
+    assert out[order[-1]] == data[order[-1]][-1]  # last bucket -> last point
+    for i in (1, 2):  # interior buckets (neighbors = prev/next NON-EMPTY)
+        b = order[i]
+        (lt, lv), (rt, rv) = avgs[order[i - 1]], avgs[order[i + 1]]
+        best = max(
+            data[b],
+            key=lambda p: (abs((lt - rt) * (p[1] - lv) - (lt - p[0]) * (rv - lv)), -p[0]),
+        )
+        assert out[b] == best, b
