@@ -2052,3 +2052,55 @@ def test_png_depths(spark):
     legal[25] = 2
     with _pytest.raises(ValueError, match="invalid PNG depth"):
         decode_image(bytes(legal))
+
+
+def test_wav_g711_exhaustive_error_bound(spark):
+    """EXHAUSTIVE G.711 check: every int16 value encode->decodes within
+    the companding law's segment quantization error (half the segment
+    step, bounded by (|x|+132)/8 for mu-law and (|x|+256)/8 for A-law's
+    coarser 13-bit domain) with sign preserved outside the dead zone.
+    65536 values is cheap and leaves no segment boundary untested."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import (
+        _g711_alaw_to_linear,
+        _g711_ulaw_to_linear,
+    )
+
+    def ulaw_encode(x):
+        BIAS, CLIP = 0x84, 32635
+        sign = 0x80 if x < 0 else 0
+        x = min(abs(int(x)), CLIP) + BIAS
+        exponent = x.bit_length() - 8
+        mantissa = (x >> (exponent + 3)) & 0x0F
+        return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+    def alaw_encode(x):
+        x = int(x)
+        mask = 0xD5 if x >= 0 else 0x55
+        x = abs(x) >> 3
+        if x >= 0x1000:
+            x = 0xFFF
+        if x >= 0x20:
+            seg = x.bit_length() - 5
+            mantissa = (x >> (seg if seg >= 2 else 1)) & 0x0F
+            code = (seg << 4) | mantissa
+        else:
+            code = x >> 1
+        return (code ^ mask) & 0xFF
+
+    xs = np.arange(-32768, 32768, dtype=np.int64)
+    for name, enc, dec, slack in (
+        ("ulaw", ulaw_encode, _g711_ulaw_to_linear, 132),
+        ("alaw", alaw_encode, _g711_alaw_to_linear, 256),
+    ):
+        codes = np.frombuffer(
+            bytes(enc(int(v)) for v in xs), dtype=np.uint8
+        )
+        got = dec(codes).astype(np.int64)
+        err = np.abs(got - xs)
+        bound = (np.abs(xs) + slack) // 8 + 8
+        bad = np.where(err > bound)[0]
+        assert bad.size == 0, (name, xs[bad[:5]], got[bad[:5]])
+        big = np.abs(xs) > 512
+        assert (np.sign(got[big]) == np.sign(xs[big])).all(), name
