@@ -2104,3 +2104,70 @@ def test_wav_g711_exhaustive_error_bound(spark):
         assert bad.size == 0, (name, xs[bad[:5]], got[bad[:5]])
         big = np.abs(xs) > 512
         assert (np.sign(got[big]) == np.sign(xs[big])).all(), name
+
+
+def test_decoder_fuzz_never_escapes_contract(spark):
+    """Deterministic mutation fuzz over every codec: flip/insert/trim
+    bytes of VALID payloads and feed raw noise; decode must either
+    succeed or raise an exception the Arrow-batch seams catch
+    (ValueError / NotImplementedError / TypeError / IndexError /
+    ZeroDivisionError / OverflowError / struct.error) — never anything
+    that would kill a 10 GB task (MemoryError, SystemError, hangs)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_audio, decode_image
+
+    CATCH = (
+        NotImplementedError,
+        ValueError,
+        TypeError,
+        ZeroDivisionError,
+        IndexError,
+        OverflowError,
+        _struct.error,
+    )
+    rng = np.random.default_rng(97)
+    img = rng.integers(0, 256, size=(9, 8, 3), dtype=np.uint8)
+    seeds = {
+        "jpeg": _jpeg_bytes(img),
+        "jpeg_prog": _jpeg_progressive_bytes(img),
+        "png": _png_bytes(img, 2, 4),
+        "png_adam7": _png_bytes(img, 2, 2, interlace=1),
+    }
+
+    def fuzz_one(payload, decode):
+        b = bytearray(payload)
+        op = rng.integers(0, 4)
+        if op == 0 and len(b) > 4:  # flip bytes
+            for _ in range(int(rng.integers(1, 6))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        elif op == 1:  # truncate
+            b = b[: int(rng.integers(2, len(b)))]
+        elif op == 2:  # insert garbage
+            i = int(rng.integers(0, len(b)))
+            b = b[:i] + bytes(rng.integers(0, 256, size=7, dtype=np.uint8)) + b[i:]
+        else:  # pure noise with a valid magic prefix
+            keep = int(rng.integers(2, 12))
+            b = b[:keep] + bytes(rng.integers(0, 256, size=64, dtype=np.uint8))
+        try:
+            decode(bytes(b))
+        except CATCH:
+            pass  # flagged, as the seam requires
+
+    for name, payload in seeds.items():
+        for _ in range(150):
+            fuzz_one(payload, decode_image)
+
+    # audio: a valid G.711 wav mutated the same way
+    pcm = (3000 * np.sin(np.arange(64))).astype(np.int16)
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    frames = pcm.tobytes()
+    wav = (
+        b"RIFF" + _struct.pack("<I", 20 + len(fmt) + len(frames)) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(frames)) + frames
+    )
+    for _ in range(150):
+        fuzz_one(wav, decode_audio)
