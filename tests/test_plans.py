@@ -528,3 +528,15 @@ def test_q18_q21_plan_shapes(spark):
     p21 = plan(q21, "simple")
     assert "LeftSemi" in p21 and "LeftAnti" in p21
     assert "NestedLoop" not in p21 and "CartesianProduct" not in p21
+
+
+def test_lttb_plan_shape(spark):
+    """ts_downsample_lttb must stay the parallel form: hash aggregates
+    + windows + one hash/SMJ join back to the points — no nested loop,
+    no per-series sequential structure."""
+    from nibbledb_spark.queries import QUERIES
+
+    df = QUERIES["ts_downsample_lttb"](spark, SF)
+    p = plan(df, "simple")
+    assert "Window" in p and "HashAggregate" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
