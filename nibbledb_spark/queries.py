@@ -2143,6 +2143,93 @@ def ivf_kmeans_probe_all_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cent_dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Explicit left-assoc chain like _dot_sql, for mixed operands."""
+    terms = " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return f"({terms})"
+
+
+@declared(
+    "embed_label_cohesion",
+    f"""
+WITH dims AS (
+  SELECT label, d,
+         CAST(SUM(CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000000 / COUNT(*) AS m
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS d)
+  GROUP BY 1, 2
+),
+cent AS (SELECT label, list(m ORDER BY d) AS centroid FROM dims GROUP BY 1),
+cos AS (
+  SELECT e.label,
+         {_cent_dot_sql('e.embedding', 'c.centroid')}
+           / (SQRT({_cent_dot_sql('e.embedding', 'e.embedding')})
+              * SQRT({_cent_dot_sql('c.centroid', 'c.centroid')})) AS c
+  FROM embeddings e JOIN cent c ON e.label = c.label
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(c * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000000 / COUNT(*) AS mean_cos_to_centroid,
+       MIN(c) AS min_cos_to_centroid
+FROM cos GROUP BY label ORDER BY label
+""",
+)
+def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid cohesion — embedding-corpus QA: for every
+    label, the mean and worst cosine of members to their own cluster
+    centroid. Low cohesion flags mislabeled/drifting clusters before
+    they poison dedup thresholds or ANN recall measurements.
+
+    The plan is the two-level RE-AGGREGATION JOIN shape nothing else
+    in the registry exercises: a (label, dim) hash agg builds the
+    centroids (posexplode — rows, not arrays, so the shuffle is
+    (labels x 64) cells), centroids re-assemble per label (tiny) and
+    BROADCAST back onto the corpus for scoring, then one more keyed
+    agg. The corpus itself is read once and never reshuffled — at
+    100 TB the only wide exchanges carry label-keyed cells and partial
+    sums. Parity: per-dim means and the mean cosine quantize through
+    scaled-long sums (order-independent), the dot/norm chains are the
+    fixed left-fold both engines replicate, and MIN over bit-identical
+    doubles is exact."""
+    e = _t(spark, sf_dir, "embeddings")
+    cells = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    dims = cells.groupBy("label", (F.col("pos") + 1).alias("d")).agg(
+        (
+            F.sum(F.floor(F.col("x").cast("double") * F.lit(1e9) + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    cent = dims.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+    from nibbledb_spark.operators.similarity import cosine
+
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label", cosine(F.col("embedding"), F.col("centroid")).alias("c")
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("c") * F.lit(1e9) + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("mean_cos_to_centroid"),
+            F.min("c").alias("min_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )
+
+
 @declared(
     "multimodal_payload_fp",
     "SELECT doc_id AS media_id, 'text' AS kind, md5(text) AS payload_fp FROM documents",

@@ -540,3 +540,15 @@ def test_lttb_plan_shape(spark):
     p = plan(df, "simple")
     assert "Window" in p and "HashAggregate" in p
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_embed_label_cohesion_plan_shape(spark):
+    """The centroid re-aggregation must come back as a BROADCAST join
+    onto the corpus (centroids are labels x 64 doubles — KBs at any
+    scale); the corpus itself is never nested-looped."""
+    from nibbledb_spark.queries import QUERIES
+
+    df = QUERIES["embed_label_cohesion"](spark, SF)
+    p = plan(df, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
