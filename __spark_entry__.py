@@ -33,27 +33,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # `no_oracle`. This list is GENERATED — refresh each round:
 #   python tools/update_rotation.py CORRECTNESS_r*.json
 _DRIVER_VERIFIED = [
-    "setop_except_all",
-    "rollup_grouping_id",
-    "stringagg_mktsegment_nations",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "sessionize_events_gaps",
-    "embed_quantize_int8",
-    "near_dup_keep_best",
-    "schema_evolution_versions",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "ts_rate_counter",
-    "ts_downsample_m4",
-    "notin_suppliers_no_returns",
-    "sample_weighted_priority",
-    "pq_ann_topk",
-    "recursive_month_ladder",
-    "restore_rollback_versions",
-    "ts_gaps",
-    "lm_quality_bigram",
-    "ts_seasonal_residuals",
     "ts_corr_pairs",
     "window_ntile_quartiles",
     "argmax_latest_order",
@@ -74,6 +53,7 @@ _DRIVER_VERIFIED = [
     "ts_names",
     "ts_delta",
     "ts_quantiles",
+    "ts_quantiles_approx_bound",
     "interval_overlap_series_days",
     "ts_resample_linear",
     "ts_resample_locf",
@@ -96,10 +76,12 @@ _DRIVER_VERIFIED = [
     "range_join_shipped_90d",
     "asof_last_purchase_before_click",
     "asof_next_purchase_after_click",
+    "asof_nearest_purchase_to_click",
     "rollup_customers_region_nation",
     "cube_orders_status_priority",
     "grouping_sets_revenue",
     "count_distinct_customers",
+    "approx_distinct_parts_bound",
     "moving_avg_7d",
     "setop_intersect",
     "setop_except",
@@ -127,7 +109,10 @@ _DRIVER_VERIFIED = [
     "embed_norms",
     "embed_cosine_topk",
     "embed_near_dup_pairs",
+    "srp_ann_topk",
     "ivf_ann_topk",
+    "ivf_kmeans_probe_all_bound",
+    "embed_label_cohesion",
     "multimodal_payload_fp",
     "multimodal_frame_sample",
     "clean_corpus",
@@ -147,6 +132,7 @@ _DRIVER_VERIFIED = [
     "stream_interval_join",
     "stateful_series_stats",
     "sample_stratified_sources",
+    "cms_event_type_counts",
     "training_shard_manifest",
     "sample_token_budget_per_source",
     "sample_quota_per_source",
@@ -154,6 +140,7 @@ _DRIVER_VERIFIED = [
     "heavy_hitter_tokens",
     "decontaminate_ngrams",
     "prep_training_mix",
+    "embed_near_dup_pairs_srp",
     "embed_near_dup_pairs_bucketed",
     "timetravel_versions",
     "udtf_token_counts",
@@ -164,6 +151,32 @@ _DRIVER_VERIFIED = [
     "chunk_overlap_48_16",
     "embed_cosine_topk_filtered",
     "hybrid_retrieval_rrf",
+    "setop_except_all",
+    "rollup_grouping_id",
+    "stringagg_mktsegment_nations",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
+    "sessionize_events_gaps",
+    "embed_quantize_int8",
+    "near_dup_keep_best",
+    "schema_evolution_versions",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "ts_rate_counter",
+    "ts_downsample_m4",
+    "ts_downsample_lttb",
+    "notin_suppliers_no_returns",
+    "sample_weighted_priority",
+    "pq_ann_topk",
+    "recursive_month_ladder",
+    "restore_rollback_versions",
+    "ts_gaps",
+    "lm_quality_bigram",
+    "ts_seasonal_residuals",
 ]
 
 

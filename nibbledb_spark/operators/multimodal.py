@@ -559,6 +559,12 @@ def _decode_jpeg(payload: bytes) -> object:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so 0xFF isn't parsed as a marker code.
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         m = payload[pos + 1]
         pos += 2
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
@@ -715,7 +721,8 @@ def decode_image(payload: bytes) -> object:
     """Decode a binary image payload to an HxWx3 uint8 numpy array.
 
     REAL for binary PPM (P6, maxval 255), uncompressed 24-bit BMP,
-    8-bit non-interlaced PNG (gray/RGB/RGBA via stdlib zlib), and
+    PNG across the full legal depth matrix (1/2/4/8/16-bit,
+    gray/RGB/RGBA/palette, Adam7 interlace, via stdlib zlib), and
     huffman-coded JFIF JPEG — BOTH baseline (SOF0/SOF1, incl. 4:2:0
     chroma subsampling and restart intervals) and progressive (SOF2:
     spectral selection + successive approximation with EOB runs) —

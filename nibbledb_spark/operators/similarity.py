@@ -111,7 +111,10 @@ def near_dup_pairs_cosine(
     from tests that knowingly want the quadratic plan.
     """
     if max_rows is not None:
-        n = corpus.count()
+        # limit(max_rows+1) bounds the guard's cost: the scan stops as
+        # soon as the cap is provably exceeded instead of counting (and
+        # re-scanning the lineage of) the whole corpus.
+        n = corpus.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
                 f"near_dup_pairs_cosine is the O(n²) exact baseline and is "

@@ -32,13 +32,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+# Operators that can never hash-match a SQL oracle (HLL/GK sketches,
+# Lloyd k-means) live here instead of the driver-facing registry: each
+# has a driver-green `*_bound` sibling in QUERIES whose oracle asserts
+# zero bound violations, and its own pytest pins. Keeping them out of
+# QUERIES means every driver slot goes to a hash-matchable name
+# (round-5 verdict #5).
+PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {}
 
 
-def declared(name: str, sql: str | None = None):
+def declared(name: str, sql: str | None = None, *, pytest_only: bool = False):
     def wrap(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if sql is not None:
-            ORACLE[name] = sql
+        if pytest_only:
+            assert sql is None, f"{name}: pytest_only queries carry no oracle"
+            PYTEST_ONLY_QUERIES[name] = fn
+        else:
+            QUERIES[name] = fn
+            if sql is not None:
+                ORACLE[name] = sql
         return fn
 
     return wrap
@@ -361,7 +372,7 @@ def ts_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # APPROX class: no oracle (sketch output is engine-specific); the driver
 # records a rows-only check and pytest pins the error bound against the
 # exact variant (tests/test_extensions.py::test_approx_quantiles_bound).
-@declared("ts_quantiles_approx")
+@declared("ts_quantiles_approx", pytest_only=True)
 def ts_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for per-series quantiles: approx_percentile's
     sketch keeps fixed memory per group, where exact percentile()
@@ -1165,7 +1176,7 @@ def count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared("approx_distinct_parts")  # APPROX class: rows-only check, no oracle
+@declared("approx_distinct_parts", pytest_only=True)  # sketch output: no oracle possible
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct; validated against the exact count with
     a 5% relative bound (tests/test_queries.py and, driver-visibly, the
@@ -2087,7 +2098,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, e.where(F.col("vec_id") < 5), 3, n_centroids=8, nprobe=2)
 
 
-@declared("ivf_ann_topk_kmeans")  # APPROX: rows-only; recall pinned in pytest
+@declared("ivf_ann_topk_kmeans", pytest_only=True)  # recall pinned in pytest
 def ivf_ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with Lloyd-refined k-means centroids — the quality/scale
     path over ivf_ann_topk's lowest-id coarse quantizer (measured:

@@ -40,6 +40,8 @@ import json
 import threading
 from typing import Any
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -76,10 +78,16 @@ def _rows_to_json(df) -> list[dict[str, Any]]:
     pdf = df.toPandas()
     out = []
     for ts, tag, value in zip(pdf["ts"], pdf["tag"], pdf["value"]):
-        obj: dict[str, Any] = {"timestamp": int(ts)}
+        # pd.isna guards: the Arrow hop turns SQL NULL into NaN/NaT, and
+        # float(nan) would make json.dumps emit bare NaN (invalid JSON)
+        # while int(NaT) raises — the collect() path emitted JSON null,
+        # so preserve that contract here.
+        obj: dict[str, Any] = {
+            "timestamp": None if pd.isna(ts) else int(ts)
+        }
         if tag:
             obj["tag"] = [{k: tag[k]} for k in sorted(tag)]
-        obj["value"] = float(value)
+        obj["value"] = None if pd.isna(value) else float(value)
         out.append(obj)
     return out
 

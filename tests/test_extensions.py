@@ -1537,6 +1537,37 @@ def test_jpeg_decode_444_round_trip(spark):
     assert err <= 4, f"max abs error {err}"
 
 
+def test_jpeg_fill_bytes_before_markers(spark):
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes. Inject fill padding before every non-SOI marker; the decode
+    must be byte-identical to the unpadded payload's (round-5 ADVICE)."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(40, 216, size=(2, 2, 3))
+    rgb = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1).astype(np.uint8)
+    plain = _jpeg_bytes(rgb)
+    # rebuild the stream with 1-3 fill bytes ahead of each marker after SOI;
+    # stop padding at SOS (0xDA) — past it 0xFF bytes belong to entropy data
+    padded = bytearray(plain[:2])
+    pos = 2
+    while pos + 2 <= len(plain):
+        assert plain[pos] == 0xFF
+        m = plain[pos + 1]
+        padded += b"\xff" * (1 + (m % 3))
+        if m == 0xDA:
+            padded += plain[pos:]
+            break
+        ln = int.from_bytes(plain[pos + 2 : pos + 4], "big")
+        padded += plain[pos : pos + 2 + ln]
+        pos += 2 + ln
+    got_plain = decode_image(plain)
+    got_padded = decode_image(bytes(padded))
+    assert np.array_equal(got_plain, got_padded)
+
+
 def test_jpeg_decode_420_and_restart(spark):
     """4:2:0 chroma subsampling (2x2 MCUs, 4Y+Cb+Cr interleave) and
     restart intervals (DC predictor reset, byte-aligned RSTn) both

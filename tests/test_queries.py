@@ -9,9 +9,12 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_approx_distinct_within_bound(spark):
-    from nibbledb_spark.queries import QUERIES
+    from nibbledb_spark.queries import PYTEST_ONLY_QUERIES
 
-    approx = QUERIES["approx_distinct_parts"](spark, SF).collect()[0]["approx_parts"]
+    approx = (
+        PYTEST_ONLY_QUERIES["approx_distinct_parts"](spark, SF)
+        .collect()[0]["approx_parts"]
+    )
     exact = (
         spark.read.parquet(f"{SF}/lineitem.parquet")
         .agg(F.count_distinct("l_partkey").alias("n"))

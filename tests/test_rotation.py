@@ -40,6 +40,25 @@ def test_rotation_partitions_registry():
     )
 
 
+def test_registry_fully_oracle_paired():
+    """Round-6 invariant: the driver-facing registry holds ONLY
+    hash-matchable names — the sketch/ANN-approximate trio lives in
+    PYTEST_ONLY_QUERIES with driver-green `*_bound` siblings here."""
+    from nibbledb_spark.queries import PYTEST_ONLY_QUERIES
+
+    assert set(QUERIES) == set(ORACLE), (
+        set(QUERIES) ^ set(ORACLE)
+    )
+    assert set(PYTEST_ONLY_QUERIES) == {
+        "approx_distinct_parts", "ts_quantiles_approx", "ivf_ann_topk_kmeans",
+    }
+    # each retired name keeps a declared, oracle-paired bound sibling
+    for name in ("approx_distinct_parts_bound", "ts_quantiles_approx_bound",
+                 "ivf_kmeans_probe_all_bound"):
+        assert name in ORACLE, name
+    assert not set(PYTEST_ONLY_QUERIES) & set(QUERIES)
+
+
 def test_verified_list_is_subset_of_registry():
     missing = [n for n in entry._DRIVER_VERIFIED if n not in QUERIES]
     assert not missing, f"stale names in _DRIVER_VERIFIED: {missing}"
