@@ -674,3 +674,228 @@ def dedup_lines_global(
             F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicate-span) dedup — Lee et al. 2022
+# ---------------------------------------------------------------------------
+# "Deduplicating Training Data Makes Language Models Better" finds exact
+# duplicate token spans >= L across a corpus with a suffix array. A suffix
+# array is a single-machine structure; the distributed re-expression is
+# anchor hashing: every length-L token window is an anchor, duplicated
+# spans are anchors shared across documents (an equi-join on the anchor
+# hash), and a maximal duplicated span of T >= L tokens appears as
+# T - L + 1 consecutive anchor hits on one (doc1, doc2) DIAGONAL
+# (start1 - start2 constant) — so a lag/run-id window over each diagonal
+# merges the hits back into maximal spans. Everything stays codegen'd
+# and shuffle-bounded: one shuffle to build anchors (per-doc windows),
+# one equi-join on the 16-byte anchor hash, one window over the hits
+# (hits, not tokens — the small side by construction).
+#
+# The reference (jptmoore/nibbledb) has no text surface at all; this is
+# part of the LLM-pipeline extension family (SURVEY.md §2 Part C).
+
+
+def substring_anchor_rows(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """(id, pos, h) rows: md5 over each length-``min_tokens`` token
+    window, 1-based start position. posexplode + lead windows keeps the
+    build inside whole-stage codegen (same measured ~20x-over-HOF reason
+    as shingle_rows). Positions are 1-based to match the DuckDB oracle's
+    generate_subscripts/list-slice convention."""
+    from pyspark.sql import Window
+
+    k = min_tokens
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos0", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos0")
+    lead_cols = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)]
+    with_leads = toks.select("id", (F.col("pos0") + 1).alias("pos"), "tok", *lead_cols)
+    not_null = F.lit(True)
+    for j in range(1, k):
+        not_null = not_null & F.col(f"t{j}").isNotNull()
+    return with_leads.where(not_null).select(
+        "id",
+        "pos",
+        F.md5(
+            F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)]).cast("binary")
+        ).alias("h"),
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All maximal cross-document exact duplicate token spans of length
+    >= ``min_tokens``: (doc_id1, doc_id2, start1, start2, len_tokens)
+    with doc_id1 < doc_id2 and 1-based token offsets.
+
+    A maximal duplicated span of T tokens between two documents yields
+    exactly one output row with len_tokens = T: its T - min_tokens + 1
+    anchor hits share a diagonal (start1 - start2) and are merged by a
+    lag/run-id window. Catches a duplicated paragraph EMBEDDED in
+    otherwise-distinct documents — the granularity dedup_lines_global
+    (line-exact) and MinHash (document-level) both miss.
+
+    Scale shape: anchors are O(total tokens) rows of (id, pos, 16-byte
+    hash) — payloads never join; the self equi-join on h only pairs
+    shared anchors; the merge window runs over HITS (the duplicated
+    part of the corpus, small by construction). ``max_doc_freq`` drops
+    anchors present in more than that many documents before the join —
+    the boilerplate cap that bounds group sizes at corpus scale, same
+    broadcast-anti-join shape as ngram_jaccard_pairs (None = exact,
+    the oracle-checked setting).
+    """
+    from pyspark.sql import Window
+
+    k = min_tokens
+    # persist: the anchor table feeds BOTH sides of the self-join (and
+    # the doc-freq cap when enabled); without this the tokenize + lead
+    # windows replay per consumer — same reason near_dup_pairs_minhash_fast
+    # persists its shingle table. At corpus scale this is the "materialize
+    # the anchor table once" step a production span-dedup run does anyway.
+    anch = substring_anchor_rows(
+        docs, id_col=id_col, text_col=text_col, min_tokens=k
+    ).persist()
+    if max_doc_freq is not None:
+        hot = (
+            anch.groupBy("h")
+            .agg(F.count_distinct("id").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("h")
+        )
+        anch = anch.join(F.broadcast(hot), "h", "left_anti")
+    a = anch.select(
+        F.col("id").alias("d1"), F.col("pos").alias("p1"), "h"
+    )
+    b = anch.select(
+        F.col("id").alias("d2"), F.col("pos").alias("p2"), "h"
+    )
+    hits = (
+        a.join(b, "h")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag"))
+    )
+    wd = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    flagged = hits.withColumn(
+        "is_start",
+        F.when(F.lag("p1").over(wd) == F.col("p1") - 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("is_start").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("d1", "d2", "diag", "run_id")
+        .agg(
+            F.min("p1").alias("start1"),
+            F.min("p2").alias("start2"),
+            (F.max("p1") - F.min("p1") + F.lit(k)).alias("len_tokens"),
+        )
+        .select(
+            F.col("d1").alias("doc_id1"),
+            F.col("d2").alias("doc_id2"),
+            F.col("start1").cast("long").alias("start1"),
+            F.col("start2").cast("long").alias("start2"),
+            F.col("len_tokens").cast("long").alias("len_tokens"),
+        )
+    )
+
+
+def substring_dup_extent(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Per-document duplicated-token extent: how many of each document's
+    tokens sit inside some cross-document exact duplicate span of
+    >= ``min_tokens`` tokens — the per-doc QA number a dedup run reports
+    ("X% of the corpus is duplicated text", Lee et al. Table 3 analogue).
+
+    Overlapping spans from different partners must not double-count, so
+    the span set per doc is merged interval-union style: order spans by
+    start, a span begins a new island when its start exceeds the running
+    max end so far (classic sweep — two windows, no self-join), then the
+    island lengths sum per document. Returns (doc_id, n_tokens,
+    dup_tokens, dup_frac) for EVERY input document (0 when clean).
+    """
+    from pyspark.sql import Window
+
+    spans = substring_dup_spans(
+        docs, id_col=id_col, text_col=text_col, min_tokens=min_tokens
+    )
+    # fold both sides: each pair row marks a span in BOTH documents
+    one_side = spans.select(
+        F.col("doc_id1").alias("id"),
+        F.col("start1").alias("s"),
+        (F.col("start1") + F.col("len_tokens")).alias("e"),
+    ).unionAll(
+        spans.select(
+            F.col("doc_id2").alias("id"),
+            F.col("start2").alias("s"),
+            (F.col("start2") + F.col("len_tokens")).alias("e"),
+        )
+    )
+    # distinct BEFORE the sweep: duplicate (id, s, e) rows tie in the
+    # ORDER BY, and the two window passes (prev-max flag, running
+    # island sum) may order tied rows differently — splitting one
+    # island into two. Distinct intervals make (s, e) a total order
+    # per id and are sufficient for a union sweep anyway.
+    one_side = one_side.distinct()
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_max_end = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = one_side.withColumn(
+        "new_island",
+        F.when(prev_max_end >= F.col("s"), F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    dup = (
+        islands.groupBy("id", "island")
+        .agg((F.max("e") - F.min("s")).alias("island_len"))
+        .groupBy("id")
+        .agg(F.sum("island_len").alias("dup_tokens"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -1843,6 +1843,121 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(_t(spark, sf_dir, "documents"))
 
 
+_SUBSTRING_SPAN_CTES = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+),
+anch AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(w[pos:pos+14], ' ')) AS h
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 13)) AS pos FROM t)
+),
+hits AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1, b.pos AS p2,
+         a.pos - b.pos AS diag
+  FROM anch a JOIN anch b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+flagged AS (
+  SELECT d1, d2, p1, p2, diag,
+         CASE WHEN lag(p1) OVER (PARTITION BY d1, d2, diag ORDER BY p1) = p1 - 1
+              THEN 0 ELSE 1 END AS is_start
+  FROM hits
+),
+runs AS (
+  SELECT d1, d2, p1, p2, diag,
+         sum(is_start) OVER (PARTITION BY d1, d2, diag ORDER BY p1
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+),
+spans AS (
+  SELECT d1 AS doc_id1, d2 AS doc_id2,
+         CAST(min(p1) AS BIGINT) AS start1,
+         CAST(min(p2) AS BIGINT) AS start2,
+         CAST(max(p1) - min(p1) + 15 AS BIGINT) AS len_tokens
+  FROM runs
+  GROUP BY d1, d2, diag, run_id
+)
+"""
+
+
+@declared(
+    "dedup_substring_spans",
+    _SUBSTRING_SPAN_CTES
+    + """
+SELECT doc_id1, doc_id2, start1, start2, len_tokens FROM spans
+""",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, the suffix-array span
+    family re-expressed distributed): every maximal cross-document
+    duplicate token span >= 15 tokens, found via length-15 anchor-hash
+    equi-joins + diagonal run-merge windows — never a suffix array on
+    the driver. Catches a duplicated paragraph EMBEDDED in otherwise
+    distinct documents, which line-granular (dedup_lines_global) and
+    document-granular (MinHash) dedup both miss."""
+    from nibbledb_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        _t(spark, sf_dir, "documents"), min_tokens=15
+    )
+
+
+@declared(
+    "dedup_substring_extent",
+    _SUBSTRING_SPAN_CTES
+    + r"""
+, sides AS (
+  SELECT DISTINCT id, s, e FROM (
+    SELECT doc_id1 AS id, start1 AS s, start1 + len_tokens AS e FROM spans
+    UNION ALL
+    SELECT doc_id2 AS id, start2 AS s, start2 + len_tokens AS e FROM spans
+  )
+),
+fl AS (
+  SELECT id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) >= s
+              THEN 0 ELSE 1 END AS new_island
+  FROM sides
+),
+isl AS (
+  SELECT id, s, e,
+         sum(new_island) OVER (PARTITION BY id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+),
+dup AS (
+  SELECT id, CAST(SUM(island_len) AS BIGINT) AS dup_tokens
+  FROM (SELECT id, island, max(e) - min(s) AS island_len
+        FROM isl GROUP BY id, island)
+  GROUP BY id
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(d.dup_tokens, 0) AS dup_tokens,
+       ROUND(COALESCE(d.dup_tokens, 0) / GREATEST(b.n_tokens, 1), 6)
+         AS dup_frac
+FROM base b LEFT JOIN dup d ON b.doc_id = d.id
+""",
+)
+def dedup_substring_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token extent for >= 15-token exact spans
+    (the corpus-QA number a span-dedup run reports): overlapping spans
+    merge interval-union style (sweep windows, no self-join), so a
+    token inside three partners' spans counts once. Every input doc
+    returns a row (0 when clean)."""
+    from nibbledb_spark.operators.dedup import substring_dup_extent
+
+    return substring_dup_extent(
+        _t(spark, sf_dir, "documents"), min_tokens=15
+    )
+
+
 @declared("near_dup_components_star", ORACLE["near_dup_components"])
 def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same transitive closure computed by the O(log n)

@@ -630,6 +630,75 @@ def test_dedup_lines_global_keeps_first_occurrence(spark):
     assert out[4] == "gamma content"
 
 
+def test_substring_spans_find_embedded_paragraph(spark):
+    """The round-5 verdict's acceptance case: a >= min_tokens paragraph
+    duplicated INSIDE two otherwise-unique documents, phrased so the
+    line granularity differs (the shared tokens sit on different lines
+    in each doc). dedup_lines_global must MISS it (no identical line),
+    substring_dup_spans must report exactly the maximal span."""
+    from nibbledb_spark.operators.dedup import (
+        dedup_lines_global,
+        substring_dup_extent,
+        substring_dup_spans,
+    )
+
+    para = " ".join(f"shared{i}" for i in range(20))  # 20-token paragraph
+    docs = spark.createDataFrame(
+        [
+            # doc 1: paragraph split across two lines after token 7
+            (1, "intro one two\n" + " ".join(para.split()[:7]) + "\n"
+                + " ".join(para.split()[7:]) + "\nunique tail alpha"),
+            # doc 2: same paragraph on a single line, different context
+            (2, "different opening words here\n" + para + "\nomega closing"),
+            (3, "totally unrelated content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    # line dedup sees no identical line -> every doc survives unchanged
+    cleaned = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in dedup_lines_global(docs).collect()
+    }
+    assert "shared0" in cleaned[1] and "shared0" in cleaned[2]
+    # span dedup finds the embedded paragraph as ONE maximal 20-token span
+    spans = substring_dup_spans(docs, min_tokens=15).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s["doc_id1"], s["doc_id2"], s["len_tokens"]) == (1, 2, 20)
+    # offsets: doc 1 tokens: intro one two (3) -> para starts at 4 (1-based)
+    # doc 2: different opening words here (4) -> para starts at 5
+    assert (s["start1"], s["start2"]) == (4, 5)
+    # extent: 20 of each doc's tokens are duplicated; doc 3 clean
+    ext = {r["doc_id"]: r for r in substring_dup_extent(docs, min_tokens=15).collect()}
+    assert ext[1]["dup_tokens"] == 20 and ext[2]["dup_tokens"] == 20
+    assert ext[3]["dup_tokens"] == 0 and ext[3]["dup_frac"] == 0.0
+
+
+def test_substring_spans_merge_overlapping_partners(spark):
+    """Interval-union semantics: one doc sharing overlapping spans with
+    two different partners counts overlapping tokens once, and two
+    separate spans within one doc pair merge only when adjacent runs
+    actually touch."""
+    from nibbledb_spark.operators.dedup import substring_dup_extent
+
+    block = " ".join(f"w{i}" for i in range(30))  # tokens w0..w29
+    head = " ".join(f"w{i}" for i in range(20))  # w0..w19 (prefix)
+    tail = " ".join(f"w{i}" for i in range(10, 30))  # w10..w29 (suffix)
+    docs = spark.createDataFrame(
+        [
+            (1, block),  # whole block
+            (2, head + " endA unique1"),  # shares w0..w19 with doc 1
+            (3, "startB uniq2 " + tail),  # shares w10..w29 with doc 1
+        ],
+        "doc_id long, text string",
+    )
+    ext = {r["doc_id"]: r for r in substring_dup_extent(docs, min_tokens=15).collect()}
+    # doc 1: [1,21) from doc2 and [11,31) from doc3 union to all 30 tokens
+    assert ext[1]["dup_tokens"] == 30
+    assert ext[2]["dup_tokens"] == 20
+    assert ext[3]["dup_tokens"] == 20
+
+
 def test_clean_corpus_repetition_gate_subset(spark):
     """Gated survivors are a strict subset of the ungated run at sf0.01
     (the gate binds there), and every dropped-by-gate doc really

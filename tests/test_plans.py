@@ -552,3 +552,23 @@ def test_embed_label_cohesion_plan_shape(spark):
     p = plan(df, "simple")
     assert "BroadcastHashJoin" in p
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_round6_substring_dedup_plan_shapes(spark):
+    """Exact-substring dedup (Lee et al. span family) must stay
+    equi-join + window shaped: anchors pair ONLY via the hash join on
+    h (no nested loop / cartesian anywhere), the diagonal merge's two
+    windows share one (d1, d2, diag) sort, and the extent sweep adds
+    interval-union windows without any self-join."""
+    from nibbledb_spark.queries import QUERIES
+
+    sp = QUERIES["dedup_substring_spans"](spark, SF)
+    ps = plan(sp, "simple")
+    assert "NestedLoop" not in ps and "CartesianProduct" not in ps
+    assert "HashJoin" in ps or "SortMergeJoin" in ps
+    # lag flag + running-sum run-id ride the same window ordering
+    assert ps.count("Window") >= 2
+
+    ext = QUERIES["dedup_substring_extent"](spark, SF)
+    pe = plan(ext, "simple")
+    assert "NestedLoop" not in pe and "CartesianProduct" not in pe
