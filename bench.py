@@ -50,6 +50,7 @@ HEADLINE = [
     "rollup_customers_region_nation",
     "moving_avg_7d",
     "clean_corpus",
+    "dedup_substring_spans",
 ]
 
 
@@ -459,13 +460,38 @@ def main() -> int:
 
     total = round(sum(timings.values()), 4)
 
-    if baseline:
-        import duckdb
+    # Paired DuckDB timings ALWAYS ride the JSON line (round-5 verdict
+    # #2): cross-round driver captures see ±15-40% host variance, so a
+    # raw Spark total can't distinguish regression from a slow host.
+    # duckdb_total measured in the same sitting is the normalizer —
+    # ratio = value / duckdb_total is host-speed-invariant.
+    import duckdb
 
-        tables = (
-            "region nation customer supplier part orders lineitem events "
-            "documents embeddings"
-        ).split()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    duck_timings: dict[str, float] = {}
+    for name in headline:
+        if name not in ORACLE:
+            continue
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        con.execute(ORACLE[name]).df()  # warm (pandas channel, like Spark)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(ORACLE[name]).df()
+            samples.append(time.perf_counter() - t0)
+        duck_timings[name] = round(statistics.median(samples), 4)
+        con.close()
+    duck_total = round(sum(duck_timings.values()), 4)
+
+    if baseline:
         rows = []
         for name in headline:
             if name not in ORACLE:
@@ -512,6 +538,11 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "duckdb": duck_timings,
+                "duckdb_total": duck_total,
+                "ratio_vs_duckdb": round(total / duck_total, 4)
+                if duck_total > 0
+                else None,
                 "sf": sf_of(SF_DIR),
             }
         )
