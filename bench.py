@@ -9,9 +9,14 @@ Prints exactly ONE JSON line to stdout:
 All diagnostics go to stderr so the driver can parse stdout.
 
 Usage:
-  python bench.py                 # headline set, one JSON line
+  python bench.py                 # headline set, one JSON line (now with
+                                  # paired DuckDB timings per query)
   python bench.py --baseline      # also time DuckDB oracles (median of 5)
                                   # and print a markdown table to stderr
+  python bench.py --stress-sweep  # x1 vs x10 input-linear scaling
+                                  # exponents for the FULL headline set
+  python bench.py --snapshots-stress  # concurrent writers + table-age
+                                  # resolution scaling for the snapshot log
 """
 
 from __future__ import annotations
@@ -397,6 +402,235 @@ def stress_bench(spark) -> None:
         )
 
 
+def snapshot_stress(spark) -> None:
+    """Concurrency + table-age stress for the snapshot log (round-5
+    verdict #7): (a) resolution time vs commit count — checkpoints must
+    keep head reads O(checkpoint_every), not O(commits); (b) N parallel
+    appender threads racing a compactor — exactly-once row accounting
+    must survive CAS retries, and compaction conflicts must surface as
+    clean CommitConflict, never corruption. Diagnostics to stderr."""
+    import shutil
+    import tempfile
+    import threading
+
+    from nibbledb_spark.snapshots import CommitConflict, SnapshotLog
+
+    work = tempfile.mkdtemp(prefix="bench_snapstress_")
+    try:
+        # --- (a) table-age scaling -------------------------------------
+        tbl = SnapshotLog(
+            spark, os.path.join(work, "age"), checkpoint_every=10
+        )
+        batch = spark.range(1000).selectExpr(
+            "id AS k", "CAST(id % 97 AS DOUBLE) AS v"
+        )
+        probe_at = (10, 50, 100, 200)
+        t_total0 = time.perf_counter()
+        for i in range(1, max(probe_at) + 1):
+            tbl.append(batch)
+            if i in probe_at:
+                samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    n = tbl.read().count()
+                    samples.append(time.perf_counter() - t0)
+                log(
+                    f"snapshot-stress age={i:>3} commits: head read "
+                    f"{statistics.median(samples):.3f}s ({n:,} rows, "
+                    f"{i} versions)"
+                )
+        log(
+            f"snapshot-stress {max(probe_at)} appends took "
+            f"{time.perf_counter() - t_total0:.1f}s "
+            f"({max(probe_at) / (time.perf_counter() - t_total0):.1f} commits/s)"
+        )
+
+        # --- (b) concurrent appenders + compactor ----------------------
+        tbl2 = SnapshotLog(
+            spark, os.path.join(work, "conc"), checkpoint_every=10
+        )
+        tbl2.append(batch)  # non-empty so the compactor has work
+        n_writers, n_appends, rows_per = 4, 15, 500
+        conflicts = {"compact": 0}
+        errors: list[BaseException] = []
+
+        def writer(wid: int) -> None:
+            try:
+                df = spark.range(rows_per).selectExpr(
+                    f"id + {wid * 1_000_000} AS k",
+                    "CAST(id AS DOUBLE) AS v",
+                )
+                for _ in range(n_appends):
+                    tbl2.append(df)  # retries CommitConflict internally
+            except BaseException as exc:  # surface, don't swallow
+                errors.append(exc)
+
+        stop = threading.Event()
+
+        def compactor() -> None:
+            while not stop.is_set():
+                try:
+                    tbl2.compact(target_files=4)
+                except CommitConflict:
+                    conflicts["compact"] += 1
+                except BaseException as exc:
+                    errors.append(exc)
+                    return
+                stop.wait(0.3)
+
+        t0 = time.perf_counter()
+        threads = [
+            threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+        ]
+        ct = threading.Thread(target=compactor)
+        for t in threads:
+            t.start()
+        ct.start()
+        for t in threads:
+            t.join()
+        stop.set()
+        ct.join()
+        wall = time.perf_counter() - t0
+        assert not errors, errors
+        expect = 1000 + n_writers * n_appends * rows_per
+        got = tbl2.read().count()
+        hist = tbl2.history()
+        n_compacts = sum(1 for e in hist if e["op"] == "compact")
+        log(
+            f"snapshot-stress concurrent: {n_writers} writers x "
+            f"{n_appends} appends ({rows_per} rows each) + compactor in "
+            f"{wall:.1f}s -> rows {got:,} (expected {expect:,}, "
+            f"{'OK' if got == expect else 'MISMATCH'}); "
+            f"{len(hist)} commits, {n_compacts} compactions landed, "
+            f"{conflicts['compact']} compactor conflicts retried away"
+        )
+        assert got == expect, (got, expect)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STRESS_OFFSET = 10_000_000
+# Key columns offset per replica so every table's referential structure is
+# preserved WITHIN a replica and replicas never cross-join. region/nation
+# (25/5-row broadcast dims) stay single-copy — replicating a broadcast dim
+# would change the plan class under test, not just the data volume.
+STRESS_KEYS = {
+    "region": (),
+    "nation": (),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def _build_stress_dir(spark, mult: int, root: str) -> str:
+    """Materialize an input-linear xN copy of the sf tables under
+    ``root/x{mult}``: every keyed table unions N replicas with offset
+    keys; document TEXT gets a per-replica token suffix so duplicated
+    CONTENT does not multiply across replicas — pair-emitting dedup
+    queries then have xN outputs (input-linear), and the sweep measures
+    PLAN scaling, not the clone-cluster blowup (that worst case is
+    covered separately by --stress). Reused across runs via a _DONE
+    marker."""
+    import pyspark.sql.functions as F
+
+    from nibbledb_spark.sources.registry import TABLES, load_table
+
+    out_dir = os.path.join(root, f"x{mult}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for table in TABLES:
+        df = load_table(spark, table, SF_DIR)
+        keys = STRESS_KEYS[table]
+        if mult == 1 or not keys:
+            out = df
+        else:
+            parts = []
+            for k in range(mult):
+                d = df
+                for c in keys:
+                    d = d.withColumn(c, F.col(c) + F.lit(k * STRESS_OFFSET))
+                if table == "documents" and k > 0:
+                    d = d.withColumn(
+                        "text",
+                        F.regexp_replace("text", r"(\S+)", f"$1~r{k}"),
+                    )
+                parts.append(d)
+            out = parts[0]
+            for d in parts[1:]:
+                out = out.unionByName(d)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+    open(marker, "w").close()
+    return out_dir
+
+
+def stress_sweep(spark) -> None:
+    """x1 vs x10 input-linear scaling sweep over the FULL headline set
+    (round-5 verdict #3): per query, warm + median-of-3 at each scale,
+    reporting the scaling exponent log10(t_x10 / t_x1). Exponent <= ~1
+    = corpus-linear or better (fixed per-query overhead deflates it);
+    anything clearly above 1 needs a named cause. Diagnostics to
+    stderr; a one-line JSON summary to stdout."""
+    import tempfile
+
+    from nibbledb_spark.queries import QUERIES
+
+    root = os.path.join(tempfile.gettempdir(), "nibble_stress_sweep")
+    import math
+
+    dirs = {}
+    for mult in (1, 10):
+        t0 = time.perf_counter()
+        dirs[mult] = _build_stress_dir(spark, mult, root)
+        log(f"stress-sweep build x{mult}: {time.perf_counter() - t0:.1f}s")
+
+    results: dict[str, dict] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        per_mult = {}
+        for mult in (1, 10):
+            fn(spark, dirs[mult]).toPandas()  # warm plan + JIT
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, dirs[mult]).toPandas()
+                samples.append(time.perf_counter() - t0)
+            per_mult[mult] = statistics.median(samples)
+        expo = math.log10(per_mult[10] / per_mult[1]) if per_mult[1] > 0 else None
+        results[name] = {
+            "x1_s": round(per_mult[1], 4),
+            "x10_s": round(per_mult[10], 4),
+            "exponent": round(expo, 3),
+        }
+        log(
+            f"stress-sweep {name}: x1 {per_mult[1]:.3f}s  x10 {per_mult[10]:.3f}s"
+            f"  exponent {expo:.2f}"
+        )
+    log("\n| query | x1_s | x10_s | exponent |")
+    log("|---|---|---|---|")
+    for name, r in results.items():
+        log(f"| {name} | {r['x1_s']:.3f} | {r['x10_s']:.3f} | {r['exponent']:.2f} |")
+    print(
+        json.dumps(
+            {
+                "metric": "stress_sweep_exponents",
+                "unit": "log10(t_x10/t_x1)",
+                "queries": results,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+
+
 def main() -> int:
     from nibbledb_spark.queries import ORACLE, QUERIES
     from nibbledb_spark.session import get_spark
@@ -414,6 +648,16 @@ def main() -> int:
     if "--stress" in sys.argv:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         stress_bench(spark)
+        return 0
+
+    if "--stress-sweep" in sys.argv:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        stress_sweep(spark)
+        return 0
+
+    if "--snapshots-stress" in sys.argv:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        snapshot_stress(spark)
         return 0
 
     if "--snapshots" in sys.argv:

@@ -53,11 +53,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Respect the advisory partition size when coalescing instead of
-        # maximizing parallelism: fewer tiny post-shuffle tasks at small
-        # scale, and the Spark-docs-recommended setting when advisory
-        # size is tuned for the cluster.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst=true (Spark's default) — round-6 reversal of
+        # the round-1 "respect advisory size" setting, measured, not
+        # guessed: AQE coalesces a shuffle by its MAP-OUTPUT bytes, which
+        # under-predicts a join's output when the join fans out (shared-
+        # shingle candidate generation explodes ~25x here). With
+        # parallelismFirst=false the x10 ngram_jaccard_pairs input
+        # coalesced to ~1 partition and ran 15.5 s; flipping restores the
+        # cluster's parallelism floor and the same join runs 2.2 s. The
+        # tiny-task overhead this was meant to avoid is bounded by
+        # minPartitionSize (1 MB) and was not measurable in the headline
+        # set; the fan-out serialization is 7x. At 100 TB the same logic
+        # holds — advisory-sized coalescing is only safe when output
+        # size tracks input size, which candidate joins violate.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
