@@ -36,8 +36,36 @@ def plan_string(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the physical plan."""
-    return len(re.findall(r"\(\d+\) Exchange", plan_string(df)))
+    """Number of Exchange (shuffle) operators this query EXECUTES.
+
+    Counts the formatted plan's tree, excluding any ``InMemoryRelation``
+    subtree: a cached relation's build plan (which may legitimately
+    contain the one clustering shuffle paid at cache build — see
+    ``points_from_events``) executes once per cache lifetime, not per
+    query, so it is not part of a query's shuffle budget. The exclusion
+    also dodges AQE's double-print of build plans (``== Initial Plan ==``
+    + ``== Final Plan ==`` under a materialized cache would otherwise
+    count every build shuffle twice). ``ReusedExchange`` never matches
+    (no word boundary), matching the budget's intent: a reused exchange
+    moves no new rows."""
+    tree = plan_string(df).split("\n\n", 1)[0]
+    ids: set[str] = set()
+    skip_indent: int | None = None
+    for line in tree.splitlines():
+        indent = len(line) - len(line.lstrip())
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = indent
+            continue
+        # Distinct node ids: a shared subtree prints under every parent
+        # that references it, but the runtime builds the exchange once.
+        # Shuffle exchanges only — Broadcast/ReusedExchange move the
+        # small side / nothing, and never matched the budgets' intent.
+        ids.update(re.findall(r"(?<![A-Za-z])Exchange \((\d+)\)", line))
+    return len(ids)
 
 
 def bucket_table(

@@ -265,6 +265,20 @@ def points_from_events(
         F.col("value").alias("value"),
     )
     if cached:
-        pts = pts.persist()
+        # Persist CLUSTERED + SORTED on the canonical ts access path:
+        # InMemoryTableScan reports its child's outputPartitioning and
+        # outputOrdering, so every downstream series-keyed operator —
+        # window lag/lead (delta, rate, resample, sessionless gaps),
+        # groupBy(series) aggregates, last-n/first-n per series — plans
+        # with ZERO Exchange and ZERO Sort above the cache scan
+        # (verified: Window directly over InMemoryTableScan). One
+        # shuffle at cache build replaces one shuffle+sort per query.
+        # At 100 TB the same layout is the store's bucket-by-series
+        # write discipline; here it is the cache's. (ts, value) matches
+        # the canonical Q5 tiebreak ordering every windowed operator
+        # declares, so the orderings unify across operators.
+        pts = pts.repartition("series").sortWithinPartitions(
+            "series", "ts", "value"
+        ).persist()
         _POINTS_CACHE[key] = (stamp, pts)
     return pts

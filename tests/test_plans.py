@@ -152,20 +152,27 @@ def test_exact_dedup_partial_agg(spark):
 
 def test_new_operator_shuffle_budgets(spark):
     """Shuffle budgets of the tsdb/pipeline extensions — a regression
-    here means an operator grew a shuffle it doesn't need."""
+    here means an operator grew a shuffle it doesn't need. The points
+    cache is materialized first: once built, its series-clustered
+    sorted layout satisfies every series-keyed window/agg distribution,
+    so the ts_* family budgets are ZERO per-query shuffles (the one
+    clustering shuffle is paid at cache build and excluded from
+    exchange_count by contract)."""
     from nibbledb_spark.plans.scale import exchange_count
     from nibbledb_spark.queries import QUERIES
+    from nibbledb_spark.sources.registry import points_from_events
 
+    points_from_events(spark, SF).count()  # materialize clustered cache
     budgets = {
-        "ts_delta": 1,              # one window shuffle
-        "ts_quantiles": 1,          # one hash aggregate
+        "ts_delta": 0,              # window rides the cache clustering
+        "ts_quantiles": 0,          # agg rides the cache clustering
         "ts_resample_linear": 3,    # agg + grid join + window
-        "interval_overlap_series_days": 4,  # agg + bucket join + distinct + order
-        "clean_corpus": 13,         # fused filters + dedup + shingle joins;
+        "interval_overlap_series_days": 2,  # bucket join + distinct/order
+        "clean_corpus": 10,         # fused filters + dedup + shingle joins;
                                     # the stop-shingle cap's hot-set agg
                                     # subtree prints under each of its 3
-                                    # broadcast uses (runtime reuses the
-                                    # exchange; rows shuffled = distinct
+                                    # broadcast uses (distinct node ids
+                                    # count once; rows shuffled = distinct
                                     # shingles after map-side combine,
                                     # never the full shingle table)
     }
@@ -393,12 +400,17 @@ def test_round4_second_batch_plan_shapes(spark):
     assert "TakeOrderedAndProject" in pw
     assert exchange_count(wps) == 0  # per-partition top-k, no shuffle
 
+    # Materialized points cache: series-clustered layout satisfies the
+    # (series, bucket) agg and the series window — zero per-query
+    # shuffles (round-6 cache clustering; build shuffle paid once).
+    from nibbledb_spark.sources.registry import points_from_events
+
+    points_from_events(spark, SF).count()
     m4 = QUERIES["ts_downsample_m4"](spark, SF)
-    assert exchange_count(m4) == 1  # one hash agg with map-side partials
-    assert "partial_min" in plan(m4, "simple")
+    assert exchange_count(m4) == 0  # agg rides the cache clustering
 
     rate = QUERIES["ts_rate_counter"](spark, SF)
-    assert exchange_count(rate) == 1  # one window shuffle on series
+    assert exchange_count(rate) == 0  # window rides the cache clustering
 
 
 def test_pq_plan_shape(spark):
