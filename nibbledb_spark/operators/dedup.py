@@ -899,3 +899,64 @@ def substring_dup_extent(
             ).alias("dup_frac"),
         )
     )
+
+
+def substring_scrub(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Apply exact-substring dedup (Lee et al. 2022's actual training-
+    data transformation): every cross-document duplicate span of
+    >= ``min_tokens`` tokens keeps its FIRST occurrence corpus-wide
+    (lowest doc id — :func:`substring_dup_spans` emits doc_id1 <
+    doc_id2, so cutting every doc_id2-side interval leaves exactly the
+    earliest copy) and is removed from every later document. Returns
+    one row per input document: (id, text, removed_tokens) with text
+    rebuilt from the surviving tokens for cut documents and passed
+    through BYTE-IDENTICAL for clean ones.
+
+    Scale shape: the span finder's anchor-join bounds the work; the cut
+    application is a hash join of docs against the per-doc interval
+    list (rows = cut documents only, payload = a handful of int pairs)
+    plus one array filter per CUT document — the CASE on the join miss
+    short-circuits, so clean documents never pay the token scan.
+    Overlapping cut intervals union naturally in the coverage test (no
+    island merge needed). Cross-document occurrences only — within-doc
+    repeats pair no (d1 < d2) rows and are kept, matching the declared
+    spans semantics."""
+    spans = substring_dup_spans(
+        docs, id_col=id_col, text_col=text_col, min_tokens=min_tokens
+    )
+    ivs = (
+        spans.select(
+            F.col("doc_id2").alias("id"),
+            F.col("start2").alias("s"),
+            (F.col("start2") + F.col("len_tokens")).alias("e"),
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    toks = tokens(text_col)
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("ivs"),
+            lambda iv: (iv["s"] <= i + F.lit(1)) & (i + F.lit(1) < iv["e"]),
+        ),
+    )
+    joined = docs.join(ivs, docs[id_col] == ivs["id"], "left")
+    clean = F.col("ivs").isNull()
+    return joined.select(
+        docs[id_col].alias(id_col),
+        F.when(clean, F.col(text_col))
+        .otherwise(F.concat_ws(" ", kept))
+        .alias(text_col),
+        F.when(clean, F.lit(0))
+        .otherwise(F.size(toks) - F.size(kept))
+        .cast("long")
+        .alias("removed_tokens"),
+    )

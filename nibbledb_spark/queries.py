@@ -1958,6 +1958,55 @@ def dedup_substring_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "dedup_substring_scrub",
+    _SUBSTRING_SPAN_CTES
+    + r"""
+, cuts AS (
+  SELECT DISTINCT doc_id2 AS id, start2 AS s, start2 + len_tokens AS e
+  FROM spans
+),
+toks AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, w[pos] AS tok
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM t)
+),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM toks tk
+  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                    WHERE c.id = tk.doc_id
+                      AND tk.pos >= c.s AND tk.pos < c.e)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS new_text,
+         count(*) AS kept_n
+  FROM kept GROUP BY doc_id
+),
+cutdocs AS (SELECT DISTINCT id FROM cuts)
+SELECT d.doc_id,
+       CASE WHEN c.id IS NULL THEN d.text
+            ELSE COALESCE(r.new_text, '') END AS text,
+       CAST(CASE WHEN c.id IS NULL THEN 0
+                 ELSE len(string_split_regex(d.text, '\s+'))
+                      - COALESCE(r.kept_n, 0) END AS BIGINT)
+         AS removed_tokens
+FROM documents d
+LEFT JOIN cutdocs c ON d.doc_id = c.id
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+""",
+)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED (Lee et al. 2022's training-data
+    transformation, not just the report): each >= 15-token duplicate
+    span keeps its first occurrence corpus-wide and is cut from every
+    later document, text rebuilt from surviving tokens (clean docs pass
+    through byte-identical). One row per input document with the
+    removed-token count."""
+    from nibbledb_spark.operators.dedup import substring_scrub
+
+    return substring_scrub(_t(spark, sf_dir, "documents"), min_tokens=15)
+
+
 @declared("near_dup_components_star", ORACLE["near_dup_components"])
 def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same transitive closure computed by the O(log n)

@@ -2271,3 +2271,50 @@ def test_decoder_fuzz_never_escapes_contract(spark):
     )
     for _ in range(150):
         fuzz_one(wav, decode_audio)
+
+
+def test_substring_scrub_keeps_first_occurrence(spark):
+    """Applying span dedup: the earliest doc keeps the duplicated
+    paragraph, every later doc loses exactly those tokens, clean docs
+    pass through byte-identical (whitespace untouched)."""
+    from nibbledb_spark.operators.dedup import substring_scrub
+
+    para = " ".join(f"shared{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one two " + para + " unique tail alpha"),
+            (2, "different opening words here " + para + " omega closing"),
+            (3, "totally   unrelated\tcontent entirely"),  # odd whitespace
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_scrub(docs, min_tokens=15).collect()}
+    # doc 1 (lowest id) keeps its copy, nothing removed
+    assert out[1]["removed_tokens"] == 0
+    assert "shared0" in out[1]["text"]
+    # doc 2 loses exactly the 20 duplicated tokens; its own context stays
+    assert out[2]["removed_tokens"] == 20
+    assert "shared0" not in out[2]["text"] and "shared19" not in out[2]["text"]
+    assert out[2]["text"] == "different opening words here omega closing"
+    # clean doc passes through byte-identical (tabs / runs preserved)
+    assert out[3]["text"] == "totally   unrelated\tcontent entirely"
+    assert out[3]["removed_tokens"] == 0
+
+
+def test_substring_scrub_chain_keeps_only_earliest(spark):
+    """A span shared by three documents survives only in the earliest
+    one: both later docs are cut (pairwise spans cover every later
+    occurrence, not just the adjacent pair)."""
+    from nibbledb_spark.operators.dedup import substring_scrub
+
+    para = " ".join(f"p{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(i, f"ctx{i}a ctx{i}b " + para + f" end{i}") for i in (1, 2, 3)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_scrub(docs, min_tokens=15).collect()}
+    assert out[1]["removed_tokens"] == 0 and "p0" in out[1]["text"]
+    for d in (2, 3):
+        assert out[d]["removed_tokens"] == 16
+        assert "p0" not in out[d]["text"]
+        assert out[d]["text"] == f"ctx{d}a ctx{d}b end{d}"
