@@ -960,3 +960,66 @@ def substring_scrub(
         .cast("long")
         .alias("removed_tokens"),
     )
+
+
+def substring_self_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+) -> DataFrame:
+    """All maximal WITHIN-document exact repeat spans of length >=
+    ``min_tokens`` tokens: (id, start1, start2, len_tokens) with
+    start1 < start2 — the intra-document half of Lee et al. 2022's
+    span dedup (boilerplate repeated inside one page), which the
+    cross-document :func:`substring_dup_spans` excludes by its
+    d1 < d2 pairing. Same anchor-hash machinery: the self equi-join
+    pairs a document's anchors against its own later occurrences, and
+    runs merge per (id, offset-between-occurrences) diagonal. A k-fold
+    repeat reports all C(k,2) occurrence pairs, exactly like the
+    cross-doc operator reports document pairs."""
+    from pyspark.sql import Window
+
+    k = min_tokens
+    anch = substring_anchor_rows(
+        docs, id_col=id_col, text_col=text_col, min_tokens=k
+    ).persist()
+    a = anch.select("id", F.col("pos").alias("p1"), "h")
+    b = anch.select("id", F.col("pos").alias("p2"), "h")
+    # join key is (h, id) — not h alone with an id post-filter: the
+    # equi-join must never materialize cross-document anchor pairs
+    # here, and the composite key also keeps one hot anchor hash
+    # spread over documents instead of one shuffle partition
+    hits = (
+        a.join(b, ["h", "id"])
+        .where(F.col("p1") < F.col("p2"))
+        .select("id", "p1", "p2", (F.col("p2") - F.col("p1")).alias("diag"))
+    )
+    wd = Window.partitionBy("id", "diag").orderBy("p1")
+    flagged = hits.withColumn(
+        "is_start",
+        F.when(F.lag("p1").over(wd) == F.col("p1") - 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("is_start").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("id", "diag", "run_id")
+        .agg(
+            F.min("p1").alias("s1"),
+            F.min("p2").alias("s2"),
+            (F.max("p1") - F.min("p1") + F.lit(k)).alias("len_tokens"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("s1").cast("long").alias("start1"),
+            F.col("s2").cast("long").alias("start2"),
+            F.col("len_tokens").cast("long").alias("len_tokens"),
+        )
+    )

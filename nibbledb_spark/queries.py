@@ -2007,6 +2007,55 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_scrub(_t(spark, sf_dir, "documents"), min_tokens=15)
 
 
+@declared(
+    "dedup_substring_self_spans",
+    r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+),
+anch AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(w[pos:pos+2], ' ')) AS h
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS pos FROM t)
+),
+hits AS (
+  SELECT a.doc_id AS id, a.pos AS p1, b.pos AS p2, b.pos - a.pos AS diag
+  FROM anch a JOIN anch b
+    ON a.h = b.h AND a.doc_id = b.doc_id AND a.pos < b.pos
+),
+flagged AS (
+  SELECT id, p1, p2, diag,
+         CASE WHEN lag(p1) OVER (PARTITION BY id, diag ORDER BY p1) = p1 - 1
+              THEN 0 ELSE 1 END AS is_start
+  FROM hits
+),
+runs AS (
+  SELECT id, p1, p2, diag,
+         sum(is_start) OVER (PARTITION BY id, diag ORDER BY p1
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged
+)
+SELECT id AS doc_id,
+       CAST(min(p1) AS BIGINT) AS start1,
+       CAST(min(p2) AS BIGINT) AS start2,
+       CAST(max(p1) - min(p1) + 3 AS BIGINT) AS len_tokens
+FROM runs
+GROUP BY id, diag, run_id
+""",
+)
+def dedup_substring_self_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document exact repeat spans — the intra-doc half of the
+    Lee et al. 2022 span family (cross-doc spans pair d1 < d2 and
+    exclude these): maximal repeated token runs per document via the
+    same anchor-hash + diagonal run-merge machinery, joined on
+    (anchor, doc) so cross-document pairs never materialize. Declared
+    at min_tokens=3 — the synthetic corpus's natural intra-doc repeat
+    scale (trigram echoes); a production boilerplate pass runs 50."""
+    from nibbledb_spark.operators.dedup import substring_self_spans
+
+    return substring_self_spans(_t(spark, sf_dir, "documents"), min_tokens=3)
+
+
 @declared("near_dup_components_star", ORACLE["near_dup_components"])
 def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same transitive closure computed by the O(log n)

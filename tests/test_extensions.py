@@ -2318,3 +2318,40 @@ def test_substring_scrub_chain_keeps_only_earliest(spark):
         assert out[d]["removed_tokens"] == 16
         assert "p0" not in out[d]["text"]
         assert out[d]["text"] == f"ctx{d}a ctx{d}b end{d}"
+
+
+def test_substring_self_spans_intra_doc_repeat(spark):
+    """Intra-doc half of the span family: a paragraph repeated inside
+    ONE document is invisible to cross-doc spans (no d1 < d2 pair) but
+    must be reported by substring_self_spans as one maximal span pair;
+    a triple repeat reports all three occurrence pairs."""
+    from nibbledb_spark.operators.dedup import (
+        substring_dup_spans,
+        substring_self_spans,
+    )
+
+    para = " ".join(f"b{i}" for i in range(16))
+    tri = " ".join(f"c{i}" for i in range(16))  # distinct from para:
+    # docs 1 and 3 must not share text, or cross-doc spans would exist
+    docs = spark.createDataFrame(
+        [
+            (1, "head one two " + para + " mid three " + para + " tail"),
+            (2, "clean document with no internal repetition at all"),
+            (3, "x " + tri + " y " + tri + " z " + tri + " w"),
+        ],
+        "doc_id long, text string",
+    )
+    assert substring_dup_spans(docs, min_tokens=15).count() == 0
+    out = substring_self_spans(docs, min_tokens=15).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: tokens head,one,two (3) -> first para at 4..19, "mid three"
+    # -> second para at 22..37: one pair, len 16
+    assert len(by_doc[1]) == 1
+    s = by_doc[1][0]
+    assert (s["start1"], s["start2"], s["len_tokens"]) == (4, 22, 16)
+    assert 2 not in by_doc
+    # doc 3: three occurrences -> C(3,2) = 3 pairs, each len 16
+    assert len(by_doc[3]) == 3
+    assert all(r["len_tokens"] == 16 for r in by_doc[3])
