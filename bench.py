@@ -444,6 +444,24 @@ def snapshot_stress(spark) -> None:
             f"{time.perf_counter() - t_total0:.1f}s "
             f"({max(probe_at) / (time.perf_counter() - t_total0):.1f} commits/s)"
         )
+        # The age curve above is FILE-COUNT cost, not manifest cost
+        # (each append leaves multiple small files); compaction is the
+        # designed answer — measure the same head read after one pass.
+        n_files_before = len(tbl.files())
+        t0 = time.perf_counter()
+        tbl.compact(target_files=8)
+        t_compact = time.perf_counter() - t0
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = tbl.read().count()
+            samples.append(time.perf_counter() - t0)
+        log(
+            f"snapshot-stress post-compact: {n_files_before} files -> 8 "
+            f"in {t_compact:.1f}s; head read "
+            f"{statistics.median(samples):.3f}s ({n:,} rows, "
+            f"{max(probe_at) + 1} versions)"
+        )
 
         # --- (b) concurrent appenders + compactor ----------------------
         tbl2 = SnapshotLog(
@@ -505,6 +523,9 @@ def snapshot_stress(spark) -> None:
             f"{conflicts['compact']} compactor conflicts retried away"
         )
         assert got == expect, (got, expect)
+        # the rebasing commit must keep the compactor LIVE under load —
+        # before it, version-CAS starved every attempt (0 landed)
+        assert n_compacts > 0, "compactor starved: no compaction landed"
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -129,8 +129,41 @@ def test_commit_conflict_semantics(spark, log):
     log._publish = racing_publish
     # blind append retries past both stolen versions and lands after them
     assert log.append(_df(spark, 10, 20)) == 3
-    # non-append ops must NOT retry blindly: losing the race is a conflict
+    # a REWRITE op rebases over concurrent appends (they only add files,
+    # its inputs are untouched) and lands after them — the Delta-style
+    # logical conflict rule; version-CAS-only would starve the compactor
+    # under any sustained write load (measured in bench --snapshots-stress)
     steals["n"] = 0
+    v = log.compact()
+    assert log.history()[0]["op"] == "compact" and v == log.latest_version()
+    assert log.read().count() == 20  # appends + rewrite both live
+
+
+def test_compact_conflicts_on_concurrent_rewrite(spark, log):
+    """The rebase rule's other half: an intervening entry that itself
+    REMOVED files (another compact / a delete / an overwrite) may have
+    covered this compaction's inputs — that is a real conflict and must
+    raise, never silently resurrect rewritten files."""
+    log.append(_df(spark, 0, 10))
+    log.append(_df(spark, 10, 20))
+    real_publish = log._publish
+    stole = {"done": False}
+
+    def racing_publish(entry):
+        if entry.op == "compact" and not stole["done"]:
+            stole["done"] = True
+            # a concurrent deleter rewrites (removes) a live file first
+            victim = log.files()[0].path
+            stolen = json.dumps(
+                {"version": entry.version, "op": "delete", "ts_us": 0,
+                 "add": [], "remove": [victim], "schema_json": None,
+                 "meta": {}}
+            )
+            with open(log._log_path(f"{entry.version:020d}.json"), "w") as f:
+                f.write(stolen)
+        return real_publish(entry)
+
+    log._publish = racing_publish
     with pytest.raises(CommitConflict):
         log.compact()
 
