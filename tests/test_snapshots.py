@@ -750,3 +750,35 @@ def test_restore_change_feed_reports_only_reintroduced_rows(spark, log):
     ins = log.inserts_between(2, 3)
     assert sorted(r["id"] for r in ins.collect()) == list(range(50, 60))
     assert log.read().count() == 60
+
+
+def test_optimize_write_coalesces_small_appends(spark, tmp_path):
+    """optimizeWrite: a small commit from a many-partition frame must
+    not fragment the table (the file-count pathology the snapshot
+    stress measures); a commit already larger than the target keeps
+    its parallel files."""
+    log = SnapshotLog(
+        spark, str(tmp_path / "ow"), checkpoint_every=4,
+        target_file_bytes=1 << 20,
+    )
+    log.append(spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(16))
+    assert len(log.files()) == 1  # ~kB of data: 16 task files -> 1
+    assert log.read().count() == 1000
+
+    # a commit whose bytes exceed the target keeps multiple files:
+    # lower the target below this batch's size instead of writing GBs
+    log2 = SnapshotLog(
+        spark, str(tmp_path / "ow2"), checkpoint_every=4,
+        target_file_bytes=1,
+    )
+    log2.append(spark.range(1000).selectExpr("id", "id * 2 AS v").repartition(4))
+    assert len(log2.files()) == 4  # want >= written: untouched
+    assert log2.read().count() == 1000
+
+    # disabled: fragmentation preserved verbatim
+    log3 = SnapshotLog(
+        spark, str(tmp_path / "ow3"), checkpoint_every=4,
+        target_file_bytes=0,
+    )
+    log3.append(spark.range(100).selectExpr("id", "id * 2 AS v").repartition(8))
+    assert len(log3.files()) == 8
