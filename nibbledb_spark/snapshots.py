@@ -668,14 +668,18 @@ class SnapshotLog:
             [os.path.join(self.root, p) for p in sorted(hit)], schema_json
         ).where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
         add = self._write_files(keep)
-        return self._commit(
+        # rebasing commit: a concurrent append's files are disjoint from
+        # this delete's hit set, so the rewrite stays valid — the delete
+        # applies to the snapshot it read (WriteSerializable semantics:
+        # concurrently-appended rows survive even when they match the
+        # predicate, same contract as Delta's default isolation)
+        return self._commit_rebasing(
             "delete",
             add,
             sorted(hit),
             schema_json,
             {"predicate": predicate, "rewritten_files": len(hit)},
-            expected_version=head + 1,
-            retry_append=False,
+            base_head=head,
         )
 
     def merge(self, updates: DataFrame, key_cols: list[str]) -> int:
@@ -821,14 +825,16 @@ class SnapshotLog:
             [os.path.join(self.root, p) for p in sorted(hit)], schema_json
         ).join(F.broadcast(kset), key_cols, "left_anti")
         add = self._write_files(survivors)
-        return self._commit(
+        # rebases over concurrent appends — same snapshot-scope contract
+        # as delete_where (see there); key rows appended concurrently
+        # are NOT covered by this call, by design
+        return self._commit_rebasing(
             "delete",
             add,
             sorted(hit),
             schema_json,
             {"key_cols": key_cols, "rewritten_files": len(hit)},
-            expected_version=head + 1,
-            retry_append=False,
+            base_head=head,
         )
 
     def compact(
@@ -913,18 +919,23 @@ class SnapshotLog:
         """Commit a file-REWRITE operation with logical conflict
         resolution (the Delta/Iceberg optimistic-concurrency rule)
         instead of the version-CAS-only rule: losing the version race
-        does not invalidate a compaction — a concurrent APPEND only
+        does not invalidate a file rewrite — a concurrent APPEND only
         adds files, so the rewrite's inputs are untouched and the
         commit simply rebases to the new head (appends stay live
-        alongside the rewritten set). Without this, a compactor under
-        continuous write load NEVER lands (measured: 4 writers starved
-        every attempt across a 25 s stress), which is exactly when a
-        100 TB table needs compaction most. A real conflict — any
-        intervening entry that itself removed files (another compact, a
-        delete, an overwrite/restore) or changed the table schema —
-        still raises ``CommitConflict``: its removals may cover our
-        inputs, and committing our pre-evolution schema would regress
-        an evolved table."""
+        alongside the rewritten set). Used by compact / delete_where /
+        delete_keys; their scope is the snapshot they read
+        (WriteSerializable: a delete does not cover concurrently
+        appended rows). Without this, a compactor under continuous
+        write load NEVER lands (measured: 4 writers starved every
+        attempt across a 25 s stress), which is exactly when a 100 TB
+        table needs compaction most. A real conflict — any intervening
+        entry that itself removed files (a racing compact/delete/
+        overwrite/restore) or changed the table schema — still raises
+        ``CommitConflict``: its removals may cover our inputs, and
+        committing our pre-evolution schema would regress an evolved
+        table. MERGE deliberately keeps strict version-CAS: its
+        correctness reads the WHOLE key space (matched rows must not be
+        missed), so any concurrent commit invalidates its read set."""
         expected = base_head + 1
         while True:
             try:

@@ -782,3 +782,32 @@ def test_optimize_write_coalesces_small_appends(spark, tmp_path):
     )
     log3.append(spark.range(100).selectExpr("id", "id * 2 AS v").repartition(8))
     assert len(log3.files()) == 8
+
+
+def test_delete_rebases_over_concurrent_append(spark, log):
+    """delete_where rides the same rebasing commit as compact: a
+    concurrent append's files are disjoint from the delete's hit set,
+    so losing the version race rebases instead of failing — and the
+    concurrently appended rows survive even when they match the
+    predicate (snapshot-scope semantics, Delta WriteSerializable)."""
+    log.append(_df(spark, 0, 50))
+    real_publish = log._publish
+    stole = {"done": False}
+
+    def racing_publish(entry):
+        if entry.op == "delete" and not stole["done"]:
+            stole["done"] = True
+            # concurrent append lands first — its rows ALSO match the
+            # delete predicate (id >= 40) but are outside its snapshot
+            log._publish = real_publish
+            log.append(_df(spark, 50, 60))
+            log._publish = racing_publish
+        return real_publish(entry)
+
+    log._publish = racing_publish
+    log.delete_where("id >= 40")
+    assert log.history()[0]["op"] == "delete"
+    # snapshot rows [40,50) deleted; concurrent [50,60) append survives
+    assert sorted(r["id"] for r in log.read().collect()) == list(
+        range(40)
+    ) + list(range(50, 60))
