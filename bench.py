@@ -594,6 +594,97 @@ def _build_stress_dir(spark, mult: int, root: str) -> str:
     return out_dir
 
 
+DEEP_QUERIES = (
+    "lsh_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_substring_spans",
+)
+
+
+def stress_deep(spark) -> None:
+    """x1 / x10 / x100 two-decade scaling for the candidate-join dedup
+    trio — the three headline queries whose work is genuinely ~linear
+    in candidates and whose sweep exponents sit highest (0.45-0.78 at
+    x10). Replicates ONLY the documents table (these pipelines read
+    nothing else), per-replica-salted like the sweep so output stays
+    input-linear. Reports the per-decade exponent; both decades <= ~1
+    = the plans hold through 500k docs. One JSON line to stdout."""
+    import math
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from nibbledb_spark.queries import QUERIES
+    from nibbledb_spark.sources.registry import load_table
+
+    root = os.path.join(tempfile.gettempdir(), "nibble_stress_deep")
+    dirs: dict[int, str] = {}
+    for mult in (1, 10, 100):
+        out_dir = os.path.join(root, f"x{mult}")
+        marker = os.path.join(out_dir, "_DONE")
+        dirs[mult] = out_dir
+        if os.path.exists(marker):
+            continue
+        os.makedirs(out_dir, exist_ok=True)
+        df = load_table(spark, "documents", SF_DIR)
+        parts = []
+        for k in range(mult):
+            d = df.withColumn("doc_id", F.col("doc_id") + F.lit(k * STRESS_OFFSET))
+            if k > 0:
+                d = d.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1~r{k}")
+                )
+            parts.append(d)
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d)
+        t0 = time.perf_counter()
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "documents.parquet")
+        )
+        open(marker, "w").close()
+        log(f"stress-deep build x{mult}: {time.perf_counter() - t0:.1f}s")
+
+    results: dict[str, dict] = {}
+    for name in DEEP_QUERIES:
+        fn = QUERIES[name]
+        per = {}
+        for mult in (1, 10, 100):
+            fn(spark, dirs[mult]).toPandas()  # warm
+            samples = []
+            for _ in range(3 if mult < 100 else 2):
+                t0 = time.perf_counter()
+                n = len(fn(spark, dirs[mult]).toPandas())
+                samples.append(time.perf_counter() - t0)
+            per[mult] = statistics.median(samples)
+            log(f"stress-deep {name} x{mult}: {per[mult]:.3f}s ({n:,} rows)")
+        results[name] = {
+            "x1_s": round(per[1], 4),
+            "x10_s": round(per[10], 4),
+            "x100_s": round(per[100], 4),
+            "exp_decade1": round(math.log10(per[10] / per[1]), 3),
+            "exp_decade2": round(math.log10(per[100] / per[10]), 3),
+        }
+    log("\n| query | x1_s | x10_s | x100_s | exp d1 | exp d2 |")
+    log("|---|---|---|---|---|---|")
+    for name, r in results.items():
+        log(
+            f"| {name} | {r['x1_s']:.3f} | {r['x10_s']:.3f} | "
+            f"{r['x100_s']:.3f} | {r['exp_decade1']:.2f} | "
+            f"{r['exp_decade2']:.2f} |"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "stress_deep_exponents",
+                "unit": "log10 per decade",
+                "queries": results,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+
+
 def stress_sweep(spark) -> None:
     """x1 vs x10 input-linear scaling sweep over the FULL headline set
     (round-5 verdict #3): per query, warm + median-of-3 at each scale,
@@ -669,6 +760,11 @@ def main() -> int:
     if "--stress" in sys.argv:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         stress_bench(spark)
+        return 0
+
+    if "--stress-deep" in sys.argv:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        stress_deep(spark)
         return 0
 
     if "--stress-sweep" in sys.argv:
