@@ -284,3 +284,53 @@ def test_jpeg_round_trip_property(h8, w8, oh, ow, seed, subsample, ri):
         seq = decode_image(_jpeg_bytes(rgb))
         prog = decode_image(_jpeg_progressive_bytes(rgb, restart_interval=ri))
         assert np.array_equal(prog, seq), (h, w, ri)
+
+
+# --- exact-substring span family: planted-span recovery ----------------
+
+span_params = st.tuples(
+    st.integers(min_value=15, max_value=40),   # planted span length
+    st.integers(min_value=0, max_value=30),    # doc-1 prefix length
+    st.integers(min_value=0, max_value=30),    # doc-2 prefix length
+    st.integers(min_value=0, max_value=20),    # doc-1 suffix length
+    st.integers(min_value=0, max_value=20),    # doc-2 suffix length
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(params=span_params)
+def test_substring_span_planted_recovery(spark, params):
+    """Property: a span of L >= 15 globally-unique tokens planted in two
+    documents whose other tokens are document-unique is recovered as
+    EXACTLY one maximal span with exact offsets and length — no
+    over-merge, no truncation, no phantom pairs — and scrub removes
+    exactly the later copy."""
+    from nibbledb_spark.operators.dedup import (
+        substring_dup_spans,
+        substring_scrub,
+    )
+
+    span_len, p1, p2, s1_len, s2_len = params
+    shared = [f"sh{i}" for i in range(span_len)]
+    d1 = [f"a{i}" for i in range(p1)] + shared + [f"z{i}" for i in range(s1_len)]
+    d2 = [f"b{i}" for i in range(p2)] + shared + [f"y{i}" for i in range(s2_len)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(d1)), (2, " ".join(d2))], "doc_id long, text string"
+    )
+    spans = substring_dup_spans(docs, min_tokens=15).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s["doc_id1"], s["doc_id2"]) == (1, 2)
+    assert (s["start1"], s["start2"]) == (p1 + 1, p2 + 1)  # 1-based
+    assert s["len_tokens"] == span_len
+    out = {r["doc_id"]: r for r in substring_scrub(docs, min_tokens=15).collect()}
+    assert out[1]["removed_tokens"] == 0
+    assert out[1]["text"] == " ".join(d1)
+    assert out[2]["removed_tokens"] == span_len
+    assert out[2]["text"] == " ".join(
+        [f"b{i}" for i in range(p2)] + [f"y{i}" for i in range(s2_len)]
+    )
