@@ -4319,6 +4319,245 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q21_SQL)
 
 
+# The remaining TPC-H shapes feasible on this synthetic schema. The
+# testdata is TPC-H-ISH: there is NO partsupp table and lineitem/
+# customer/part lack commitdate/receiptdate/shipmode/container/phone —
+# so Q2/Q4/Q11/Q12/Q16/Q17/Q19/Q20/Q22 cannot be posed faithfully
+# (their defining predicate columns do not exist), and Q13's
+# left-join-count-distribution shape is already declared as
+# join_outer_order_histogram. Q6/Q8/Q14/Q15 below complete the set.
+
+
+@declared(
+    "q6_forecast_revenue",
+    f"""
+SELECT {_ssum_sql('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan query —
+    filter on three columns, one global sum, no join. Every predicate
+    reaches the parquet scan as a pushed filter (range on shipdate,
+    range on discount, bound on quantity), which is the point of the
+    shape: at 100 TB this is an I/O-bound scan whose row-group pruning
+    does the work. Double literals compare against the same stored
+    parquet doubles on both engines, so the boundary rows agree
+    exactly; the sum is the usual scaled-long form."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _ssum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@declared(
+    "q8_national_market_share",
+    """
+WITH base AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+              AS BIGINT) AS vol_s,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol_s ELSE 0 END)
+            AS DOUBLE)
+         / CAST(SUM(vol_s) AS DOUBLE) AS mkt_share
+FROM base GROUP BY o_year ORDER BY o_year
+""",
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the deepest join tree in the
+    suite — 8 relations, nation joined TWICE under different roles
+    (customer's nation restricts the market region; supplier's nation
+    is the share dimension). Only the fixed-size dims (nation x2,
+    region) broadcast by hint; part/supplier/customer strategies are
+    left to AQE for the same OOM-at-scale reason as q5. The share is a
+    ratio of two conditional scaled-long sums — both engines divide
+    the same exact integers, so the doubles match bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol_s = _scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    )
+    base = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_reg") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol_s.alias("vol_s"),
+            "supp_nation",
+        )
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("vol_s")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("double")
+            .alias("num"),
+            F.sum("vol_s").cast("double").alias("den"),
+        )
+        .select(
+            "o_year", (F.col("num") / F.col("den")).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@declared(
+    "q14_promo_revenue",
+    """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                                        * 10000 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                               * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-02-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue): one month of lineitem joined to part,
+    conditional-over-total revenue ratio. The shipdate range pushes to
+    the fact scan BEFORE the join (the month is the selective side);
+    part's strategy is AQE's call. Ratio of conditional scaled-long
+    sums, same exactness argument as q8."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol_s = _scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.when(F.col("p_type") == "PROMO", vol_s).otherwise(F.lit(0)).alias(
+                "promo_s"
+            ),
+            vol_s.alias("vol_s"),
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum("promo_s").cast("double")
+                / F.sum("vol_s").cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@declared(
+    "q15_top_supplier",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000 + 0.5)
+                  AS BIGINT)) AS total_s
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(total_s AS DOUBLE) / 10000 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_s = (SELECT MAX(total_s) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the view-plus-global-max shape. The
+    quarter's per-supplier revenue aggregate is computed once and
+    joined against its own scalar max — expressed as an aggregate
+    cross-joined back (one row broadcast), NOT a global window, so
+    nothing ever single-partitions. The max comparison happens on the
+    scaled-long INTEGER (ties are exact on both engines by
+    construction; the spec's 'all tied suppliers' semantics need exact
+    equality, which doubles would not give)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            _scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        ).alias("total_s")
+    )
+    top = rev.agg(F.max("total_s").alias("max_s"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.total_s == F.col("max_s"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_s").cast("double") / F.lit(10000)).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 # 6-hour inactivity gap: events span one month with median per-user gap
 # ~7.3 h, so this threshold actually splits AND actually merges.
 _SESSION_GAP_US = 6 * 3600 * 1_000_000

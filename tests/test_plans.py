@@ -584,3 +584,32 @@ def test_round6_substring_dedup_plan_shapes(spark):
     ext = QUERIES["dedup_substring_extent"](spark, SF)
     pe = plan(ext, "simple")
     assert "NestedLoop" not in pe and "CartesianProduct" not in pe
+
+
+def test_round6_tpch_plan_shapes(spark):
+    """Plan pins for the round-6 TPC-H completions: q6 must push every
+    predicate to the parquet scan (it IS the pushed-filter query); the
+    three join queries must never nested-loop and must broadcast their
+    fixed-size dims; q15's scalar-max comparison must be a broadcast
+    equi-join (one row), not a window or cartesian."""
+    from nibbledb_spark.plans.scale import exchange_count
+    from nibbledb_spark.queries import QUERIES
+
+    q6 = QUERIES["q6_forecast_revenue"](spark, SF)
+    p6 = plan(q6)
+    assert "GreaterThanOrEqual(l_shipdate" in p6
+    assert "LessThan(l_quantity" in p6  # all three predicates pushed
+    assert exchange_count(q6) <= 1  # single global-agg exchange
+
+    for name in (
+        "q8_national_market_share",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+    ):
+        p = plan(QUERIES[name](spark, SF), "simple")
+        assert "BroadcastHashJoin" in p
+        assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+    # q8: the two fact shuffles only (dims broadcast; year-agg reuses)
+    assert exchange_count(QUERIES["q8_national_market_share"](spark, SF)) <= 3
+    assert "Window" not in plan(QUERIES["q15_top_supplier"](spark, SF), "simple")
