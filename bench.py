@@ -451,13 +451,15 @@ def snapshot_stress(spark) -> None:
         t0 = time.perf_counter()
         tbl.compact(target_files=8)
         t_compact = time.perf_counter() - t0
+        n_files_after = len(tbl.files())
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             n = tbl.read().count()
             samples.append(time.perf_counter() - t0)
         log(
-            f"snapshot-stress post-compact: {n_files_before} files -> 8 "
+            f"snapshot-stress post-compact: {n_files_before} files -> "
+            f"{n_files_after} "
             f"in {t_compact:.1f}s; head read "
             f"{statistics.median(samples):.3f}s ({n:,} rows, "
             f"{max(probe_at) + 1} versions)"

@@ -272,7 +272,9 @@ class SnapshotLog:
 
     # -- write path --------------------------------------------------------
 
-    def _write_files(self, df: DataFrame) -> list[FileEntry]:
+    def _write_files(
+        self, df: DataFrame, *, optimize: bool = True
+    ) -> list[FileEntry]:
         """Materialize ``df`` as immutable parquet files under data/ and
         collect per-file stats in ONE metadata pass over the fresh files.
 
@@ -294,7 +296,12 @@ class SnapshotLog:
         # bytes fit fewer target-size files than were written, rewrite
         # coalesced before the stats pass — the rewrite re-reads only
         # this commit's (small by definition) data, never the table.
-        sub, out = self._coalesce_small_write(sub, out)
+        # ``optimize=False`` preserves the frame's file layout verbatim:
+        # compact() already chose its target_files, and a caller
+        # clustering a write for stats pruning (Z-order) means the
+        # multi-file layout — same opt-out Delta's optimizeWrite has.
+        if optimize:
+            sub, out = self._coalesce_small_write(sub, out)
         back = self.spark.read.parquet(out)
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in self.stats_cols:
@@ -482,6 +489,7 @@ class SnapshotLog:
         *,
         meta: dict | None = None,
         merge_schema: bool = False,
+        optimize_write: bool = True,
     ) -> int:
         """Commit ``df`` as new files. Never rewrites existing data;
         safe under concurrent appends (auto-retries the version race).
@@ -508,7 +516,7 @@ class SnapshotLog:
         rather than in ``_commit``'s blind-append path."""
         head = self.latest_version()
         schema_json = self._append_schema_json(df, head, merge_schema)
-        add = self._write_files(df)
+        add = self._write_files(df, optimize=optimize_write)
         m = {"rows": sum(a.rows for a in add)}
         if meta:
             m.update(meta)
@@ -892,7 +900,7 @@ class SnapshotLog:
             )
         else:
             df = df.coalesce(max(1, target_files))
-        add = self._write_files(df)
+        add = self._write_files(df, optimize=False)
         return self._commit_rebasing(
             "compact",
             add,

@@ -129,8 +129,13 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         "CAST(id % 256 AS INT) AS x", "CAST(id DIV 256 AS INT) AS y"
     )
     linear = SnapshotLog(spark, str(tmp_path / "lin"), stats_cols=("x", "y"))
+    # optimize_write=False: these appends' multi-file layout IS the
+    # point (per-file stats pruning); optimizeWrite would coalesce the
+    # small grid into one file — the documented opt-out for clustered
+    # writes, same contract as Delta's optimizeWrite toggle
     linear.append(
-        grid.repartitionByRange(n_files, "x", "y").sortWithinPartitions("x", "y")
+        grid.repartitionByRange(n_files, "x", "y").sortWithinPartitions("x", "y"),
+        optimize_write=False,
     )
     zed = SnapshotLog(spark, str(tmp_path / "zed"), stats_cols=("x", "y"))
     zkey = zorder_key(["x", "y"], bits=8)
@@ -138,7 +143,8 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         grid.withColumn("__z", zkey)
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z"),
+        optimize_write=False,
     )
     bounds = {"y": (0, 31)}  # trailing dimension only
     lin_frac = len(linear.files(bounds=bounds)) / len(linear.files())
