@@ -56,6 +56,7 @@ HEADLINE = [
     "moving_avg_7d",
     "clean_corpus",
     "dedup_substring_spans",
+    "q8_national_market_share",
 ]
 
 
