@@ -2950,6 +2950,47 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "stream_interval_join_louter",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_type, value FROM events
+)
+SELECT l.user_id, l.ts AS l_ts, l.value AS l_value,
+       r.ts AS r_ts, r.value AS r_value
+FROM (SELECT * FROM e WHERE event_type = 'error') l
+LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') r
+  ON r.user_id = l.user_id
+ AND r.ts BETWEEN l.ts - 1800000000 AND l.ts + 1800000000
+""",
+)
+def stream_interval_join_louter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join (batch declaration of the
+    identical plan): every error event paired with same-user clicks
+    within +/-30 minutes, errors with no such click null-extended —
+    the watermark-gated outer-join class Spark supports only when both
+    sides are watermarked and the condition time-bounds both
+    directions (already this operator's state contract). Streaming
+    convergence, including the end-of-stream null-extension caveat, is
+    pinned in tests/test_streaming.py."""
+    from nibbledb_spark.streaming.ingest import interval_join_streams
+
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id",
+        event_ts_us(raw).alias("ts"),
+        "event_type",
+        "value",
+    )
+    return interval_join_streams(
+        ev.where(F.col("event_type") == "error"),
+        ev.where(F.col("event_type") == "click"),
+        key="user_id",
+        tolerance="30 minutes",
+        how="left_outer",
+    )
+
+
+@declared(
     "stateful_series_stats",
     f"""
 WITH RECURSIVE points AS (

@@ -351,9 +351,19 @@ def interval_join_streams(
     value_col: str = "value",
     tolerance: str = "2 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream event-time interval join: every (l, r) pair with
     equal ``key`` and ``|r.ts - l.ts| <= tolerance`` (ts in epoch µs).
+
+    ``how``: "inner" (default) or the watermark-gated outer flavors
+    ("left_outer"/"right_outer"/"full_outer"). Outer rows null-extend
+    exactly as in batch, with the documented streaming caveat: a
+    null-extension is emitted only once the watermark passes the row's
+    eviction time, so unmatched rows within watermark + tolerance of
+    the end of an availableNow replay remain in state (they emit on
+    the next trigger) — the convergence test compares the watermark-
+    settled prefix for this reason.
 
     The state-boundedness contract Spark requires of stream-stream
     joins is exactly this shape: BOTH sides watermarked and the join
@@ -393,6 +403,7 @@ def interval_join_streams(
             (F.col("k") == F.col("rk"))
             & (F.col("__rt") >= F.col("__lt") - tol)
             & (F.col("__rt") <= F.col("__lt") + tol),
+            how,
         )
         .select(
             F.col("k").alias(key), "l_ts", "l_value", "r_ts", "r_value"

@@ -435,3 +435,84 @@ def test_stateful_series_stats_v2_processor_logic():
     # intermediate emission reflects only the first batch
     assert out1[0].iloc[0]["n"] == 2
     proc.close()
+
+
+def test_interval_join_louter_stream_converges(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched pairs equal the
+    batch join exactly; null-extensions equal the batch join on the
+    WATERMARK-SETTLED prefix (rows whose eviction time the final
+    watermark passed). Rows within watermark + tolerance of the end of
+    the replay legitimately stay in state — Spark emits their
+    null-extended form on the next trigger, not at termination — so
+    the tail is excluded on BOTH sides rather than pretending the
+    streaming semantics are batch semantics."""
+    from nibbledb_spark.streaming.ingest import EVENTS_SCHEMA, interval_join_streams
+
+    def keyed(df):
+        from nibbledb_spark.sources.registry import event_ts_us
+
+        return df.select(
+            "user_id",
+            event_ts_us(df).alias("ts"),
+            "event_type",
+            "value",
+        )
+
+    raw = keyed(
+        spark.read.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    kwargs = dict(key="user_id", tolerance="30 minutes", how="left_outer")
+    batch = interval_join_streams(
+        raw.where(F.col("event_type") == "error"),
+        raw.where(F.col("event_type") == "click"),
+        **kwargs,
+    ).collect()
+
+    sraw = keyed(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    joined = interval_join_streams(
+        sraw.where(F.col("event_type") == "error"),
+        sraw.where(F.col("event_type") == "click"),
+        **kwargs,
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_louter_conv")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj_lo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM ssj_louter_conv").collect()
+
+    # settled cutoff. The global watermark is the MIN across both
+    # watermarked branches' max event time, minus the 10 min delay
+    # (a sparse branch gates the whole join — at this SF the last
+    # error event IS the error branch's max, so its own
+    # null-extension can never emit). On top of that, Spark's derived
+    # LEFT-STATE watermark subtracts the tolerance again for the
+    # both-direction range condition, so null-extensions settle only
+    # past delay + 2 * tolerance of the gating branch's max (measured:
+    # unemitted rows hug that horizon); +1 min slack
+    wm_base = min(
+        raw.where(F.col("event_type") == "error").agg(F.max("ts")).collect()[0][0],
+        raw.where(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0],
+    )
+    cutoff = wm_base - (10 + 30 + 30 + 1) * 60 * 1_000_000
+
+    def settled(rows):
+        return sorted(tuple(r) for r in rows if r["l_ts"] < cutoff)
+
+    assert settled(streamed) == settled(batch)
+    assert len(settled(batch)) > 0
+    # matched pairs are emitted eagerly regardless of the watermark:
+    # every batch match must appear streamed, even past the cutoff
+    batch_matched = sorted(tuple(r) for r in batch if r["r_ts"] is not None)
+    streamed_matched = sorted(tuple(r) for r in streamed if r["r_ts"] is not None)
+    assert streamed_matched == batch_matched
