@@ -569,10 +569,13 @@ class SnapshotLog:
         self._stream_marker_cache[stream_id] = (head, best)
         return best
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, *, optimize_write: bool = True) -> int:
+        """Replace the whole live set with ``df`` in one atomic commit.
+        ``optimize_write=False`` preserves a deliberately clustered
+        frame's file layout verbatim (same contract as ``append``)."""
         head = self.latest_version()
         files, _ = ([], None) if head is None else self._resolve(head)
-        add = self._write_files(df)
+        add = self._write_files(df, optimize=optimize_write)
         return self._commit(
             "overwrite",
             add,
