@@ -688,13 +688,16 @@ def stress_deep(spark) -> None:
     )
 
 
-def stress_sweep(spark) -> None:
-    """x1 vs x10 input-linear scaling sweep over the FULL headline set
-    (round-5 verdict #3): per query, warm + median-of-3 at each scale,
-    reporting the scaling exponent log10(t_x10 / t_x1). Exponent <= ~1
-    = corpus-linear or better (fixed per-query overhead deflates it);
-    anything clearly above 1 needs a named cause. Diagnostics to
-    stderr; a one-line JSON summary to stdout."""
+def stress_sweep(spark, mults: tuple = (1, 10)) -> None:
+    """Input-linear scaling sweep over the FULL headline set (round-5
+    verdict #3): per query, warm + median-of-3 at each scale, reporting
+    the per-decade scaling exponent log10(t_next / t_prev) between
+    consecutive mults. Exponent <= ~1 = corpus-linear or better (fixed
+    per-query overhead deflates it); anything clearly above 1 needs a
+    named cause. Pass --x100 for the (1, 10, 100) two-decade form —
+    60M-row lineitem replicas, the full-relational-surface complement
+    of --stress-deep's documents-only x100. Diagnostics to stderr; a
+    one-line JSON summary to stdout."""
     import tempfile
 
     from nibbledb_spark.queries import QUERIES
@@ -703,7 +706,7 @@ def stress_sweep(spark) -> None:
     import math
 
     dirs = {}
-    for mult in (1, 10):
+    for mult in mults:
         t0 = time.perf_counter()
         dirs[mult] = _build_stress_dir(spark, mult, root)
         log(f"stress-sweep build x{mult}: {time.perf_counter() - t0:.1f}s")
@@ -712,33 +715,34 @@ def stress_sweep(spark) -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         per_mult = {}
-        for mult in (1, 10):
+        for mult in mults:
             fn(spark, dirs[mult]).toPandas()  # warm plan + JIT
             samples = []
-            for _ in range(3):
+            for _ in range(3 if mult <= 10 else 2):
                 t0 = time.perf_counter()
                 fn(spark, dirs[mult]).toPandas()
                 samples.append(time.perf_counter() - t0)
             per_mult[mult] = statistics.median(samples)
-        expo = math.log10(per_mult[10] / per_mult[1]) if per_mult[1] > 0 else None
-        results[name] = {
-            "x1_s": round(per_mult[1], 4),
-            "x10_s": round(per_mult[10], 4),
-            "exponent": round(expo, 3),
-        }
+        r = {f"x{m}_s": round(per_mult[m], 4) for m in mults}
+        for prev, nxt in zip(mults, mults[1:]):
+            r[f"exp_x{prev}_x{nxt}"] = round(
+                math.log10(per_mult[nxt] / per_mult[prev]), 3
+            )
+        results[name] = r
         log(
-            f"stress-sweep {name}: x1 {per_mult[1]:.3f}s  x10 {per_mult[10]:.3f}s"
-            f"  exponent {expo:.2f}"
+            f"stress-sweep {name}: "
+            + "  ".join(f"x{m} {per_mult[m]:.3f}s" for m in mults)
         )
-    log("\n| query | x1_s | x10_s | exponent |")
-    log("|---|---|---|---|")
+    cols = list(next(iter(results.values())).keys())
+    log("\n| query | " + " | ".join(cols) + " |")
+    log("|---|" + "---|" * len(cols))
     for name, r in results.items():
-        log(f"| {name} | {r['x1_s']:.3f} | {r['x10_s']:.3f} | {r['exponent']:.2f} |")
+        log(f"| {name} | " + " | ".join(f"{r[c]:.3f}" for c in cols) + " |")
     print(
         json.dumps(
             {
                 "metric": "stress_sweep_exponents",
-                "unit": "log10(t_x10/t_x1)",
+                "unit": "log10 per decade",
                 "queries": results,
                 "sf": sf_of(SF_DIR),
             }
@@ -772,7 +776,7 @@ def main() -> int:
 
     if "--stress-sweep" in sys.argv:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
-        stress_sweep(spark)
+        stress_sweep(spark, (1, 10, 100) if "--x100" in sys.argv else (1, 10))
         return 0
 
     if "--snapshots-stress" in sys.argv:
