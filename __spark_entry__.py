@@ -33,11 +33,109 @@ def entry(spark: SparkSession) -> DataFrame:
 # `no_oracle`. This list is GENERATED — refresh each round:
 #   python tools/update_rotation.py CORRECTNESS_r*.json
 _DRIVER_VERIFIED = [
-    "ts_corr_pairs",
-    "window_ntile_quartiles",
-    "argmax_latest_order",
-    "bitmask_user_event_flags",
-    "ts_moments_skew_kurt",
+    "text_lang_id",
+    "asof_last_purchase_before_click",
+    "asof_next_purchase_after_click",
+    "rollup_customers_region_nation",
+    "cube_orders_status_priority",
+    "grouping_sets_revenue",
+    "count_distinct_customers",
+    "moving_avg_7d",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_content",
+    "lsh_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "near_dup_components",
+    "dedup_lines_global",
+    "near_dup_components_star",
+    "simhash_docs",
+    "embed_norms",
+    "embed_cosine_topk",
+    "embed_near_dup_pairs",
+    "ivf_ann_topk",
+    "multimodal_payload_fp",
+    "multimodal_frame_sample",
+    "clean_corpus",
+    "clean_corpus_gated",
+    "window_rank_family",
+    "window_range_frame_30d",
+    "subquery_exists_big_spenders",
+    "subquery_scalar_above_avg",
+    "subquery_correlated_above_own_avg",
+    "unpivot_lineitem_measures",
+    "simhash_near_dup_pairs",
+    "chunk_documents_64",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_interval_join",
+    "sample_stratified_sources",
+    "training_shard_manifest",
+    "sample_token_budget_per_source",
+    "sample_quota_per_source",
+    "heavy_hitter_tokens",
+    "decontaminate_ngrams",
+    "timetravel_versions",
+    "udtf_token_counts",
+    "tfidf_pair_scores",
+    "setop_intersect",
+    "setop_except",
+    "string_funcs_part",
+    "math_funcs_lineitem",
+    "json_map_events",
+    "pivot_events_weekday",
+    "text_pii_scrub",
+    "text_repetition",
+    "ts_outliers_mad",
+    "mad_per_series",
+    "text_token_stats",
+    "text_quality",
+    "minhash_signatures",
+    "profile_documents",
+    "stateful_series_stats",
+    "pack_sequences_512",
+    "prep_training_mix",
+    "embed_near_dup_pairs_bucketed",
+    "quality_percentile_by_source",
+    "histogram_order_totals",
+    "corr_quantity_price",
+    "chunk_overlap_48_16",
+    "embed_cosine_topk_filtered",
+    "hybrid_retrieval_rrf",
+    "asof_nearest_purchase_to_click",
+    "approx_distinct_parts_bound",
+    "srp_ann_topk",
+    "ivf_kmeans_probe_all_bound",
+    "embed_label_cohesion",
+    "cms_event_type_counts",
+    "embed_near_dup_pairs_srp",
+    "setop_except_all",
+    "rollup_grouping_id",
+    "stringagg_mktsegment_nations",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
+    "sessionize_events_gaps",
+    "embed_quantize_int8",
+    "near_dup_keep_best",
+    "schema_evolution_versions",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "ts_rate_counter",
+    "ts_downsample_m4",
+    "ts_downsample_lttb",
+    "notin_suppliers_no_returns",
+    "sample_weighted_priority",
+    "pq_ann_topk",
+    "recursive_month_ladder",
+    "restore_rollback_versions",
+    "ts_gaps",
+    "lm_quality_bigram",
+    "ts_seasonal_residuals",
     "ts_last_n",
     "ts_first_n",
     "ts_latest",
@@ -74,109 +172,20 @@ _DRIVER_VERIFIED = [
     "join_full_outer_key_coverage",
     "join_semi_customers_with_orders",
     "range_join_shipped_90d",
-    "asof_last_purchase_before_click",
-    "asof_next_purchase_after_click",
-    "asof_nearest_purchase_to_click",
-    "rollup_customers_region_nation",
-    "cube_orders_status_priority",
-    "grouping_sets_revenue",
-    "count_distinct_customers",
-    "approx_distinct_parts_bound",
-    "moving_avg_7d",
-    "setop_intersect",
-    "setop_except",
-    "string_funcs_part",
-    "math_funcs_lineitem",
-    "json_map_events",
-    "pivot_events_weekday",
-    "text_pii_scrub",
-    "text_repetition",
-    "ts_outliers_mad",
-    "mad_per_series",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprints",
-    "dedup_exact",
-    "dedup_content",
-    "minhash_signatures",
-    "lsh_near_dup_pairs",
-    "ngram_jaccard_pairs",
-    "near_dup_components",
-    "dedup_lines_global",
-    "near_dup_components_star",
-    "simhash_docs",
-    "embed_norms",
-    "embed_cosine_topk",
-    "embed_near_dup_pairs",
-    "srp_ann_topk",
-    "ivf_ann_topk",
-    "ivf_kmeans_probe_all_bound",
-    "embed_label_cohesion",
-    "multimodal_payload_fp",
-    "multimodal_frame_sample",
-    "clean_corpus",
-    "clean_corpus_gated",
-    "profile_documents",
-    "window_rank_family",
-    "window_range_frame_30d",
-    "subquery_exists_big_spenders",
-    "subquery_scalar_above_avg",
-    "subquery_correlated_above_own_avg",
-    "unpivot_lineitem_measures",
-    "simhash_near_dup_pairs",
-    "chunk_documents_64",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_interval_join",
-    "stateful_series_stats",
-    "sample_stratified_sources",
-    "cms_event_type_counts",
-    "training_shard_manifest",
-    "sample_token_budget_per_source",
-    "sample_quota_per_source",
-    "pack_sequences_512",
-    "heavy_hitter_tokens",
-    "decontaminate_ngrams",
-    "prep_training_mix",
-    "embed_near_dup_pairs_srp",
-    "embed_near_dup_pairs_bucketed",
-    "timetravel_versions",
-    "udtf_token_counts",
-    "tfidf_pair_scores",
-    "quality_percentile_by_source",
-    "histogram_order_totals",
-    "corr_quantity_price",
-    "chunk_overlap_48_16",
-    "embed_cosine_topk_filtered",
-    "hybrid_retrieval_rrf",
-    "setop_except_all",
-    "rollup_grouping_id",
-    "stringagg_mktsegment_nations",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_waiting",
-    "sessionize_events_gaps",
-    "embed_quantize_int8",
-    "near_dup_keep_best",
-    "schema_evolution_versions",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "ts_rate_counter",
-    "ts_downsample_m4",
-    "ts_downsample_lttb",
-    "notin_suppliers_no_returns",
-    "sample_weighted_priority",
-    "pq_ann_topk",
-    "recursive_month_ladder",
-    "restore_rollback_versions",
-    "ts_gaps",
-    "lm_quality_bigram",
-    "ts_seasonal_residuals",
+    "dedup_substring_spans",
+    "dedup_substring_extent",
+    "dedup_substring_scrub",
+    "dedup_substring_self_spans",
+    "stream_interval_join_louter",
+    "q6_forecast_revenue",
+    "q8_national_market_share",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "ts_corr_pairs",
+    "window_ntile_quartiles",
+    "argmax_latest_order",
+    "bitmask_user_event_flags",
+    "ts_moments_skew_kurt",
 ]
 
 

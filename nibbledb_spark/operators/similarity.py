@@ -116,10 +116,13 @@ def near_dup_pairs_cosine(
         # re-scanning the lineage of) the whole corpus.
         n = corpus.limit(max_rows + 1).count()
         if n > max_rows:
+            # n is at most max_rows+1 by construction (the limit stops the
+            # scan), so report the bound, not n-as-corpus-size.
             raise ValueError(
                 f"near_dup_pairs_cosine is the O(n²) exact baseline and is "
-                f"capped at {max_rows} rows (got {n}). Use near_dup_pairs_srp "
-                f"(SRP-bucketed candidates + exact verify) for real corpora."
+                f"capped at {max_rows} rows (corpus has more than "
+                f"{max_rows}). Use near_dup_pairs_srp (SRP-bucketed "
+                f"candidates + exact verify) for real corpora."
             )
     a = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))

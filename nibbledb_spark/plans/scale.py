@@ -51,8 +51,19 @@ def exchange_count(df: DataFrame) -> int:
     tree = plan_string(df).split("\n\n", 1)[0]
     ids: set[str] = set()
     skip_indent: int | None = None
+    # Depth = column of the node marker ('+-'/':-'), NOT leading spaces:
+    # children of a ':-' left branch are prefixed ':  ' (same number of
+    # leading SPACES as their parent), so a whitespace-only indent reset
+    # skip mid-subtree and counted the cached build plan's exchanges
+    # (round-6 ADVICE). '[\s:]*' captures the full fill prefix.
+    marker = re.compile(r"^([\s:]*)[+:]-")
     for line in tree.splitlines():
-        indent = len(line) - len(line.lstrip())
+        m = marker.match(line)
+        if m is not None:
+            indent = len(m.group(1))
+        else:
+            # root line or continuation text: spaces+colon fill is depth
+            indent = len(line) - len(line.lstrip(" :"))
         if skip_indent is not None:
             if indent > skip_indent:
                 continue

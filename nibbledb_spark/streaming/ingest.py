@@ -406,6 +406,11 @@ def interval_join_streams(
             how,
         )
         .select(
-            F.col("k").alias(key), "l_ts", "l_value", "r_ts", "r_value"
+            # coalesce: under right/full outer, unmatched RIGHT rows have
+            # a NULL left key but a known rk — emit the real key
+            # (round-6 ADVICE; no-op for inner/left_outer where k is
+            # never null).
+            F.coalesce(F.col("k"), F.col("rk")).alias(key),
+            "l_ts", "l_value", "r_ts", "r_value",
         )
     )

@@ -613,3 +613,28 @@ def test_round6_tpch_plan_shapes(spark):
     # q8: the two fact shuffles only (dims broadcast; year-agg reuses)
     assert exchange_count(QUERIES["q8_national_market_share"](spark, SF)) <= 3
     assert "Window" not in plan(QUERIES["q15_top_supplier"](spark, SF), "simple")
+
+
+def test_exchange_count_skips_cache_on_left_branch(spark):
+    """Round-6 ADVICE regression: a materialized cache sitting on a
+    join's LEFT (':-') branch prints its build plan on ':  '-prefixed
+    continuation columns — same leading-SPACE count as the
+    InMemoryRelation line itself — so a whitespace-only indent rule
+    reset the skip mid-subtree and counted the build shuffle (twice,
+    under AQE's Initial/Final double print). Contract: a cached build
+    plan is never part of a query's shuffle budget, on any branch."""
+    from nibbledb_spark.plans.scale import exchange_count, plan_string
+
+    base = spark.range(1000).withColumn("k", (F.col("id") % 10).cast("int"))
+    cached = base.groupBy("k").count().cache()
+    try:
+        cached.count()  # materialize: build plan prints under the cache scan
+        dim = spark.range(10).select(F.col("id").cast("int").alias("k"))
+        joined = cached.join(F.broadcast(dim), "k")
+        p = plan_string(joined).split("\n\n", 1)[0]
+        # precondition: the cache really is the ':-' left branch and its
+        # build subtree really contains an Exchange — else the test is vacuous
+        assert ":- " in p and "InMemoryRelation" in p and "Exchange" in p
+        assert exchange_count(joined) == 0, p
+    finally:
+        cached.unpersist()

@@ -15,15 +15,15 @@ sorts them structurally last instead, since re-running them can only
 ever log another ``no_oracle``. Names no longer in the registry are
 dropped silently.
 
-The emitted verified list is ROTATED by 7919 x (number of correctness
-files) mod its length, so the sentinel sample of already-verified
-queries the driver re-checks after the unverified front differs each
-round — a regression in any verified query is eventually re-caught
-rather than hidden forever behind the 50-query budget. 7919 is a prime
-larger than any plausible registry, so the step is coprime with the
-list length and the offsets walk EVERY position over successive rounds
-(a small step like 17 degenerates when the length is one of its
-multiples).
+The emitted verified list is ordered by STALENESS: names whose most
+recent hash-match is oldest sort first (tie-break: registry order), so
+the driver's 50-slot budget always re-checks the sentinels that have
+gone longest without verification. With the whole registry verified,
+this converges to a round-robin — every name is re-checked every
+ceil(registry/50) rounds — and a regression in any verified query is
+re-caught within that window rather than hidden forever behind the
+budget. (Rounds 1-6 used a prime-step rotation; staleness ordering
+strictly dominates it once the registry exceeds the budget.)
 """
 
 from __future__ import annotations
@@ -37,24 +37,27 @@ sys.path.insert(0, "/root/repo")
 ENTRY = "/root/repo/__spark_entry__.py"
 
 
+def _round_index(path: str) -> int:
+    """CORRECTNESS_r06.json -> 6; unparseable names sort as round 0."""
+    m = re.search(r"r(\d+)", path)
+    return int(m.group(1)) if m else 0
+
+
 def verified_names(paths: list[str]) -> list[str]:
     from nibbledb_spark.queries import QUERIES
 
-    seen: set[str] = set()
+    last_green: dict[str, int] = {}
     for path in paths:
+        rnd = _round_index(path)
         with open(path) as f:
             data = json.load(f)
         for name, rec in data.items():
             if rec.get("hash_match") is True:
-                seen.add(name)
-    # registry order, registry members only
-    ordered = [n for n in QUERIES if n in seen]
-    # per-round sentinel rotation: 7919 is prime and exceeds any
-    # plausible list length, so gcd(step, len) == 1 and successive
-    # rounds visit every offset
-    if ordered:
-        k = (7919 * len(paths)) % len(ordered)
-        ordered = ordered[k:] + ordered[:k]
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    # stalest first; tie-break = registry order (dict order is load order)
+    registry_pos = {n: i for i, n in enumerate(QUERIES)}
+    ordered = [n for n in QUERIES if n in last_green]
+    ordered.sort(key=lambda n: (last_green[n], registry_pos[n]))
     return ordered
 
 
