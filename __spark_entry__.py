@@ -26,63 +26,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a fixed per-round budget (it ran exactly the first 50 in rounds 1-3).
 # Rotate: names NOT yet hash-verified go first (so the cross-round union
 # covers the whole registry), already-verified names follow as regression
-# sentinels (the generated list is rotated per round so the sample the
-# driver re-checks varies), and rows-only APPROX entries — registry names
+# sentinels ordered by STALENESS — the name whose most recent hash-match
+# is oldest sorts first, so the 50-slot budget round-robins through the
+# whole verified set every ceil(registry/50) rounds and a regression
+# (latest record not hash-matched) rejoins the unverified front — and
+# rows-only APPROX entries — registry names
 # with no declared oracle — sort structurally LAST: they can never
 # hash-match, so every driver slot they occupy is budget burned logging
 # `no_oracle`. This list is GENERATED — refresh each round:
 #   python tools/update_rotation.py CORRECTNESS_r*.json
 _DRIVER_VERIFIED = [
-    "text_lang_id",
-    "asof_last_purchase_before_click",
-    "asof_next_purchase_after_click",
-    "rollup_customers_region_nation",
-    "cube_orders_status_priority",
-    "grouping_sets_revenue",
-    "count_distinct_customers",
-    "moving_avg_7d",
-    "text_fingerprints",
-    "dedup_exact",
-    "dedup_content",
-    "lsh_near_dup_pairs",
-    "ngram_jaccard_pairs",
-    "near_dup_components",
-    "dedup_lines_global",
-    "near_dup_components_star",
-    "simhash_docs",
-    "embed_norms",
-    "embed_cosine_topk",
-    "embed_near_dup_pairs",
-    "ivf_ann_topk",
-    "multimodal_payload_fp",
-    "multimodal_frame_sample",
-    "clean_corpus",
-    "clean_corpus_gated",
-    "window_rank_family",
-    "window_range_frame_30d",
-    "subquery_exists_big_spenders",
-    "subquery_scalar_above_avg",
-    "subquery_correlated_above_own_avg",
-    "unpivot_lineitem_measures",
-    "simhash_near_dup_pairs",
-    "chunk_documents_64",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_interval_join",
-    "sample_stratified_sources",
-    "training_shard_manifest",
-    "sample_token_budget_per_source",
-    "sample_quota_per_source",
-    "heavy_hitter_tokens",
-    "decontaminate_ngrams",
-    "timetravel_versions",
-    "udtf_token_counts",
-    "tfidf_pair_scores",
-    "setop_intersect",
-    "setop_except",
-    "string_funcs_part",
-    "math_funcs_lineitem",
     "json_map_events",
     "pivot_events_weekday",
     "text_pii_scrub",
@@ -186,6 +139,56 @@ _DRIVER_VERIFIED = [
     "argmax_latest_order",
     "bitmask_user_event_flags",
     "ts_moments_skew_kurt",
+    "asof_last_purchase_before_click",
+    "asof_next_purchase_after_click",
+    "rollup_customers_region_nation",
+    "cube_orders_status_priority",
+    "grouping_sets_revenue",
+    "count_distinct_customers",
+    "moving_avg_7d",
+    "setop_intersect",
+    "setop_except",
+    "string_funcs_part",
+    "math_funcs_lineitem",
+    "text_lang_id",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_content",
+    "lsh_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "near_dup_components",
+    "dedup_lines_global",
+    "near_dup_components_star",
+    "simhash_docs",
+    "embed_norms",
+    "embed_cosine_topk",
+    "embed_near_dup_pairs",
+    "ivf_ann_topk",
+    "multimodal_payload_fp",
+    "multimodal_frame_sample",
+    "clean_corpus",
+    "clean_corpus_gated",
+    "window_rank_family",
+    "window_range_frame_30d",
+    "subquery_exists_big_spenders",
+    "subquery_scalar_above_avg",
+    "subquery_correlated_above_own_avg",
+    "unpivot_lineitem_measures",
+    "simhash_near_dup_pairs",
+    "chunk_documents_64",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_interval_join",
+    "sample_stratified_sources",
+    "training_shard_manifest",
+    "sample_token_budget_per_source",
+    "sample_quota_per_source",
+    "heavy_hitter_tokens",
+    "decontaminate_ngrams",
+    "timetravel_versions",
+    "udtf_token_counts",
+    "tfidf_pair_scores",
 ]
 
 

@@ -29,6 +29,7 @@ strictly dominates it once the registry exceeds the budget.)
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
@@ -38,8 +39,12 @@ ENTRY = "/root/repo/__spark_entry__.py"
 
 
 def _round_index(path: str) -> int:
-    """CORRECTNESS_r06.json -> 6; unparseable names sort as round 0."""
-    m = re.search(r"r(\d+)", path)
+    """CORRECTNESS_r06.json -> 6; unparseable names sort as round 0.
+
+    Anchored on the basename so directory segments containing "r<digits>"
+    (e.g. runs2/) can never misdate the round (round-7 advice).
+    """
+    m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
     return int(m.group(1)) if m else 0
 
 
@@ -47,16 +52,29 @@ def verified_names(paths: list[str]) -> list[str]:
     from nibbledb_spark.queries import QUERIES
 
     last_green: dict[str, int] = {}
+    latest_seen: dict[str, int] = {}
+    latest_ok: dict[str, bool] = {}
     for path in paths:
         rnd = _round_index(path)
         with open(path) as f:
             data = json.load(f)
         for name, rec in data.items():
-            if rec.get("hash_match") is True:
+            ok = rec.get("hash_match") is True
+            if ok:
                 last_green[name] = max(last_green.get(name, 0), rnd)
+            # Track the most recent record per name: a regression (latest
+            # record not hash-matched after an earlier green round) must
+            # rejoin the unverified front for an immediate re-run
+            # (round-7 advice). APPROX "no_oracle" rows never hash-match
+            # and never went green, so they are unaffected.
+            if rnd >= latest_seen.get(name, -1):
+                latest_seen[name] = rnd
+                latest_ok[name] = ok
     # stalest first; tie-break = registry order (dict order is load order)
     registry_pos = {n: i for i, n in enumerate(QUERIES)}
-    ordered = [n for n in QUERIES if n in last_green]
+    ordered = [
+        n for n in QUERIES if n in last_green and latest_ok.get(n, False)
+    ]
     ordered.sort(key=lambda n: (last_green[n], registry_pos[n]))
     return ordered
 
