@@ -603,6 +603,57 @@ DEEP_QUERIES = (
     "dedup_substring_spans",
 )
 
+# Per-execution wall cap for paired DuckDB oracle runs at stress scales:
+# a super-linear DuckDB plan at x100 must not hang the sweep. A capped
+# query reports None (printed '-') — recorded as not-completing there.
+DUCK_BUDGET_S = 900
+
+
+def _duck_connect(sf_dir: str):
+    """DuckDB connection with the 10 table views over ``sf_dir`` —
+    handles both single-file parquet (the driver testdata) and
+    Spark-written parquet directories (the stress replica dirs)."""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    return con
+
+
+def _duck_median(con, sql: str, runs: int, budget_s: int = DUCK_BUDGET_S):
+    """Warm + median-of-``runs`` through the pandas channel (same
+    protocol as the Spark side's toPandas). A watchdog thread interrupts
+    any single execution that exceeds ``budget_s``; any failure returns
+    None so the sweep continues."""
+    import threading
+
+    samples = []
+    try:
+        for i in range(runs + 1):  # iteration 0 is the warm run
+            timer = threading.Timer(budget_s, con.interrupt)
+            timer.start()
+            try:
+                t0 = time.perf_counter()
+                con.execute(sql).df()
+                dt = time.perf_counter() - t0
+            finally:
+                timer.cancel()
+            if i:
+                samples.append(dt)
+        return statistics.median(samples)
+    except Exception as e:  # noqa: BLE001 — interrupt/OOM/type errors all mean "no number"
+        log(f"    duckdb failed/capped: {type(e).__name__}: {str(e)[:120]}")
+        return None
+
 
 def stress_deep(spark) -> None:
     """x1 / x10 / x100 two-decade scaling for the candidate-join dedup
@@ -668,13 +719,40 @@ def stress_deep(spark) -> None:
             "exp_decade1": round(math.log10(per[10] / per[1]), 3),
             "exp_decade2": round(math.log10(per[100] / per[10]), 3),
         }
-    log("\n| query | x1_s | x10_s | x100_s | exp d1 | exp d2 |")
-    log("|---|---|---|---|---|---|")
+
+    # Same-sitting DuckDB oracle pass per decade (dirs hold only the
+    # documents table — _duck_connect registers what exists; the trio's
+    # oracles read nothing else).
+    from nibbledb_spark.queries import ORACLE
+
+    for mult in (1, 10, 100):
+        con = _duck_connect(dirs[mult])
+        for name in DEEP_QUERIES:
+            sql = ORACLE.get(name)
+            if sql is None:
+                continue
+            d = _duck_median(con, sql, runs=3 if mult < 100 else 2)
+            if d is not None:
+                results[name][f"duck_x{mult}_s"] = round(d, 4)
+                results[name][f"ratio_x{mult}"] = round(
+                    results[name][f"x{mult}_s"] / d, 2
+                )
+                log(
+                    f"stress-deep duckdb {name} x{mult}: {d:.3f}s "
+                    f"(ratio {results[name][f'ratio_x{mult}']:.2f}x)"
+                )
+        con.close()
+
+    cols: list = []
+    for r in results.values():
+        cols += [c for c in r if c not in cols]
+    log("\n| query | " + " | ".join(cols) + " |")
+    log("|---|" + "---|" * len(cols))
     for name, r in results.items():
         log(
-            f"| {name} | {r['x1_s']:.3f} | {r['x10_s']:.3f} | "
-            f"{r['x100_s']:.3f} | {r['exp_decade1']:.2f} | "
-            f"{r['exp_decade2']:.2f} |"
+            f"| {name} | "
+            + " | ".join(f"{r[c]:.3f}" if c in r else "-" for c in cols)
+            + " |"
         )
     print(
         json.dumps(
@@ -697,10 +775,17 @@ def stress_sweep(spark, mults: tuple = (1, 10)) -> None:
     named cause. Pass --x100 for the (1, 10, 100) two-decade form —
     60M-row lineitem replicas, the full-relational-surface complement
     of --stress-deep's documents-only x100. Diagnostics to stderr; a
-    one-line JSON summary to stdout."""
+    one-line JSON summary to stdout.
+
+    PAIRED: every (query, scale) cell also times the DuckDB oracle over
+    the SAME replica dir in the same sitting (round-7 verdict #1) —
+    x10/x100 is where Spark's fixed per-query overhead stops dominating,
+    so ratio_x10/ratio_x100 are the host-invariant at-scale numbers the
+    sf0.1 optics can't provide. sessionize_events_gaps (the one weak
+    bench row) rides along even though it is not in the headline set."""
     import tempfile
 
-    from nibbledb_spark.queries import QUERIES
+    from nibbledb_spark.queries import ORACLE, QUERIES
 
     root = os.path.join(tempfile.gettempdir(), "nibble_stress_sweep")
     import math
@@ -711,8 +796,9 @@ def stress_sweep(spark, mults: tuple = (1, 10)) -> None:
         dirs[mult] = _build_stress_dir(spark, mult, root)
         log(f"stress-sweep build x{mult}: {time.perf_counter() - t0:.1f}s")
 
+    sweep_names = HEADLINE + ["sessionize_events_gaps"]
     results: dict[str, dict] = {}
-    for name in HEADLINE:
+    for name in sweep_names:
         fn = QUERIES[name]
         per_mult = {}
         for mult in mults:
@@ -733,11 +819,41 @@ def stress_sweep(spark, mults: tuple = (1, 10)) -> None:
             f"stress-sweep {name}: "
             + "  ".join(f"x{m} {per_mult[m]:.3f}s" for m in mults)
         )
-    cols = list(next(iter(results.values())).keys())
+
+    # Same-sitting DuckDB pass, one connection per scale (views over the
+    # replica dirs), after ALL Spark timing so neither engine's runs
+    # interleave with the other's memory pressure.
+    for mult in mults:
+        con = _duck_connect(dirs[mult])
+        for name in sweep_names:
+            sql = ORACLE.get(name)
+            if sql is None:
+                continue
+            d = _duck_median(con, sql, runs=3 if mult <= 10 else 2)
+            if d is not None:
+                results[name][f"duck_x{mult}_s"] = round(d, 4)
+                results[name][f"ratio_x{mult}"] = round(
+                    results[name][f"x{mult}_s"] / d, 2
+                )
+                log(
+                    f"stress-sweep duckdb {name} x{mult}: {d:.3f}s "
+                    f"(ratio {results[name][f'ratio_x{mult}']:.2f}x)"
+                )
+        con.close()
+
+    cols: list = []
+    for r in results.values():
+        cols += [c for c in r if c not in cols]
     log("\n| query | " + " | ".join(cols) + " |")
     log("|---|" + "---|" * len(cols))
     for name, r in results.items():
-        log(f"| {name} | " + " | ".join(f"{r[c]:.3f}" for c in cols) + " |")
+        log(
+            f"| {name} | "
+            + " | ".join(
+                f"{r[c]:.3f}" if c in r else "-" for c in cols
+            )
+            + " |"
+        )
     print(
         json.dumps(
             {

@@ -2991,6 +2991,47 @@ def stream_interval_join_louter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "stream_interval_join_fouter",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_type, value FROM events
+)
+SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+       l.ts AS l_ts, l.value AS l_value,
+       r.ts AS r_ts, r.value AS r_value
+FROM (SELECT * FROM e WHERE event_type = 'error') l
+FULL JOIN (SELECT * FROM e WHERE event_type = 'click') r
+  ON r.user_id = l.user_id
+ AND r.ts BETWEEN l.ts - 1800000000 AND l.ts + 1800000000
+""",
+)
+def stream_interval_join_fouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join (batch declaration of the
+    identical plan): error/click pairs within +/-30 minutes per user,
+    null-extending BOTH directions — errors with no nearby click AND
+    clicks with no nearby error. Unmatched right rows carry their real
+    key via the coalesce(k, rk) emit (streaming/ingest.py, the round-6
+    ADVICE fix this query exists to exercise). Both-direction streaming
+    convergence is pinned in tests/test_streaming.py."""
+    from nibbledb_spark.streaming.ingest import interval_join_streams
+
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id",
+        event_ts_us(raw).alias("ts"),
+        "event_type",
+        "value",
+    )
+    return interval_join_streams(
+        ev.where(F.col("event_type") == "error"),
+        ev.where(F.col("event_type") == "click"),
+        key="user_id",
+        tolerance="30 minutes",
+        how="full_outer",
+    )
+
+
+@declared(
     "stateful_series_stats",
     f"""
 WITH RECURSIVE points AS (
@@ -5774,3 +5815,161 @@ def ts_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m3 / F.nullif(m2 * F.sqrt(m2), F.lit(0.0))).alias("skewness"),
         (m4 / F.nullif(m2 * m2, F.lit(0.0)) - F.lit(3)).alias("excess_kurtosis"),
     ).orderBy("series")
+
+
+# --- BPE merge learning + corpus tokenization (operators/bpe.py) ------------
+# The oracle replays learning EXACTLY: the separator-wrapped-symbol
+# encoding makes one SQL replace() call per round identical greedy merge
+# application on both engines (see operators/bpe.py module docstring),
+# and the per-round argmax is deterministic on integer counts with a
+# (count DESC, lhs, rhs) tiebreak. K rounds unroll as K chained CTE
+# blocks; w/b CTEs are MATERIALIZED so the chain evaluates once per
+# level instead of inlining exponentially.
+
+_BPE_K = 8
+_BPE_SEP = "\x1f"
+
+
+def _bpe_ctes(k: int) -> str:
+    s, ss = _BPE_SEP, _BPE_SEP * 2
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         regexp_replace(word, '(.)', '{s}\\1{s}', 'g') AS w
+  FROM (SELECT unnest(string_split_regex(replace(text, '{s}', ''), '\\s+')) AS word
+        FROM documents) t
+  WHERE word <> '' GROUP BY word)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt, string_split(trim(w, '{s}'), '{ss}') AS syms FROM w{i - 1}) t,
+       unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{i}
+  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT cnt, replace(w, '{s}' || lhs || '{ss}' || rhs || '{s}',
+                         '{s}' || lhs || rhs || '{s}') AS w
+  FROM w{i - 1}, b{i})"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_learn_sql(k: int) -> str:
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({i} AS BIGINT) AS merge_rank, lhs, rhs, pair_count FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return f"{_bpe_ctes(k)}\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
+
+
+def _bpe_tokenize_sql(k: int) -> str:
+    s, ss = _BPE_SEP, _BPE_SEP * 2
+    # Whole-doc wrap: only \S chars wrapped, so word boundaries stay bare
+    # whitespace no merge pattern can cross. The coalesce guards make a
+    # round past vocabulary exhaustion a no-op (search ⟂⟂⟂ never occurs),
+    # mirroring the Spark loop's early break.
+    expr = f"regexp_replace(replace(text, '{s}', ''), '(\\S)', '{s}\\1{s}', 'g')"
+    for i in range(1, k + 1):
+        expr = (
+            f"replace({expr},\n"
+            f"  coalesce((SELECT '{s}' || lhs || '{ss}' || rhs || '{s}' FROM b{i}), '{s}{s}{s}'),\n"
+            f"  coalesce((SELECT '{s}' || lhs || rhs || '{s}' FROM b{i}), ''))"
+        )
+    return f"""{_bpe_ctes(k)},
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           replace(replace({expr}, '{ss}', ' '), '{s}', ''), '\\s+'),
+           x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       array_to_string(toks, ' ') AS tok_str
+FROM tok"""
+
+
+@declared("bpe_learn_merges", _bpe_learn_sql(_BPE_K))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 8 BPE merges from the documents corpus: the corpus shuffles
+    once into a persisted word-frequency table; each round is one pair
+    count aggregation there plus a 1-row argmax collect (the accepted
+    iterative-driver pattern, like the k-means Lloyd rounds). At scale
+    the per-round cost tracks the vocabulary, never the corpus."""
+    from nibbledb_spark.operators.bpe import learn_bpe_merges
+
+    merges = learn_bpe_merges(_t(spark, sf_dir, "documents"), _BPE_K)
+    return spark.createDataFrame(
+        [(r, lhs, rhs, c) for r, lhs, rhs, c in merges],
+        schema="merge_rank long, lhs string, rhs string, pair_count long",
+    )
+
+
+@declared("tokenize_bpe", _bpe_tokenize_sql(_BPE_K))
+def tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the 8 learned merges applied in
+    order: a single zero-shuffle codegen'd projection over the corpus
+    (wrap -> 8 chained replace calls -> unwrap/split). The part that
+    touches all 100 TB is embarrassingly parallel; learning cost lives
+    on the small word table (see bpe_learn_merges)."""
+    from nibbledb_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return apply_bpe(docs, learn_bpe_merges(docs, _BPE_K))
+
+
+@declared(
+    "changes_between_feed",
+    f"""
+SELECT CAST(1 AS BIGINT) AS change_version, 'insert' AS change_op,
+       COUNT(*) AS n_rows, {_ssum_sql('o_totalprice', 2)} AS total_price
+FROM orders WHERE o_orderkey % 2 = 1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'remove', COUNT(*), {_ssum_sql('o_totalprice', 2)}
+FROM orders
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'insert', COUNT(*), {_ssum_sql('o_totalprice', 2)}
+FROM orders WHERE NOT (o_orderstatus = 'F') OR (o_orderstatus = 'F') IS NULL
+ORDER BY change_version, change_op
+""",
+)
+def changes_between_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-visible change feed (SnapshotLog.changes_between) over a
+    mixed append/delete/compact window: v0 append evens, v1 append odds,
+    v2 predicate-delete status-F rows, v3 compact. The feed over (0, 3]
+    surfaces v1 as inserts, v2 as remove(all pre-delete rows) +
+    insert(survivors) — file-granular CDF, reading only in-range commit
+    files — and v3 (compact) as NOTHING, the row-preserving maintenance
+    rule. The oracle replays each (version, op) cell declaratively; the
+    v2 cells rely on every data file containing status-F rows, which
+    optimizeWrite's one-file-per-small-append coalescing guarantees
+    here."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.snapshots import SnapshotLog
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"nibblelog_cdf_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log = SnapshotLog(spark, root, stats_cols=("o_orderkey",))
+    log.append(orders.where("o_orderkey % 2 = 0"))
+    log.append(orders.where("o_orderkey % 2 = 1"))
+    log.delete_where("o_orderstatus = 'F'")
+    log.compact()
+    return (
+        log.changes_between(0, 3)
+        .groupBy(
+            F.col("_change_version").alias("change_version"),
+            F.col("_change_op").alias("change_op"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _ssum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("change_version", "change_op")
+    )

@@ -1211,6 +1211,81 @@ class SnapshotLog:
         # before an in-range evolution backfill NULL for later columns
         return self._read_live(paths, schema_json)
 
+    def changes_between(self, from_version: int, to_version: int) -> DataFrame:
+        """Delete-visible change feed over ``(from_version, to_version]``
+        (round-7 verdict #6 — the full-CDF sibling of
+        :meth:`inserts_between`, which serves append-only consumers).
+
+        Emits ``(_change_version, _change_op, <table columns>)`` at FILE
+        granularity: every commit surfaces as ``remove`` rows for its
+        removed files and ``insert`` rows for its added files, so a
+        rewriting commit (delete / merge / overwrite / restore) shows
+        old rows out + surviving rows back in. A consumer that folds
+        removes-then-inserts per version mirrors the table exactly
+        (multiset semantics, no keys required). ``compact`` commits emit
+        NOTHING — they are row-preserving by construction (including
+        rebased compactions; the Delta ``dataChange=false`` rule), which
+        keeps pure-maintenance churn out of the feed.
+
+        Reads ONLY the files referenced by in-range commits — never a
+        table scan. Removed files stay on disk until :meth:`vacuum`;
+        a feed window reaching past vacuumed files raises rather than
+        returning a silently incomplete feed.
+        """
+        head = self.latest_version()
+        if head is None or not 0 <= from_version <= to_version <= head:
+            raise ValueError(
+                f"bad change range ({from_version}, {to_version}] for head {head}"
+            )
+        # newest schema in range pins the output: older-vintage files
+        # (both added and removed) backfill NULL for later columns
+        _, schema_json = self._resolve(to_version)
+        pieces: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            e = self._read_entry(v)
+            if e.op == "compact":
+                continue
+            for op, rel_paths in (
+                ("remove", list(e.remove)),
+                ("insert", [fe.path for fe in e.add]),
+            ):
+                if not rel_paths:
+                    continue
+                paths = [os.path.join(self.root, p) for p in rel_paths]
+                missing = [p for p in paths if not os.path.exists(p)]
+                if missing:
+                    raise ValueError(
+                        f"changes_between({from_version}, {to_version}): "
+                        f"version {v} references vacuumed file(s) "
+                        f"{missing[:3]} — narrow the window or raise the "
+                        "vacuum retention"
+                    )
+                pieces.append(
+                    self._read_live(paths, schema_json).select(
+                        F.lit(v).cast("long").alias("_change_version"),
+                        F.lit(op).alias("_change_op"),
+                        "*",
+                    )
+                )
+        if not pieces:
+            base = (
+                T.StructType.fromJson(json.loads(schema_json)).fields
+                if schema_json
+                else []
+            )
+            schema = T.StructType(
+                [
+                    T.StructField("_change_version", T.LongType(), False),
+                    T.StructField("_change_op", T.StringType(), False),
+                ]
+                + [T.StructField(f.name, f.dataType, True, f.metadata) for f in base]
+            )
+            return self.spark.createDataFrame([], schema)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
     def history(self) -> list[dict]:
         """``git log`` analogue: newest-first commit records."""
         head = self.latest_version()

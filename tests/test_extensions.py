@@ -2355,3 +2355,76 @@ def test_substring_self_spans_intra_doc_repeat(spark):
     # doc 3: three occurrences -> C(3,2) = 3 pairs, each len 16
     assert len(by_doc[3]) == 3
     assert all(r["len_tokens"] == 16 for r in by_doc[3])
+
+
+# --- BPE merge learning + tokenization (operators/bpe.py) -------------------
+
+
+class TestBPE:
+    def test_merge_application_is_exact_greedy(self, spark):
+        """One replace() call per round == greedy left-to-right
+        non-overlapping merge: the A==A run case takes every other pair
+        in the run (leftmost first), the alternating case merges every
+        disjoint site in one pass."""
+        from nibbledb_spark.operators.bpe import SEP, _merge_expr
+
+        def wrap(symbols):
+            return SEP + (SEP + SEP).join(symbols) + SEP
+
+        df = spark.createDataFrame(
+            [(wrap(list("aaaaa")),), (wrap(list("abab")),), (wrap(list("xay")),)],
+            "w string",
+        )
+        out = {
+            r["w"]
+            for r in df.select(_merge_expr(F.col("w"), "a", "a").alias("w")).collect()
+        }
+        assert wrap(["aa", "aa", "a"]) in out  # run of 5: every-other rule
+        out2 = {
+            r["w"]
+            for r in df.select(_merge_expr(F.col("w"), "a", "b").alias("w")).collect()
+        }
+        assert wrap(["ab", "ab"]) in out2  # disjoint sites both merge
+        assert wrap(list("xay")) in out2  # no site: unchanged
+
+    def test_learn_merges_deterministic_counts(self, spark):
+        """Known tiny corpus: pair counts are exact integers and the
+        (count DESC, lhs, rhs) tiebreak is deterministic."""
+        from nibbledb_spark.operators.bpe import learn_bpe_merges
+
+        docs = spark.createDataFrame(
+            [(1, "abab abab cd"), (2, "abab cd cd")], "doc_id long, text string"
+        )
+        merges = learn_bpe_merges(docs, 3)
+        # 'abab' x3 + 'cd' x3: pairs (a,b) 6, (b,a) 3, (c,d) 3, then after
+        # merging (a,b): (ab,ab) 3 ties (c,d) 3 -> 'ab' < 'c' wins.
+        assert merges[0] == (1, "a", "b", 6)
+        assert merges[1] == (2, "ab", "ab", 3)
+        assert merges[2] == (3, "c", "d", 3)
+
+    def test_tokenize_reconstructs_text(self, spark):
+        """Token concatenation per doc == the doc's non-whitespace
+        characters, in order — merges never lose or reorder content."""
+        from nibbledb_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+        merges = learn_bpe_merges(docs, 4)
+        assert len(merges) == 4
+        out = apply_bpe(docs, merges).collect()
+        orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert len(out) == 30
+        for r in out:
+            squashed = "".join(orig[r["doc_id"]].split())
+            assert r["tok_str"].replace(" ", "") == squashed
+            assert r["n_tokens"] == len(r["tok_str"].split())
+
+    def test_tokenize_plan_is_zero_shuffle(self, spark):
+        """The corpus-touching apply path is a pure projection: no
+        Exchange anywhere in the plan (learning happens on the word
+        table in separate jobs; the merges enter the plan as literals)."""
+        from nibbledb_spark.operators.bpe import apply_bpe
+        from nibbledb_spark.plans.scale import exchange_count
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        tok = apply_bpe(docs, [(1, "e", "r", 0), (2, "o", "r", 0)])
+        assert exchange_count(tok) == 0

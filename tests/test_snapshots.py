@@ -811,3 +811,54 @@ def test_delete_rebases_over_concurrent_append(spark, log):
     assert sorted(r["id"] for r in log.read().collect()) == list(
         range(40)
     ) + list(range(50, 60))
+
+
+def test_changes_between_mirrors_table(spark, log):
+    """Folding the delete-visible feed (removes then inserts, per
+    version) over the v_from snapshot reconstructs the v_to snapshot
+    exactly — multiset semantics, no keys needed — across a mixed
+    append/delete/merge/compact window. compact emits nothing."""
+    from collections import Counter
+
+    log.append(_df(spark, 0, 50))  # v0
+    log.append(_df(spark, 50, 100))  # v1
+    log.delete_where("id % 3 = 0")  # v2
+    log.merge(spark.range(98, 103).selectExpr("id", "id*7 AS v"), ["id"])  # v3
+    log.compact(target_files=1)  # v4: row-preserving -> silent
+    head = log.latest_version()
+    assert head == 4
+
+    feed = log.changes_between(0, head).collect()
+    assert all(r["_change_op"] in ("insert", "remove") for r in feed)
+    assert not [r for r in feed if r["_change_version"] == 4], "compact must be silent"
+
+    state = Counter((r["id"], r["v"]) for r in log.read(version=0).collect())
+    for v in range(1, head + 1):
+        for r in feed:
+            if r["_change_version"] == v and r["_change_op"] == "remove":
+                state[(r["id"], r["v"])] -= 1
+        for r in feed:
+            if r["_change_version"] == v and r["_change_op"] == "insert":
+                state[(r["id"], r["v"])] += 1
+    state = Counter({k: n for k, n in state.items() if n})
+    expect = Counter((r["id"], r["v"]) for r in log.read().collect())
+    assert state == expect
+
+    # empty window -> schema'd empty frame with the feed columns in front
+    empty = log.changes_between(head, head)
+    assert empty.count() == 0
+    assert empty.schema.fieldNames()[:2] == ["_change_version", "_change_op"]
+    with pytest.raises(ValueError, match="bad change range"):
+        log.changes_between(2, head + 1)
+
+
+def test_changes_between_refuses_vacuumed_window(spark, log):
+    """A window whose removed files were vacuumed raises instead of
+    returning a silently incomplete feed."""
+    log.append(_df(spark, 0, 50))  # v0
+    log.delete_where("id < 10")  # v1 rewrites v0's files
+    log.compact(target_files=1)  # v2
+    log.append(_df(spark, 50, 60))  # v3 (keeps head moving)
+    log.vacuum(retain_versions=1, min_age_s=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        log.changes_between(0, log.latest_version()).collect()

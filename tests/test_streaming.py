@@ -516,3 +516,102 @@ def test_interval_join_louter_stream_converges(spark, tmp_path):
     batch_matched = sorted(tuple(r) for r in batch if r["r_ts"] is not None)
     streamed_matched = sorted(tuple(r) for r in streamed if r["r_ts"] is not None)
     assert streamed_matched == batch_matched
+
+
+def test_interval_join_fouter_stream_converges(spark, tmp_path):
+    """FULL OUTER stream-stream interval join: matched pairs equal the
+    batch join exactly; null-extensions in BOTH directions (unmatched
+    errors AND unmatched clicks) equal the batch join on the
+    watermark-settled prefix. Also pins the coalesce(k, rk) key emit:
+    every left-null-extended row (unmatched click) must carry its real
+    user_id, never NULL."""
+    from nibbledb_spark.streaming.ingest import EVENTS_SCHEMA, interval_join_streams
+
+    def keyed(df):
+        from nibbledb_spark.sources.registry import event_ts_us
+
+        return df.select(
+            "user_id",
+            event_ts_us(df).alias("ts"),
+            "event_type",
+            "value",
+        )
+
+    raw = keyed(
+        spark.read.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    kwargs = dict(key="user_id", tolerance="30 minutes", how="full_outer")
+    batch = interval_join_streams(
+        raw.where(F.col("event_type") == "error"),
+        raw.where(F.col("event_type") == "click"),
+        **kwargs,
+    ).collect()
+
+    sraw = keyed(
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+    )
+    joined = interval_join_streams(
+        sraw.where(F.col("event_type") == "error"),
+        sraw.where(F.col("event_type") == "click"),
+        **kwargs,
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_fouter_conv")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj_fo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT * FROM ssj_fouter_conv").collect()
+
+    # no NULL keys anywhere: unmatched RIGHT rows must surface rk
+    assert all(r["user_id"] is not None for r in streamed)
+    assert all(r["user_id"] is not None for r in batch)
+
+    # same settled horizon as the louter test (delay + 2x tolerance off
+    # the gating branch's max, +1 min slack); a row's own event time is
+    # l_ts for right-null extensions, r_ts for left-null extensions,
+    # and the later of the two for matches
+    wm_base = min(
+        raw.where(F.col("event_type") == "error").agg(F.max("ts")).collect()[0][0],
+        raw.where(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0],
+    )
+    cutoff = wm_base - (10 + 30 + 30 + 1) * 60 * 1_000_000
+
+    def own_ts(r):
+        if r["r_ts"] is None:
+            return r["l_ts"]
+        if r["l_ts"] is None:
+            return r["r_ts"]
+        return max(r["l_ts"], r["r_ts"])
+
+    def norm(r):
+        # None-safe sort key: null-extended rows carry None in ts/value
+        # slots, and tuple comparison would hit None < int
+        return tuple((v is None, v) for v in tuple(r))
+
+    def settled(rows):
+        return sorted((norm(r) for r in rows if own_ts(r) < cutoff))
+
+    assert settled(streamed) == settled(batch)
+    assert len(settled(batch)) > 0
+    # both null-extension directions must be present in the settled set
+    settled_batch = [r for r in batch if own_ts(r) < cutoff]
+    assert any(r["r_ts"] is None for r in settled_batch), "no unmatched errors"
+    assert any(r["l_ts"] is None for r in settled_batch), "no unmatched clicks"
+    # matched pairs emit eagerly regardless of the watermark
+    batch_matched = sorted(
+        norm(r) for r in batch if r["r_ts"] is not None and r["l_ts"] is not None
+    )
+    streamed_matched = sorted(
+        norm(r)
+        for r in streamed
+        if r["r_ts"] is not None and r["l_ts"] is not None
+    )
+    assert streamed_matched == batch_matched
