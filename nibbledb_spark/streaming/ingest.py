@@ -281,6 +281,13 @@ def stateful_series_stats_v2(points: DataFrame, *, alpha: float = 0.2) -> DataFr
     (``spark.sql.streaming.stateStore.providerClass`` =
     ``...RocksDBStateStoreProvider``) — set it on the session before
     starting the query (the convergence test shows the wiring).
+
+    Environmental seam: TWS's streaming Python worker imports
+    google.protobuf (its state-server protocol). Where protobuf is
+    absent the JVM-integrated convergence test importorskips, and the
+    processor's recurrence + state plumbing stays covered by the
+    fake-handle unit test (tests/test_streaming.py) — the pairing is
+    itself pinned by ``test_stateful_v2_env_skip_is_paired_coverage``.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
