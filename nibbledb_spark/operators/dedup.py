@@ -344,12 +344,13 @@ def lsh_candidate_pairs_fast(
     return _lsh_candidates_from_sh(sh, num_hashes, band_size)
 
 
-def _lsh_candidates_from_sh(
-    sh: DataFrame, num_hashes: int, band_size: int
-) -> DataFrame:
+def _band_rows(sh: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(id, band, bucket) LSH band rows from shingle rows: the banded
+    signature table both the in-plan pipeline and the persisted index
+    materialize."""
     sig = minhash_rows(sh, num_hashes)
     n_bands = num_hashes // band_size
-    bands = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -368,6 +369,12 @@ def _lsh_candidates_from_sh(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def _lsh_candidates_from_sh(
+    sh: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    bands = _band_rows(sh, num_hashes, band_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -419,6 +426,158 @@ def near_dup_pairs_minhash_fast(
             (
                 F.col("inter").cast("double")
                 / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- persisted incremental LSH index ----------------------------------------
+# The crawl-dedup workflow at 100 TB: the corpus's shingle + banded
+# signature tables are computed ONCE and persisted; each incoming batch
+# (a) queries its near-dups against the index without recomputing a
+# byte of corpus-side state, then (b) appends its own rows so the next
+# batch sees it. The same frozen-parameter incremental pattern as the
+# persisted IVF/IVF+PQ ANN indexes (similarity.py ivf_index_add).
+
+
+def build_lsh_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = DEFAULT_SHINGLE_N,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> None:
+    """Persist the LSH dedup index for ``docs``: band rows (id, band,
+    bucket), shingle rows (id, shingle) for the exact-Jaccard verify
+    stage, per-id shingle counts, and the frozen parameters. All three
+    tables are plain parquet — at cluster scale you would bucket bands
+    by (band, bucket) and shingles by id so probe joins co-locate, but
+    the table CONTENTS are already the scale design: signatures are
+    never recomputed, and query cost tracks the probe batch."""
+    import json as _json
+    import os as _os
+
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=shingle_n).persist()
+    try:
+        _band_rows(sh, num_hashes, band_size).write.mode("errorifexists").parquet(
+            _os.path.join(path, "bands")
+        )
+        sh.write.mode("errorifexists").parquet(_os.path.join(path, "shingles"))
+        sh.groupBy("id").agg(F.count("*").alias("sz")).write.mode(
+            "errorifexists"
+        ).parquet(_os.path.join(path, "sizes"))
+    finally:
+        sh.unpersist()
+    with open(_os.path.join(path, "meta.json"), "w") as f:
+        _json.dump(
+            {
+                "shingle_n": shingle_n,
+                "num_hashes": num_hashes,
+                "band_size": band_size,
+            },
+            f,
+        )
+
+
+def _lsh_index_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "meta.json")) as f:
+        return _json.load(f)
+
+
+def lsh_index_add(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally index ``new_docs`` with the index's FROZEN
+    parameters (shingle_n / num_hashes / band_size fixed at build, so
+    old and new signatures stay comparable — the ivf_index_add
+    contract). Appends only the new rows; corpus-side state is never
+    recomputed. Caller contract: ids must be new (re-adding an id
+    would double its shingle rows and skew its Jaccard sizes)."""
+    import os as _os
+
+    meta = _lsh_index_meta(path)
+    sh = shingle_rows(
+        new_docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
+    ).persist()
+    try:
+        _band_rows(sh, meta["num_hashes"], meta["band_size"]).write.mode(
+            "append"
+        ).parquet(_os.path.join(path, "bands"))
+        sh.write.mode("append").parquet(_os.path.join(path, "shingles"))
+        sh.groupBy("id").agg(F.count("*").alias("sz")).write.mode("append").parquet(
+            _os.path.join(path, "sizes")
+        )
+    finally:
+        sh.unpersist()
+
+
+def lsh_query_near_dups(
+    spark,
+    path: str,
+    query_docs: DataFrame,
+    *,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dups of ``query_docs`` against the INDEXED corpus:
+    query-side shingles/bands are computed on the fly with the frozen
+    parameters, candidates come from an equi-join against the persisted
+    band table, and the exact-Jaccard verify joins only candidate ids'
+    shingle rows. Returns (query_id, index_id, jaccard) with
+    jaccard >= threshold; a query id also present in the index never
+    pairs with itself. Corpus-side cost is reads, never recompute."""
+    import os as _os
+
+    meta = _lsh_index_meta(path)
+    q_sh = shingle_rows(
+        query_docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
+    ).persist()
+    q_bands = _band_rows(q_sh, meta["num_hashes"], meta["band_size"])
+    idx_bands = spark.read.parquet(_os.path.join(path, "bands"))
+    cand = (
+        q_bands.alias("q")
+        .join(idx_bands.alias("i"), ["band", "bucket"])
+        .where(F.col("q.id") != F.col("i.id"))
+        .select(F.col("q.id").alias("query_id"), F.col("i.id").alias("index_id"))
+        .distinct()
+    )
+    idx_sh = spark.read.parquet(_os.path.join(path, "shingles"))
+    inter = (
+        cand.join(q_sh.select(F.col("id").alias("query_id"), "shingle"), "query_id")
+        .join(
+            idx_sh.select(F.col("id").alias("index_id"), "shingle"),
+            ["index_id", "shingle"],
+        )
+        .groupBy("query_id", "index_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    q_sizes = q_sh.groupBy("id").agg(F.count("*").alias("q_sz"))
+    idx_sizes = spark.read.parquet(_os.path.join(path, "sizes"))
+    return (
+        inter.join(q_sizes.select(F.col("id").alias("query_id"), "q_sz"), "query_id")
+        .join(
+            idx_sizes.select(F.col("id").alias("index_id"), F.col("sz").alias("i_sz")),
+            "index_id",
+        )
+        .select(
+            "query_id",
+            "index_id",
+            (
+                F.col("inter").cast("double")
+                / (F.col("q_sz") + F.col("i_sz") - F.col("inter"))
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

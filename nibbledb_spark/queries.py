@@ -5973,3 +5973,63 @@ def changes_between_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_version", "change_op")
     )
+
+
+def _lsh_incremental_sql() -> str:
+    bands = ", ".join(
+        f"md5(sig[{2*b+1}]||'|'||sig[{2*b+2}])" for b in range(4)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+sig AS (SELECT doc_id, s, {_sig_sql()} AS sig FROM sh),
+bands AS (
+  SELECT doc_id, u.b, [{bands}][u.b + 1] AS bucket
+  FROM sig, (SELECT unnest([0,1,2,3]) AS b) u
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS query_id, b.doc_id AS index_id
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+)
+SELECT c.query_id, c.index_id,
+       CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+         / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) AS jaccard
+FROM cand c JOIN sh s1 ON c.query_id = s1.doc_id JOIN sh s2 ON c.index_id = s2.doc_id
+WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+         / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) >= 0.8
+"""
+
+
+@declared("lsh_incremental_near_dups", _lsh_incremental_sql())
+def lsh_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted incremental LSH dedup index (the crawl-dedup workflow):
+    build the index over docs with doc_id % 5 in (1,2,3), incrementally
+    add the % 5 = 4 batch with frozen parameters, then query the
+    % 5 = 0 batch against it — near-dup (query, index) pairs at exact
+    Jaccard >= 0.8 WITHOUT recomputing a byte of corpus-side signatures
+    (operators/dedup.py build_lsh_index / lsh_index_add /
+    lsh_query_near_dups; same frozen-parameter contract as the
+    persisted IVF indexes). The md5-deterministic pipeline lets the
+    oracle replay build+add+query as one declarative band join
+    restricted to (query x indexed) pairs."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.operators.dedup import (
+        build_lsh_index,
+        lsh_index_add,
+        lsh_query_near_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"nibblelsh_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    build_lsh_index(docs.where("doc_id % 5 IN (1, 2, 3)"), root)
+    lsh_index_add(spark, root, docs.where("doc_id % 5 = 4"))
+    return lsh_query_near_dups(
+        spark, root, docs.where("doc_id % 5 = 0"), threshold=0.8
+    )

@@ -2428,3 +2428,87 @@ class TestBPE:
         docs = spark.read.parquet(f"{SF}/documents.parquet")
         tok = apply_bpe(docs, [(1, "e", "r", 0), (2, "o", "r", 0)])
         assert exchange_count(tok) == 0
+
+
+# --- persisted incremental LSH index (operators/dedup.py) -------------------
+
+
+class TestLshIndex:
+    def test_query_against_own_index_equals_full_pipeline(self, spark, docs, tmp_path):
+        """Querying the corpus against its own index reproduces the
+        in-plan MinHash-LSH pipeline exactly (both orientations of each
+        pair, self-pairs excluded)."""
+        from nibbledb_spark.operators.dedup import (
+            build_lsh_index,
+            lsh_query_near_dups,
+            near_dup_pairs_minhash_fast,
+        )
+
+        path = str(tmp_path / "idx")
+        build_lsh_index(docs, path)
+        got = {
+            (r["query_id"], r["index_id"], round(r["jaccard"], 12))
+            for r in lsh_query_near_dups(spark, path, docs, threshold=0.5).collect()
+        }
+        want = set()
+        for r in near_dup_pairs_minhash_fast(docs, threshold=0.5).collect():
+            j = round(r["jaccard"], 12)
+            want.add((r["id1"], r["id2"], j))
+            want.add((r["id2"], r["id1"], j))
+        assert got == want and len(want) > 0
+
+    def test_add_equals_rebuild(self, spark, docs, tmp_path):
+        """Frozen-parameter incremental add: index(old) + add(new) answers
+        queries identically to index(old + new) built from scratch."""
+        from nibbledb_spark.operators.dedup import (
+            build_lsh_index,
+            lsh_index_add,
+            lsh_query_near_dups,
+        )
+
+        old = docs.where("doc_id % 3 != 0")
+        new = docs.where("doc_id % 3 = 0 AND doc_id % 2 = 0")
+        probe = docs.where("doc_id % 3 = 0 AND doc_id % 2 = 1")
+
+        grown = str(tmp_path / "grown")
+        build_lsh_index(old, grown)
+        lsh_index_add(spark, grown, new)
+
+        rebuilt = str(tmp_path / "rebuilt")
+        build_lsh_index(old.unionByName(new), rebuilt)
+
+        def q(path):
+            return {
+                (r["query_id"], r["index_id"], round(r["jaccard"], 12))
+                for r in lsh_query_near_dups(
+                    spark, path, probe, threshold=0.5
+                ).collect()
+            }
+
+        res = q(grown)
+        assert res == q(rebuilt)
+        assert len(res) > 0
+
+    def test_query_cost_reads_not_recompute(self, spark, docs, tmp_path):
+        """The query plan scans the persisted band/shingle/size parquet —
+        corpus-side signatures are never recomputed (no corpus text scan
+        in the plan; only the probe batch's)."""
+        import contextlib
+        import io
+
+        from nibbledb_spark.operators.dedup import (
+            build_lsh_index,
+            lsh_query_near_dups,
+        )
+
+        path = str(tmp_path / "idx")
+        build_lsh_index(docs.where("doc_id >= 50"), path)
+        plan_df = lsh_query_near_dups(
+            spark, path, docs.where("doc_id < 50"), threshold=0.5
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            plan_df.explain("formatted")
+        plan = buf.getvalue()
+        for sub in ("bands", "shingles", "sizes"):
+            assert f"idx/{sub}" in plan or f"idx%2F{sub}" in plan, sub
