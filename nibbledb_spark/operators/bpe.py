@@ -157,3 +157,31 @@ def apply_bpe(
         F.size(toks).cast("long").alias("n_tokens"),
         F.array_join(toks, " ").alias("tok_str"),
     )
+
+
+def save_bpe_merges(merges: list[tuple[int, str, str, int]], path: str) -> None:
+    """Persist learned merges as the tokenizer artifact (train once,
+    apply many — the apply side is a pure projection, so a saved merge
+    list is everything a 1000-executor tokenize job needs)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            [
+                {"rank": r, "lhs": lhs, "rhs": rhs, "count": c}
+                for r, lhs, rhs, c in merges
+            ],
+            f,
+        )
+
+
+def load_bpe_merges(path: str) -> list[tuple[int, str, str, int]]:
+    """Load a saved merge list, rank order preserved."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    out = [(d["rank"], d["lhs"], d["rhs"], d["count"]) for d in data]
+    if [r for r, _, _, _ in out] != list(range(1, len(out) + 1)):
+        raise ValueError(f"corrupt merge list in {path}: ranks not 1..{len(out)}")
+    return out

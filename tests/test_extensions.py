@@ -2418,6 +2418,26 @@ class TestBPE:
             assert r["tok_str"].replace(" ", "") == squashed
             assert r["n_tokens"] == len(r["tok_str"].split())
 
+    def test_bpe_merge_artifact_roundtrip(self, spark, tmp_path):
+        """Saved merges reload identically and tokenize identically —
+        the train-once / apply-many contract."""
+        from nibbledb_spark.operators.bpe import (
+            apply_bpe,
+            learn_bpe_merges,
+            load_bpe_merges,
+            save_bpe_merges,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+        merges = learn_bpe_merges(docs, 3)
+        p = str(tmp_path / "merges.json")
+        save_bpe_merges(merges, p)
+        loaded = load_bpe_merges(p)
+        assert loaded == merges
+        a = sorted(map(tuple, apply_bpe(docs, merges).collect()))
+        b = sorted(map(tuple, apply_bpe(docs, loaded).collect()))
+        assert a == b
+
     def test_tokenize_plan_is_zero_shuffle(self, spark):
         """The corpus-touching apply path is a pure projection: no
         Exchange anywhere in the plan (learning happens on the word
