@@ -6033,3 +6033,37 @@ def lsh_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_query_near_dups(
         spark, root, docs.where("doc_id % 5 = 0"), threshold=0.8
     )
+
+
+def _bpe_vocab_sql(k: int) -> str:
+    # Reuse the tokenize CTE chain, then count token frequencies.
+    base = _bpe_tokenize_sql(k)
+    head, _, _ = base.rpartition("SELECT doc_id,")
+    return f"""{head}
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(toks) AS token FROM tok)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20"""
+
+
+@declared("bpe_vocab_top", _bpe_vocab_sql(_BPE_K))
+def bpe_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 subword tokens after the 8 learned BPE merges — the
+    learned vocabulary's head, the number a tokenizer-training run
+    inspects first. Composes tokenize_bpe's zero-shuffle apply with
+    one partial-agg count + TakeOrderedAndProject (the heavy_hitter
+    plan class); deterministic (n DESC, token ASC) tiebreak."""
+    from nibbledb_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = apply_bpe(docs, learn_bpe_merges(docs, _BPE_K))
+    return (
+        tok.select(F.explode(F.split("tok_str", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
