@@ -6067,3 +6067,50 @@ def bpe_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(20)
     )
+
+
+@declared(
+    "clone_branch_divergence",
+    f"""
+SELECT 'branch' AS side, COUNT(*) AS n_rows,
+       {_ssum_sql('o_totalprice', 2)} AS total_price
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 'source', COUNT(*), {_ssum_sql('o_totalprice', 2)}
+FROM orders
+ORDER BY side
+""",
+)
+def clone_branch_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone (SnapshotLog.clone — Git-branch / Delta SHALLOW
+    CLONE analogue): append evens (v0), branch the table at v0
+    metadata-only, then append odds to the SOURCE only. The branch
+    still reads exactly the v0 snapshot through source-referencing
+    file entries (zero bytes copied) while the source reads everything
+    — histories fork independently. The oracle states each side
+    declaratively."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.snapshots import SnapshotLog
+
+    orders = _t(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nibblelog_clone_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    log = SnapshotLog(spark, os.path.join(base, "src"), stats_cols=("o_orderkey",))
+    log.append(orders.where("o_orderkey % 2 = 0"))
+    branch = log.clone(os.path.join(base, "branch"))
+    log.append(orders.where("o_orderkey % 2 = 1"))
+
+    def agg(df, side):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _ssum(F.col("o_totalprice"), 2).alias("total_price"),
+        ).select(F.lit(side).alias("side"), "n_rows", "total_price")
+
+    return agg(branch.read(), "branch").unionByName(agg(log.read(), "source")).orderBy(
+        "side"
+    )

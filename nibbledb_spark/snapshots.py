@@ -1211,6 +1211,62 @@ class SnapshotLog:
         # before an in-range evolution backfill NULL for later columns
         return self._read_live(paths, schema_json)
 
+    def clone(self, dest_root: str, *, version: int | None = None) -> "SnapshotLog":
+        """Shallow clone (round 8): a NEW table whose v0 commit
+        references THIS table's data files at ``version`` (default
+        head) — metadata only, zero bytes copied. The Git-branch
+        semantic of the reference's Irmin store (src/shard.re:26-34)
+        surfaced on the snapshot log; Delta SHALLOW CLONE / Iceberg
+        branch analogue, and the way a curation team forks a 100 TB
+        corpus for an experiment without duplicating it.
+
+        Histories are independent after the fork: commits to either
+        table never appear in the other. Writes to the clone that
+        rewrite data (delete / merge / compact) land in the CLONE's own
+        data directory; the source's files are never modified, and the
+        clone's ``vacuum`` physically deletes only files under the
+        clone's root (source-referencing entries just leave the live
+        set). ``clone.compact()`` is the DETACH: it rewrites all live
+        rows into clone-owned files, after which the source may vacuum
+        freely. Until then the Delta caveat applies: vacuuming the
+        SOURCE can remove files a shallow clone still references.
+        """
+        head = self.latest_version()
+        if head is None:
+            raise ValueError("cannot clone an empty table")
+        v = head if version is None else version
+        if not 0 <= v <= head:
+            raise ValueError(f"clone version {v} out of range 0..{head}")
+        files, schema_json = self._resolve(v)
+        dest = SnapshotLog(
+            self.spark,
+            dest_root,
+            stats_cols=self.stats_cols,
+            checkpoint_every=self.checkpoint_every,
+            target_file_bytes=self.target_file_bytes,
+        )
+        if dest.latest_version() is not None:
+            raise ValueError(f"clone destination {dest.root} is not empty")
+        rel = os.path.relpath(self.root, dest.root)
+        add = [
+            # normpath so entries match _uri_to_rel's normalized output
+            # (delete/merge file targeting on the clone depends on it)
+            FileEntry(
+                os.path.normpath(os.path.join(rel, fe.path)), fe.rows, dict(fe.stats)
+            )
+            for fe in files
+        ]
+        dest._commit(
+            "clone",
+            add,
+            [],
+            schema_json,
+            {"source": self.root, "source_version": v, "shallow": True},
+            expected_version=0,
+            retry_append=False,
+        )
+        return dest
+
     def changes_between(self, from_version: int, to_version: int) -> DataFrame:
         """Delete-visible change feed over ``(from_version, to_version]``
         (round-7 verdict #6 — the full-CDF sibling of

@@ -862,3 +862,70 @@ def test_changes_between_refuses_vacuumed_window(spark, log):
     log.vacuum(retain_versions=1, min_age_s=0.0)
     with pytest.raises(ValueError, match="vacuumed"):
         log.changes_between(0, log.latest_version()).collect()
+
+
+def test_shallow_clone_forks_history(spark, log, tmp_path):
+    """clone(): metadata-only fork — reads match the cloned version,
+    histories diverge independently, and nothing is copied (the clone's
+    v0 references the source's files by relative path)."""
+    log.append(_df(spark, 0, 50))  # v0
+    log.append(_df(spark, 50, 100))  # v1
+    clone = log.clone(str(tmp_path / "branch"), version=0)
+    assert clone.read().count() == 50  # the v0 snapshot, not head
+    assert all(
+        fe.path.startswith("..") for fe in clone._resolve(0)[0]
+    ), "shallow clone must reference source files, not copy them"
+    # independent histories
+    clone.append(_df(spark, 1000, 1010))
+    log.append(_df(spark, 100, 110))
+    assert clone.read().count() == 60
+    assert log.read().count() == 110
+    assert [e["op"] for e in clone.history()][-1] == "clone"
+    # a second clone into a non-empty destination refuses
+    with pytest.raises(ValueError, match="not empty"):
+        log.clone(str(tmp_path / "branch"))
+    with pytest.raises(ValueError, match="out of range"):
+        log.clone(str(tmp_path / "other"), version=99)
+
+
+def test_clone_rewrites_stay_clone_local(spark, log, tmp_path):
+    """delete_where on a clone rewrites the hit (source-referencing)
+    files into the CLONE's data dir; the source table is untouched —
+    the ../-path file targeting through _uri_to_rel must match."""
+    import glob
+
+    log.append(_df(spark, 0, 100))
+    clone = log.clone(str(tmp_path / "branch"))
+    src_files_before = sorted(
+        glob.glob(str(tmp_path / "tbl" / "data" / "*" / "*.parquet"))
+    )
+    n_deleted = clone.delete_where("id < 30")
+    assert n_deleted >= 1
+    assert clone.read().count() == 70
+    assert sorted(r["id"] for r in clone.read().collect()) == list(range(30, 100))
+    # source bytes and content untouched
+    assert (
+        sorted(glob.glob(str(tmp_path / "tbl" / "data" / "*" / "*.parquet")))
+        == src_files_before
+    )
+    assert log.read().count() == 100
+    # clone's vacuum never reaches outside its root
+    clone.vacuum(retain_versions=1, min_age_s=0.0)
+    assert log.read().count() == 100
+
+
+def test_clone_compact_detaches_from_source(spark, log, tmp_path):
+    """compact() on a clone rewrites live rows into clone-owned files
+    (no ../ references remain) — after that the source can vacuum
+    freely without breaking the clone."""
+    log.append(_df(spark, 0, 80))
+    clone = log.clone(str(tmp_path / "branch"))
+    clone.compact(target_files=1)
+    live, _ = clone._resolve(clone.latest_version())
+    assert live and not any(fe.path.startswith("..") for fe in live)
+    # source rewrites all data (delete everything) then vacuums
+    log.delete_where("id >= 0")
+    log.vacuum(retain_versions=1, min_age_s=0.0)
+    assert clone.read().count() == 80  # detached clone unaffected
+    # stats-pruned reads still work on the clone
+    assert clone.read(bounds={"id": (0, 9)}).count() >= 10
