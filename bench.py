@@ -339,6 +339,16 @@ def snapshot_bench(spark) -> None:
             "stats-pruned read",
             lambda: tbl.read(bounds={"o_orderkey": (0, 1000)}).count(),
         )
+        # metadata-only branch: cost must not scale with table bytes
+        branch = timed(
+            f"shallow clone ({n:,}-row table)",
+            lambda: tbl.clone(os.path.join(work, "branch")),
+        )
+        timed("clone head read count", lambda: branch.read().count())
+        timed(
+            "changes_between full history (rows)",
+            lambda: tbl.changes_between(0, tbl.latest_version()).count(),
+        )
         log(f"snapshot history: {[e['op'] for e in tbl.history()]}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
