@@ -348,6 +348,7 @@ _ops = st.lists(
         st.tuples(st.just("delete_keys"), st.integers(0, 9), st.integers(1, 20)),
         st.tuples(st.just("compact"), st.integers(0, 1), st.just(0)),
         st.tuples(st.just("restore"), st.integers(0, 9), st.just(0)),
+        st.tuples(st.just("clone_probe"), st.integers(0, 9), st.just(0)),
     ),
     min_size=1,
     max_size=6,
@@ -412,6 +413,26 @@ def test_snapshot_log_model_property(spark, tmp_path_factory, ops):
             target = a % (head + 1)
             log.restore(target)
             model, evolved = list(hist[target][0]), hist[target][1]
+        elif kind == "clone_probe":
+            # shallow clone at a random historical version: the branch
+            # reads exactly that state, and a commit to the branch never
+            # appears in the source (whose version->state replay below
+            # stays intact because a clone commits NOTHING here)
+            head = log.latest_version()
+            if head is None:
+                continue
+            target = a % (head + 1)
+            c = log.clone(
+                str(tmp_path_factory.mktemp("branch") / "tbl"), version=target
+            )
+            assert sorted(r["id"] for r in c.read().collect()) == states[target]
+            c.append(
+                spark.createDataFrame([(99_999,)], "id long"), merge_schema=True
+            )
+            assert sorted(r["id"] for r in c.read().collect()) == sorted(
+                states[target] + [99_999]
+            )
+            continue  # no source commit: version/states mapping unchanged
         else:
             if log.latest_version() is None:
                 continue
