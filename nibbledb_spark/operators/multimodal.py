@@ -837,6 +837,133 @@ def image_stats_features(media: DataFrame, *, grid: int = 2) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(run, schema)
 
 
+def _cell_means(lum, grid_h: int, grid_w: int):
+    """Area-mean pooling of a 2-D luminance array into a grid_h x
+    grid_w grid via reduceat — vectorized, no interpolation libs."""
+    import numpy as np
+
+    h, w = lum.shape
+    rb = (np.arange(grid_h) * h) // grid_h
+    cb = (np.arange(grid_w) * w) // grid_w
+    s = np.add.reduceat(np.add.reduceat(lum, rb, axis=0), cb, axis=1)
+    rc = np.diff(np.append(rb, h))
+    cc = np.diff(np.append(cb, w))
+    return s / np.outer(rc, cc)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: decode ->
+    luminance -> area-mean pool to 8x9 -> horizontal-gradient bits ->
+    64-bit hash. The standard near-dup fingerprint for image corpora:
+    robust to re-encoding, exact block upscaling, and small local
+    edits, because only the coarse luminance GRADIENT survives pooling.
+
+    Same Arrow-batched ``mapInPandas`` seam and corrupt-file contract
+    as image_stats_features: undecodable payloads yield a NULL hash
+    (kept, flagged), never a failed batch. Emits the hash both as a
+    16-hex-char string (banding key material) and as int64 (XOR +
+    bit_count hamming distance stays JVM-side downstream).
+    """
+    import numpy as np
+
+    schema = "media_id long, kind string, dhash string, dhash_long long, decoded boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, longs, ok = [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    arr = decode_image(bytes(payload)).astype(np.float64)
+                    lum = arr.mean(axis=2)
+                    cells = _cell_means(lum, 8, 9)
+                    bits = (cells[:, 1:] > cells[:, :-1]).reshape(64)
+                    v = 0
+                    for b in bits:
+                        v = (v << 1) | int(b)
+                    h = f"{v:016x}"
+                    lv = v - (1 << 64) if v >= (1 << 63) else v  # int64 view
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    TypeError,
+                    ZeroDivisionError,
+                    IndexError,
+                    OverflowError,
+                ):
+                    hashes.append(None)
+                    longs.append(None)
+                    ok.append(False)
+                else:
+                    hashes.append(h)
+                    longs.append(lv)
+                    ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "dhash": hashes,
+                    "dhash_long": pd.array(longs, dtype="Int64"),
+                    "decoded": ok,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema)
+
+
+def image_near_dup_pairs_dhash(
+    media: DataFrame, *, max_hamming: int = 6, bands: int = 4
+) -> DataFrame:
+    """Image near-dup pairs by dHash hamming distance: band the 64-bit
+    hash into ``bands`` 16-bit substrings, candidates share at least
+    one exact band (a self-equi-join on (band, value), NEVER all
+    pairs), then the exact hamming distance ``bit_count(h1 XOR h2)``
+    verifies candidates JVM-side. Pigeonhole recall contract: every
+    pair with hamming < ``bands`` is GUARANTEED a shared band; above
+    that recall is probabilistic (errors must crowd into few bands) —
+    the SimHash-for-text design (operators/dedup.py) applied to
+    pixels. Only the per-image hash touches Python; banding, join, and
+    verify are codegen'd."""
+    if not 1 <= bands <= 16 or 64 % bands:
+        raise ValueError(f"bands must divide 64: {bands}")
+    width = 16 // bands  # hex chars per band
+    h = image_dhash(media).where(F.col("decoded")).select(
+        F.col("media_id").alias("id"), "dhash", "dhash_long"
+    )
+    banded = h.select(
+        "id",
+        "dhash",
+        "dhash_long",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("dhash", b * width + 1, width).alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "dhash_long", "bb.band", "bb.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.dhash_long").alias("h1"),
+            F.col("b.dhash_long").alias("h2"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id1",
+        "id2",
+        F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)
+
+
 def _g711_ulaw_to_linear(codes):
     """ITU-T G.711 mu-law -> linear int16 (pure arithmetic, the
     standard segment/mantissa expansion; public-spec constants)."""

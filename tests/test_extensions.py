@@ -2532,3 +2532,83 @@ class TestLshIndex:
         plan = buf.getvalue()
         for sub in ("bands", "shingles", "sizes"):
             assert f"idx/{sub}" in plan or f"idx%2F{sub}" in plan, sub
+
+
+# --- perceptual-hash image dedup (multimodal.py image_dhash) ----------------
+
+
+def _ppm_pattern(w, h, fn):
+    """Binary PPM whose pixel (x, y) is the grayscale value fn(x, y)."""
+    header = f"P6\n{w} {h}\n255\n".encode()
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = fn(x, y) & 0xFF
+            body += bytes((v, v, v))
+    return header + bytes(body)
+
+
+class TestImageDhash:
+    def test_dhash_deterministic_and_upscale_invariant(self, spark):
+        """dHash is a pure function of pixels, and an exact 2x
+        block-upscale pools to the same cell means -> identical hash —
+        the re-encode/resize robustness the fingerprint exists for."""
+        from nibbledb_spark.operators.multimodal import image_dhash
+
+        grad = _ppm_pattern(18, 16, lambda x, y: x * 13 + y * 5)
+        grad2x = _ppm_pattern(36, 32, lambda x, y: (x // 2) * 13 + (y // 2) * 5)
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(grad)), (2, "image", bytearray(grad)),
+             (3, "image", bytearray(grad2x))],
+            "media_id long, kind string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in image_dhash(media).collect()}
+        assert rows[1]["decoded"] and rows[1]["dhash"] == rows[2]["dhash"]
+        assert rows[1]["dhash"] == rows[3]["dhash"], "2x block upscale must pool equal"
+        assert len(rows[1]["dhash"]) == 16
+        assert int(rows[1]["dhash"], 16) & ((1 << 64) - 1) == rows[1][
+            "dhash_long"
+        ] & ((1 << 64) - 1)
+
+    def test_near_dup_pairs_hamming_and_recall_contract(self, spark):
+        """A small local edit (few gradient bits flip) pairs within the
+        hamming budget — GUARANTEED found below the pigeonhole bound —
+        while a structurally different image does not pair; undecodable
+        payloads are excluded, never fatal."""
+        from nibbledb_spark.operators.multimodal import (
+            image_dhash,
+            image_near_dup_pairs_dhash,
+        )
+
+        base = lambda x, y: x * 13 + y * 5  # noqa: E731
+        # perturb one pooled cell's luminance: flips at most the 2
+        # gradient bits adjacent to that cell (< bands=4 -> guaranteed)
+        edited = lambda x, y: base(x, y) + (120 if (x < 2 and y < 2) else 0)  # noqa: E731
+        other = lambda x, y: 255 * ((x + y) % 2)  # noqa: E731  checkerboard
+        media = spark.createDataFrame(
+            [
+                (1, "image", bytearray(_ppm_pattern(18, 16, base))),
+                (2, "image", bytearray(_ppm_pattern(18, 16, edited))),
+                (3, "image", bytearray(_ppm_pattern(18, 16, other))),
+                (4, "image", bytearray(b"not an image")),
+            ],
+            "media_id long, kind string, payload binary",
+        )
+        hams = {r["media_id"]: r for r in image_dhash(media).collect()}
+        assert not hams[4]["decoded"] and hams[4]["dhash"] is None
+        pairs = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in image_near_dup_pairs_dhash(media, max_hamming=3).collect()
+        }
+        assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 3
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+        assert not any(4 in p for p in pairs)
+
+    def test_band_validation(self, spark):
+        from nibbledb_spark.operators.multimodal import image_near_dup_pairs_dhash
+
+        media = spark.createDataFrame(
+            [], "media_id long, kind string, payload binary"
+        )
+        with pytest.raises(ValueError, match="bands"):
+            image_near_dup_pairs_dhash(media, bands=5)
