@@ -923,28 +923,40 @@ def image_near_dup_pairs_dhash(
     the SimHash-for-text design (operators/dedup.py) applied to
     pixels. Only the per-image hash touches Python; banding, join, and
     verify are codegen'd."""
+    h = image_dhash(media).where(F.col("decoded")).select(
+        F.col("media_id").alias("id"),
+        F.col("dhash").alias("hhex"),
+        F.col("dhash_long").alias("hlong"),
+    )
+    return _banded_hamming_pairs(h, max_hamming=max_hamming, bands=bands)
+
+
+def _banded_hamming_pairs(
+    hashes: DataFrame, *, max_hamming: int, bands: int
+) -> DataFrame:
+    """Shared 64-bit-fingerprint near-dup join: ``hashes`` carries
+    (id, hhex, hlong); band the hex into ``bands`` substrings,
+    candidates share a band (equi-join, never all pairs), exact
+    hamming via ``bit_count(XOR)`` verifies. Used by the image dHash
+    and audio spectral-fingerprint dedup paths."""
     if not 1 <= bands <= 16 or 64 % bands:
         raise ValueError(f"bands must divide 64: {bands}")
     width = 16 // bands  # hex chars per band
-    h = image_dhash(media).where(F.col("decoded")).select(
-        F.col("media_id").alias("id"), "dhash", "dhash_long"
-    )
-    banded = h.select(
+    banded = hashes.select(
         "id",
-        "dhash",
-        "dhash_long",
+        "hlong",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.substring("dhash", b * width + 1, width).alias("val"),
+                        F.substring("hhex", b * width + 1, width).alias("val"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "dhash_long", "bb.band", "bb.val")
+    ).select("id", "hlong", "bb.band", "bb.val")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, ["band", "val"])
@@ -952,8 +964,8 @@ def image_near_dup_pairs_dhash(
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.col("a.dhash_long").alias("h1"),
-            F.col("b.dhash_long").alias("h2"),
+            F.col("a.hlong").alias("h1"),
+            F.col("b.hlong").alias("h2"),
         )
         .distinct()
     )
@@ -962,6 +974,92 @@ def image_near_dup_pairs_dhash(
         "id2",
         F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def audio_fingerprint(
+    media: DataFrame, *, n_frames: int = 9, n_bands: int = 8
+) -> DataFrame:
+    """64-bit spectral-gradient audio fingerprint: decode -> mono ->
+    ``n_frames`` equal windows -> |rfft|^2 energies in ``n_bands``
+    equal spectral bands -> temporal gradient bits
+    (energy[t+1][b] > energy[t][b]), (n_frames-1) x n_bands = 64 bits.
+    The chromaprint-shaped dedup key for audio corpora: only the
+    coarse spectral SHAPE over time survives, so a re-levelled
+    (amplitude-scaled, requantized) copy lands a few bits away —
+    signal-band comparisons are scale-invariant, while bands holding
+    only quantization noise may flip, which is exactly what the
+    hamming-distance join absorbs. Same Arrow seam + corrupt-payload
+    contract as image_dhash."""
+    import numpy as np
+
+    if (n_frames - 1) * n_bands != 64:
+        raise ValueError(
+            f"(n_frames-1)*n_bands must be 64: {(n_frames - 1) * n_bands}"
+        )
+    schema = "media_id long, kind string, afp string, afp_long long, decoded boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hexes, longs, ok = [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    samples, rate = decode_audio(bytes(payload))
+                    mono = samples.mean(axis=1)
+                    frame_len = len(mono) // n_frames
+                    spec_bins = frame_len // 2 + 1
+                    if frame_len < 2 or spec_bins < n_bands:
+                        raise ValueError("clip too short to fingerprint")
+                    frames = mono[: frame_len * n_frames].reshape(
+                        n_frames, frame_len
+                    )
+                    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                    edges = (np.arange(n_bands) * spec_bins) // n_bands
+                    energy = np.add.reduceat(spec, edges, axis=1)
+                    bits = (energy[1:] > energy[:-1]).reshape(64)
+                    v = 0
+                    for bit in bits:
+                        v = (v << 1) | int(bit)
+                    hx = f"{v:016x}"
+                    lv = v - (1 << 64) if v >= (1 << 63) else v
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    TypeError,
+                    ZeroDivisionError,
+                    IndexError,
+                    OverflowError,
+                ):
+                    hexes.append(None)
+                    longs.append(None)
+                    ok.append(False)
+                else:
+                    hexes.append(hx)
+                    longs.append(lv)
+                    ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "afp": hexes,
+                    "afp_long": pd.array(longs, dtype="Int64"),
+                    "decoded": ok,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, schema)
+
+
+def audio_near_dup_pairs_fp(
+    media: DataFrame, *, max_hamming: int = 6, bands: int = 4
+) -> DataFrame:
+    """Audio near-dup pairs by fingerprint hamming distance — the
+    banded join shared with image dedup (_banded_hamming_pairs)."""
+    h = audio_fingerprint(media).where(F.col("decoded")).select(
+        F.col("media_id").alias("id"),
+        F.col("afp").alias("hhex"),
+        F.col("afp_long").alias("hlong"),
+    )
+    return _banded_hamming_pairs(h, max_hamming=max_hamming, bands=bands)
 
 
 def _g711_ulaw_to_linear(codes):

@@ -2612,3 +2612,81 @@ class TestImageDhash:
         )
         with pytest.raises(ValueError, match="bands"):
             image_near_dup_pairs_dhash(media, bands=5)
+
+
+# --- spectral audio fingerprint dedup (multimodal.py audio_fingerprint) -----
+
+
+def _wav_seq(freqs, rate=8000, frame_n=800, amp=0.5):
+    """16-bit PCM WAV: one sine tone per fingerprint frame (len(freqs)
+    frames of frame_n samples), loud/quiet alternation via amp per tone."""
+    import math
+    import struct
+
+    body = bytearray()
+    for f, a in freqs:
+        for i in range(frame_n):
+            v = int(a * amp * 32767 * math.sin(2 * math.pi * f * i / rate))
+            body += struct.pack("<h", v)
+    samples = bytes(body)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(samples)) + samples
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+class TestAudioFingerprint:
+    def test_fingerprint_near_dup_and_discriminative(self, spark):
+        """A bit-identical copy fingerprints identically; a re-levelled
+        (half-amplitude, requantized) copy lands within the hamming
+        budget (signal-band gradients survive, noise-floor bands may
+        flip) and pairs; a reversed tone sequence does not pair;
+        corrupt payloads are excluded, never fatal."""
+        from nibbledb_spark.operators.multimodal import (
+            audio_fingerprint,
+            audio_near_dup_pairs_fp,
+        )
+
+        seq = [(200, 1.0), (1600, 0.2), (400, 1.0), (3200, 0.1), (250, 0.9),
+               (1200, 0.3), (300, 1.0), (2800, 0.15), (500, 0.8)]
+        media = spark.createDataFrame(
+            [
+                (1, "audio", bytearray(_wav_seq(seq))),
+                (2, "audio", bytearray(_wav_seq([(f, a * 0.5) for f, a in seq]))),
+                (3, "audio", bytearray(_wav_seq(list(reversed(seq))))),
+                (4, "audio", bytearray(b"not audio")),
+                (5, "audio", bytearray(_wav_seq(seq))),  # bit-identical copy
+            ],
+            "media_id long, kind string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in audio_fingerprint(media).collect()}
+        assert rows[1]["decoded"] and len(rows[1]["afp"]) == 16
+        assert rows[1]["afp"] == rows[5]["afp"], "identical audio, identical fp"
+        assert rows[1]["afp"] != rows[3]["afp"]
+        assert not rows[4]["decoded"] and rows[4]["afp"] is None
+        pairs = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in audio_near_dup_pairs_fp(media, max_hamming=8).collect()
+        }
+        assert pairs.get((1, 5)) == 0
+        assert (1, 2) in pairs and 0 < pairs[(1, 2)] <= 8, "re-levelled near-dup"
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+        assert not any(4 in p for p in pairs)
+
+    def test_fingerprint_geometry_validation(self, spark):
+        from nibbledb_spark.operators.multimodal import audio_fingerprint
+
+        media = spark.createDataFrame(
+            [], "media_id long, kind string, payload binary"
+        )
+        with pytest.raises(ValueError, match="must be 64"):
+            audio_fingerprint(media, n_frames=10, n_bands=8)
+        # a clip too short for 9 frames is flagged, not fatal
+        from nibbledb_spark.operators.multimodal import audio_fingerprint as afp
+
+        tiny = spark.createDataFrame(
+            [(1, "audio", bytearray(_wav_seq([(440, 1.0)], frame_n=8)))],
+            "media_id long, kind string, payload binary",
+        )
+        r = afp(tiny).collect()[0]
+        assert not r["decoded"] and r["afp"] is None
