@@ -1062,6 +1062,89 @@ def audio_near_dup_pairs_fp(
     return _banded_hamming_pairs(h, max_hamming=max_hamming, bands=bands)
 
 
+def clean_media(
+    media: DataFrame,
+    *,
+    image_max_hamming: int = 6,
+    audio_max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """Composed media dedup pipeline — the multimodal analogue of the
+    text side's ``clean_corpus`` (operators/pipeline.py):
+
+    1. EXACT dedup: md5 payload fingerprint, lowest media_id per
+       digest survives (byte-identical copies collapse first, so the
+       perceptual stages never hash the same bytes twice).
+    2. Perceptual near-dup pairs among the exact survivors, per kind:
+       image dHash banding for ``kind='image'``, spectral fingerprint
+       banding for ``kind='audio'`` (kinds never cross-pair).
+    3. Connected components over the union pair graph (hash-min,
+       operators/graph.py), canonical = lowest media_id per cluster.
+
+    Returns one row per INPUT row: (media_id, kind, canonical_id,
+    keep) where ``keep`` marks the cluster canonicals — exact
+    duplicates resolve through their digest survivor's cluster, so a
+    copy of a near-dup lands in the same canonical. Undecodable
+    payloads survive stages 2-3 untouched (their bytes are still
+    exact-dedupable; a corrupt file is not near-anything).
+
+    Scale shape: stage 1 shuffles (digest, id) only; stage 2 is the
+    banded equi-join (never all pairs); stage 3 is O(log n) rounds on
+    the PAIR graph, which near-dup structure keeps tiny relative to
+    the corpus."""
+    from nibbledb_spark.operators.graph import connected_components
+
+    fp = payload_fingerprint(media).select("media_id", "kind", "payload_fp")
+    win_digest = fp.groupBy("payload_fp").agg(
+        F.min("media_id").alias("digest_canonical")
+    )
+    with_digest = fp.join(win_digest, "payload_fp")
+    survivors = media.join(
+        with_digest.where(F.col("media_id") == F.col("digest_canonical")).select(
+            "media_id"
+        ),
+        "media_id",
+    )
+    img_pairs = image_near_dup_pairs_dhash(
+        survivors.where(F.col("kind") == "image"),
+        max_hamming=image_max_hamming,
+        bands=bands,
+    )
+    aud_pairs = audio_near_dup_pairs_fp(
+        survivors.where(F.col("kind") == "audio"),
+        max_hamming=audio_max_hamming,
+        bands=bands,
+    )
+    pairs = img_pairs.select("id1", "id2").unionByName(
+        aud_pairs.select("id1", "id2")
+    )
+    comp = connected_components(pairs, "id1", "id2")
+    # survivor -> cluster canonical (singletons: their own id)
+    survivor_canon = (
+        with_digest.where(F.col("media_id") == F.col("digest_canonical"))
+        .select("media_id")
+        .join(comp.withColumnRenamed("node", "media_id"), "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce(F.col("component"), F.col("media_id")).alias("canonical_id"),
+        )
+    )
+    # every input row -> its digest survivor -> that survivor's canonical
+    return (
+        with_digest.select("media_id", "kind", "digest_canonical")
+        .join(
+            survivor_canon.withColumnRenamed("media_id", "digest_canonical"),
+            "digest_canonical",
+        )
+        .select(
+            "media_id",
+            "kind",
+            "canonical_id",
+            (F.col("media_id") == F.col("canonical_id")).alias("keep"),
+        )
+    )
+
+
 def _g711_ulaw_to_linear(codes):
     """ITU-T G.711 mu-law -> linear int16 (pure arithmetic, the
     standard segment/mantissa expansion; public-spec constants)."""

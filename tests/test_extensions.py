@@ -2690,3 +2690,44 @@ class TestAudioFingerprint:
         )
         r = afp(tiny).collect()[0]
         assert not r["decoded"] and r["afp"] is None
+
+
+class TestCleanMedia:
+    def test_composed_media_dedup_pipeline(self, spark):
+        """clean_media: byte-identical copies collapse exactly, image
+        and audio near-dups cluster per kind (never cross-kind), each
+        cluster keeps its lowest id, corrupt payloads survive as
+        singletons — one row back per input row."""
+        from nibbledb_spark.operators.multimodal import clean_media
+
+        base = lambda x, y: x * 13 + y * 5  # noqa: E731
+        edited = lambda x, y: base(x, y) + (120 if (x < 2 and y < 2) else 0)  # noqa: E731
+        other = lambda x, y: 255 * ((x + y) % 2)  # noqa: E731
+        seq = [(200, 1.0), (1600, 0.2), (400, 1.0), (3200, 0.1), (250, 0.9),
+               (1200, 0.3), (300, 1.0), (2800, 0.15), (500, 0.8)]
+        media = spark.createDataFrame(
+            [
+                (1, "image", bytearray(_ppm_pattern(18, 16, base))),
+                (2, "image", bytearray(_ppm_pattern(18, 16, base))),  # exact dup
+                (3, "image", bytearray(_ppm_pattern(18, 16, edited))),  # near-dup
+                (4, "image", bytearray(_ppm_pattern(18, 16, other))),
+                (10, "audio", bytearray(_wav_seq(seq))),
+                (11, "audio", bytearray(_wav_seq([(f, a * 0.5) for f, a in seq]))),
+                (12, "audio", bytearray(_wav_seq(list(reversed(seq))))),
+                (20, "image", bytearray(b"corrupt")),
+            ],
+            "media_id long, kind string, payload binary",
+        )
+        out = {
+            r["media_id"]: (r["canonical_id"], r["keep"])
+            for r in clean_media(media, image_max_hamming=3, audio_max_hamming=8).collect()
+        }
+        assert len(out) == 8  # one row per input row
+        assert out[1] == (1, True)
+        assert out[2] == (1, False)  # exact dup resolves through survivor 1
+        assert out[3] == (1, False)  # perceptual near-dup joins 1's cluster
+        assert out[4] == (4, True)
+        assert out[10] == (10, True)
+        assert out[11] == (10, False)  # re-levelled audio joins 10's cluster
+        assert out[12] == (12, True)
+        assert out[20] == (20, True)  # corrupt: exact-dedupable singleton
