@@ -649,7 +649,13 @@ def _duck_median(con, sql: str, runs: int, budget_s: int = DUCK_BUDGET_S):
     samples = []
     try:
         for i in range(runs + 1):  # iteration 0 is the warm run
-            timer = threading.Timer(budget_s, con.interrupt)
+            fired = threading.Event()
+
+            def _interrupt():
+                fired.set()
+                con.interrupt()
+
+            timer = threading.Timer(budget_s, _interrupt)
             timer.start()
             try:
                 t0 = time.perf_counter()
@@ -657,12 +663,66 @@ def _duck_median(con, sql: str, runs: int, budget_s: int = DUCK_BUDGET_S):
                 dt = time.perf_counter() - t0
             finally:
                 timer.cancel()
+                if fired.is_set():
+                    # The watchdog fired as (or just after) this execution
+                    # finished: the interrupt may still be pending on the
+                    # shared connection and would abort the NEXT query run
+                    # on it — absorb it with a throwaway statement.
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except Exception:  # noqa: BLE001 — absorbing the stray interrupt
+                        pass
+            if fired.is_set():
+                # Even if the result squeaked in, it consumed the whole
+                # budget — report capped, same as a true interrupt.
+                raise TimeoutError(f"exceeded {budget_s}s watchdog budget")
             if i:
                 samples.append(dt)
         return statistics.median(samples)
     except Exception as e:  # noqa: BLE001 — interrupt/OOM/type errors all mean "no number"
         log(f"    duckdb failed/capped: {type(e).__name__}: {str(e)[:120]}")
         return None
+
+
+def _paired_duck_pass(
+    dirs: dict, names: list, results: dict, label: str
+) -> None:
+    """Shared tail of --stress-deep / --stress-sweep: per scale, time
+    each query's DuckDB oracle over the SAME replica dir (one connection
+    per scale, after all Spark timing so the engines' runs never
+    interleave), record duck_x{m}_s / ratio_x{m} into ``results``, then
+    print the dynamic-column markdown table."""
+    from nibbledb_spark.queries import ORACLE
+
+    for mult in sorted(dirs):
+        con = _duck_connect(dirs[mult])
+        for name in names:
+            sql = ORACLE.get(name)
+            if sql is None:
+                continue
+            d = _duck_median(con, sql, runs=3 if mult < 100 else 2)
+            if d is not None:
+                results[name][f"duck_x{mult}_s"] = round(d, 4)
+                results[name][f"ratio_x{mult}"] = round(
+                    results[name][f"x{mult}_s"] / d, 2
+                )
+                log(
+                    f"{label} duckdb {name} x{mult}: {d:.3f}s "
+                    f"(ratio {results[name][f'ratio_x{mult}']:.2f}x)"
+                )
+        con.close()
+
+    cols: list = []
+    for r in results.values():
+        cols += [c for c in r if c not in cols]
+    log("\n| query | " + " | ".join(cols) + " |")
+    log("|---|" + "---|" * len(cols))
+    for name, r in results.items():
+        log(
+            f"| {name} | "
+            + " | ".join(f"{r[c]:.3f}" if c in r else "-" for c in cols)
+            + " |"
+        )
 
 
 def stress_deep(spark) -> None:
@@ -733,37 +793,7 @@ def stress_deep(spark) -> None:
     # Same-sitting DuckDB oracle pass per decade (dirs hold only the
     # documents table — _duck_connect registers what exists; the trio's
     # oracles read nothing else).
-    from nibbledb_spark.queries import ORACLE
-
-    for mult in (1, 10, 100):
-        con = _duck_connect(dirs[mult])
-        for name in DEEP_QUERIES:
-            sql = ORACLE.get(name)
-            if sql is None:
-                continue
-            d = _duck_median(con, sql, runs=3 if mult < 100 else 2)
-            if d is not None:
-                results[name][f"duck_x{mult}_s"] = round(d, 4)
-                results[name][f"ratio_x{mult}"] = round(
-                    results[name][f"x{mult}_s"] / d, 2
-                )
-                log(
-                    f"stress-deep duckdb {name} x{mult}: {d:.3f}s "
-                    f"(ratio {results[name][f'ratio_x{mult}']:.2f}x)"
-                )
-        con.close()
-
-    cols: list = []
-    for r in results.values():
-        cols += [c for c in r if c not in cols]
-    log("\n| query | " + " | ".join(cols) + " |")
-    log("|---|" + "---|" * len(cols))
-    for name, r in results.items():
-        log(
-            f"| {name} | "
-            + " | ".join(f"{r[c]:.3f}" if c in r else "-" for c in cols)
-            + " |"
-        )
+    _paired_duck_pass(dirs, DEEP_QUERIES, results, "stress-deep")
     print(
         json.dumps(
             {
@@ -833,37 +863,7 @@ def stress_sweep(spark, mults: tuple = (1, 10)) -> None:
     # Same-sitting DuckDB pass, one connection per scale (views over the
     # replica dirs), after ALL Spark timing so neither engine's runs
     # interleave with the other's memory pressure.
-    for mult in mults:
-        con = _duck_connect(dirs[mult])
-        for name in sweep_names:
-            sql = ORACLE.get(name)
-            if sql is None:
-                continue
-            d = _duck_median(con, sql, runs=3 if mult <= 10 else 2)
-            if d is not None:
-                results[name][f"duck_x{mult}_s"] = round(d, 4)
-                results[name][f"ratio_x{mult}"] = round(
-                    results[name][f"x{mult}_s"] / d, 2
-                )
-                log(
-                    f"stress-sweep duckdb {name} x{mult}: {d:.3f}s "
-                    f"(ratio {results[name][f'ratio_x{mult}']:.2f}x)"
-                )
-        con.close()
-
-    cols: list = []
-    for r in results.values():
-        cols += [c for c in r if c not in cols]
-    log("\n| query | " + " | ".join(cols) + " |")
-    log("|---|" + "---|" * len(cols))
-    for name, r in results.items():
-        log(
-            f"| {name} | "
-            + " | ".join(
-                f"{r[c]:.3f}" if c in r else "-" for c in cols
-            )
-            + " |"
-        )
+    _paired_duck_pass(dirs, sweep_names, results, "stress-sweep")
     print(
         json.dumps(
             {

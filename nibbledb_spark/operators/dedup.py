@@ -542,9 +542,17 @@ def lsh_query_near_dups(
     import os as _os
 
     meta = _lsh_index_meta(path)
+    # NOT persisted: the returned frame is lazy, so a persist here could
+    # never be unpersisted and each probe batch in the incremental crawl
+    # workflow would pin another dead cache entry for the life of the
+    # application. The three in-plan consumers (bands, intersect join,
+    # sizes) recompute the shingle explode — a narrow deterministic
+    # projection over the probe batch, which is small by design relative
+    # to the indexed corpus. Callers probing with a LARGE batch should
+    # .persist() query_docs themselves and unpersist after the action.
     q_sh = shingle_rows(
         query_docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
-    ).persist()
+    )
     q_bands = _band_rows(q_sh, meta["num_hashes"], meta["band_size"])
     idx_bands = spark.read.parquet(_os.path.join(path, "bands"))
     cand = (

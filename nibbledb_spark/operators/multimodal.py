@@ -875,6 +875,16 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 try:
                     arr = decode_image(bytes(payload)).astype(np.float64)
                     lum = arr.mean(axis=2)
+                    if lum.shape[0] < 8 or lum.shape[1] < 9:
+                        # Below the 8x9 pooling grid some cells are
+                        # zero-width: numpy division emits inf/nan
+                        # WARNINGS (not exceptions), so without this
+                        # guard every tiny image would get the same
+                        # content-independent hash and clean_media
+                        # would collapse them into one bogus dup
+                        # cluster. Same contract as the audio
+                        # "clip too short" guard: NULL hash, flagged.
+                        raise ValueError("image smaller than 8x9 dHash grid")
                     cells = _cell_means(lum, 8, 9)
                     bits = (cells[:, 1:] > cells[:, :-1]).reshape(64)
                     v = 0
@@ -1086,7 +1096,9 @@ def clean_media(
     duplicates resolve through their digest survivor's cluster, so a
     copy of a near-dup lands in the same canonical. Undecodable
     payloads survive stages 2-3 untouched (their bytes are still
-    exact-dedupable; a corrupt file is not near-anything).
+    exact-dedupable; a corrupt file is not near-anything). NULL
+    payloads (fetch failures) pass through as keep=true singletons —
+    absent bytes are not duplicates of other absent bytes.
 
     Scale shape: stage 1 shuffles (digest, id) only; stage 2 is the
     banded equi-join (never all pairs); stage 3 is O(log n) rounds on
@@ -1094,7 +1106,20 @@ def clean_media(
     the corpus."""
     from nibbledb_spark.operators.graph import connected_components
 
-    fp = payload_fingerprint(media).select("media_id", "kind", "payload_fp")
+    all_fp = payload_fingerprint(media).select("media_id", "kind", "payload_fp")
+    # md5(NULL payload) is NULL; NULL keys match nothing in the digest
+    # equi-join, so without this split a fetch-failure row would vanish
+    # from the output entirely — violating the one-row-per-input-row
+    # contract. NULL payloads are singletons by definition (absent bytes
+    # are not duplicates of other absent bytes): pass them through with
+    # canonical_id = own id, keep = true.
+    null_rows = all_fp.where(F.col("payload_fp").isNull()).select(
+        "media_id",
+        "kind",
+        F.col("media_id").alias("canonical_id"),
+        F.lit(True).alias("keep"),
+    )
+    fp = all_fp.where(F.col("payload_fp").isNotNull())
     win_digest = fp.groupBy("payload_fp").agg(
         F.min("media_id").alias("digest_canonical")
     )
@@ -1142,6 +1167,7 @@ def clean_media(
             "canonical_id",
             (F.col("media_id") == F.col("canonical_id")).alias("keep"),
         )
+        .unionByName(null_rows)
     )
 
 

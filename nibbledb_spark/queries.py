@@ -5865,7 +5865,10 @@ def _bpe_learn_sql(k: int) -> str:
     return f"{_bpe_ctes(k)}\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
 
 
-def _bpe_tokenize_sql(k: int) -> str:
+def _bpe_tok_cte(k: int) -> str:
+    """CTE chain ending in ``tok(doc_id, toks)`` — the shared prefix of
+    the tokenize and vocab-top oracles (sharing the builder, not string
+    surgery on generated SQL, keeps the two from drifting)."""
     s, ss = _BPE_SEP, _BPE_SEP * 2
     # Whole-doc wrap: only \S chars wrapped, so word boundaries stay bare
     # whitespace no merge pattern can cross. The coalesce guards make a
@@ -5884,7 +5887,11 @@ tok AS (
          list_filter(string_split_regex(
            replace(replace({expr}, '{ss}', ' '), '{s}', ''), '\\s+'),
            x -> x <> '') AS toks
-  FROM documents)
+  FROM documents)"""
+
+
+def _bpe_tokenize_sql(k: int) -> str:
+    return f"""{_bpe_tok_cte(k)}
 SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
        array_to_string(toks, ' ') AS tok_str
 FROM tok"""
@@ -6037,9 +6044,7 @@ def lsh_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_vocab_sql(k: int) -> str:
     # Reuse the tokenize CTE chain, then count token frequencies.
-    base = _bpe_tokenize_sql(k)
-    head, _, _ = base.rpartition("SELECT doc_id,")
-    return f"""{head}
+    return f"""{_bpe_tok_cte(k)}
 SELECT token, CAST(COUNT(*) AS BIGINT) AS n
 FROM (SELECT unnest(toks) AS token FROM tok)
 WHERE token <> ''

@@ -2613,6 +2613,32 @@ class TestImageDhash:
         with pytest.raises(ValueError, match="bands"):
             image_near_dup_pairs_dhash(media, bands=5)
 
+    def test_tiny_images_flagged_not_hashed(self, spark):
+        """Images below the 8x9 pooling grid must be FLAGGED, not
+        hashed: zero-width cells make numpy emit inf/nan (a warning,
+        not an exception), so without the guard every tiny image got
+        the same content-independent hash and two unrelated 4x4
+        thumbnails became a hamming-0 'near-dup' pair."""
+        from nibbledb_spark.operators.multimodal import (
+            image_dhash,
+            image_near_dup_pairs_dhash,
+        )
+
+        media = spark.createDataFrame(
+            [
+                (1, "image", bytearray(_ppm_pattern(4, 4, lambda x, y: 0))),
+                (2, "image", bytearray(_ppm_pattern(4, 4, lambda x, y: 255))),
+                (3, "image", bytearray(_ppm_pattern(9, 8, lambda x, y: x * 29))),
+            ],
+            "media_id long, kind string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in image_dhash(media).collect()}
+        assert not rows[1]["decoded"] and rows[1]["dhash"] is None
+        assert not rows[2]["decoded"] and rows[2]["dhash"] is None
+        assert rows[3]["decoded"], "9x8 is exactly the grid — must hash"
+        pairs = image_near_dup_pairs_dhash(media, max_hamming=6).collect()
+        assert pairs == [], "tiny images must never pair with anything"
+
 
 # --- spectral audio fingerprint dedup (multimodal.py audio_fingerprint) -----
 
@@ -2715,6 +2741,11 @@ class TestCleanMedia:
                 (11, "audio", bytearray(_wav_seq([(f, a * 0.5) for f, a in seq]))),
                 (12, "audio", bytearray(_wav_seq(list(reversed(seq))))),
                 (20, "image", bytearray(b"corrupt")),
+                # fetch failures: md5(NULL) is NULL, which matches no
+                # equi-join key — without the explicit pass-through these
+                # rows vanished from the output entirely
+                (21, "image", None),
+                (22, "audio", None),
             ],
             "media_id long, kind string, payload binary",
         )
@@ -2722,7 +2753,7 @@ class TestCleanMedia:
             r["media_id"]: (r["canonical_id"], r["keep"])
             for r in clean_media(media, image_max_hamming=3, audio_max_hamming=8).collect()
         }
-        assert len(out) == 8  # one row per input row
+        assert len(out) == 10  # one row per input row, NULL payloads included
         assert out[1] == (1, True)
         assert out[2] == (1, False)  # exact dup resolves through survivor 1
         assert out[3] == (1, False)  # perceptual near-dup joins 1's cluster
@@ -2731,3 +2762,5 @@ class TestCleanMedia:
         assert out[11] == (10, False)  # re-levelled audio joins 10's cluster
         assert out[12] == (12, True)
         assert out[20] == (20, True)  # corrupt: exact-dedupable singleton
+        assert out[21] == (21, True)  # NULL payloads: singletons, never
+        assert out[22] == (22, True)  # duplicates of each other
