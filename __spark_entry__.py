@@ -36,49 +36,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # `no_oracle`. This list is GENERATED — refresh each round:
 #   python tools/update_rotation.py CORRECTNESS_r*.json
 _DRIVER_VERIFIED = [
-    "json_map_events",
-    "pivot_events_weekday",
-    "text_pii_scrub",
-    "text_repetition",
-    "ts_outliers_mad",
-    "mad_per_series",
-    "text_token_stats",
-    "text_quality",
-    "minhash_signatures",
-    "profile_documents",
-    "stateful_series_stats",
-    "pack_sequences_512",
-    "prep_training_mix",
-    "embed_near_dup_pairs_bucketed",
-    "quality_percentile_by_source",
-    "histogram_order_totals",
-    "corr_quantity_price",
-    "chunk_overlap_48_16",
-    "embed_cosine_topk_filtered",
-    "hybrid_retrieval_rrf",
-    "asof_nearest_purchase_to_click",
-    "approx_distinct_parts_bound",
-    "srp_ann_topk",
-    "ivf_kmeans_probe_all_bound",
-    "embed_label_cohesion",
-    "cms_event_type_counts",
-    "embed_near_dup_pairs_srp",
-    "setop_except_all",
-    "rollup_grouping_id",
-    "stringagg_mktsegment_nations",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_waiting",
-    "sessionize_events_gaps",
-    "embed_quantize_int8",
-    "near_dup_keep_best",
-    "schema_evolution_versions",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "ts_rate_counter",
     "ts_downsample_m4",
     "ts_downsample_lttb",
     "notin_suppliers_no_returns",
@@ -189,6 +146,56 @@ _DRIVER_VERIFIED = [
     "timetravel_versions",
     "udtf_token_counts",
     "tfidf_pair_scores",
+    "asof_nearest_purchase_to_click",
+    "approx_distinct_parts_bound",
+    "json_map_events",
+    "pivot_events_weekday",
+    "text_pii_scrub",
+    "text_repetition",
+    "ts_outliers_mad",
+    "mad_per_series",
+    "text_token_stats",
+    "text_quality",
+    "minhash_signatures",
+    "srp_ann_topk",
+    "ivf_kmeans_probe_all_bound",
+    "embed_label_cohesion",
+    "profile_documents",
+    "stream_interval_join_fouter",
+    "stateful_series_stats",
+    "cms_event_type_counts",
+    "pack_sequences_512",
+    "prep_training_mix",
+    "embed_near_dup_pairs_srp",
+    "embed_near_dup_pairs_bucketed",
+    "quality_percentile_by_source",
+    "histogram_order_totals",
+    "corr_quantity_price",
+    "chunk_overlap_48_16",
+    "embed_cosine_topk_filtered",
+    "hybrid_retrieval_rrf",
+    "setop_except_all",
+    "rollup_grouping_id",
+    "stringagg_mktsegment_nations",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
+    "sessionize_events_gaps",
+    "embed_quantize_int8",
+    "near_dup_keep_best",
+    "schema_evolution_versions",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "ts_rate_counter",
+    "bpe_learn_merges",
+    "tokenize_bpe",
+    "changes_between_feed",
+    "lsh_incremental_near_dups",
+    "bpe_vocab_top",
+    "clone_branch_divergence",
 ]
 
 
