@@ -15,7 +15,7 @@ fake so the pipeline shape can still be exercised end-to-end.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Iterator, Mapping, Sequence
 from struct import error as struct_error
 
 import pandas as pd
@@ -941,37 +941,54 @@ def image_near_dup_pairs_dhash(
     return _banded_hamming_pairs(h, max_hamming=max_hamming, bands=bands)
 
 
-def _banded_hamming_pairs(
-    hashes: DataFrame, *, max_hamming: int, bands: int
+def banded_hamming_pairs(
+    hashes: DataFrame,
+    *,
+    max_hamming: int,
+    bands: int,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Shared 64-bit-fingerprint near-dup join: ``hashes`` carries
-    (id, hhex, hlong); band the hex into ``bands`` substrings,
-    candidates share a band (equi-join, never all pairs), exact
-    hamming via ``bit_count(XOR)`` verifies. Used by the image dHash
-    and audio spectral-fingerprint dedup paths."""
+    (id, hhex, hlong) plus any ``by`` group columns; band the hex into
+    ``bands`` substrings, candidates share a band WITHIN their group
+    (equi-join on (*by, band, val), never all pairs), exact hamming via
+    ``bit_count(XOR)`` verifies JVM-side. Rows whose hash is NULL
+    (undecodable payloads) are dropped — a corrupt file is not
+    near-anything. Output: (*by, id1, id2, hamming). Used by the image
+    dHash and audio spectral-fingerprint dedup paths; the post-decode
+    stage is plain relational algebra over (id, hhex, hlong), which is
+    exactly what the declared ``media_*`` oracle queries verify
+    against DuckDB."""
     if not 1 <= bands <= 16 or 64 % bands:
         raise ValueError(f"bands must divide 64: {bands}")
+    by = list(by)
     width = 16 // bands  # hex chars per band
-    banded = hashes.select(
-        "id",
-        "hlong",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.substring("hhex", b * width + 1, width).alias("val"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "hlong", "bb.band", "bb.val")
+    banded = (
+        hashes.where(F.col("hhex").isNotNull())
+        .select(
+            *by,
+            "id",
+            "hlong",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.substring("hhex", b * width + 1, width).alias("val"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(*by, "id", "hlong", "bb.band", "bb.val")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(b, ["band", "val"])
+        a.join(b, by + ["band", "val"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
+            *by,
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
             F.col("a.hlong").alias("h1"),
@@ -980,10 +997,20 @@ def _banded_hamming_pairs(
         .distinct()
     )
     return cand.select(
+        *by,
         "id1",
         "id2",
         F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def _banded_hamming_pairs(
+    hashes: DataFrame, *, max_hamming: int, bands: int
+) -> DataFrame:
+    """Ungrouped single-family form of ``banded_hamming_pairs``."""
+    return banded_hamming_pairs(
+        hashes, max_hamming=max_hamming, bands=bands, by=()
+    ).select("id1", "id2", "hamming")
 
 
 def audio_fingerprint(
@@ -1072,6 +1099,66 @@ def audio_near_dup_pairs_fp(
     return _banded_hamming_pairs(h, max_hamming=max_hamming, bands=bands)
 
 
+def media_canonical_from_hashes(
+    hashes: DataFrame,
+    *,
+    max_hamming: int | Mapping[str, int] = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """The post-decode stage of ``clean_media``, first-class: given one
+    64-bit perceptual hash per media row — (id, kind, hhex, hlong) —
+    produce the canonical assignment (media_id, kind, canonical_id,
+    keep): banded hamming near-dup pairs per kind (kinds never
+    cross-pair), connected components over the pair graph, canonical =
+    lowest id per cluster, ``keep`` marks the canonicals. NULL-hash
+    rows (undecodable payloads) pass through as keep=true singletons.
+
+    ``max_hamming`` may be a single threshold or a per-kind mapping
+    (e.g. ``{"image": 3, "audio": 8}``). Banding is
+    threshold-independent, so per-kind thresholds are a post-filter on
+    the one shared banded join — one equi-join serves every kind.
+
+    Everything here is relational algebra over 16-char hex strings and
+    64-bit longs — no decoding — which is why this stage carries the
+    declared ``media_banded_near_dup_pairs`` / ``media_clean_canonicals``
+    oracle queries (DuckDB replays banding as substrings, hamming as
+    ``bit_count(xor())`` and the components as a recursive CTE) while
+    the decode stage above it stays pytest-verified.
+
+    Scale shape: the banded join shuffles (kind, band, 16-bit value)
+    keys — never payloads, never all pairs; components is O(diameter)
+    rounds on the PAIR graph only (operators/graph.py).
+    """
+    from nibbledb_spark.operators.graph import connected_components
+
+    if isinstance(max_hamming, Mapping):
+        ceiling = max(max_hamming.values()) if max_hamming else 0
+        thresh = F.coalesce(
+            *[
+                F.when(F.col("kind") == k, F.lit(v))
+                for k, v in sorted(max_hamming.items())
+            ],
+            F.lit(-1),  # kinds without a declared threshold never pair
+        )
+    else:
+        ceiling = max_hamming
+        thresh = F.lit(max_hamming)
+    pairs = banded_hamming_pairs(
+        hashes, max_hamming=ceiling, bands=bands, by=("kind",)
+    ).where(F.col("hamming") <= thresh)
+    comp = connected_components(pairs, "id1", "id2")
+    return (
+        hashes.select("id", "kind")
+        .join(comp.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            F.col("id").alias("media_id"),
+            "kind",
+            F.coalesce(F.col("component"), F.col("id")).alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("media_id") == F.col("canonical_id"))
+    )
+
+
 def clean_media(
     media: DataFrame,
     *,
@@ -1104,8 +1191,6 @@ def clean_media(
     banded equi-join (never all pairs); stage 3 is O(log n) rounds on
     the PAIR graph, which near-dup structure keeps tiny relative to
     the corpus."""
-    from nibbledb_spark.operators.graph import connected_components
-
     all_fp = payload_fingerprint(media).select("media_id", "kind", "payload_fp")
     # md5(NULL payload) is NULL; NULL keys match nothing in the digest
     # equi-join, so without this split a fetch-failure row would vanish
@@ -1130,28 +1215,34 @@ def clean_media(
         ),
         "media_id",
     )
-    img_pairs = image_near_dup_pairs_dhash(
-        survivors.where(F.col("kind") == "image"),
-        max_hamming=image_max_hamming,
+    img_h = image_dhash(survivors.where(F.col("kind") == "image")).select(
+        F.col("media_id").alias("id"),
+        "kind",
+        F.col("dhash").alias("hhex"),
+        F.col("dhash_long").alias("hlong"),
+    )
+    aud_h = audio_fingerprint(survivors.where(F.col("kind") == "audio")).select(
+        F.col("media_id").alias("id"),
+        "kind",
+        F.col("afp").alias("hhex"),
+        F.col("afp_long").alias("hlong"),
+    )
+    canon = media_canonical_from_hashes(
+        img_h.unionByName(aud_h),
+        max_hamming={"image": image_max_hamming, "audio": audio_max_hamming},
         bands=bands,
     )
-    aud_pairs = audio_near_dup_pairs_fp(
-        survivors.where(F.col("kind") == "audio"),
-        max_hamming=audio_max_hamming,
-        bands=bands,
-    )
-    pairs = img_pairs.select("id1", "id2").unionByName(
-        aud_pairs.select("id1", "id2")
-    )
-    comp = connected_components(pairs, "id1", "id2")
-    # survivor -> cluster canonical (singletons: their own id)
+    # survivor -> cluster canonical (singletons and non-media kinds:
+    # their own id)
     survivor_canon = (
         with_digest.where(F.col("media_id") == F.col("digest_canonical"))
         .select("media_id")
-        .join(comp.withColumnRenamed("node", "media_id"), "media_id", "left")
+        .join(canon.select("media_id", "canonical_id"), "media_id", "left")
         .select(
             "media_id",
-            F.coalesce(F.col("component"), F.col("media_id")).alias("canonical_id"),
+            F.coalesce(F.col("canonical_id"), F.col("media_id")).alias(
+                "canonical_id"
+            ),
         )
     )
     # every input row -> its digest survivor -> that survivor's canonical

@@ -2501,6 +2501,149 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_ms=1000)
 
 
+# Deterministic 64-bit perceptual-hash fixture for the media-dedup
+# oracle queries: the decode stage of clean_media (multimodal.py) is
+# not SQL-expressible, but everything AFTER the per-item hash is plain
+# relational algebra over (id, kind, hhex, hlong) rows — so these
+# queries feed the REAL post-decode operators (banded_hamming_pairs /
+# media_canonical_from_hashes) a hash column both engines can derive
+# identically: family base = low 60 bits of md5(kind#fam) (15 hex
+# chars, so the signed-long parse is overflow-safe in both engines),
+# each member flips ONE deterministic bit -> intra-family hamming is
+# exactly {0, 2}, far under the verify threshold 6, and the pigeonhole
+# recall guarantee (hamming < bands) makes the banded join EXACT here,
+# not probabilistic. Every 23rd row is an "undecodable" NULL-hash row
+# pinning the corrupt-payload contract driver-visibly.
+_MEDIA_HASH_CTES = """
+WITH RECURSIVE m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         doc_id % 83 AS fam,
+         doc_id % 59 AS flip,
+         doc_id % 23 = 0 AS corrupt
+  FROM documents
+),
+hh AS (
+  SELECT media_id, kind,
+         CASE WHEN corrupt THEN NULL ELSE
+           xor(CAST('0x' || substr(md5(kind || '#' || CAST(fam AS VARCHAR)), 1, 15) AS BIGINT),
+               CAST(1 AS BIGINT) << CAST(flip AS INT))
+         END AS hlong
+  FROM m
+),
+banded AS (
+  SELECT media_id, kind, hlong, b.band,
+         substr(lower(lpad(to_hex(hlong), 16, '0')), b.band * 4 + 1, 4) AS val
+  FROM hh, (SELECT unnest(range(0, 4)) AS band) b
+  WHERE hlong IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT a.kind, a.media_id AS id1, b.media_id AS id2,
+                  a.hlong AS h1, b.hlong AS h2
+  FROM banded a
+  JOIN banded b ON a.kind = b.kind AND a.band = b.band AND a.val = b.val
+               AND a.media_id < b.media_id
+),
+pairs AS (
+  SELECT kind, id1, id2,
+         CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+  FROM cand
+  WHERE bit_count(xor(h1, h2)) <= 6
+)
+"""
+
+
+def _media_hash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark half of _MEDIA_HASH_CTES: identical (id, kind, hhex,
+    hlong) rows. conv(hex,16,10) stays in-range because the hex is 15
+    chars (60 bits); the hex image is rebuilt from the long so banding
+    sees the post-flip value on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("audio"))
+        .alias("kind"),
+        (F.col("doc_id") % 83).alias("fam"),
+        (F.col("doc_id") % 59).alias("flip"),
+        (F.col("doc_id") % 23 == 0).alias("corrupt"),
+    )
+    base = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("kind"), F.lit("#"), F.col("fam").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hlong = F.when(F.col("corrupt"), F.lit(None).cast("long")).otherwise(
+        base.bitwiseXOR(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(flip AS INT))"))
+    )
+    return m.select("id", "kind", hlong.alias("hlong")).withColumn(
+        "hhex",
+        F.when(
+            F.col("hlong").isNotNull(), F.lpad(F.lower(F.hex("hlong")), 16, "0")
+        ),
+    )
+
+
+@declared(
+    "media_banded_near_dup_pairs",
+    _MEDIA_HASH_CTES + "SELECT kind, id1, id2, hamming FROM pairs",
+)
+def media_banded_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media perceptual near-dup PAIRS, driver-visible: the exact
+    banded-hamming join shared by image dHash and audio
+    spectral-fingerprint dedup (multimodal.banded_hamming_pairs) over
+    the deterministic hash fixture. Kinds never cross-pair (the band
+    key includes kind); NULL-hash rows drop; verify is JVM-side
+    bit_count(XOR). The oracle replays banding as hex substrings and
+    hamming as bit_count(xor()) — bit-identical integer ops."""
+    from nibbledb_spark.operators.multimodal import banded_hamming_pairs
+
+    h = _media_hash_fixture(spark, sf_dir)
+    return banded_hamming_pairs(h, max_hamming=6, bands=4, by=("kind",))
+
+
+@declared(
+    "media_clean_canonicals",
+    _MEDIA_HASH_CTES
+    + """,
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT media_id, media_id FROM hh
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT hh.media_id, hh.kind, MIN(reach.r) AS canonical_id,
+       hh.media_id = MIN(reach.r) AS keep
+FROM hh JOIN reach ON reach.id = hh.media_id
+GROUP BY hh.media_id, hh.kind
+""",
+)
+def media_clean_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clean_media post-decode stage end-to-end, driver-visible:
+    banded pairs -> connected components -> lowest-id canonical, with
+    NULL-hash (undecodable) rows passing through as keep=true
+    singletons (multimodal.media_canonical_from_hashes — the exact
+    production code path clean_media stages 2-3 run). The oracle walks
+    the same closure with a recursive CTE, the established
+    near_dup_components pattern."""
+    from nibbledb_spark.operators.multimodal import media_canonical_from_hashes
+
+    h = _media_hash_fixture(spark, sf_dir)
+    return media_canonical_from_hashes(h, max_hamming=6, bands=4)
+
+
 # ---------------------------------------------------------------------------
 # STREAM-class window operators, declared on the batch frame (the stream
 # runs the identical plan; convergence is pinned in tests/test_streaming.py)

@@ -2764,3 +2764,58 @@ class TestCleanMedia:
         assert out[20] == (20, True)  # corrupt: exact-dedupable singleton
         assert out[21] == (21, True)  # NULL payloads: singletons, never
         assert out[22] == (22, True)  # duplicates of each other
+
+    def test_media_canonical_from_hashes_stage(self, spark):
+        """The oracle-able post-decode stage in isolation
+        (media_canonical_from_hashes — what the declared
+        media_clean_canonicals query runs): per-kind thresholds are a
+        post-filter on ONE shared banded join, kinds never cross-pair
+        even on identical hashes, NULL-hash rows are keep=true
+        singletons, and a kind absent from the threshold map never
+        pairs."""
+        from nibbledb_spark.operators.multimodal import (
+            banded_hamming_pairs,
+            media_canonical_from_hashes,
+        )
+
+        def row(i, kind, v):
+            return (i, kind, f"{v:016x}", v - (1 << 64) if v >= (1 << 63) else v)
+
+        h = spark.createDataFrame(
+            [
+                row(1, "image", 0xAAAA0000AAAA0000),
+                row(2, "image", 0xAAAA0000AAAA0001),  # hamming 1 from 1
+                row(3, "image", 0xAAAA0000AAAA000F),  # hamming 4 from 1
+                row(4, "audio", 0xAAAA0000AAAA0000),  # same hash, other kind
+                row(5, "audio", 0xAAAA0000AAAA0003),  # hamming 2 from 4
+                (6, "image", None, None),  # undecodable
+                row(7, "video", 0xAAAA0000AAAA0000),  # no declared threshold
+            ],
+            "id long, kind string, hhex string, hlong long",
+        )
+        out = {
+            r["media_id"]: (r["kind"], r["canonical_id"], r["keep"])
+            for r in media_canonical_from_hashes(
+                h, max_hamming={"image": 2, "audio": 2}, bands=4
+            ).collect()
+        }
+        assert len(out) == 7
+        assert out[1] == ("image", 1, True)
+        assert out[2] == ("image", 1, False)  # within image threshold
+        assert out[3] == ("image", 3, True)  # hamming 4 > image threshold 2
+        assert out[4] == ("audio", 4, True)  # never cross-pairs with 1
+        assert out[5] == ("audio", 4, False)
+        assert out[6] == ("image", 6, True)  # NULL hash: singleton
+        assert out[7] == ("video", 7, True)  # unmapped kind never pairs
+
+        # int threshold applies uniformly; by-groups keep kinds apart
+        pairs = {
+            (r["id1"], r["id2"]): (r["kind"], r["hamming"])
+            for r in banded_hamming_pairs(
+                h, max_hamming=6, bands=4, by=("kind",)
+            ).collect()
+        }
+        assert pairs[(1, 2)] == ("image", 1)
+        assert pairs[(1, 3)] == ("image", 4)
+        assert pairs[(4, 5)] == ("audio", 2)
+        assert (1, 4) not in pairs and not any(6 in p or 7 in p for p in pairs)
