@@ -43,6 +43,19 @@ from pyspark.sql import functions as F
 
 SEP = "\x1f"  # U+001F unit separator; stripped from input text first
 
+# Vertical tab is whitespace to Java's \s (Spark) but NOT to RE2's \s
+# (DuckDB): a document containing \x0B would word-split differently on
+# the two engines and break oracle parity. Normalize it to a plain
+# space alongside the SEP strip so splitting is engine-invariant —
+# \x0B is the ONLY char the two ASCII \s classes disagree on.
+_VTAB = "\x0b"
+
+
+def _engine_invariant_text(text_col):
+    return F.replace(
+        F.replace(text_col, F.lit(_VTAB), F.lit(" ")), F.lit(SEP), F.lit("")
+    )
+
 # Spark-side building blocks (the DuckDB oracle mirrors each expression
 # 1:1 in nibbledb_spark/queries.py — keep them in sync).
 
@@ -51,7 +64,7 @@ def _wrap_words(text_col, pattern: str = r"(\S)"):
     """Wrap every matched char as ``⟂c⟂``: adjacent wrapped chars meet
     as ``⟂⟂``, unmatched chars (whitespace) stay bare so merges never
     cross word boundaries."""
-    clean = F.replace(text_col, F.lit(SEP), F.lit(""))
+    clean = _engine_invariant_text(text_col)
     return F.regexp_replace(clean, pattern, f"{SEP}$1{SEP}")
 
 
@@ -59,9 +72,9 @@ def word_table(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Distinct-word frequency table ``(cnt, w)`` with ``w`` wrapped —
     the one corpus shuffle of the whole learn phase."""
     words = docs.select(
-        F.explode(F.split(F.replace(F.col(text_col), F.lit(SEP), F.lit("")), r"\s+")).alias(
-            "word"
-        )
+        F.explode(
+            F.split(_engine_invariant_text(F.col(text_col)), r"\s+")
+        ).alias("word")
     ).where(F.col("word") != "")
     return words.groupBy("word").agg(F.count("*").alias("cnt")).select(
         "cnt", F.regexp_replace("word", r"(.)", f"{SEP}$1{SEP}").alias("w")

@@ -457,30 +457,48 @@ def build_lsh_index(
     tables are plain parquet — at cluster scale you would bucket bands
     by (band, bucket) and shingles by id so probe joins co-locate, but
     the table CONTENTS are already the scale design: signatures are
-    never recomputed, and query cost tracks the probe batch."""
+    never recomputed, and query cost tracks the probe batch.
+
+    The build is ATOMIC at the directory level: everything (three
+    tables + meta.json) is written into a temp sibling dir and
+    rename-published to ``path`` only when complete. A crashed build
+    therefore leaves no half-index behind to poison an errorifexists
+    retry — the temp dir is removed on failure, and ``path`` either
+    does not exist or is a complete index. (On an object store the
+    same publish step is a manifest/metastore commit.)"""
     import json as _json
     import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
 
+    if _os.path.exists(path):
+        raise FileExistsError(f"LSH index already exists: {path}")
+    tmp = f"{path}.inprogress-{_uuid.uuid4().hex[:8]}"
     sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=shingle_n).persist()
     try:
-        _band_rows(sh, num_hashes, band_size).write.mode("errorifexists").parquet(
-            _os.path.join(path, "bands")
-        )
-        sh.write.mode("errorifexists").parquet(_os.path.join(path, "shingles"))
-        sh.groupBy("id").agg(F.count("*").alias("sz")).write.mode(
-            "errorifexists"
-        ).parquet(_os.path.join(path, "sizes"))
+        try:
+            _band_rows(sh, num_hashes, band_size).write.mode(
+                "errorifexists"
+            ).parquet(_os.path.join(tmp, "bands"))
+            sh.write.mode("errorifexists").parquet(_os.path.join(tmp, "shingles"))
+            sh.groupBy("id").agg(F.count("*").alias("sz")).write.mode(
+                "errorifexists"
+            ).parquet(_os.path.join(tmp, "sizes"))
+            with open(_os.path.join(tmp, "meta.json"), "w") as f:
+                _json.dump(
+                    {
+                        "shingle_n": shingle_n,
+                        "num_hashes": num_hashes,
+                        "band_size": band_size,
+                    },
+                    f,
+                )
+            _os.rename(tmp, path)
+        except BaseException:
+            _shutil.rmtree(tmp, ignore_errors=True)
+            raise
     finally:
         sh.unpersist()
-    with open(_os.path.join(path, "meta.json"), "w") as f:
-        _json.dump(
-            {
-                "shingle_n": shingle_n,
-                "num_hashes": num_hashes,
-                "band_size": band_size,
-            },
-            f,
-        )
 
 
 def _lsh_index_meta(path: str) -> dict:
@@ -498,29 +516,99 @@ def lsh_index_add(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    on_duplicate: str = "error",
 ) -> None:
     """Incrementally index ``new_docs`` with the index's FROZEN
     parameters (shingle_n / num_hashes / band_size fixed at build, so
     old and new signatures stay comparable — the ivf_index_add
     contract). Appends only the new rows; corpus-side state is never
-    recomputed. Caller contract: ids must be new (re-adding an id
-    would double its shingle rows and skew its Jaccard sizes)."""
-    import os as _os
+    recomputed.
 
+    The ids-must-be-new contract is ENFORCED: incoming ids are
+    anti-checked against the persisted sizes table (one read of the
+    smallest index table). ``on_duplicate='error'`` raises naming
+    offenders; ``'skip'`` silently drops already-indexed ids — either
+    way a re-add can no longer double shingle rows and silently skew
+    Jaccard for that id on all later queries.
+
+    Crash safety: all three Spark writes land in a staging dir first
+    (the expensive jobs never touch live tables), then publish is pure
+    part-file renames — a tiny window, ordered bands -> shingles ->
+    sizes. A crash mid-publish is detectable by ``validate_lsh_index``
+    (id-set agreement) and leaves candidates that drop out of the
+    verify joins rather than wrong pairs; a crash before publish
+    leaves the index exactly as it was (stale ``.staging-*`` dirs are
+    inert and ignored by readers)."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    if on_duplicate not in ("error", "skip"):
+        raise ValueError(f"on_duplicate must be 'error' or 'skip': {on_duplicate}")
     meta = _lsh_index_meta(path)
     sh = shingle_rows(
         new_docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
     ).persist()
+    staging = _os.path.join(path, f".staging-{_uuid.uuid4().hex[:8]}")
     try:
+        indexed = spark.read.parquet(_os.path.join(path, "sizes")).select("id")
+        dups = sh.select("id").distinct().join(indexed, "id", "semi")
+        if on_duplicate == "error":
+            offenders = [r["id"] for r in dups.limit(5).collect()]
+            if offenders:
+                raise ValueError(
+                    f"ids already indexed (re-add would skew Jaccard): "
+                    f"{offenders}; pass on_duplicate='skip' to drop them"
+                )
+        else:
+            sh_new = sh.join(dups, "id", "anti").persist()
+            sh.unpersist()
+            sh = sh_new
         _band_rows(sh, meta["num_hashes"], meta["band_size"]).write.mode(
-            "append"
-        ).parquet(_os.path.join(path, "bands"))
-        sh.write.mode("append").parquet(_os.path.join(path, "shingles"))
-        sh.groupBy("id").agg(F.count("*").alias("sz")).write.mode("append").parquet(
-            _os.path.join(path, "sizes")
-        )
+            "errorifexists"
+        ).parquet(_os.path.join(staging, "bands"))
+        sh.write.mode("errorifexists").parquet(_os.path.join(staging, "shingles"))
+        sh.groupBy("id").agg(F.count("*").alias("sz")).write.mode(
+            "errorifexists"
+        ).parquet(_os.path.join(staging, "sizes"))
+        for sub in ("bands", "shingles", "sizes"):
+            for fn in _os.listdir(_os.path.join(staging, sub)):
+                if fn.startswith("part-"):
+                    _os.rename(
+                        _os.path.join(staging, sub, fn),
+                        _os.path.join(path, sub, fn),
+                    )
+        _shutil.rmtree(staging, ignore_errors=True)
+    except BaseException:
+        # staging (minus any already-published part files) is junk
+        _shutil.rmtree(staging, ignore_errors=True)
+        raise
     finally:
         sh.unpersist()
+
+
+def validate_lsh_index(spark, path: str) -> None:
+    """Cheap consistency check for a persisted LSH index: the three
+    tables must agree on their id sets (a crash between an add's
+    publish renames is the only way they can diverge). Raises
+    RuntimeError naming the table cardinalities on disagreement.
+    Equal distinct-id counts per table AND an equal three-way-union
+    count imply set equality — one small job, no full joins."""
+    import os as _os
+
+    counts = {}
+    frames = []
+    for sub in ("bands", "shingles", "sizes"):
+        ids = spark.read.parquet(_os.path.join(path, sub)).select("id").distinct()
+        frames.append(ids)
+        counts[sub] = ids.count()
+    union_n = frames[0].union(frames[1]).union(frames[2]).distinct().count()
+    if len(set(counts.values())) != 1 or union_n != counts["sizes"]:
+        raise RuntimeError(
+            f"LSH index {path} is inconsistent (partial add publish?): "
+            f"distinct ids {counts}, union {union_n}. Recover by removing "
+            f"the offending ids' rows or rebuilding the index."
+        )
 
 
 def lsh_query_near_dups(

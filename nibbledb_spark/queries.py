@@ -5979,7 +5979,11 @@ def _bpe_ctes(k: int) -> str:
         f"""w0 AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
          regexp_replace(word, '(.)', '{s}\\1{s}', 'g') AS w
-  FROM (SELECT unnest(string_split_regex(replace(text, '{s}', ''), '\\s+')) AS word
+  -- chr(11) -> ' ': \\x0B is whitespace to Java's \\s but not RE2's;
+  -- normalizing it (mirrored in operators/bpe.py) keeps word
+  -- splitting engine-invariant
+  FROM (SELECT unnest(string_split_regex(
+          replace(replace(text, chr(11), ' '), '{s}', ''), '\\s+')) AS word
         FROM documents) t
   WHERE word <> '' GROUP BY word)"""
     ]
@@ -6017,7 +6021,10 @@ def _bpe_tok_cte(k: int) -> str:
     # whitespace no merge pattern can cross. The coalesce guards make a
     # round past vocabulary exhaustion a no-op (search ⟂⟂⟂ never occurs),
     # mirroring the Spark loop's early break.
-    expr = f"regexp_replace(replace(text, '{s}', ''), '(\\S)', '{s}\\1{s}', 'g')"
+    expr = (
+        f"regexp_replace(replace(replace(text, chr(11), ' '), '{s}', ''),"
+        f" '(\\S)', '{s}\\1{s}', 'g')"
+    )
     for i in range(1, k + 1):
         expr = (
             f"replace({expr},\n"

@@ -2418,6 +2418,39 @@ class TestBPE:
             assert r["tok_str"].replace(" ", "") == squashed
             assert r["n_tokens"] == len(r["tok_str"].split())
 
+    def test_vertical_tab_is_engine_invariant(self, spark):
+        """\\x0B is whitespace to Java's \\s but NOT to RE2's: without
+        normalization a doc containing it word-splits differently on
+        the two engines and breaks the oracle hash. Pin that both the
+        Spark operators and the DuckDB oracle expression treat \\x0B as
+        a word boundary, identically."""
+        import duckdb
+
+        from nibbledb_spark.operators.bpe import apply_bpe, word_table
+
+        text = "foo\x0bbar baz\x0b\x0bqux"
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        spark_words = sorted(
+            r["w"].replace("\x1f", "") for r in word_table(docs).collect()
+        )
+        assert spark_words == ["bar", "baz", "foo", "qux"]
+        duck_words = sorted(
+            r[0]
+            for r in duckdb.sql(
+                "SELECT unnest(string_split_regex("
+                "  replace(replace(?, chr(11), ' '), chr(31), ''), '\\s+'))",
+                params=[text],
+            ).fetchall()
+        )
+        assert duck_words == spark_words
+        # tokenize side: \x0B never fuses into a token
+        out = apply_bpe(docs, [(1, "b", "a", 2)]).collect()[0]
+        assert "\x0b" not in out["tok_str"]
+        # \x0B acted as a word boundary: (b,a) merged inside words but
+        # nothing fused across the \x0B seams
+        assert out["tok_str"].replace(" ", "") == "foobarbazqux"
+        assert "ba" in out["tok_str"].split()
+
     def test_bpe_merge_artifact_roundtrip(self, spark, tmp_path):
         """Saved merges reload identically and tokenize identically —
         the train-once / apply-many contract."""
@@ -2508,6 +2541,92 @@ class TestLshIndex:
         res = q(grown)
         assert res == q(rebuilt)
         assert len(res) > 0
+
+    def test_duplicate_add_enforced(self, spark, docs, tmp_path):
+        """The ids-must-be-new contract is enforced, not documented:
+        re-adding an indexed id raises (naming offenders) and leaves
+        the index untouched; on_duplicate='skip' drops them so query
+        results equal the no-op add."""
+        import pytest as _pytest
+
+        from nibbledb_spark.operators.dedup import (
+            build_lsh_index,
+            lsh_index_add,
+            lsh_query_near_dups,
+            validate_lsh_index,
+        )
+
+        path = str(tmp_path / "idx")
+        indexed = docs.where("doc_id % 2 = 0")
+        probe = docs.where("doc_id % 2 = 1")
+        build_lsh_index(indexed, path)
+
+        def q():
+            return {
+                (r["query_id"], r["index_id"], round(r["jaccard"], 12))
+                for r in lsh_query_near_dups(
+                    spark, path, probe, threshold=0.5
+                ).collect()
+            }
+
+        before = q()
+        with _pytest.raises(ValueError, match="already indexed"):
+            lsh_index_add(spark, path, indexed.limit(3))
+        assert q() == before, "failed add must not mutate the index"
+        # a mixed batch with skip: only the genuinely-new ids land
+        mixed = indexed.limit(2).unionByName(probe.limit(2))
+        lsh_index_add(spark, path, mixed, on_duplicate="skip")
+        validate_lsh_index(spark, path)
+        sizes = spark.read.parquet(path + "/sizes")
+        n_probe_added = probe.limit(2).count()
+        assert sizes.groupBy("id").count().where("count > 1").count() == 0
+        assert sizes.count() == indexed.count() + n_probe_added
+
+    def test_build_failure_leaves_no_partial_index(self, spark, docs, tmp_path, monkeypatch):
+        """A crashed build removes its temp dir and never publishes, so
+        an errorifexists retry succeeds (the ADVICE failure mode: a
+        partial index poisoning every retry)."""
+        import os
+
+        import pytest as _pytest
+
+        import nibbledb_spark.operators.dedup as dd
+
+        path = str(tmp_path / "idx")
+        real = dd._band_rows
+        monkeypatch.setattr(
+            dd, "_band_rows", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+        )
+        with _pytest.raises(RuntimeError, match="boom"):
+            dd.build_lsh_index(docs, path)
+        assert not os.path.exists(path)
+        assert not [p for p in os.listdir(tmp_path) if "inprogress" in p]
+        monkeypatch.setattr(dd, "_band_rows", real)
+        dd.build_lsh_index(docs, path)  # retry succeeds
+        dd.validate_lsh_index(spark, path)
+        with _pytest.raises(FileExistsError):
+            dd.build_lsh_index(docs, path)
+
+    def test_validate_detects_partial_publish(self, spark, docs, tmp_path):
+        """validate_lsh_index flags id-set disagreement (the only state
+        a crash between an add's publish renames can leave)."""
+        import pytest as _pytest
+
+        from nibbledb_spark.operators.dedup import (
+            build_lsh_index,
+            validate_lsh_index,
+        )
+
+        path = str(tmp_path / "idx")
+        build_lsh_index(docs, path)
+        validate_lsh_index(spark, path)  # healthy
+        # simulate a torn add: a bands row for an id the other tables
+        # never saw (bands published, crash before shingles/sizes)
+        spark.createDataFrame(
+            [(999999, 0, "deadbeef")], "id long, band int, bucket string"
+        ).write.mode("append").parquet(path + "/bands")
+        with _pytest.raises(RuntimeError, match="inconsistent"):
+            validate_lsh_index(spark, path)
 
     def test_query_cost_reads_not_recompute(self, spark, docs, tmp_path):
         """The query plan scans the persisted band/shingle/size parquet —
