@@ -970,7 +970,13 @@ class SnapshotLog:
                         raise
                 expected = head + 1
 
-    def vacuum(self, retain_versions: int = 5, min_age_s: float = 3600.0) -> list[str]:
+    def vacuum(
+        self,
+        retain_versions: int = 5,
+        min_age_s: float = 3600.0,
+        *,
+        force: bool = False,
+    ) -> list[str]:
         """Physically delete data files unreferenced by the newest
         ``retain_versions`` snapshots (older time-travel beyond that
         horizon is forfeited — same contract as ``delta VACUUM``).
@@ -980,6 +986,14 @@ class SnapshotLog:
         zero-grace vacuum could delete files a commit is about to
         reference. Files younger than the grace window are never
         touched (Delta's retention-hours guard, same reasoning).
+
+        Files still referenced by a registered UN-DETACHED shallow
+        clone (see :meth:`clone`) are also protected — Delta documents
+        this hazard and deletes anyway; here the clone registry makes
+        source vacuum safe by default. Registrations of deleted or
+        detached clones are dropped automatically, so protection never
+        outlives the experiment. ``force=True`` restores the raw
+        Delta behavior (reclaim regardless; un-detached clones break).
         """
         head = self.latest_version()
         if head is None:
@@ -987,6 +1001,8 @@ class SnapshotLog:
         keep: set[str] = set()
         for v in range(max(0, head - retain_versions + 1), head + 1):
             keep.update(fe.path for fe in self._resolve(v)[0])
+        if not force:
+            keep |= self._clone_protected_files()
         now = time.time()
         removed = []
         data_root = os.path.join(self.root, _DATA_DIR)
@@ -1228,8 +1244,14 @@ class SnapshotLog:
         clone's root (source-referencing entries just leave the live
         set). ``clone.compact()`` is the DETACH: it rewrites all live
         rows into clone-owned files, after which the source may vacuum
-        freely. Until then the Delta caveat applies: vacuuming the
-        SOURCE can remove files a shallow clone still references.
+        freely.
+
+        Unlike Delta (which documents the vacuum-under-a-shallow-clone
+        hazard and deletes anyway), the clone registers itself in the
+        source (``_clones.json``), and the source's :meth:`vacuum`
+        PROTECTS files a registered un-detached clone still references;
+        registrations are dropped automatically once the clone detaches
+        or is deleted from disk. ``vacuum(force=True)`` overrides.
         """
         head = self.latest_version()
         if head is None:
@@ -1265,7 +1287,66 @@ class SnapshotLog:
             expected_version=0,
             retry_append=False,
         )
+        self._register_clone(dest.root)
         return dest
+
+    # -- clone registry: protects shallow-clone-referenced files from
+    # source vacuum (the Delta caveat, CLOSED instead of documented) ---------
+
+    _CLONES_FILE = "_clones.json"
+
+    def _clones_path(self) -> str:
+        return os.path.join(self.root, self._CLONES_FILE)
+
+    def _registered_clones(self) -> list[str]:
+        try:
+            with open(self._clones_path()) as f:
+                return list(json.load(f))
+        except FileNotFoundError:
+            return []
+
+    def _write_clones(self, roots: list[str]) -> None:
+        tmp = self._clones_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(sorted(set(roots)), f)
+        os.replace(tmp, self._clones_path())
+
+    def _register_clone(self, dest_root: str) -> None:
+        roots = self._registered_clones()
+        if dest_root not in roots:
+            self._write_clones(roots + [dest_root])
+
+    def _clone_protected_files(self) -> set[str]:
+        """Files under THIS root still referenced by registered live
+        clones (rel paths). Side effect: registrations for clones that
+        were deleted from disk or have DETACHED (compact rewrote every
+        source-referencing entry into clone-owned files) are dropped,
+        so a finished experiment never pins source storage. Metadata
+        only — reads each clone's log head, never data."""
+        roots = self._registered_clones()
+        if not roots:
+            return set()
+        keep: set[str] = set()
+        still_live: list[str] = []
+        for croot in roots:
+            if not os.path.isdir(croot):
+                continue  # clone dir gone: drop registration
+            c = SnapshotLog(self.spark, croot)
+            chead = c.latest_version()
+            if chead is None:
+                continue
+            refs = set()
+            for fe in c._resolve(chead)[0]:
+                full = os.path.abspath(os.path.join(c.root, fe.path))
+                rel = os.path.relpath(full, os.path.abspath(self.root))
+                if not rel.startswith(".."):
+                    refs.add(rel)
+            if refs:
+                keep |= refs
+                still_live.append(croot)
+        if set(still_live) != set(roots):
+            self._write_clones(still_live)
+        return keep
 
     def changes_between(self, from_version: int, to_version: int) -> DataFrame:
         """Delete-visible change feed over ``(from_version, to_version]``

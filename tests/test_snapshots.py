@@ -935,6 +935,95 @@ def test_clone_rewrites_stay_clone_local(spark, log, tmp_path):
     assert log.read().count() == 100
 
 
+def test_source_vacuum_protects_undetached_clone(spark, log, tmp_path):
+    """The Delta shallow-clone vacuum hazard, CLOSED: clone registers
+    itself in the source, so source vacuum KEEPS files an un-detached
+    clone still references; once the clone detaches (compact) the
+    registration drops and the next vacuum reclaims them."""
+    log.append(_df(spark, 0, 80))  # v0
+    clone = log.clone(str(tmp_path / "branch"))
+    # source rewrites everything: v0's files leave the retain window
+    log.delete_where("id >= 0")
+    log.append(_df(spark, 200, 210))
+    removed = log.vacuum(retain_versions=1, min_age_s=0.0)
+    assert clone.read().count() == 80, "clone must survive source vacuum"
+    # the clone-referenced v0 files were protected, not reclaimed
+    live_clone_files = {fe.path.split("/")[-1] for fe in clone._resolve(0)[0]}
+    assert not any(p.split("/")[-1] in live_clone_files for p in removed)
+    # detach, then vacuum again: now the v0 files are reclaimable
+    clone.compact(target_files=1)
+    removed2 = log.vacuum(retain_versions=1, min_age_s=0.0)
+    assert any(p.split("/")[-1] in live_clone_files for p in removed2)
+    assert clone.read().count() == 80  # detached clone unaffected
+
+
+def test_source_vacuum_force_overrides_clone_protection(spark, log, tmp_path):
+    """vacuum(force=True) is the raw Delta behavior: reclaim regardless;
+    the un-detached clone's read then fails on the missing file."""
+    log.append(_df(spark, 0, 40))
+    clone = log.clone(str(tmp_path / "branch"))
+    log.delete_where("id >= 0")
+    removed = log.vacuum(retain_versions=1, min_age_s=0.0, force=True)
+    assert removed, "force must reclaim clone-referenced files"
+    with pytest.raises(Exception):
+        clone.read().collect()
+
+
+def test_deleted_clone_unregisters_automatically(spark, log, tmp_path):
+    """An abandoned clone (directory deleted without detaching) stops
+    pinning source storage: its registration is dropped on the next
+    vacuum and the files are reclaimed."""
+    import shutil as _shutil
+
+    log.append(_df(spark, 0, 40))
+    clone = log.clone(str(tmp_path / "branch"))
+    _shutil.rmtree(clone.root)
+    log.delete_where("id >= 0")
+    removed = log.vacuum(retain_versions=1, min_age_s=0.0)
+    assert removed, "deleted clone must not pin source files"
+    assert log._registered_clones() == []
+
+
+def test_changes_between_across_schema_evolution(spark, log):
+    """CDF window spanning a merge_schema append: the newest schema in
+    range pins the output, so older-vintage rows — inserts AND removes
+    — backfill NULL for the later column, and the fold still mirrors
+    the table."""
+    from collections import Counter
+
+    log.append(_df(spark, 0, 30))  # v0: (id, v)
+    log.append(  # v1: adds column w
+        spark.range(30, 40).selectExpr("id", "id * 2 AS v", "id * 10 AS w"),
+        merge_schema=True,
+    )
+    log.delete_where("id < 5")  # v2: rewrites a v0-vintage file
+    head = log.latest_version()
+    feed = log.changes_between(0, head).collect()
+    assert "w" in feed[0].asDict()
+    # every row read from a v0-vintage file backfills w with NULL —
+    # the REMOVE side of v2 included (the pin this test adds)
+    v2_removes = [
+        r for r in feed if r["_change_version"] == 2 and r["_change_op"] == "remove"
+    ]
+    assert v2_removes and all(r["w"] is None for r in v2_removes)
+    v1_inserts = [
+        r for r in feed if r["_change_version"] == 1 and r["_change_op"] == "insert"
+    ]
+    assert v1_inserts and all(r["w"] == r["id"] * 10 for r in v1_inserts)
+    # fold mirrors the table across the evolution
+    state = Counter(
+        (r["id"], r["v"], None) for r in log.read(version=0).collect()
+    )
+    for ver in range(1, head + 1):
+        for r in feed:
+            if r["_change_version"] == ver:
+                delta = -1 if r["_change_op"] == "remove" else 1
+                state[(r["id"], r["v"], r["w"])] += delta
+    state = Counter({k: n for k, n in state.items() if n})
+    expect = Counter((r["id"], r["v"], r["w"]) for r in log.read().collect())
+    assert state == expect
+
+
 def test_clone_compact_detaches_from_source(spark, log, tmp_path):
     """compact() on a clone rewrites live rows into clone-owned files
     (no ../ references remain) — after that the source can vacuum
