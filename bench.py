@@ -725,20 +725,17 @@ def _paired_duck_pass(
         )
 
 
-def stress_deep(spark) -> None:
-    """x1 / x10 / x100 two-decade scaling for the candidate-join dedup
-    trio — the three headline queries whose work is genuinely ~linear
-    in candidates and whose sweep exponents sit highest (0.45-0.78 at
-    x10). Replicates ONLY the documents table (these pipelines read
-    nothing else), per-replica-salted like the sweep so output stays
-    input-linear. Reports the per-decade exponent; both decades <= ~1
-    = the plans hold through 500k docs. One JSON line to stdout."""
-    import math
+def _deep_dirs(spark) -> dict[int, str]:
+    """Build (or reuse via _DONE markers) the documents-only x1/x10/x100
+    replica dirs under /tmp — shared by --stress-deep and --deep-extras.
+    Per-replica token salting (``~rK``) keeps duplicated CONTENT from
+    multiplying across replicas, so pair-emitting dedup output stays
+    input-linear and the BPE vocabulary grows with the corpus (the
+    honest scale shape for merge learning)."""
     import tempfile
 
     import pyspark.sql.functions as F
 
-    from nibbledb_spark.queries import QUERIES
     from nibbledb_spark.sources.registry import load_table
 
     root = os.path.join(tempfile.gettempdir(), "nibble_stress_deep")
@@ -767,7 +764,27 @@ def stress_deep(spark) -> None:
             os.path.join(out_dir, "documents.parquet")
         )
         open(marker, "w").close()
-        log(f"stress-deep build x{mult}: {time.perf_counter() - t0:.1f}s")
+        log(f"deep-dir build x{mult}: {time.perf_counter() - t0:.1f}s")
+    return dirs
+
+
+def stress_deep(spark) -> None:
+    """x1 / x10 / x100 two-decade scaling for the candidate-join dedup
+    trio — the three headline queries whose work is genuinely ~linear
+    in candidates and whose sweep exponents sit highest (0.45-0.78 at
+    x10). Replicates ONLY the documents table (these pipelines read
+    nothing else), per-replica-salted like the sweep so output stays
+    input-linear. Reports the per-decade exponent; both decades <= ~1
+    = the plans hold through 500k docs. One JSON line to stdout."""
+    import math
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from nibbledb_spark.queries import QUERIES
+    from nibbledb_spark.sources.registry import load_table
+
+    dirs = _deep_dirs(spark)
 
     results: dict[str, dict] = {}
     for name in DEEP_QUERIES:
@@ -876,6 +893,151 @@ def stress_sweep(spark, mults: tuple = (1, 10)) -> None:
     )
 
 
+def deep_extras(spark) -> None:
+    """Round-9 verdict items #2/#3 over the deep replica dirs, paired:
+
+    1. ``bpe_learn_merges`` at x1/x10/x100 — the round-8 row stopped at
+       x10 (22.9x DuckDB) with the fixed-cost argument unmeasured at the
+       scale where it bites; this either shows the crossover (DuckDB's
+       in-process learn replay grows with corpus/vocab while Spark's
+       per-round argmax stays flat) or records the measured ratio.
+    2. Probe-only latency for the persisted incremental LSH index: build
+       the index once per scale (untimed, logged), then time
+       ``lsh_query_near_dups`` alone — the production claim ("query cost
+       tracks the probe batch") the declared build+add+query row can't
+       show. The DuckDB pair gets the same courtesy: corpus-side
+       shingle/band tables materialized once untimed, probe SQL timed.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.operators.dedup import build_lsh_index, lsh_query_near_dups
+    from nibbledb_spark.queries import ORACLE, QUERIES, _lsh_probe_sqls
+
+    dirs = _deep_dirs(spark)
+    results: dict[str, dict] = {}
+
+    # --- 1) BPE learn, Spark side --------------------------------------
+    fn = QUERIES["bpe_learn_merges"]
+    per: dict[int, float] = {}
+    for mult in (1, 10, 100):
+        fn(spark, dirs[mult]).toPandas()  # warm
+        samples = []
+        for _ in range(3 if mult < 100 else 2):
+            t0 = time.perf_counter()
+            n = len(fn(spark, dirs[mult]).toPandas())
+            samples.append(time.perf_counter() - t0)
+        per[mult] = statistics.median(samples)
+        log(f"deep-extras bpe_learn_merges x{mult}: {per[mult]:.3f}s ({n} merges)")
+    results["bpe_learn_merges"] = {
+        "x1_s": round(per[1], 4),
+        "x10_s": round(per[10], 4),
+        "x100_s": round(per[100], 4),
+        "exp_decade1": round(math.log10(per[10] / per[1]), 3),
+        "exp_decade2": round(math.log10(per[100] / per[10]), 3),
+    }
+
+    # --- 2) LSH probe-only, Spark side ----------------------------------
+    idx_root = os.path.join(tempfile.gettempdir(), "nibble_deep_lshidx")
+    per = {}
+    rows_at: dict[int, int] = {}
+    for mult in (1, 10, 100):
+        docs = spark.read.parquet(os.path.join(dirs[mult], "documents.parquet"))
+        idx = os.path.join(idx_root, f"x{mult}")
+        if not os.path.exists(idx):
+            t0 = time.perf_counter()
+            build_lsh_index(docs.where("doc_id % 5 <> 0"), idx)
+            log(
+                f"deep-extras lsh index build x{mult}: "
+                f"{time.perf_counter() - t0:.1f}s (amortized, untimed)"
+            )
+        probe = docs.where("doc_id % 5 = 0")
+        lsh_query_near_dups(spark, idx, probe, threshold=0.8).toPandas()  # warm
+        samples = []
+        for _ in range(3 if mult < 100 else 2):
+            t0 = time.perf_counter()
+            rows_at[mult] = len(
+                lsh_query_near_dups(spark, idx, probe, threshold=0.8).toPandas()
+            )
+            samples.append(time.perf_counter() - t0)
+        per[mult] = statistics.median(samples)
+        log(
+            f"deep-extras lsh_probe_only x{mult}: {per[mult]:.3f}s "
+            f"({rows_at[mult]:,} pairs)"
+        )
+    results["lsh_probe_only"] = {
+        "x1_s": round(per[1], 4),
+        "x10_s": round(per[10], 4),
+        "x100_s": round(per[100], 4),
+        "exp_decade1": round(math.log10(per[10] / per[1]), 3),
+        "exp_decade2": round(math.log10(per[100] / per[10]), 3),
+    }
+
+    # --- paired DuckDB pass (after all Spark timing) ---------------------
+    setup_sql, probe_sql = _lsh_probe_sqls()
+    for mult in sorted(dirs):
+        con = _duck_connect(dirs[mult])
+        runs = 3 if mult < 100 else 2
+        d = _duck_median(con, ORACLE["bpe_learn_merges"], runs=runs)
+        if d is not None:
+            r = results["bpe_learn_merges"]
+            r[f"duck_x{mult}_s"] = round(d, 4)
+            r[f"ratio_x{mult}"] = round(r[f"x{mult}_s"] / d, 2)
+            log(
+                f"deep-extras duckdb bpe_learn x{mult}: {d:.3f}s "
+                f"(ratio {r[f'ratio_x{mult}']:.2f}x)"
+            )
+        t0 = time.perf_counter()
+        for stmt in setup_sql.split(";"):
+            if stmt.strip():
+                con.execute(stmt)
+        log(
+            f"deep-extras duckdb lsh index build x{mult}: "
+            f"{time.perf_counter() - t0:.1f}s (amortized, untimed)"
+        )
+        # consistency: same pair count as the Spark probe
+        n_duck = len(con.execute(probe_sql).df())
+        if n_duck != rows_at[mult]:
+            log(
+                f"deep-extras WARNING x{mult}: duck probe rows {n_duck} "
+                f"!= spark {rows_at[mult]}"
+            )
+        d = _duck_median(con, probe_sql, runs=runs)
+        if d is not None:
+            r = results["lsh_probe_only"]
+            r[f"duck_x{mult}_s"] = round(d, 4)
+            r[f"ratio_x{mult}"] = round(r[f"x{mult}_s"] / d, 2)
+            log(
+                f"deep-extras duckdb lsh_probe x{mult}: {d:.3f}s "
+                f"(ratio {r[f'ratio_x{mult}']:.2f}x)"
+            )
+        con.close()
+    shutil.rmtree(idx_root, ignore_errors=True)
+
+    cols: list = []
+    for r in results.values():
+        cols += [c for c in r if c not in cols]
+    log("\n| query | " + " | ".join(cols) + " |")
+    log("|---|" + "---|" * len(cols))
+    for name, r in results.items():
+        log(
+            f"| {name} | "
+            + " | ".join(f"{r[c]:.3f}" if c in r else "-" for c in cols)
+            + " |"
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "deep_extras",
+                "unit": "sec",
+                "queries": results,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+
+
 def main() -> int:
     from nibbledb_spark.queries import ORACLE, QUERIES
     from nibbledb_spark.session import get_spark
@@ -898,6 +1060,11 @@ def main() -> int:
     if "--stress-deep" in sys.argv:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         stress_deep(spark)
+        return 0
+
+    if "--deep-extras" in sys.argv:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        deep_extras(spark)
         return 0
 
     if "--stress-sweep" in sys.argv:

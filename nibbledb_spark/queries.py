@@ -6158,6 +6158,49 @@ WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
 """
 
 
+def _lsh_probe_sqls() -> tuple[str, str]:
+    """DuckDB analogue of the PROBE-ONLY production path against the
+    persisted LSH index (bench.py --deep-extras): ``setup`` materializes
+    the corpus-side shingle + band tables once (the build_lsh_index
+    analogue, untimed), ``probe`` computes query-side signatures on the
+    fly and joins the materialized tables (the lsh_query_near_dups
+    analogue, timed). Kept beside _lsh_incremental_sql so the two can
+    never drift."""
+    bands = ", ".join(
+        f"md5(sig[{2*b+1}]||'|'||sig[{2*b+2}])" for b in range(4)
+    )
+    setup = f"""
+CREATE TEMP TABLE idx_sh AS
+  SELECT doc_id, {_SHINGLES} AS s
+  FROM (SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id % 5 <> 0) t;
+CREATE TEMP TABLE idx_bands AS
+  SELECT doc_id, u.b, [{bands}][u.b + 1] AS bucket
+  FROM (SELECT doc_id, {_sig_sql()} AS sig FROM idx_sh) g,
+       (SELECT unnest([0,1,2,3]) AS b) u;
+"""
+    probe = f"""
+WITH qt AS (SELECT doc_id, {_TOKS} AS w FROM documents WHERE doc_id % 5 = 0),
+qsh AS (SELECT doc_id, {_SHINGLES} AS s FROM qt),
+qsig AS (SELECT doc_id, {_sig_sql()} AS sig FROM qsh),
+qbands AS (
+  SELECT doc_id, u.b, [{bands}][u.b + 1] AS bucket
+  FROM qsig, (SELECT unnest([0,1,2,3]) AS b) u
+),
+cand AS (
+  SELECT DISTINCT q.doc_id AS query_id, i.doc_id AS index_id
+  FROM qbands q JOIN idx_bands i ON q.b = i.b AND q.bucket = i.bucket
+)
+SELECT c.query_id, c.index_id,
+       CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+         / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) AS jaccard
+FROM cand c JOIN qsh s1 ON c.query_id = s1.doc_id
+            JOIN idx_sh s2 ON c.index_id = s2.doc_id
+WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+         / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) >= 0.8
+"""
+    return setup, probe
+
+
 @declared("lsh_incremental_near_dups", _lsh_incremental_sql())
 def lsh_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted incremental LSH dedup index (the crawl-dedup workflow):
