@@ -221,3 +221,126 @@ def weighted_priority_sample(
         .orderBy(F.col("priority").desc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    *,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets a
+    ``split`` label by key hash against cumulative fraction thresholds
+    (1/65536 granularity, same ``rate_threshold`` machinery as
+    ``sample_uniform``). The three properties a split MUST have at
+    100 TB, and RNG-based splits don't: reproducible on any engine or
+    partitioning, stable under re-runs and appends (a doc's split never
+    changes when the corpus grows), and disjoint-and-exhaustive by
+    construction (chained half-open hash intervals).
+
+    ``fractions`` is ordered name -> fraction, default the standard
+    ``{"train": .8, "val": .1, "test": .1}``; must sum to 1 (within the
+    granularity). Row-local projection: no shuffle, no state.
+    """
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be non-negative: {fractions}")
+    if abs(sum(fractions.values()) - 1.0) > 1.0 / _BUCKETS:
+        raise ValueError(f"fractions must sum to 1: {fractions}")
+    names = list(fractions)
+    cum = 0.0
+    h = _hash_prefix(F.col(key_col))
+    expr = F.lit(names[-1])  # last split takes the remainder interval
+    uppers = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        uppers.append((name, rate_threshold(cum)))
+    for name, upper in reversed(uppers):
+        expr = F.when(h < F.lit(upper), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    *,
+    alpha_sqrt: bool = True,
+    budget_frac: float = 0.5,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source keep rates for temperature-based mixture sampling
+    (the multilingual/multi-domain training recipe: sample source s
+    with probability proportional to n_s^alpha; alpha < 1 flattens the
+    mix toward low-resource sources). Returns one row per source:
+    ``(source, n_docs, mix_share, keep_rate)`` where ``mix_share`` is
+    the alpha-tempered target share and ``keep_rate`` realizes it from
+    the corpus frequencies under a total budget of ``budget_frac * N``
+    docs (capped at 1: no replacement — the standard clip).
+
+    alpha is fixed at 0.5 (``alpha_sqrt``): sqrt is IEEE
+    correctly-rounded on every engine, so the tempered weights are
+    bit-identical without libm pow (the weighted_priority_sample
+    lesson). The sqrt weights quantize to scaled longs BEFORE the
+    cross-source sum, so the denominator is an exact integer and every
+    downstream ratio is a single deterministic double op.
+
+    Scale shape: one tiny groupBy(source) agg; the rates frame is a
+    handful of rows to broadcast back — the corpus is scanned once.
+    """
+    if not alpha_sqrt:
+        raise ValueError("only alpha = 0.5 (sqrt tempering) is engine-exact")
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in (0, 1]: {budget_frac}")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    s = F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    w = Window.partitionBy()
+    scaled = counts.withColumn("s_scaled", s).withColumn(
+        "denom", F.sum("s_scaled").over(w)
+    ).withColumn("n_total", F.sum("n_docs").over(w))
+    bhat = F.floor(F.lit(budget_frac) * F.lit(float(_BUCKETS)) + F.lit(0.5)).cast(
+        "long"
+    )
+    share = F.col("s_scaled").cast("double") / F.col("denom").cast("double")
+    raw_rate = (
+        (bhat.cast("double") / F.lit(float(_BUCKETS)))
+        * F.col("n_total").cast("double")
+        * share
+        / F.col("n_docs").cast("double")
+    )
+    return scaled.select(
+        group_col,
+        "n_docs",
+        share.alias("mix_share"),
+        F.least(raw_rate, F.lit(1.0)).alias("keep_rate"),
+    )
+
+
+def sample_temperature_mix(
+    df: DataFrame,
+    *,
+    budget_frac: float = 0.5,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Select the temperature-tempered training mix: keep each doc iff
+    its 16-bit key-hash uniform falls under its source's
+    ``temperature_mix_rates`` keep rate. Deterministic per doc (same
+    membership on every engine/run), and the realized per-source counts
+    converge to the alpha = 0.5 mixture.
+
+    Physical shape: tiny rates frame broadcast onto the corpus, then a
+    row-local predicate — one scan, one broadcast, no corpus shuffle.
+    """
+    rates = temperature_mix_rates(
+        df, budget_frac=budget_frac, group_col=group_col
+    ).select(group_col, "keep_rate")
+    u = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, _PREFIX_LEN), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .where(u.cast("double") < F.col("keep_rate") * F.lit(float(_BUCKETS)))
+        .drop("keep_rate")
+    )

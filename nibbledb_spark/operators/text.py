@@ -391,3 +391,107 @@ def lm_quality_scores(
         F.sum("p").alias("score_sum"),
         (F.sum("p").cast("double") / F.count(F.lit(1))).alias("lm_score"),
     )
+
+
+# --- hash-trick linear classifier inference (round 9) -----------------------
+
+LINEAR_SCORE_FEATURES = 1024  # feature-hash buckets (2^10)
+_WEIGHT_MULT = 2654435761  # Knuth multiplicative constant
+_WEIGHT_MOD = 2001  # integer weights in [-1000, 1000]
+
+
+def hashed_feature(tok):
+    """Engine-invariant feature hash: low 32 bits of md5(token), mod
+    the bucket count. Both engines parse the same 8 hex chars, so the
+    bucketing is bit-identical (no Murmur/xxhash — every engine's
+    builtin hash() differs)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % F.lit(
+        LINEAR_SCORE_FEATURES
+    )
+
+
+def demo_weight(fidx):
+    """Deterministic integer stand-in for a LEARNED weight vector:
+    w_j = (j * 2654435761 + 12345) % 2001 - 1000, an integer in
+    [-1000, 1000]. Products stay < 2^63, so both engines compute it
+    exactly; a real deployment passes trained weights instead."""
+    return (fidx * F.lit(_WEIGHT_MULT) + F.lit(12345)) % F.lit(_WEIGHT_MOD) - F.lit(
+        1000
+    )
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style linear classifier INFERENCE over the corpus — the
+    model-based quality gate (CCNet/DCLM recipe: train a small linear
+    scorer offline, score 100 TB with it online). Features are hashed
+    token buckets (the hashing trick); the score is the mean feature
+    weight, i.e. a bag-of-words dot product / n_tokens.
+
+    Two physical shapes, one semantics:
+
+    - ``weights=None`` (the deterministic ``demo_weight`` vector): the
+      weight lookup is pure arithmetic on the hash, so scoring is a
+      ZERO-SHUFFLE codegen projection via an array fold — the
+      tokenize_bpe shape: at 100 TB every row is scored where it
+      already sits, nothing moves.
+    - ``weights`` given as a (feature, weight:int) frame (a trained
+      model, <= LINEAR_SCORE_FEATURES rows): explode -> BROADCAST hash
+      join -> per-doc sum. One corpus-keyed agg shuffle; the model
+      rides the broadcast.
+
+    Output (id, n_toks, dot_scaled, lin_score): integer token count
+    and dot product (order-independent exact sums), score = one double
+    division — the scaled-long parity discipline throughout.
+    """
+    w = tokens(F.col(text_col))
+    w = F.filter(w, lambda x: x != "")
+    base = docs.select(F.col(id_col).alias("id"), w.alias("toks"))
+    if weights is None:
+        dot = F.aggregate(
+            F.transform(F.col("toks"), lambda t: demo_weight(hashed_feature(t))),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return base.select(
+            "id",
+            F.size("toks").cast("long").alias("n_toks"),
+            dot.alias("dot_scaled"),
+            F.when(
+                F.size("toks") > 0,
+                dot.cast("double")
+                / F.lit(float(_WEIGHT_MOD // 2))
+                / F.size("toks").cast("double"),
+            ).alias("lin_score"),
+        )
+    exploded = base.select("id", F.explode("toks").alias("tok")).select(
+        "id", hashed_feature(F.col("tok")).alias("feature")
+    )
+    dots = (
+        exploded.join(F.broadcast(weights), "feature", "left")
+        .select("id", F.coalesce(F.col("weight"), F.lit(0)).cast("long").alias("w"))
+        .groupBy("id")
+        .agg(F.sum("w").alias("dot"))
+    )
+    # left join back onto the doc universe: zero-token docs emit
+    # (0, 0, NULL) exactly like the fold path — both paths are total
+    return (
+        base.select("id", F.size("toks").cast("long").alias("n_toks"))
+        .join(dots, "id", "left")
+        .select(
+            "id",
+            "n_toks",
+            F.coalesce(F.col("dot"), F.lit(0).cast("long")).alias("dot_scaled"),
+            F.when(
+                F.col("n_toks") > 0,
+                F.coalesce(F.col("dot"), F.lit(0).cast("long")).cast("double")
+                / F.lit(float(_WEIGHT_MOD // 2))
+                / F.col("n_toks").cast("double"),
+            ).alias("lin_score"),
+        )
+    )

@@ -5318,6 +5318,157 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_priority_sample(docs, 100, _WPS_WEIGHTS)
 
 
+@declared(
+    "split_train_val_test",
+    """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by key hash
+    (operators/sampling.py split_assign): reproducible on any engine or
+    partitioning, stable under appends (a doc's split never changes
+    when the corpus grows), disjoint-and-exhaustive by construction
+    (chained half-open hash intervals — 'cccc' = 0.8 and 'e666' = 0.9
+    of the 16-bit prefix space). Row-local projection: no shuffle."""
+    from nibbledb_spark.operators.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return split_assign(docs)
+
+
+_TEMP_MIX_CTES = """
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+s AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS s_scaled
+  FROM c
+),
+d AS (
+  SELECT source, n_docs, s_scaled,
+         SUM(s_scaled) OVER () AS denom,
+         SUM(n_docs) OVER () AS n_total
+  FROM s
+),
+r AS (
+  SELECT source, n_docs,
+         CAST(s_scaled AS DOUBLE) / CAST(denom AS DOUBLE) AS mix_share,
+         LEAST(
+           (CAST(32768 AS DOUBLE) / 65536.0) * CAST(n_total AS DOUBLE)
+             * (CAST(s_scaled AS DOUBLE) / CAST(denom AS DOUBLE))
+             / CAST(n_docs AS DOUBLE),
+           1.0) AS keep_rate
+  FROM d
+)
+"""
+
+
+@declared(
+    "temperature_mix_rates",
+    _TEMP_MIX_CTES
+    + "SELECT source, n_docs, mix_share, keep_rate FROM r ORDER BY source",
+)
+def temperature_mix_rates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep rates for alpha = 0.5 temperature mixture
+    sampling (the multilingual/multi-domain training recipe: tempered
+    share n_s^0.5 / sum, keep rate realizing it under a half-corpus
+    budget, capped at 1). sqrt is IEEE-correctly-rounded on both
+    engines and quantizes to a scaled long BEFORE the cross-source sum,
+    so the denominator is an exact integer and every downstream ratio
+    is a deterministic double op (operators/sampling.py
+    temperature_mix_rates)."""
+    from nibbledb_spark.operators.sampling import temperature_mix_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix_rates(docs, budget_frac=0.5).orderBy("source")
+
+
+@declared(
+    "temperature_mix_selected",
+    _TEMP_MIX_CTES
+    + """
+SELECT doc_id, t.source
+FROM documents t JOIN r ON r.source = t.source
+WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS DOUBLE)
+      < keep_rate * 65536.0
+""",
+)
+def temperature_mix_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The realized temperature-tempered training mix: keep a doc iff
+    its 16-bit key-hash uniform falls under its source's tempered keep
+    rate — deterministic membership, converging to the alpha = 0.5
+    mixture. Physical shape: tiny rates frame BROADCAST onto the
+    corpus, then a row-local predicate — one scan, no corpus
+    shuffle."""
+    from nibbledb_spark.operators.sampling import sample_temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_temperature_mix(docs, budget_frac=0.5).select("doc_id", "source")
+
+
+# hash-trick linear scorer: feature = low-32-md5-bits(token) % 1024,
+# weight = (feature * 2654435761 + 12345) % 2001 - 1000 (the demo
+# stand-in for a trained vector — integer-exact on both engines)
+_LINEAR_SCORE_SQL = """
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+s AS (
+  SELECT id, CAST(len(w) AS BIGINT) AS n_toks,
+         COALESCE(CAST(list_sum(list_transform(w, tok ->
+           ((CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 1024)
+              * 2654435761 + 12345) % 2001 - 1000)) AS BIGINT), 0) AS dot_scaled
+  FROM t
+)
+SELECT id, n_toks, dot_scaled,
+       CASE WHEN n_toks > 0
+            THEN CAST(dot_scaled AS DOUBLE) / 1000.0 / CAST(n_toks AS DOUBLE)
+       END AS lin_score
+FROM s
+"""
+
+
+@declared("linear_quality_score", _LINEAR_SCORE_SQL)
+def linear_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear classifier inference as a ZERO-SHUFFLE
+    codegen projection (operators/text.py linear_quality_score): hashed
+    token buckets -> integer weight lookup -> exact per-doc dot product,
+    score = one double division. The model-based quality gate (CCNet /
+    DCLM recipe) in the shape that scores 100 TB where it sits — the
+    tokenize_bpe plan class. Feature hashing uses md5 low bits, not an
+    engine builtin hash, so bucketing is bit-identical in DuckDB."""
+    from nibbledb_spark.operators.text import linear_quality_score
+
+    return linear_quality_score(_t(spark, sf_dir, "documents"))
+
+
+@declared("linear_quality_score_weighted", _LINEAR_SCORE_SQL)
+def linear_quality_score_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same scorer through the TRAINED-MODEL path: weights as a
+    (feature, weight) frame, explode -> broadcast hash join -> per-doc
+    agg. Declared against the SAME oracle as linear_quality_score —
+    the two physical plans (zero-shuffle fold vs broadcast join + agg)
+    must produce identical scores, pinning that swapping the demo
+    formula for a real trained vector changes nothing semantically."""
+    from nibbledb_spark.operators.text import (
+        LINEAR_SCORE_FEATURES,
+        demo_weight,
+        linear_quality_score,
+    )
+
+    weights = spark.range(LINEAR_SCORE_FEATURES).select(
+        F.col("id").alias("feature"),
+        demo_weight(F.col("id")).cast("long").alias("weight"),
+    )
+    return linear_quality_score(_t(spark, sf_dir, "documents"), weights)
+
+
 def _l2sq_sql(a: str, b: str, dim: int = 8) -> str:
     """Explicit left-assoc sum chain == Spark's _l2sq left fold."""
     terms = " + ".join(

@@ -181,6 +181,35 @@ def test_new_operator_shuffle_budgets(spark):
         assert got <= budget, (name, got, budget)
 
 
+def test_round9_operator_shuffle_budgets(spark):
+    """Physical-shape pins for the round-9 training-pipeline operators:
+    the zero-shuffle claims in their docstrings are contracts, not
+    prose. split_assign and the fold-path linear scorer are row-local
+    projections (ZERO exchanges — the tokenize_bpe plan class);
+    temperature mix touches the corpus once (the tiny rates agg) and
+    applies rates via BROADCAST, never reshuffling the corpus."""
+    from nibbledb_spark.plans.scale import exchange_count
+    from nibbledb_spark.queries import QUERIES
+
+    assert exchange_count(QUERIES["split_train_val_test"](spark, SF)) == 0
+    assert exchange_count(QUERIES["linear_quality_score"](spark, SF)) == 0
+    sel = QUERIES["temperature_mix_selected"](spark, SF)
+    # rates agg (+ its window) shuffle SOURCE-count rows, never docs
+    assert exchange_count(sel) <= 3
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sel.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+    # the trained-model scorer path broadcasts the weight table
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES["linear_quality_score_weighted"](spark, SF).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
 def test_day_partition_prunes_time_ranges(spark, tmp_path_factory):
     """Layout v2: ts bounds derive day-partition predicates that prune
     whole day directories BEFORE any file opens — and unlike row-group

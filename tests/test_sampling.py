@@ -235,3 +235,118 @@ def test_weighted_priority_sample_deterministic_and_weighted(spark, docs):
     with pytest.raises(ValueError, match="lcm"):
         # coprime weights would need a 9797-multiplication chain
         weighted_priority_sample(docs, 5, {"src0": 97, "src1": 101})
+
+
+def test_split_assign_disjoint_exhaustive_stable(spark, docs):
+    """Every doc gets exactly one split; fractions land near target;
+    assignment is append-stable (a doc's split never changes when the
+    corpus grows) and complement-consistent with sample_uniform's hash
+    intervals."""
+    from nibbledb_spark.operators.sampling import split_assign
+
+    total = docs.count()
+    out = split_assign(docs)
+    assert out.count() == total  # exhaustive, one row per doc
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) <= {"train", "val", "test"}
+    assert 0.7 <= counts["train"] / total <= 0.9
+    # append-stability: the same docs in a half-corpus get the SAME split
+    half = split_assign(docs.where("doc_id % 2 = 0"))
+    full_map = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in half.collect():
+        assert full_map[r["doc_id"]] == r["split"]
+    # custom fractions + validation
+    two = split_assign(docs, {"a": 0.5, "b": 0.5})
+    assert set(r["split"] for r in two.select("split").distinct().collect()) == {
+        "a",
+        "b",
+    }
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(docs, {"a": 0.5, "b": 0.2})
+    with pytest.raises(ValueError, match="non-negative"):
+        split_assign(docs, {"a": 1.5, "b": -0.5})
+
+
+def test_temperature_mix_flattens_toward_low_resource(spark):
+    """alpha = 0.5 tempering: mix shares sum to 1, low-resource sources
+    get a HIGHER share than their raw frequency (and high-resource
+    lower), keep rates cap at 1, and the realized selection tracks the
+    tempered rates."""
+    from nibbledb_spark.operators.sampling import (
+        sample_temperature_mix,
+        temperature_mix_rates,
+    )
+
+    # 10:1 imbalance: raw shares 10/11 vs 1/11; sqrt-tempered shares
+    # sqrt(10):sqrt(1) ~ 0.76 vs 0.24
+    rows = [(i, "big") for i in range(1000)] + [
+        (10_000 + i, "small") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {
+        r["source"]: r for r in temperature_mix_rates(docs, budget_frac=0.5).collect()
+    }
+    assert abs(sum(r["mix_share"] for r in rates.values()) - 1.0) < 1e-9
+    assert rates["small"]["mix_share"] > 100 / 1100  # flattened UP
+    assert rates["big"]["mix_share"] < 1000 / 1100  # flattened DOWN
+    assert all(r["keep_rate"] <= 1.0 for r in rates.values())
+    # the small source keeps a larger FRACTION of itself than the big one
+    sel = sample_temperature_mix(docs, budget_frac=0.5)
+    by = {
+        r["source"]: r["n"]
+        for r in sel.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by["small"] / 100 > by["big"] / 1000
+    # deterministic membership
+    ids1 = sorted(r["doc_id"] for r in sel.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in sample_temperature_mix(docs, budget_frac=0.5).collect()
+    )
+    assert ids1 == ids2
+    with pytest.raises(ValueError, match="budget_frac"):
+        temperature_mix_rates(docs, budget_frac=0.0)
+    with pytest.raises(ValueError, match="engine-exact"):
+        temperature_mix_rates(docs, alpha_sqrt=False)
+
+
+def test_linear_score_paths_agree(spark, docs):
+    """The zero-shuffle fold path and the broadcast-join trained-model
+    path produce IDENTICAL scores (same oracle in the registry), custom
+    weights actually change scores, and zero-token docs emit
+    (0, 0, NULL) on both paths."""
+    from nibbledb_spark.operators.text import (
+        LINEAR_SCORE_FEATURES,
+        demo_weight,
+        linear_quality_score,
+    )
+
+    demo_tbl = spark.range(LINEAR_SCORE_FEATURES).select(
+        F.col("id").alias("feature"),
+        demo_weight(F.col("id")).cast("long").alias("weight"),
+    )
+    a = {
+        r["id"]: (r["n_toks"], r["dot_scaled"], r["lin_score"])
+        for r in linear_quality_score(docs).collect()
+    }
+    b = {
+        r["id"]: (r["n_toks"], r["dot_scaled"], r["lin_score"])
+        for r in linear_quality_score(docs, demo_tbl).collect()
+    }
+    assert a == b and len(a) == docs.count()
+    # a different weight vector changes scores (the join is real)
+    zero_tbl = demo_tbl.withColumn("weight", F.lit(0).cast("long"))
+    z = linear_quality_score(docs, zero_tbl)
+    assert z.where("dot_scaled <> 0").count() == 0
+    # zero-token doc: (0, 0, NULL) on both paths
+    empty = spark.createDataFrame([(1, ""), (2, "x y")], "doc_id long, text string")
+    for wtab in (None, demo_tbl):
+        got = {
+            r["id"]: (r["n_toks"], r["dot_scaled"], r["lin_score"])
+            for r in linear_quality_score(empty, wtab).collect()
+        }
+        # splitting "" on \s+ yields [""]; the empty token is filtered
+        assert got[1][0] == 0 and got[1][1] == 0 and got[1][2] is None
+        assert got[2][0] == 2
