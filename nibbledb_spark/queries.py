@@ -5633,6 +5633,91 @@ def restore_rollback_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version")
 
 
+# deletion-vector visibility ladder: cumulative per-version predicates
+# over orders (o_orderkey < 2000 base slice). v1/v2 are DV deletes, v3 a
+# rewrite delete over the DV'd files — the oracle states each version's
+# surviving rows declaratively; value parity rides the scaled-long
+# totalprice checksum so a position-filtering bug can't hide in counts.
+_DV_BASE = "o_orderkey < 2000"
+_DV_P1 = "o_totalprice < 50000"  # v1: dv delete
+_DV_P2 = "o_orderkey % 7 = 0"  # v2: dv delete (stacks)
+_DV_P3 = "o_totalprice > 250000"  # v3: rewrite delete (materializes)
+
+
+def _dv_feed_sql() -> str:
+    preds = {
+        0: _DV_BASE,
+        1: f"{_DV_BASE} AND NOT ({_DV_P1})",
+        2: f"{_DV_BASE} AND NOT ({_DV_P1}) AND NOT ({_DV_P2})",
+        3: (
+            f"{_DV_BASE} AND NOT ({_DV_P1}) AND NOT ({_DV_P2})"
+            f" AND NOT ({_DV_P3})"
+        ),
+    }
+    parts = [
+        f"""SELECT CAST({v} AS INTEGER) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       {_ssum_sql('o_totalprice', 2)} AS price_sum
+FROM orders WHERE {p}"""
+        for v, p in preds.items()
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY version"
+
+
+@declared("dv_delete_versions", _dv_feed_sql())
+def dv_delete_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS surfaced as a query (snapshots.py
+    delete_where(mode='dv'), the Delta DV analogue): append an orders
+    slice (v0), DV-delete cheap orders (v1), DV-delete every 7th key
+    (v2, vectors stack), then REWRITE-delete expensive orders (v3,
+    materializing the vectors it touches). Every version's count,
+    key sum and scaled-long price checksum must equal the oracle's
+    declarative restatement — position-filtered reads, stacked
+    vectors, time travel across DV commits, and DV-over-rewrite
+    interplay all hash-verified at once. v1/v2 rewrite ZERO base
+    files; at 100 TB that is the difference between O(matched rows)
+    and O(touched files) for small deletes."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.snapshots import SnapshotLog
+
+    orders = _t(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"nibblelog_dv_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log = SnapshotLog(spark, root, stats_cols=("o_orderkey",))
+    log.append(
+        orders.where(_DV_BASE)
+        .select("o_orderkey", "o_totalprice")
+        .repartition(4)  # several files so DVs land on a subset
+    )
+    log.delete_where(_DV_P1, mode="dv")
+    log.delete_where(_DV_P2, mode="dv")
+    log.delete_where(_DV_P3)
+    rows = []
+    for v in range(4):
+        rows.append(
+            log.read(version=v).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+                _ssum(F.col("o_totalprice"), 2).alias("price_sum"),
+            ).select(
+                F.lit(v).cast("int").alias("version"),
+                "n_rows",
+                "key_sum",
+                "price_sum",
+            )
+        )
+    out = rows[0]
+    for s in rows[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("version")
+
+
 _GAP_US = 1_200_000_000  # 20 min: report any silence longer than this
 
 

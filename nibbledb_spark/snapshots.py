@@ -70,15 +70,33 @@ class CommitConflict(RuntimeError):
 @dataclass
 class FileEntry:
     path: str  # relative to <root>/
-    rows: int
+    rows: int  # PHYSICAL rows in the file (live rows = rows - dv_rows)
     stats: dict[str, list]  # col -> [min, max] (JSON-serializable scalars)
+    # deletion vector (Delta DV analogue): relative path of a parquet
+    # dir holding the file's deleted row POSITIONS (`pos` longs,
+    # _metadata.row_index values). None = no deletions. Cumulative: a
+    # second DV delete on the file replaces dv with the union. Stats
+    # stay the physical file's (conservative for pruning — same as
+    # Delta, which does not tighten stats under DVs).
+    dv: str | None = None
+    dv_rows: int = 0
 
     def to_json(self) -> dict:
-        return {"path": self.path, "rows": self.rows, "stats": self.stats}
+        d = {"path": self.path, "rows": self.rows, "stats": self.stats}
+        if self.dv is not None:
+            d["dv"] = self.dv
+            d["dv_rows"] = self.dv_rows
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "FileEntry":
-        return FileEntry(d["path"], d["rows"], d.get("stats", {}))
+        return FileEntry(
+            d["path"],
+            d["rows"],
+            d.get("stats", {}),
+            d.get("dv"),
+            d.get("dv_rows", 0),
+        )
 
 
 @dataclass
@@ -483,6 +501,63 @@ class SnapshotLog:
         )
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def _read_entries(
+        self,
+        entries: list[FileEntry],
+        schema_json: str | None,
+        *,
+        expose_pos: bool = False,
+    ) -> DataFrame:
+        """Deletion-vector-aware snapshot read: plain files scan in one
+        batch; each DV'd file reads with its parquet row position
+        (``_metadata.row_index``, stable for parquet) and drops its
+        deleted positions via a BROADCAST anti-join (DVs are small by
+        contract — that is why they exist). Every read/rewrite path
+        (read, compact, merge, delete probes) routes through here, so
+        deleted rows are invisible everywhere without a byte of the
+        base files changing.
+
+        ``expose_pos`` keeps ``__file`` (input_file_name) and ``__pos``
+        (row position) columns — the DV delete's internal view."""
+        plain = [fe for fe in entries if fe.dv is None]
+        dvd = [fe for fe in entries if fe.dv is not None]
+        pieces: list[DataFrame] = []
+        if plain:
+            p = self._read_live(
+                [os.path.join(self.root, fe.path) for fe in plain], schema_json
+            )
+            if expose_pos:
+                p = p.withColumn("__file", F.input_file_name()).withColumn(
+                    "__pos", F.col("_metadata.row_index")
+                )
+            pieces.append(p)
+        for fe in dvd:
+            base = self._read_live(
+                [os.path.join(self.root, fe.path)], schema_json
+            ).withColumn("__pos", F.col("_metadata.row_index"))
+            if expose_pos:
+                # attach BEFORE the join: input_file_name() resolves only
+                # against a single-source scan, never above a join
+                base = base.withColumn("__file", F.input_file_name())
+            dv = self.spark.read.parquet(os.path.join(self.root, fe.dv)).select(
+                F.col("pos").alias("__pos")
+            )
+            filtered = base.join(F.broadcast(dv), "__pos", "anti")
+            if not expose_pos:
+                filtered = filtered.drop("__pos")
+            pieces.append(filtered)
+        if not pieces:
+            schema = (
+                T.StructType.fromJson(json.loads(schema_json))
+                if schema_json
+                else T.StructType([])
+            )
+            return self.spark.createDataFrame([], schema)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out
+
     def append(
         self,
         df: DataFrame,
@@ -610,9 +685,10 @@ class SnapshotLog:
             raise ValueError(f"version {version} out of range [0, {head}]")
         target_files, target_schema = self._resolve(version)
         missing = [
-            fe.path
+            rel
             for fe in target_files
-            if not os.path.exists(os.path.join(self.root, fe.path))
+            for rel in ([fe.path] + ([fe.dv] if fe.dv else []))
+            if not os.path.exists(os.path.join(self.root, rel))
         ]
         if missing:
             raise ValueError(
@@ -622,11 +698,17 @@ class SnapshotLog:
         cur_files, _ = self._resolve(head)
         # commit only the symmetric difference: files live at BOTH ends
         # were never dropped, and listing them as adds would make
-        # inserts_between replay rows that never left the table
-        cur_paths = {fe.path for fe in cur_files}
-        target_paths = {fe.path for fe in target_files}
-        add = [fe for fe in target_files if fe.path not in cur_paths]
-        remove = sorted(cur_paths - target_paths)
+        # inserts_between replay rows that never left the table. The
+        # difference is keyed on (path, dv): a file whose DELETION
+        # VECTOR changed between the two ends re-lists (remove + add
+        # of the same path swaps the entry), otherwise restoring past
+        # a DV delete would leave the deletions in place.
+        cur_keyed = {(fe.path, fe.dv) for fe in cur_files}
+        target_keyed = {(fe.path, fe.dv) for fe in target_files}
+        add = [fe for fe in target_files if (fe.path, fe.dv) not in cur_keyed]
+        remove = sorted(
+            fe.path for fe in cur_files if (fe.path, fe.dv) not in target_keyed
+        )
         return self._commit(
             "restore",
             add,
@@ -638,31 +720,43 @@ class SnapshotLog:
             retry_append=False,
         )
 
-    def delete_where(self, predicate: str) -> int:
+    def delete_where(self, predicate: str, *, mode: str = "rewrite") -> int:
         """Delete rows where the SQL ``predicate`` is TRUE (NULL keeps
         the row, standard SQL DELETE semantics), rewriting ONLY the
         files probed to contain matches; untouched files stay referenced
         as-is — at scale a predicate delete must not rewrite 100 TB to
         remove 1 GB. (The probe scans the live files' predicate columns;
         callers with range predicates can pre-restrict via
-        ``files(bounds=...)`` stats, which the probe does not consult.)"""
+        ``files(bounds=...)`` stats, which the probe does not consult.)
+
+        ``mode='dv'`` deletes via DELETION VECTORS (the Delta DV
+        analogue): instead of rewriting every touched file, the matched
+        rows' parquet positions append to per-file sidecar vectors and
+        the commit just re-points the entries — a 1 000-row delete on a
+        100 TB table costs O(matched rows), not O(touched files). Reads
+        merge DVs transparently; ``compact()`` materializes them away;
+        a later rewrite-mode delete on a DV'd file also materializes.
+        Trade-off (same as Delta): every read of a DV'd file pays the
+        position anti-join until compaction — use 'dv' for small/
+        frequent deletes, 'rewrite' for bulk ones.
+        """
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"mode must be 'rewrite' or 'dv': {mode}")
         head = self.latest_version()
         if head is None:
             raise ValueError("empty table")
         files, schema_json = self._resolve(head)
-        paths = [os.path.join(self.root, fe.path) for fe in files]
-        if not paths:
+        if not files:
             return self._commit(
                 "delete", [], [], schema_json, {"predicate": predicate},
                 expected_version=head + 1, retry_append=False,
             )
-        df = self._read_live(paths, schema_json)
-        hit_rows = (
-            df.where(predicate)
-            .groupBy(F.input_file_name().alias("__file"))
-            .count()
-            .collect()
-        )
+        if mode == "dv":
+            return self._delete_where_dv(predicate, head, files, schema_json)
+        # probe on the pre-tagged __file column: input_file_name() cannot
+        # be attached above the DV anti-joins (multi-source plan)
+        df = self._read_entries(files, schema_json, expose_pos=True)
+        hit_rows = df.where(predicate).groupBy("__file").count().collect()
         hit = {self._uri_to_rel(r["__file"]) for r in hit_rows}
         hit = {p for p in (fe.path for fe in files) if p in hit}
         if not hit:
@@ -675,8 +769,9 @@ class SnapshotLog:
         # NOT(pred) evaluates to NULL (not true) for NULL-valued rows
         # and would silently drop them — but only in rewritten files,
         # i.e. layout-dependent data loss. SQL DELETE removes TRUE only.
-        keep = self._read_live(
-            [os.path.join(self.root, p) for p in sorted(hit)], schema_json
+        by_path = {fe.path: fe for fe in files}
+        keep = self._read_entries(
+            [by_path[p] for p in sorted(hit)], schema_json
         ).where(f"NOT ({predicate}) OR ({predicate}) IS NULL")
         add = self._write_files(keep)
         # rebasing commit: a concurrent append's files are disjoint from
@@ -690,6 +785,99 @@ class SnapshotLog:
             sorted(hit),
             schema_json,
             {"predicate": predicate, "rewritten_files": len(hit)},
+            base_head=head,
+        )
+
+    def _delete_where_dv(
+        self,
+        predicate: str,
+        head: int,
+        files: list[FileEntry],
+        schema_json: str | None,
+    ) -> int:
+        """Deletion-vector delete: collect matched rows' (file, pos)
+        pairs over the LIVE view (already-deleted positions can never
+        re-match), union each touched file's existing vector, publish
+        one position batch partitioned by file key, and re-point the
+        touched entries — zero base-file rewrites. Positions never
+        collect to the driver; only the touched-file list does (small
+        by the same argument as the rewrite path's probe)."""
+        import hashlib
+
+        by_path = {fe.path: fe for fe in files}
+        live = self._read_entries(files, schema_json, expose_pos=True)
+        matches = live.where(predicate).select("__file", "__pos").persist()
+        try:
+            m_files = [
+                r["__file"]
+                for r in matches.select("__file").distinct().collect()
+            ]
+            rel_of = {u: self._uri_to_rel(u) for u in m_files}
+            hit = sorted({rel_of[u] for u in m_files if rel_of[u] in by_path})
+            if not hit:
+                return self._commit(
+                    "delete", [], [], schema_json,
+                    {"predicate": predicate, "mode": "dv", "deleted_rows": 0},
+                    expected_version=head + 1, retry_append=False,
+                )
+            fk_of = {p: hashlib.md5(p.encode()).hexdigest() for p in hit}
+            mapdf = self.spark.createDataFrame(
+                [(u, fk_of[rel_of[u]]) for u in m_files if rel_of[u] in by_path],
+                "uri string, fk string",
+            )
+            pos_new = matches.join(
+                F.broadcast(mapdf), matches["__file"] == mapdf["uri"]
+            ).select("fk", F.col("__pos").alias("pos"))
+            pieces = [pos_new]
+            for p in hit:
+                fe = by_path[p]
+                if fe.dv is not None:
+                    pieces.append(
+                        self.spark.read.parquet(os.path.join(self.root, fe.dv))
+                        .select("pos")
+                        .withColumn("fk", F.lit(fk_of[p]))
+                        .select("fk", "pos")
+                    )
+            dvdf = pieces[0]
+            for piece in pieces[1:]:
+                dvdf = dvdf.unionByName(piece)
+            dvdf = dvdf.distinct()
+            batch_sub = os.path.join(_DATA_DIR, f"dv-{uuid.uuid4().hex}")
+            dvdf.write.partitionBy("fk").mode("errorifexists").parquet(
+                os.path.join(self.root, batch_sub)
+            )
+            counts = {
+                r["fk"]: r["n"]
+                for r in dvdf.groupBy("fk").agg(F.count("*").alias("n")).collect()
+            }
+        finally:
+            matches.unpersist()
+        add = []
+        deleted = 0
+        for p in hit:
+            fe = by_path[p]
+            n = int(counts.get(fk_of[p], 0))
+            deleted += n - fe.dv_rows
+            add.append(
+                FileEntry(
+                    fe.path,
+                    fe.rows,
+                    dict(fe.stats),
+                    dv=os.path.join(batch_sub, f"fk={fk_of[p]}"),
+                    dv_rows=n,
+                )
+            )
+        return self._commit_rebasing(
+            "delete",
+            add,
+            hit,
+            schema_json,
+            {
+                "predicate": predicate,
+                "mode": "dv",
+                "deleted_rows": deleted,
+                "dv_files": len(hit),
+            },
             base_head=head,
         )
 
@@ -731,8 +919,7 @@ class SnapshotLog:
         if head is None:
             return self.append(updates)
         files, schema_json = self._resolve(head)
-        paths = [os.path.join(self.root, fe.path) for fe in files]
-        live = self._read_live(paths, schema_json)
+        live = self._read_entries(files, schema_json)
         if set(updates.columns) != set(live.columns):
             # silently dropping/backfilling columns on the rewritten
             # survivors would corrupt them; schema evolution is an
@@ -742,11 +929,11 @@ class SnapshotLog:
                 f"vs table {sorted(live.columns)}"
             )
         keys = updates.select(*key_cols).dropDuplicates()
-        # Anchor input_file_name() to the live scan BEFORE the join: after
-        # a join of two file sources the expression is ambiguous and Spark
-        # rejects it (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION) — hit when
-        # the update batch itself comes from parquet.
-        tagged = live.withColumn("__file", F.input_file_name())
+        # __file pre-tagged per leaf scan (expose_pos): input_file_name()
+        # is rejected above a join of two file sources
+        # (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION) — both when the
+        # update batch comes from parquet and above DV anti-joins.
+        tagged = self._read_entries(files, schema_json, expose_pos=True)
         hit_rows = (
             tagged.join(F.broadcast(keys), key_cols, "left_semi")
             .select("__file")
@@ -759,10 +946,11 @@ class SnapshotLog:
             for p in (self._uri_to_rel(r["__file"]) for r in hit_rows)
             if p in rel_live
         }
+        by_path = {fe.path: fe for fe in files}
         new_parts = [updates]
         if hit:
-            survivors = self._read_live(
-                [os.path.join(self.root, p) for p in sorted(hit)], schema_json
+            survivors = self._read_entries(
+                [by_path[p] for p in sorted(hit)], schema_json
             ).join(F.broadcast(keys), key_cols, "left_anti")
             new_parts.append(survivors.select(*updates.columns))
         merged = new_parts[0]
@@ -806,14 +994,12 @@ class SnapshotLog:
         if head is None:
             raise ValueError("empty table")
         files, schema_json = self._resolve(head)
-        paths = [os.path.join(self.root, fe.path) for fe in files]
         missing = [c for c in key_cols if c not in {f.name for f in
-                   self._read_live(paths[:1], schema_json).schema.fields}]
+                   self._read_entries(files[:1], schema_json).schema.fields}]
         if missing:
             raise ValueError(f"delete_keys columns absent from table: {missing}")
         kset = keys.select(*key_cols).dropDuplicates()
-        live = self._read_live(paths, schema_json)
-        tagged = live.withColumn("__file", F.input_file_name())
+        tagged = self._read_entries(files, schema_json, expose_pos=True)
         hit_rows = (
             tagged.join(F.broadcast(kset), key_cols, "left_semi")
             .select("__file")
@@ -832,8 +1018,9 @@ class SnapshotLog:
                 {"key_cols": key_cols, "rewritten_files": 0},
                 expected_version=head + 1, retry_append=False,
             )
-        survivors = self._read_live(
-            [os.path.join(self.root, p) for p in sorted(hit)], schema_json
+        by_path = {fe.path: fe for fe in files}
+        survivors = self._read_entries(
+            [by_path[p] for p in sorted(hit)], schema_json
         ).join(F.broadcast(kset), key_cols, "left_anti")
         add = self._write_files(survivors)
         # rebases over concurrent appends — same snapshot-scope contract
@@ -870,9 +1057,7 @@ class SnapshotLog:
         if head is None:
             raise ValueError("empty table")
         files, schema_json = self._resolve(head)
-        df = self._read_live(
-            [os.path.join(self.root, fe.path) for fe in files], schema_json
-        )
+        df = self._read_entries(files, schema_json)
         if zorder_by:
             from nibbledb_spark.plans.scale import zorder_key
 
@@ -999,36 +1184,50 @@ class SnapshotLog:
         if head is None:
             return []
         keep: set[str] = set()
+        keep_dirs: set[str] = set()  # live deletion-vector dirs
         for v in range(max(0, head - retain_versions + 1), head + 1):
-            keep.update(fe.path for fe in self._resolve(v)[0])
+            for fe in self._resolve(v)[0]:
+                keep.add(fe.path)
+                if fe.dv:
+                    keep_dirs.add(fe.dv)
         if not force:
-            keep |= self._clone_protected_files()
+            cf, cd = self._clone_protected_files()
+            keep |= cf
+            keep_dirs |= cd
         now = time.time()
         removed = []
         data_root = os.path.join(self.root, _DATA_DIR)
-        for sub in os.listdir(data_root):
-            subdir = os.path.join(data_root, sub)
-            for name in os.listdir(subdir):
-                rel = os.path.join(_DATA_DIR, sub, name)
-                full = os.path.join(self.root, rel)
+        # recursive walk (DV batches nest fk= partition dirs under the
+        # batch dir); a parquet survives if it IS a kept path or sits
+        # under a kept DV dir
+        for dirpath, _dirs, filenames in os.walk(data_root):
+            for name in filenames:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.root)
                 if (
-                    name.endswith(".parquet")
-                    and rel not in keep
+                    rel not in keep
+                    and not any(rel.startswith(d + os.sep) for d in keep_dirs)
                     and now - os.path.getmtime(full) >= min_age_s
                 ):
                     os.unlink(full)
                     removed.append(rel)
-            # a batch dir whose parquet files are all reclaimed holds only
-            # Spark sidecars (_SUCCESS, .crc) — without this sweep, empty
-            # batch dirs accumulate forever on a long-lived table
-            leftover = os.listdir(subdir)
-            if not any(n.endswith(".parquet") for n in leftover) and all(
-                n == "_SUCCESS" or n.endswith(".crc") for n in leftover
-            ):
+        # a dir whose parquet files are all reclaimed holds only Spark
+        # sidecars (_SUCCESS, .crc) — without this sweep, empty batch
+        # dirs accumulate forever on a long-lived table. Bottom-up so a
+        # DV batch's emptied fk= partitions fold into their parent.
+        for dirpath, _dirs, _files in os.walk(data_root, topdown=False):
+            if os.path.abspath(dirpath) == os.path.abspath(data_root):
+                continue
+            leftover = os.listdir(dirpath)
+            if not any(
+                os.path.isdir(os.path.join(dirpath, n)) for n in leftover
+            ) and all(n == "_SUCCESS" or n.endswith(".crc") for n in leftover):
                 if not leftover or (
-                    now - os.path.getmtime(subdir) >= min_age_s
+                    now - os.path.getmtime(dirpath) >= min_age_s
                 ):
-                    shutil.rmtree(subdir, ignore_errors=True)
+                    shutil.rmtree(dirpath, ignore_errors=True)
         self._commit(
             "vacuum", [], [], None,
             {"removed": len(removed), "retain_versions": retain_versions},
@@ -1113,9 +1312,7 @@ class SnapshotLog:
                 else T.StructType([])
             )
             return self.spark.createDataFrame([], schema)
-        return self._read_live(
-            [os.path.join(self.root, fe.path) for fe in files], schema_json
-        )
+        return self._read_entries(files, schema_json)
 
     def streaming_sink(self, stream_id: str = "default"):
         """``foreachBatch`` handler committing each micro-batch as one
@@ -1210,12 +1407,13 @@ class SnapshotLog:
             raise ValueError(
                 f"bad change range ({from_version}, {to_version}] for head {head}"
             )
-        paths, schema_json = [], None
+        entries: list[FileEntry] = []
+        schema_json = None
         for v in range(from_version + 1, to_version + 1):
             e = self._read_entry(v)
             schema_json = e.schema_json or schema_json
-            paths += [os.path.join(self.root, fe.path) for fe in e.add]
-        if not paths:
+            entries += list(e.add)
+        if not entries:
             _, schema_json = self._resolve(to_version)
             schema = (
                 T.StructType.fromJson(json.loads(schema_json))
@@ -1225,7 +1423,7 @@ class SnapshotLog:
             return self.spark.createDataFrame([], schema)
         # pinned to the newest schema in the range: added files written
         # before an in-range evolution backfill NULL for later columns
-        return self._read_live(paths, schema_json)
+        return self._read_entries(entries, schema_json)
 
     def clone(self, dest_root: str, *, version: int | None = None) -> "SnapshotLog":
         """Shallow clone (round 8): a NEW table whose v0 commit
@@ -1274,7 +1472,15 @@ class SnapshotLog:
             # normpath so entries match _uri_to_rel's normalized output
             # (delete/merge file targeting on the clone depends on it)
             FileEntry(
-                os.path.normpath(os.path.join(rel, fe.path)), fe.rows, dict(fe.stats)
+                os.path.normpath(os.path.join(rel, fe.path)),
+                fe.rows,
+                dict(fe.stats),
+                dv=(
+                    os.path.normpath(os.path.join(rel, fe.dv))
+                    if fe.dv
+                    else None
+                ),
+                dv_rows=fe.dv_rows,
             )
             for fe in files
         ]
@@ -1316,17 +1522,18 @@ class SnapshotLog:
         if dest_root not in roots:
             self._write_clones(roots + [dest_root])
 
-    def _clone_protected_files(self) -> set[str]:
-        """Files under THIS root still referenced by registered live
-        clones (rel paths). Side effect: registrations for clones that
-        were deleted from disk or have DETACHED (compact rewrote every
-        source-referencing entry into clone-owned files) are dropped,
-        so a finished experiment never pins source storage. Metadata
-        only — reads each clone's log head, never data."""
+    def _clone_protected_files(self) -> tuple[set[str], set[str]]:
+        """(files, dv dirs) under THIS root still referenced by
+        registered live clones (rel paths). Side effect: registrations
+        for clones that were deleted from disk or have DETACHED (compact
+        rewrote every source-referencing entry into clone-owned files)
+        are dropped, so a finished experiment never pins source storage.
+        Metadata only — reads each clone's log head, never data."""
         roots = self._registered_clones()
         if not roots:
-            return set()
+            return set(), set()
         keep: set[str] = set()
+        keep_dirs: set[str] = set()
         still_live: list[str] = []
         for croot in roots:
             if not os.path.isdir(croot):
@@ -1335,18 +1542,26 @@ class SnapshotLog:
             chead = c.latest_version()
             if chead is None:
                 continue
-            refs = set()
+            refs: set[str] = set()
+            dv_refs: set[str] = set()
             for fe in c._resolve(chead)[0]:
-                full = os.path.abspath(os.path.join(c.root, fe.path))
-                rel = os.path.relpath(full, os.path.abspath(self.root))
-                if not rel.startswith(".."):
-                    refs.add(rel)
-            if refs:
+                for rel_src, bucket in (
+                    (fe.path, refs),
+                    (fe.dv, dv_refs),
+                ):
+                    if rel_src is None:
+                        continue
+                    full = os.path.abspath(os.path.join(c.root, rel_src))
+                    rel = os.path.relpath(full, os.path.abspath(self.root))
+                    if not rel.startswith(".."):
+                        bucket.add(rel)
+            if refs or dv_refs:
                 keep |= refs
+                keep_dirs |= dv_refs
                 still_live.append(croot)
         if set(still_live) != set(roots):
             self._write_clones(still_live)
-        return keep
+        return keep, keep_dirs
 
     def changes_between(self, from_version: int, to_version: int) -> DataFrame:
         """Delete-visible change feed over ``(from_version, to_version]``
@@ -1382,14 +1597,32 @@ class SnapshotLog:
             e = self._read_entry(v)
             if e.op == "compact":
                 continue
-            for op, rel_paths in (
-                ("remove", list(e.remove)),
-                ("insert", [fe.path for fe in e.add]),
+            # DV-aware sides: the REMOVE rows of a commit are the rows
+            # that were LIVE at v-1 in its removed files (a file that
+            # carried a deletion vector contributes only its undeleted
+            # rows), and the INSERT rows are the commit's own entries'
+            # live views. A DV delete therefore folds as remove(old live
+            # rows) + insert(old live rows minus newly deleted) — the
+            # same multiset algebra as a rewrite delete, with zero bytes
+            # rewritten underneath.
+            prev_by_path: dict[str, FileEntry] | None = None
+            if e.remove:
+                prev_by_path = {fe.path: fe for fe in self._resolve(v - 1)[0]}
+            for op, entries in (
+                (
+                    "remove",
+                    [prev_by_path[p] for p in e.remove] if e.remove else [],
+                ),
+                ("insert", list(e.add)),
             ):
-                if not rel_paths:
+                if not entries:
                     continue
-                paths = [os.path.join(self.root, p) for p in rel_paths]
-                missing = [p for p in paths if not os.path.exists(p)]
+                missing = [
+                    os.path.join(self.root, rel)
+                    for fe in entries
+                    for rel in ([fe.path] + ([fe.dv] if fe.dv else []))
+                    if not os.path.exists(os.path.join(self.root, rel))
+                ]
                 if missing:
                     raise ValueError(
                         f"changes_between({from_version}, {to_version}): "
@@ -1398,7 +1631,7 @@ class SnapshotLog:
                         "vacuum retention"
                     )
                 pieces.append(
-                    self._read_live(paths, schema_json).select(
+                    self._read_entries(entries, schema_json).select(
                         F.lit(v).cast("long").alias("_change_version"),
                         F.lit(op).alias("_change_op"),
                         "*",

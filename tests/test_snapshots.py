@@ -345,6 +345,7 @@ _ops = st.lists(
         st.tuples(st.just("append"), st.integers(0, 9), st.integers(1, 20)),
         st.tuples(st.just("append_wide"), st.integers(0, 9), st.integers(1, 20)),
         st.tuples(st.just("delete_mod"), st.integers(2, 5), st.integers(0, 4)),
+        st.tuples(st.just("delete_mod_dv"), st.integers(2, 5), st.integers(0, 4)),
         st.tuples(st.just("delete_keys"), st.integers(0, 9), st.integers(1, 20)),
         st.tuples(st.just("compact"), st.integers(0, 1), st.just(0)),
         st.tuples(st.just("restore"), st.integers(0, 9), st.just(0)),
@@ -397,6 +398,13 @@ def test_snapshot_log_model_property(spark, tmp_path_factory, ops):
             if log.latest_version() is None:
                 continue
             log.delete_where(f"id % {a} = {b % a}")
+            model = [(k, x) for k, x in model if k % a != b % a]
+        elif kind == "delete_mod_dv":
+            # deletion-vector delete: same visible semantics as the
+            # rewrite delete at every snapshot, zero base-file rewrites
+            if log.latest_version() is None:
+                continue
+            log.delete_where(f"id % {a} = {b % a}", mode="dv")
             model = [(k, x) for k, x in model if k % a != b % a]
         elif kind == "delete_keys":
             if log.latest_version() is None:
@@ -1039,3 +1047,107 @@ def test_clone_compact_detaches_from_source(spark, log, tmp_path):
     assert clone.read().count() == 80  # detached clone unaffected
     # stats-pruned reads still work on the clone
     assert clone.read(bounds={"id": (0, 9)}).count() >= 10
+
+
+class TestDeletionVectors:
+    def test_dv_delete_semantics_and_zero_rewrites(self, spark, log, tmp_path):
+        """mode='dv': visible semantics identical to the rewrite delete,
+        but not a byte of the base files changes; vectors stack
+        cumulatively; time travel sees pre-delete rows; history records
+        the mode and the deleted-row count."""
+        import glob
+
+        log.append(_df(spark, 0, 100))
+        twin = SnapshotLog(spark, str(tmp_path / "twin"))
+        twin.append(_df(spark, 0, 100))
+
+        base_files = sorted(glob.glob(str(tmp_path / "tbl/data/b-*/*.parquet")))
+        mtimes = {p: os.path.getmtime(p) for p in base_files}
+        log.delete_where("id % 10 = 3", mode="dv")
+        twin.delete_where("id % 10 = 3")  # rewrite twin
+        assert sorted(r["id"] for r in log.read().collect()) == sorted(
+            r["id"] for r in twin.read().collect()
+        )
+        assert sorted(glob.glob(str(tmp_path / "tbl/data/b-*/*.parquet"))) == base_files
+        assert {p: os.path.getmtime(p) for p in base_files} == mtimes
+        # vectors stack: second dv delete unions positions
+        log.delete_where("id % 10 = 7", mode="dv")
+        assert log.read().count() == 80
+        assert log.read().where("id in (3, 7, 13, 17)").count() == 0
+        assert log.read(version=0).count() == 100  # time travel intact
+        h = log.history()[0]
+        assert h["op"] == "delete"
+        assert log._read_entry(log.latest_version()).meta["mode"] == "dv"
+        assert log._read_entry(log.latest_version()).meta["deleted_rows"] == 10
+        with pytest.raises(ValueError, match="mode"):
+            log.delete_where("id = 1", mode="bogus")
+
+    def test_dv_materializes_on_rewrite_compact_and_restore(self, spark, log):
+        """A rewrite-mode delete or compact over DV'd files folds the
+        vectors into plain files; restore past a DV delete resurrects
+        the rows (the (path, dv)-keyed symmetric difference)."""
+        log.append(_df(spark, 0, 60))
+        log.delete_where("id % 3 = 0", mode="dv")  # v1: 40 live
+        v1 = log.latest_version()
+        log.delete_where("id >= 50")  # v2 rewrite touches DV'd files
+        assert log.read().count() == 33  # 40 - ids 50..59 alive (7 dv'd)
+        assert log.read().where("id % 3 = 0").count() == 0
+        log.compact(target_files=1)
+        assert not any(fe.dv for fe in log.files()), "compact materializes DVs"
+        assert log.read().count() == 33
+        # restore to v0: the DV delete must unwind even though the base
+        # file paths never changed
+        log.restore(0)
+        assert log.read().count() == 60
+        log.restore(v1)
+        assert log.read().count() == 40
+
+    def test_dv_cdf_fold_and_vacuum(self, spark, log, tmp_path):
+        """changes_between folds correctly across DV deletes (remove =
+        old live rows, insert = new live view of the same path), and
+        vacuum reclaims dead DV sidecars while protecting live ones."""
+        from collections import Counter
+
+        log.append(_df(spark, 0, 40))
+        log.delete_where("id % 4 = 1", mode="dv")  # v1
+        log.delete_where("id % 4 = 2", mode="dv")  # v2 (stacks)
+        head = log.latest_version()
+        feed = log.changes_between(0, head).collect()
+        state = Counter((r["id"], r["v"]) for r in log.read(version=0).collect())
+        for ver in range(1, head + 1):
+            for r in feed:
+                if r["_change_version"] == ver and r["_change_op"] == "remove":
+                    state[(r["id"], r["v"])] -= 1
+            for r in feed:
+                if r["_change_version"] == ver and r["_change_op"] == "insert":
+                    state[(r["id"], r["v"])] += 1
+        state = Counter({k: n for k, n in state.items() if n})
+        assert state == Counter(
+            (r["id"], r["v"]) for r in log.read().collect()
+        )
+        # v1's superseded DV dir is reclaimable; v2's live one is not
+        import glob
+
+        dv_dirs = sorted(glob.glob(str(tmp_path / "tbl/data/dv-*")))
+        assert len(dv_dirs) == 2
+        removed = log.vacuum(retain_versions=1, min_age_s=0.0)
+        assert any("dv-" in p for p in removed), "dead DV sidecar reclaimed"
+        assert log.read().count() == 20
+        live_dv = {fe.dv for fe in log.files() if fe.dv}
+        assert live_dv and all(
+            os.path.exists(os.path.join(log.root, d)) for d in live_dv
+        )
+
+    def test_dv_clone_and_source_vacuum_protection(self, spark, log, tmp_path):
+        """A shallow clone of a DV'd table reads the DV-filtered view,
+        and source vacuum protects the clone-referenced DV sidecars."""
+        log.append(_df(spark, 0, 50))
+        log.delete_where("id < 10", mode="dv")
+        clone = log.clone(str(tmp_path / "branch"))
+        assert clone.read().count() == 40
+        # source moves on and vacuums; the clone (and its dv ref) survive
+        log.delete_where("id >= 0")
+        log.append(_df(spark, 500, 505))
+        log.vacuum(retain_versions=1, min_age_s=0.0)
+        assert clone.read().count() == 40
+        assert sorted(r["id"] for r in clone.read().collect()) == list(range(10, 50))
