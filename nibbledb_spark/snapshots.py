@@ -795,18 +795,35 @@ class SnapshotLog:
         files: list[FileEntry],
         schema_json: str | None,
     ) -> int:
-        """Deletion-vector delete: collect matched rows' (file, pos)
-        pairs over the LIVE view (already-deleted positions can never
-        re-match), union each touched file's existing vector, publish
-        one position batch partitioned by file key, and re-point the
-        touched entries — zero base-file rewrites. Positions never
-        collect to the driver; only the touched-file list does (small
-        by the same argument as the rewrite path's probe)."""
+        live = self._read_entries(files, schema_json, expose_pos=True)
+        return self._commit_dv_delete(
+            live.where(predicate).select("__file", "__pos"),
+            head,
+            files,
+            schema_json,
+            {"predicate": predicate},
+        )
+
+    def _commit_dv_delete(
+        self,
+        matches: DataFrame,
+        head: int,
+        files: list[FileEntry],
+        schema_json: str | None,
+        meta: dict,
+    ) -> int:
+        """Deletion-vector delete: ``matches`` carries the newly-deleted
+        rows' (__file, __pos) pairs over the LIVE view (already-deleted
+        positions can never re-match); union each touched file's
+        existing vector, publish one position batch partitioned by file
+        key, and re-point the touched entries — zero base-file
+        rewrites. Positions never collect to the driver; only the
+        touched-file list does (small by the same argument as the
+        rewrite path's probe)."""
         import hashlib
 
         by_path = {fe.path: fe for fe in files}
-        live = self._read_entries(files, schema_json, expose_pos=True)
-        matches = live.where(predicate).select("__file", "__pos").persist()
+        matches = matches.persist()
         try:
             m_files = [
                 r["__file"]
@@ -817,7 +834,7 @@ class SnapshotLog:
             if not hit:
                 return self._commit(
                     "delete", [], [], schema_json,
-                    {"predicate": predicate, "mode": "dv", "deleted_rows": 0},
+                    {**meta, "mode": "dv", "deleted_rows": 0},
                     expected_version=head + 1, retry_append=False,
                 )
             fk_of = {p: hashlib.md5(p.encode()).hexdigest() for p in hit}
@@ -872,12 +889,7 @@ class SnapshotLog:
             add,
             hit,
             schema_json,
-            {
-                "predicate": predicate,
-                "mode": "dv",
-                "deleted_rows": deleted,
-                "dv_files": len(hit),
-            },
+            {**meta, "mode": "dv", "deleted_rows": deleted, "dv_files": len(hit)},
             base_head=head,
         )
 
@@ -967,7 +979,9 @@ class SnapshotLog:
             retry_append=False,
         )
 
-    def delete_keys(self, keys: DataFrame, key_cols: list[str]) -> int:
+    def delete_keys(
+        self, keys: DataFrame, key_cols: list[str], *, mode: str = "rewrite"
+    ) -> int:
         """Delete every live row whose key appears in ``keys`` — the
         right-to-be-forgotten / tombstone-batch path. ONE atomic commit.
 
@@ -980,7 +994,18 @@ class SnapshotLog:
         predicate columns), this takes the keys as a FRAME, so a
         million-key erasure batch never becomes a million-term SQL
         predicate. NULL keys are rejected (they can never match via the
-        semi/anti joins, so 'deleting' them would silently no-op)."""
+        semi/anti joins, so 'deleting' them would silently no-op).
+
+        ``mode='dv'``: erase via DELETION VECTORS (see ``delete_where``)
+        — the natural fit for tombstone batches, where a few thousand
+        scattered keys would otherwise rewrite every file they touch.
+        The erased rows become unreadable through every table read path
+        at commit time; the physical bytes linger in the base files
+        until ``compact()``/``vacuum()``, so a strict-erasure pipeline
+        follows DV tombstones with a scheduled compaction (the same
+        two-phase contract as Delta DV + VACUUM)."""
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"mode must be 'rewrite' or 'dv': {mode}")
         null_key = F.lit(False)
         for c in key_cols:
             null_key = null_key | F.col(c).isNull()
@@ -1000,6 +1025,16 @@ class SnapshotLog:
             raise ValueError(f"delete_keys columns absent from table: {missing}")
         kset = keys.select(*key_cols).dropDuplicates()
         tagged = self._read_entries(files, schema_json, expose_pos=True)
+        if mode == "dv":
+            return self._commit_dv_delete(
+                tagged.join(F.broadcast(kset), key_cols, "left_semi").select(
+                    "__file", "__pos"
+                ),
+                head,
+                files,
+                schema_json,
+                {"key_cols": key_cols},
+            )
         hit_rows = (
             tagged.join(F.broadcast(kset), key_cols, "left_semi")
             .select("__file")

@@ -1138,6 +1138,30 @@ class TestDeletionVectors:
             os.path.exists(os.path.join(log.root, d)) for d in live_dv
         )
 
+    def test_delete_keys_dv_tombstone_batch(self, spark, log, tmp_path):
+        """delete_keys(mode='dv'): the tombstone-batch erasure path —
+        scattered keys vanish from every read without rewriting a
+        file; a follow-up compact scrubs the physical bytes (the
+        two-phase strict-erasure contract)."""
+        import glob
+
+        log.append(_df(spark, 0, 100))
+        base_files = sorted(glob.glob(str(tmp_path / "tbl/data/b-*/*.parquet")))
+        kills = spark.createDataFrame([(7,), (23,), (64,), (999,)], "id long")
+        log.delete_keys(kills, ["id"], mode="dv")
+        assert log.read().count() == 97
+        assert log.read().where("id in (7, 23, 64)").count() == 0
+        assert sorted(glob.glob(str(tmp_path / "tbl/data/b-*/*.parquet"))) == base_files
+        e = log._read_entry(log.latest_version())
+        assert e.meta["mode"] == "dv" and e.meta["deleted_rows"] == 3
+        # stacks on top of a prior DV delete
+        log.delete_where("id >= 90", mode="dv")
+        assert log.read().count() == 87
+        log.compact(target_files=1)
+        assert log.read().count() == 87 and not any(fe.dv for fe in log.files())
+        with pytest.raises(ValueError, match="mode"):
+            log.delete_keys(kills, ["id"], mode="nope")
+
     def test_dv_clone_and_source_vacuum_protection(self, spark, log, tmp_path):
         """A shallow clone of a DV'd table reads the DV-filtered view,
         and source vacuum protects the clone-referenced DV sidecars."""
