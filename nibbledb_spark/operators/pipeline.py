@@ -193,3 +193,44 @@ def shard_manifest(sharded: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+def clean_ingest_sink(
+    log,
+    *,
+    key_expr: str = "md5(text)",
+    min_quality: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_id: str = "clean",
+):
+    """``foreachBatch`` handler for CONTINUOUS quality-gated ingest —
+    the streaming form of ``clean_corpus`` for a crawl loop: each
+    micro-batch is scored by the hash-trick linear classifier
+    (text.linear_quality_score, a zero-shuffle projection), rows under
+    ``min_quality`` drop, and the survivors flow through the table's
+    exactly-once exact-dedup sink (``SnapshotLog.dedup_streaming_sink``:
+    first-occurrence-in-batch + anti-join against the committed
+    corpus, batch-id replay guard).
+
+    The composition inherits every guarantee of its parts: a replayed
+    micro-batch commits nothing, the gate is deterministic (same
+    batch -> same survivors on any engine or partitioning), and at
+    100 TB the added cost over raw dedup ingest is one codegen'd
+    projection over the batch — the corpus is never rescored.
+
+    ``log``: a SnapshotLog. Returns the handler for
+    ``writeStream.foreachBatch(...)``.
+    """
+    from nibbledb_spark.operators.text import linear_quality_score
+
+    inner = log.dedup_streaming_sink(key_expr, stream_id)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scores = linear_quality_score(batch_df, id_col=id_col, text_col=text_col)
+        keep = scores.where(F.col("lin_score") >= min_quality).select(
+            F.col("id").alias(id_col)
+        )
+        inner(batch_df.join(keep, id_col, "left_semi"), batch_id)
+
+    return sink

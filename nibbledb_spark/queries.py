@@ -5755,6 +5755,91 @@ def ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANOM_WIN_US = 7_200_000_000  # 2 h of trailing context
+_ANOM_MIN_N = 8  # need a real baseline before flagging
+_ANOM_K2 = 9  # |z| > 3
+
+
+@declared(
+    "ts_anomaly_zscore",
+    _POINTS_CTE
+    + f"""
+, s AS (
+  SELECT series, ts, value,
+         CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS x
+  FROM points
+),
+w AS (
+  SELECT series, ts, value, x,
+         COUNT(*) OVER fr AS n,
+         CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+         CAST(SUM(x * x) OVER fr AS BIGINT) AS sx2
+  FROM s
+  WINDOW fr AS (PARTITION BY series ORDER BY ts
+                RANGE BETWEEN {_ANOM_WIN_US} PRECEDING AND 1 PRECEDING)
+)
+SELECT series, ts, value,
+       CAST(n AS BIGINT) AS n_ctx,
+       SQRT(CAST((n * x - sx) * (n * x - sx) AS DOUBLE)
+            / CAST(n * sx2 - sx * sx AS DOUBLE)) AS zscore
+FROM w
+WHERE n >= {_ANOM_MIN_N}
+  AND n * sx2 - sx * sx > 0
+  AND (n * x - sx) * (n * x - sx) > {_ANOM_K2} * (n * sx2 - sx * sx)
+""",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per series: flag a point when
+    it sits more than 3 sigma from the mean of its own trailing 2-hour
+    context (>= 8 points) — the monitoring primitive behind spike
+    alerts, downstream of the reference's raw read surface.
+
+    Parity engineering: stddev in a PREDICATE is the classic
+    ulp-divergence trap (merge-order differences select different
+    rows), so the test runs entirely on exact integers — values
+    quantize to scaled longs, the RANGE-framed window sums x and x^2
+    as longs (order-independent by construction; a RANGE frame is a
+    SET, so duplicate timestamps cannot make the frame ambiguous the
+    way a ROWS frame would), and the 3-sigma test compares
+    (n*x - sx)^2 > 9 * (n*sx2 - sx^2) in BIGINT. The reported zscore
+    is sqrt of a ratio of those exact integers — deterministic IEEE
+    on both engines. Scale shape: ONE series-keyed window shuffle;
+    output is only the offending points."""
+    from pyspark.sql import Window as W
+
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    x = F.floor(F.col("value") * F.lit(10000) + F.lit(0.5)).cast("long")
+    fr = (
+        W.partitionBy("series")
+        .orderBy("ts")
+        .rangeBetween(-_ANOM_WIN_US, -1)
+    )
+    s = pts.withColumn("x", x).select(
+        "series",
+        "ts",
+        "value",
+        "x",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("x").over(fr).cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(fr).cast("long").alias("sx2"),
+    )
+    d = F.col("n") * F.col("x") - F.col("sx")
+    varn = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    return s.where(
+        (F.col("n") >= _ANOM_MIN_N)
+        & (varn > 0)
+        & (d * d > F.lit(_ANOM_K2) * varn)
+    ).select(
+        "series",
+        "ts",
+        "value",
+        F.col("n").cast("long").alias("n_ctx"),
+        F.sqrt(
+            (d * d).cast("double") / varn.cast("double")
+        ).alias("zscore"),
+    )
+
+
 @declared(
     "lm_quality_bigram",
     """

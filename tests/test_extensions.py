@@ -2938,3 +2938,46 @@ class TestCleanMedia:
         assert pairs[(1, 3)] == ("image", 4)
         assert pairs[(4, 5)] == ("audio", 2)
         assert (1, 4) not in pairs and not any(6 in p or 7 in p for p in pairs)
+
+
+def test_clean_ingest_sink_gates_dedups_exactly_once(spark, tmp_path):
+    """Streaming quality-gated ingest (pipeline.clean_ingest_sink):
+    below-threshold docs never commit, duplicate texts keep their
+    first-committed copy (even across batches, under different ids),
+    and a crash-replayed batch commits nothing."""
+    from pyspark.sql import functions as F
+
+    from nibbledb_spark.operators.pipeline import clean_ingest_sink
+    from nibbledb_spark.operators.text import linear_quality_score
+    from nibbledb_spark.snapshots import SnapshotLog
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .where("doc_id < 40")
+    )
+    passing = {
+        r["id"]
+        for r in linear_quality_score(docs).where("lin_score >= 0.0").collect()
+    }
+    assert passing and len(passing) < 40, "need both classes for the test"
+
+    log = SnapshotLog(spark, str(tmp_path / "tbl"))
+    sink = clean_ingest_sink(log, min_quality=0.0)
+    b1 = docs.where("doc_id % 2 = 0")
+    # batch 2: the odd docs plus RE-KEYED copies of the even texts —
+    # the copies must dedup against batch 1's commits, not re-enter
+    b2 = docs.where("doc_id % 2 = 1").unionByName(
+        docs.where("doc_id % 2 = 0").withColumn(
+            "doc_id", F.col("doc_id") + 10_000
+        )
+    )
+    sink(b1, 0)
+    n_after_b1 = log.read().count()
+    assert n_after_b1 == len({d for d in passing if d % 2 == 0})
+    sink(b2, 1)
+    sink(b2, 1)  # crash replay: must be a no-op
+    got = {r["doc_id"] for r in log.read().collect()}
+    assert got == passing, "gate + cross-batch text dedup = passing originals"
+    # every committed row passed the gate; no re-keyed copy survived
+    assert not any(d >= 10_000 for d in got)
