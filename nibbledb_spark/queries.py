@@ -5755,6 +5755,45 @@ def ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "insert_feed_versions",
+    """
+SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+UNION ALL
+SELECT c_custkey, c_acctbal FROM customer WHERE NOT (c_acctbal < 0)
+""",
+)
+def insert_feed_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INSERT-level change feed (SnapshotLog.inserts_between)
+    driver-visible: append a third of customer (v0), append the rest
+    (v1), delete the negative balances (v2) — the feed over (0, 2]
+    must emit exactly v1's appended rows plus v2's rewritten
+    survivors (the documented Delta-CDF-inserts contract: delete
+    survivors RE-SURFACE as their commit's added files). The oracle
+    restates both commits declaratively; multiset semantics, so the
+    overlap between the two legs is intentional and hash-checked.
+    Both appends coalesce to single files and the delete predicate
+    hits negatives in each, so the rewritten-file set is layout-
+    independent."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.snapshots import SnapshotLog
+
+    customer = _t(spark, sf_dir, "customer")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"nibblelog_ifeed_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log = SnapshotLog(spark, root, stats_cols=("c_custkey",))
+    cols = ["c_custkey", "c_acctbal"]
+    log.append(customer.where("c_custkey % 3 = 0").select(*cols))
+    log.append(customer.where("c_custkey % 3 <> 0").select(*cols))
+    log.delete_where("c_acctbal < 0")
+    return log.inserts_between(0, 2)
+
+
 _ANOM_WIN_US = 7_200_000_000  # 2 h of trailing context
 _ANOM_MIN_N = 8  # need a real baseline before flagging
 _ANOM_K2 = 9  # |z| > 3
