@@ -5756,6 +5756,40 @@ def ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "window_rank_distribution",
+    """
+SELECT c_custkey, c_nationkey,
+       CAST(ntile(4) OVER w AS INT) AS balance_quartile,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+""",
+)
+def window_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-ranking window trio nothing else in the
+    registry exercises: ntile / percent_rank / cume_dist per nation
+    over account balance. ntile SPLITS PEERS by underlying row order —
+    engine-divergent under ties — so the window orders by
+    (c_acctbal, c_custkey), a total order that makes all three
+    functions deterministic; percent_rank's (rank-1)/(n-1) and
+    cume_dist's k/n are then exact small-integer ratios, identical
+    IEEE doubles on both engines. One partition-keyed window shuffle."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@declared(
     "insert_feed_versions",
     """
 SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0

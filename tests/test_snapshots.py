@@ -1162,6 +1162,46 @@ class TestDeletionVectors:
         with pytest.raises(ValueError, match="mode"):
             log.delete_keys(kills, ["id"], mode="nope")
 
+    def test_dv_delete_rebases_over_concurrent_append(self, spark, log):
+        """A DV delete rides the same rebasing commit as rewrite
+        deletes: a concurrent append only adds files, so losing the
+        version race rebases — and the concurrently appended rows
+        survive even when they match the predicate (snapshot-scope
+        WriteSerializable, same contract as the rewrite path)."""
+        log.append(_df(spark, 0, 50))
+        real_publish = log._publish
+        stole = {"done": False}
+
+        def racing_publish(entry):
+            if entry.op == "delete" and not stole["done"]:
+                stole["done"] = True
+                log._publish = real_publish
+                log.append(_df(spark, 50, 60))  # rows also match id >= 40
+                log._publish = racing_publish
+            return real_publish(entry)
+
+        log._publish = racing_publish
+        log.delete_where("id >= 40", mode="dv")
+        assert log.history()[0]["op"] == "delete"
+        assert sorted(r["id"] for r in log.read().collect()) == list(
+            range(40)
+        ) + list(range(50, 60))
+
+    def test_dv_cdf_refuses_vacuumed_sidecar_window(self, spark, log):
+        """A CDF window whose DV sidecars were vacuumed raises instead
+        of silently reading the base files un-filtered (which would
+        resurrect deleted rows in the feed)."""
+        log.append(_df(spark, 0, 40))
+        log.delete_where("id < 5", mode="dv")  # v1: sidecar A
+        log.delete_where("id < 10", mode="dv")  # v2: sidecar B supersedes A
+        log.compact(target_files=1)  # v3: materializes; B now stale too
+        log.append(_df(spark, 100, 110))  # v4
+        log.vacuum(retain_versions=1, min_age_s=0.0)
+        with pytest.raises(ValueError, match="vacuumed"):
+            log.changes_between(0, log.latest_version()).collect()
+        # a window past the vacuum horizon still works
+        assert log.changes_between(3, 4).count() == 10
+
     def test_dv_clone_and_source_vacuum_protection(self, spark, log, tmp_path):
         """A shallow clone of a DV'd table reads the DV-filtered view,
         and source vacuum protects the clone-referenced DV sidecars."""
