@@ -203,6 +203,7 @@ def clean_ingest_sink(
     id_col: str = "doc_id",
     text_col: str = "text",
     stream_id: str = "clean",
+    keep_empty: bool = False,
 ):
     """``foreachBatch`` handler for CONTINUOUS quality-gated ingest —
     the streaming form of ``clean_corpus`` for a crawl loop: each
@@ -219,6 +220,12 @@ def clean_ingest_sink(
     100 TB the added cost over raw dedup ingest is one codegen'd
     projection over the batch — the corpus is never rescored.
 
+    Zero-token documents score NULL (no tokens, no dot product) and
+    are DROPPED by default — empty text is junk in a quality-gated
+    ingest, but the policy is explicit, not an accident of NULL
+    comparison semantics: pass ``keep_empty=True`` to let them through
+    to the dedup stage instead (round-9 self-review).
+
     ``log``: a SnapshotLog. Returns the handler for
     ``writeStream.foreachBatch(...)``.
     """
@@ -228,9 +235,10 @@ def clean_ingest_sink(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         scores = linear_quality_score(batch_df, id_col=id_col, text_col=text_col)
-        keep = scores.where(F.col("lin_score") >= min_quality).select(
-            F.col("id").alias(id_col)
-        )
+        gate = F.col("lin_score") >= min_quality
+        if keep_empty:
+            gate = gate | F.col("lin_score").isNull()
+        keep = scores.where(gate).select(F.col("id").alias(id_col))
         inner(batch_df.join(keep, id_col, "left_semi"), batch_id)
 
     return sink

@@ -449,7 +449,10 @@ def linear_quality_score(
     and dot product (order-independent exact sums), score = one double
     division — the scaled-long parity discipline throughout.
     """
-    w = tokens(F.col(text_col))
+    # \x0B is whitespace to Java's \s but not RE2's (the BPE lesson,
+    # operators/bpe.py): normalize it so the token split — and
+    # therefore every score — is engine-invariant
+    w = tokens(F.replace(F.col(text_col), F.lit("\x0b"), F.lit(" ")))
     w = F.filter(w, lambda x: x != "")
     base = docs.select(F.col(id_col).alias("id"), w.alias("toks"))
     if weights is None:

@@ -5416,7 +5416,8 @@ def temperature_mix_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINEAR_SCORE_SQL = """
 WITH t AS (
   SELECT doc_id AS id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+         list_filter(string_split_regex(
+           replace(text, chr(11), ' '), '\\s+'), x -> x <> '') AS w
   FROM documents
 ),
 s AS (
@@ -5693,7 +5694,13 @@ def dv_delete_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     log.append(
         orders.where(_DV_BASE)
         .select("o_orderkey", "o_totalprice")
-        .repartition(4)  # several files so DVs land on a subset
+        .repartition(4),  # several files so DVs land on a subset...
+        # ...which optimizeWrite would silently coalesce away (the
+        # small slice fits one target-size file) — opt out so the
+        # query actually exercises the mixed plain+DV'd union and
+        # multi-file vector batching it claims to (round-9
+        # self-review)
+        optimize_write=False,
     )
     log.delete_where(_DV_P1, mode="dv")
     log.delete_where(_DV_P2, mode="dv")
@@ -5853,12 +5860,16 @@ w AS (
 )
 SELECT series, ts, value,
        CAST(n AS BIGINT) AS n_ctx,
-       SQRT(CAST((n * x - sx) * (n * x - sx) AS DOUBLE)
-            / CAST(n * sx2 - sx * sx AS DOUBLE)) AS zscore
+       SQRT((CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS zscore
 FROM w
 WHERE n >= {_ANOM_MIN_N}
-  AND n * sx2 - sx * sx > 0
-  AND (n * x - sx) * (n * x - sx) > {_ANOM_K2} * (n * sx2 - sx * sx)
+  AND CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+  AND CAST(n * x - sx AS DOUBLE) * CAST(n * x - sx AS DOUBLE)
+      > {_ANOM_K2} * (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
 """,
 )
 def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5873,10 +5884,16 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize to scaled longs, the RANGE-framed window sums x and x^2
     as longs (order-independent by construction; a RANGE frame is a
     SET, so duplicate timestamps cannot make the frame ambiguous the
-    way a ROWS frame would), and the 3-sigma test compares
-    (n*x - sx)^2 > 9 * (n*sx2 - sx^2) in BIGINT. The reported zscore
-    is sqrt of a ratio of those exact integers — deterministic IEEE
-    on both engines. Scale shape: ONE series-keyed window shuffle;
+    way a ROWS frame would), and the 3-sigma test
+    (n*x - sx)^2 > 9 * (n*sx2 - sx^2) runs on DOUBLES built from the
+    exact longs with IDENTICAL expression trees on both engines. The
+    sums themselves stay well inside 2^63, but their PRODUCTS would
+    blow BIGINT once windows densify (~SF1) — and Spark wraps Java
+    longs silently while DuckDB raises, so the all-integer form would
+    diverge exactly when the data grows (round-9 self-review).
+    Deterministic regardless: exact-integer inputs, correctly-rounded
+    double ops, matching trees. The reported zscore is the sqrt of
+    the same ratio. Scale shape: ONE series-keyed window shuffle;
     output is only the offending points."""
     from pyspark.sql import Window as W
 
@@ -5896,20 +5913,20 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(fr).cast("long").alias("sx"),
         F.sum(F.col("x") * F.col("x")).over(fr).cast("long").alias("sx2"),
     )
-    d = F.col("n") * F.col("x") - F.col("sx")
-    varn = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    d = (F.col("n") * F.col("x") - F.col("sx")).cast("double")
+    varn = F.col("n").cast("double") * F.col("sx2").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
     return s.where(
         (F.col("n") >= _ANOM_MIN_N)
         & (varn > 0)
-        & (d * d > F.lit(_ANOM_K2) * varn)
+        & (d * d > F.lit(float(_ANOM_K2)) * varn)
     ).select(
         "series",
         "ts",
         "value",
         F.col("n").cast("long").alias("n_ctx"),
-        F.sqrt(
-            (d * d).cast("double") / varn.cast("double")
-        ).alias("zscore"),
+        F.sqrt((d * d) / varn).alias("zscore"),
     )
 
 

@@ -1004,21 +1004,23 @@ class SnapshotLog:
         if head is None:
             return self.append(updates)
         files, schema_json = self._resolve(head)
-        live = self._read_entries(files, schema_json)
-        if set(updates.columns) != set(live.columns):
-            # silently dropping/backfilling columns on the rewritten
-            # survivors would corrupt them; schema evolution is an
-            # explicit overwrite, not a merge side effect
-            raise ValueError(
-                f"merge schema mismatch: updates {sorted(updates.columns)} "
-                f"vs table {sorted(live.columns)}"
-            )
-        keys = updates.select(*key_cols).dropDuplicates()
+        # ONE DV-aware view serves both the schema check and the probe
+        # (building it twice costs a plan leg per DV'd file, twice).
         # __file pre-tagged per leaf scan (expose_pos): input_file_name()
         # is rejected above a join of two file sources
         # (MULTI_SOURCES_UNSUPPORTED_FOR_EXPRESSION) — both when the
         # update batch comes from parquet and above DV anti-joins.
         tagged = self._read_entries(files, schema_json, expose_pos=True)
+        table_cols = [c for c in tagged.columns if c not in ("__file", "__pos")]
+        if set(updates.columns) != set(table_cols):
+            # silently dropping/backfilling columns on the rewritten
+            # survivors would corrupt them; schema evolution is an
+            # explicit overwrite, not a merge side effect
+            raise ValueError(
+                f"merge schema mismatch: updates {sorted(updates.columns)} "
+                f"vs table {sorted(table_cols)}"
+            )
+        keys = updates.select(*key_cols).dropDuplicates()
         hit_rows = (
             tagged.join(F.broadcast(keys), key_cols, "left_semi")
             .select("__file")
@@ -1554,10 +1556,21 @@ class SnapshotLog:
 
         Unlike Delta (which documents the vacuum-under-a-shallow-clone
         hazard and deletes anyway), the clone registers itself in the
-        source (``_clones.json``), and the source's :meth:`vacuum`
-        PROTECTS files a registered un-detached clone still references;
-        registrations are dropped automatically once the clone detaches
-        or is deleted from disk. ``vacuum(force=True)`` overrides.
+        source (``_clones.json``, flock-serialized), and the source's
+        :meth:`vacuum` PROTECTS files a registered un-detached clone
+        still references; registrations are dropped automatically once
+        the clone detaches or is deleted from disk.
+        ``vacuum(force=True)`` overrides.
+
+        Protection is keyed on the clone's HEAD: once every head entry
+        is clone-owned — via compact() (the documented detach) or any
+        rewrite that happens to cover every source-referencing file —
+        the source may reclaim, and the CLONE's time travel to its own
+        pre-rewrite versions is forfeited along with it. That is the
+        standard vacuum contract (the source's own time travel past
+        its retention dies the same way); a clone that wants its full
+        history durable should compact() first (clone-owned bytes) or
+        vacuum only with a retention covering its fork point.
         """
         head = self.latest_version()
         if head is None:
@@ -1612,6 +1625,28 @@ class SnapshotLog:
     def _clones_path(self) -> str:
         return os.path.join(self.root, self._CLONES_FILE)
 
+    def _clones_locked(self):
+        """Exclusive advisory lock serializing registry
+        read-modify-writes: without it, a vacuum's prune (read registry
+        -> resolve clone heads -> write survivors) could overwrite a
+        registration a concurrent clone() just appended — losing the
+        very protection the registry exists for (round-9 self-review).
+        Local-FS flock; an object-store deployment swaps this for its
+        CAS primitive, same as the commit log's os.link."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def held():
+            with open(self._clones_path() + ".lock", "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
+
+        return held()
+
     def _registered_clones(self) -> list[str]:
         try:
             with open(self._clones_path()) as f:
@@ -1626,9 +1661,10 @@ class SnapshotLog:
         os.replace(tmp, self._clones_path())
 
     def _register_clone(self, dest_root: str) -> None:
-        roots = self._registered_clones()
-        if dest_root not in roots:
-            self._write_clones(roots + [dest_root])
+        with self._clones_locked():
+            roots = self._registered_clones()
+            if dest_root not in roots:
+                self._write_clones(roots + [dest_root])
 
     def _clone_protected_files(self) -> tuple[set[str], set[str]]:
         """(files, dv dirs) under THIS root still referenced by
@@ -1636,40 +1672,50 @@ class SnapshotLog:
         for clones that were deleted from disk or have DETACHED (compact
         rewrote every source-referencing entry into clone-owned files)
         are dropped, so a finished experiment never pins source storage.
-        Metadata only — reads each clone's log head, never data."""
-        roots = self._registered_clones()
-        if not roots:
-            return set(), set()
-        keep: set[str] = set()
-        keep_dirs: set[str] = set()
-        still_live: list[str] = []
-        for croot in roots:
-            if not os.path.isdir(croot):
-                continue  # clone dir gone: drop registration
-            c = SnapshotLog(self.spark, croot)
-            chead = c.latest_version()
-            if chead is None:
-                continue
-            refs: set[str] = set()
-            dv_refs: set[str] = set()
-            for fe in c._resolve(chead)[0]:
-                for rel_src, bucket in (
-                    (fe.path, refs),
-                    (fe.dv, dv_refs),
-                ):
-                    if rel_src is None:
-                        continue
-                    full = os.path.abspath(os.path.join(c.root, rel_src))
-                    rel = os.path.relpath(full, os.path.abspath(self.root))
-                    if not rel.startswith(".."):
-                        bucket.add(rel)
-            if refs or dv_refs:
-                keep |= refs
-                keep_dirs |= dv_refs
-                still_live.append(croot)
-        if set(still_live) != set(roots):
-            self._write_clones(still_live)
-        return keep, keep_dirs
+        Metadata only — reads each clone's log head, never data.
+
+        The whole prune holds the registry lock: read-modify-write
+        without it could erase a registration a concurrent ``clone()``
+        just appended. A clone created AFTER a running vacuum computed
+        its keep set can still lose files its (old-version) fork
+        references — creating a clone at a version older than the
+        source's vacuum retention during a vacuum is inherently racy,
+        the same as Delta; clone at/near head (the default) is safe
+        because the retain window protects head files regardless."""
+        with self._clones_locked():
+            roots = self._registered_clones()
+            if not roots:
+                return set(), set()
+            keep: set[str] = set()
+            keep_dirs: set[str] = set()
+            still_live: list[str] = []
+            for croot in roots:
+                if not os.path.isdir(croot):
+                    continue  # clone dir gone: drop registration
+                c = SnapshotLog(self.spark, croot)
+                chead = c.latest_version()
+                if chead is None:
+                    continue
+                refs: set[str] = set()
+                dv_refs: set[str] = set()
+                for fe in c._resolve(chead)[0]:
+                    for rel_src, bucket in (
+                        (fe.path, refs),
+                        (fe.dv, dv_refs),
+                    ):
+                        if rel_src is None:
+                            continue
+                        full = os.path.abspath(os.path.join(c.root, rel_src))
+                        rel = os.path.relpath(full, os.path.abspath(self.root))
+                        if not rel.startswith(".."):
+                            bucket.add(rel)
+                if refs or dv_refs:
+                    keep |= refs
+                    keep_dirs |= dv_refs
+                    still_live.append(croot)
+            if set(still_live) != set(roots):
+                self._write_clones(still_live)
+            return keep, keep_dirs
 
     def changes_between(self, from_version: int, to_version: int) -> DataFrame:
         """Delete-visible change feed over ``(from_version, to_version]``
@@ -1778,7 +1824,11 @@ class SnapshotLog:
                     "op": e.op,
                     "ts_us": e.ts_us,
                     "added_files": len(e.add),
-                    "added_rows": sum(a.rows for a in e.add),
+                    # LIVE rows: a DV commit re-points files whose
+                    # physical rows include the deleted positions —
+                    # counting fe.rows would credit a delete with
+                    # 'adding' every touched file's full size
+                    "added_rows": sum(a.rows - a.dv_rows for a in e.add),
                     "removed_files": len(e.remove),
                     "meta": e.meta,
                 }

@@ -2981,3 +2981,11 @@ def test_clean_ingest_sink_gates_dedups_exactly_once(spark, tmp_path):
     assert got == passing, "gate + cross-batch text dedup = passing originals"
     # every committed row passed the gate; no re-keyed copy survived
     assert not any(d >= 10_000 for d in got)
+    # zero-token docs score NULL and are DROPPED by default (explicit
+    # policy, not NULL-comparison accident); keep_empty=True admits them
+    empty = spark.createDataFrame([(77_777, "")], "doc_id long, text string")
+    sink(empty, 2)
+    assert 77_777 not in {r["doc_id"] for r in log.read().collect()}
+    lax = clean_ingest_sink(log, min_quality=0.0, keep_empty=True, stream_id="lax")
+    lax(empty, 0)
+    assert 77_777 in {r["doc_id"] for r in log.read().collect()}

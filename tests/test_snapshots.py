@@ -1162,6 +1162,30 @@ class TestDeletionVectors:
         with pytest.raises(ValueError, match="mode"):
             log.delete_keys(kills, ["id"], mode="nope")
 
+    def test_dv_batched_read_shape_equivalence(self, spark, log, tmp_path, monkeypatch):
+        """The batched DV read (one scan + path-keyed anti-join, used
+        above _DV_BATCH_THRESHOLD DV'd files) returns exactly what the
+        per-file shape returns — on the source table, through a
+        rewrite-delete probe, AND on a shallow clone whose ../-entries
+        must normalize to the same absolute join key."""
+        import nibbledb_spark.snapshots as snap
+
+        log.append(_df(spark, 0, 100))
+        log.delete_where("id % 10 = 3", mode="dv")
+        clone = log.clone(str(tmp_path / "branch"))
+        want = sorted(r["id"] for r in log.read().collect())
+        monkeypatch.setattr(snap, "_DV_BATCH_THRESHOLD", 0)
+        assert sorted(r["id"] for r in log.read().collect()) == want
+        assert sorted(r["id"] for r in clone.read().collect()) == want
+        # a rewrite delete's probe + survivor rewrite through the
+        # batched view stays correct too
+        log.delete_where("id >= 90")
+        assert sorted(r["id"] for r in log.read().collect()) == [
+            i for i in range(90) if i % 10 != 3
+        ]
+        # CDF remove/insert sides also flow through the batched reader
+        assert log.changes_between(0, 1).count() > 0
+
     def test_dv_delete_rebases_over_concurrent_append(self, spark, log):
         """A DV delete rides the same rebasing commit as rewrite
         deletes: a concurrent append only adds files, so losing the
