@@ -5763,6 +5763,57 @@ def ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "retention_weekly_cohorts",
+    """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_trunc('week', e.ts) AS activity_week
+  FROM events e JOIN f ON f.user_id = e.user_id
+)
+SELECT epoch_us(cohort_week) AS cohort_week_us,
+       CAST((epoch_us(activity_week) - epoch_us(cohort_week))
+            / 604800000000 AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a
+GROUP BY 1, 2
+""",
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the growth-analytics staple:
+    users grouped by the week of their FIRST event, counted in every
+    later week they return. Both engines truncate to ISO Monday-start
+    weeks; offsets are exact integer microsecond arithmetic, so the
+    matrix is engine-exact. (`a` is already distinct per (user, week),
+    so COUNT(*) == COUNT(DISTINCT user) without a second distinct
+    aggregation.) Shape: one user-keyed agg for cohorts, a broadcast
+    of the (small) cohort map back onto events, one keyed agg for the
+    matrix — the corpus is read once."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    )
+    f = ev.groupBy("user_id").agg(F.min("activity_week").alias("cohort_week"))
+    a = ev.join(F.broadcast(f), "user_id").dropDuplicates(
+        ["user_id", "cohort_week", "activity_week"]
+    )
+    return (
+        a.groupBy(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            (
+                (F.unix_micros("activity_week") - F.unix_micros("cohort_week"))
+                / F.lit(604800000000)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@declared(
     "window_rank_distribution",
     """
 SELECT c_custkey, c_nationkey,
