@@ -43,6 +43,14 @@ PYTEST_ONLY_QUERIES: dict[str, QueryFn] = {}
 
 def declared(name: str, sql: str | None = None, *, pytest_only: bool = False):
     def wrap(fn: QueryFn) -> QueryFn:
+        # duplicate names SILENTLY SHADOW in a dict registry — a second
+        # @declared("x") would hide the first's (verified!) query and the
+        # driver would hash-check the impostor under the old name.
+        # Round-9 self-incident: a re-declared funnel query shadowed the
+        # established one for two harness runs before a name count
+        # caught it. Fail at import instead.
+        if name in QUERIES or name in PYTEST_ONLY_QUERIES:
+            raise ValueError(f"duplicate declared query name: {name}")
         if pytest_only:
             assert sql is None, f"{name}: pytest_only queries carry no oracle"
             PYTEST_ONLY_QUERIES[name] = fn

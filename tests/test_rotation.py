@@ -65,3 +65,19 @@ def test_verified_list_is_subset_of_registry():
     # every verified name must actually have an oracle (hash_match implies one)
     unoracled = [n for n in entry._DRIVER_VERIFIED if n not in ORACLE]
     assert not unoracled, f"verified without oracle (impossible): {unoracled}"
+
+
+def test_declared_rejects_duplicate_names():
+    """A second @declared under an existing name would silently shadow
+    the first (verified!) query and the driver would hash-check the
+    impostor — fail at import instead (round-9 incident)."""
+    import pytest
+
+    import nibbledb_spark.queries as q
+
+    with pytest.raises(ValueError, match="duplicate declared query name"):
+        q.declared("q1_pricing_summary")(lambda spark, sf_dir: None)
+    with pytest.raises(ValueError, match="duplicate"):
+        q.declared("ts_quantiles_approx", pytest_only=True)(
+            lambda spark, sf_dir: None
+        )
