@@ -36,44 +36,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # `no_oracle`. This list is GENERATED — refresh each round:
 #   python tools/update_rotation.py CORRECTNESS_r*.json
 _DRIVER_VERIFIED = [
-    "ts_downsample_m4",
-    "ts_downsample_lttb",
-    "notin_suppliers_no_returns",
-    "sample_weighted_priority",
-    "pq_ann_topk",
-    "recursive_month_ladder",
-    "restore_rollback_versions",
-    "ts_gaps",
-    "lm_quality_bigram",
-    "ts_seasonal_residuals",
-    "ts_last_n",
-    "ts_first_n",
-    "ts_latest",
-    "ts_since",
-    "ts_range",
-    "ts_tag_equals",
-    "ts_tag_contains",
-    "ts_tag_compound_or",
-    "ts_agg_exact",
-    "ts_agg_float",
-    "ts_filtered_agg",
-    "ts_length",
-    "ts_names",
-    "ts_delta",
-    "ts_quantiles",
-    "ts_quantiles_approx_bound",
-    "interval_overlap_series_days",
-    "ts_resample_linear",
-    "ts_resample_locf",
-    "q1_pricing_summary",
-    "join_orders_customer",
-    "join_anti_customers_without_orders",
-    "top10_orders",
-    "window_top3_per_customer",
-    "window_order_gap_days",
-    "date_trunc_monthly_orders",
-    "distinct_mktsegments",
-    "scan_checksum",
     "join_lineitem_orders_smj",
     "join_lineitem_part_broadcast",
     "join_salted_orders_customer",
@@ -196,6 +158,56 @@ _DRIVER_VERIFIED = [
     "lsh_incremental_near_dups",
     "bpe_vocab_top",
     "clone_branch_divergence",
+    "ts_last_n",
+    "ts_first_n",
+    "ts_latest",
+    "ts_since",
+    "ts_range",
+    "ts_tag_equals",
+    "ts_tag_contains",
+    "ts_tag_compound_or",
+    "ts_agg_exact",
+    "ts_agg_float",
+    "ts_filtered_agg",
+    "ts_length",
+    "ts_names",
+    "ts_delta",
+    "ts_quantiles",
+    "ts_quantiles_approx_bound",
+    "interval_overlap_series_days",
+    "ts_resample_linear",
+    "ts_resample_locf",
+    "q1_pricing_summary",
+    "join_orders_customer",
+    "join_anti_customers_without_orders",
+    "top10_orders",
+    "window_top3_per_customer",
+    "window_order_gap_days",
+    "date_trunc_monthly_orders",
+    "distinct_mktsegments",
+    "scan_checksum",
+    "media_banded_near_dup_pairs",
+    "media_clean_canonicals",
+    "ts_downsample_m4",
+    "ts_downsample_lttb",
+    "notin_suppliers_no_returns",
+    "sample_weighted_priority",
+    "split_train_val_test",
+    "temperature_mix_rates",
+    "temperature_mix_selected",
+    "linear_quality_score",
+    "linear_quality_score_weighted",
+    "pq_ann_topk",
+    "recursive_month_ladder",
+    "restore_rollback_versions",
+    "dv_delete_versions",
+    "ts_gaps",
+    "retention_weekly_cohorts",
+    "window_rank_distribution",
+    "insert_feed_versions",
+    "ts_anomaly_zscore",
+    "lm_quality_bigram",
+    "ts_seasonal_residuals",
 ]
 
 
