@@ -537,11 +537,12 @@ class SnapshotLog:
         the ``file:`` scheme and root prefix stripped JVM-side; the
         vector side recovers its base file through the ``fk=`` hash in
         its own ``_metadata.file_path``, joined to a broadcast
-        (fk -> rel path) map built from the entries. (Local-FS note:
-        the JVM-side prefix strip assumes the root needs no URI
-        percent-encoding — the Python-side ``_uri_to_rel`` guards the
-        exotic-root case for commit paths; an object-store deployment
-        swaps both for its own URI scheme.)"""
+        (fk -> rel path) map built from the entries. The string-keyed
+        batched shape is used ONLY when every DV'd path is URI-quote
+        clean; a root Hadoop would percent-encode falls back to the
+        per-file position-only shape, which is path-representation
+        independent (an object-store deployment swaps the check for its
+        own URI scheme)."""
         plain = [fe for fe in entries if fe.dv is None]
         dvd = [fe for fe in entries if fe.dv is not None]
         pieces: list[DataFrame] = []
@@ -554,7 +555,28 @@ class SnapshotLog:
                     "__pos", F.col("_metadata.row_index")
                 )
             pieces.append(p)
-        if dvd and len(dvd) <= _DV_BATCH_THRESHOLD:
+        # The batched branch joins on a STRING path key built by stripping
+        # '^file:' from the JVM's _metadata.file_path and comparing to
+        # os.path.abspath. Hadoop percent-encodes URI-special characters
+        # (space, '%', '#', non-ASCII) in file_path, so for a root
+        # containing any of them the key would never match and every
+        # DV-deleted row — including right-to-be-forgotten tombstones —
+        # would silently resurface. Rather than mirror Hadoop's exact
+        # encoding Python-side (fragile across Hadoop versions), any
+        # non-quote-clean DV'd path forces the per-file POSITION-ONLY
+        # shape below, which uses no string keys at all and is correct
+        # for any path; the cost is a plan leg per DV'd file, paid only
+        # on exotic roots. (quote() is stricter than Hadoop — e.g. '='
+        # is legal in a Hadoop path but flagged here — which can only
+        # over-trigger the safe branch, never miss an encoded one.)
+        from urllib.parse import quote
+
+        uri_clean = all(
+            quote(os.path.abspath(os.path.join(self.root, fe.path)), safe="/")
+            == os.path.abspath(os.path.join(self.root, fe.path))
+            for fe in dvd
+        )
+        if dvd and (len(dvd) <= _DV_BATCH_THRESHOLD or not uri_clean):
             # few DV'd files: per-file scans with POSITION-ONLY anti
             # joins (no string keys at all). Costs a fixed ~0.05 s plan
             # leg per file but nothing per row — the right regime while
@@ -1690,8 +1712,33 @@ class SnapshotLog:
             keep_dirs: set[str] = set()
             still_live: list[str] = []
             for croot in roots:
-                if not os.path.isdir(croot):
-                    continue  # clone dir gone: drop registration
+                # Unregister ONLY on CONFIRMED deletion: the clone's
+                # name absent from a successful listing of its parent.
+                # A bare isdir() False also covers an unmounted share
+                # or a permission error — dropping the registration
+                # then would silently lose vacuum protection forever,
+                # and the next vacuum could reclaim files the (live,
+                # temporarily unreachable) clone still references. Any
+                # ambiguity raises instead: vacuum() fails loudly with
+                # the registration intact, and force=True remains the
+                # explicit raw-Delta override (round-9 ADVICE, low).
+                try:
+                    if os.path.isdir(croot):
+                        absent = False
+                    else:
+                        parent = os.path.dirname(os.path.abspath(croot))
+                        absent = os.path.basename(
+                            os.path.abspath(croot)
+                        ) not in os.listdir(parent)
+                except OSError as exc:
+                    raise RuntimeError(
+                        f"registered clone {croot!r} is unreachable "
+                        f"({exc}); cannot prove it detached — fix the "
+                        f"mount, detach/delete the clone, or vacuum "
+                        f"with force=True to reclaim regardless"
+                    ) from exc
+                if absent:
+                    continue  # confirmed deleted: drop registration
                 c = SnapshotLog(self.spark, croot)
                 chead = c.latest_version()
                 if chead is None:

@@ -992,6 +992,31 @@ def test_deleted_clone_unregisters_automatically(spark, log, tmp_path):
     assert log._registered_clones() == []
 
 
+def test_unreachable_clone_keeps_registration_and_fails_vacuum(
+    spark, log, tmp_path
+):
+    """A clone root that is UNREACHABLE (parent gone — the unmounted-
+    share shape) is NOT the same as deleted: vacuum must refuse rather
+    than silently drop the registration and reclaim files the live
+    clone still references; force=True stays the explicit override,
+    and the registration survives for when the mount returns
+    (round-9 ADVICE, low)."""
+    import shutil as _shutil
+
+    log.append(_df(spark, 0, 40))
+    mnt = tmp_path / "mnt"
+    clone = log.clone(str(mnt / "branch"))
+    _shutil.rmtree(str(mnt))  # simulate the whole mount vanishing
+    log.delete_where("id >= 0")
+    with pytest.raises(RuntimeError, match="unreachable"):
+        log.vacuum(retain_versions=1, min_age_s=0.0)
+    # registration intact: a restored mount regains protection
+    assert log._registered_clones() == [clone.root]
+    removed = log.vacuum(retain_versions=1, min_age_s=0.0, force=True)
+    assert removed, "force must reclaim despite the unreachable clone"
+    assert log._registered_clones() == [clone.root]
+
+
 def test_changes_between_across_schema_evolution(spark, log):
     """CDF window spanning a merge_schema append: the newest schema in
     range pins the output, so older-vintage rows — inserts AND removes
@@ -1185,6 +1210,34 @@ class TestDeletionVectors:
         ]
         # CDF remove/insert sides also flow through the batched reader
         assert log.changes_between(0, 1).count() > 0
+
+    def test_dv_batched_read_exotic_root_falls_back(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A table root Hadoop would percent-encode (space / '%' / '#')
+        must NOT use the string-path-keyed batched DV shape: the JVM's
+        _metadata.file_path comes back encoded ('%20'...), the join key
+        never matches, and every DV-deleted row silently resurfaces.
+        The reader detects the non-quote-clean path and forces the
+        per-file position-only shape, so reads stay correct at any DV
+        count (round-9 ADVICE, medium)."""
+        import nibbledb_spark.snapshots as snap
+        from nibbledb_spark.snapshots import SnapshotLog
+
+        root = tmp_path / "ex otic %25#tbl"
+        log = SnapshotLog(spark, str(root), stats_cols=("id",))
+        log.append(_df(spark, 0, 100))
+        log.delete_where("id % 10 = 3", mode="dv")
+        want = [i for i in range(100) if i % 10 != 3]
+        assert sorted(r["id"] for r in log.read().collect()) == want
+        # force the regime where the batched branch WOULD be taken
+        monkeypatch.setattr(snap, "_DV_BATCH_THRESHOLD", 0)
+        assert sorted(r["id"] for r in log.read().collect()) == want
+        # stacking a second vector on the exotic root stays correct too
+        log.delete_where("id >= 90", mode="dv")
+        assert sorted(r["id"] for r in log.read().collect()) == [
+            i for i in range(90) if i % 10 != 3
+        ]
 
     def test_dv_delete_rebases_over_concurrent_append(self, spark, log):
         """A DV delete rides the same rebasing commit as rewrite
