@@ -439,6 +439,68 @@ def near_dup_pairs_minhash_fast(
 # byte of corpus-side state, then (b) appends its own rows so the next
 # batch sees it. The same frozen-parameter incremental pattern as the
 # persisted IVF/IVF+PQ ANN indexes (similarity.py ivf_index_add).
+#
+# Publish protocol (round-10): every reader goes through manifest.json —
+# the atomically-swapped list of live part files per table. An add
+# stages its Spark writes, renames the part files into the live table
+# dirs, then swaps the manifest ONCE; a crash at ANY point leaves the
+# previous index state exactly visible (renamed-but-unmanifested files
+# are inert junk: reported by validate_lsh_index, GC'd by the next
+# successful add). Single writer at a time — the crawl-loop contract;
+# two concurrent adds would lose one writer's manifest update. On an
+# object store the manifest swap is the same one-key CAS/put commit.
+
+_LSH_TABLES = ("bands", "shingles", "sizes")
+_LSH_MANIFEST = "manifest.json"
+
+
+def _lsh_part_files(table_dir: str) -> list[str]:
+    import os as _os
+
+    try:
+        return sorted(
+            fn
+            for fn in _os.listdir(table_dir)
+            if fn.startswith("part-") and not fn.endswith(".crc")
+        )
+    except FileNotFoundError:
+        return []
+
+
+def _lsh_manifest_read(path: str) -> dict[str, list[str]] | None:
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(path, _LSH_MANIFEST)) as f:
+            return _json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _lsh_manifest_write(path: str, manifest: dict[str, list[str]]) -> None:
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    tmp = _os.path.join(path, f".{_LSH_MANIFEST}.{_uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        _json.dump(manifest, f)
+    _os.replace(tmp, _os.path.join(path, _LSH_MANIFEST))  # atomic swap
+
+
+def _lsh_read(spark, path: str, table: str) -> DataFrame:
+    """One index table as READERS must see it: through the manifest,
+    so part files a torn add renamed in but never published are
+    invisible. Pre-manifest (round-8 vintage) indexes fall back to the
+    directory listing — their every on-disk file is live by
+    definition (the old publish appended no file before its rename)."""
+    import os as _os
+
+    m = _lsh_manifest_read(path)
+    if m is None:
+        return spark.read.parquet(_os.path.join(path, table))
+    return spark.read.parquet(*[_os.path.join(path, table, fn) for fn in m[table]])
 
 
 def build_lsh_index(
@@ -493,6 +555,10 @@ def build_lsh_index(
                     },
                     f,
                 )
+            _lsh_manifest_write(
+                tmp,
+                {t: _lsh_part_files(_os.path.join(tmp, t)) for t in _LSH_TABLES},
+            )
             _os.rename(tmp, path)
         except BaseException:
             _shutil.rmtree(tmp, ignore_errors=True)
@@ -522,36 +588,112 @@ def lsh_index_add(
     parameters (shingle_n / num_hashes / band_size fixed at build, so
     old and new signatures stay comparable — the ivf_index_add
     contract). Appends only the new rows; corpus-side state is never
-    recomputed.
+    recomputed. Equivalent to ``lsh_index_add_many(..., [new_docs])``
+    — see there for the enforcement and crash-safety contract."""
+    lsh_index_add_many(
+        spark,
+        path,
+        [new_docs],
+        id_col=id_col,
+        text_col=text_col,
+        on_duplicate=on_duplicate,
+    )
 
-    The ids-must-be-new contract is ENFORCED: incoming ids are
-    anti-checked against the persisted sizes table (one read of the
-    smallest index table). ``on_duplicate='error'`` raises naming
-    offenders; ``'skip'`` silently drops already-indexed ids — either
-    way a re-add can no longer double shingle rows and silently skew
-    Jaccard for that id on all later queries.
 
-    Crash safety: all three Spark writes land in a staging dir first
-    (the expensive jobs never touch live tables), then publish is pure
-    part-file renames — a tiny window, ordered bands -> shingles ->
-    sizes. A crash mid-publish is detectable by ``validate_lsh_index``
-    (id-set agreement) and leaves candidates that drop out of the
-    verify joins rather than wrong pairs; a crash before publish
-    leaves the index exactly as it was (stale ``.staging-*`` dirs are
-    inert and ignored by readers)."""
+def lsh_index_add_many(
+    spark,
+    path: str,
+    batches: list[DataFrame],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    on_duplicate: str = "error",
+) -> None:
+    """Index several crawl batches with ONE publish (round-9 verdict
+    #4): a loop calling :func:`lsh_index_add` per batch pays a manifest
+    swap — and before round 10, a rename fan-out window — per call;
+    here the batches' band/shingle/size rows are computed together and
+    the index state advances exactly once.
+
+    Semantics match sequential per-batch adds: ids are anti-checked
+    against the persisted sizes table, and with several batches also
+    against EACH OTHER. ``on_duplicate='error'`` raises naming
+    offenders (already-indexed ids or ids appearing in more than one
+    batch); ``'skip'`` drops already-indexed ids and keeps a
+    cross-batch duplicate's FIRST batch's rows — what the sequential
+    loop would have done. Either way a re-add can never double shingle
+    rows and silently skew Jaccard on later queries.
+
+    Crash safety: the expensive Spark jobs write to a staging dir (the
+    live tables are never written by a job); publish renames the new
+    part files into the live table dirs and then swaps manifest.json
+    ATOMICALLY. Readers resolve every table through the manifest, so a
+    crash at any point — including between renames — leaves the
+    previous index state exactly visible; renamed-but-unmanifested
+    files are inert junk that ``validate_lsh_index`` reports and the
+    next successful add garbage-collects. Single writer at a time (the
+    crawl-loop contract)."""
     import os as _os
     import shutil as _shutil
     import uuid as _uuid
 
     if on_duplicate not in ("error", "skip"):
         raise ValueError(f"on_duplicate must be 'error' or 'skip': {on_duplicate}")
+    batches = list(batches)
+    if not batches:
+        return
     meta = _lsh_index_meta(path)
+    # upgrade a pre-manifest index first: its on-disk listing is all
+    # live by definition, and the swap below must have a base to extend
+    manifest = _lsh_manifest_read(path)
+    if manifest is None:
+        manifest = {
+            t: _lsh_part_files(_os.path.join(path, t)) for t in _LSH_TABLES
+        }
+        _lsh_manifest_write(path, manifest)
+    # GC junk a torn publish left behind (readers never saw it; the
+    # single-writer contract makes removal safe)
+    for t in _LSH_TABLES:
+        live = set(manifest[t])
+        for fn in _lsh_part_files(_os.path.join(path, t)):
+            if fn not in live:
+                _os.remove(_os.path.join(path, t, fn))
+
+    docs = None
+    for i, b in enumerate(batches):
+        t = b.select(
+            F.col(id_col).alias(id_col),
+            F.col(text_col).alias(text_col),
+            F.lit(i).alias("__batch"),
+        )
+        docs = t if docs is None else docs.unionByName(t)
+    if len(batches) > 1:
+        spans = docs.groupBy(id_col).agg(
+            F.min("__batch").alias("__first"),
+            F.count_distinct("__batch").alias("__nb"),
+        )
+        if on_duplicate == "error":
+            offenders = [
+                r[id_col] for r in spans.where("__nb > 1").limit(5).collect()
+            ]
+            if offenders:
+                raise ValueError(
+                    f"ids appear in more than one batch (re-add would skew "
+                    f"Jaccard): {offenders}; pass on_duplicate='skip' to "
+                    f"keep each id's first batch only"
+                )
+        else:
+            docs = docs.join(
+                spans.select(id_col, "__first"), id_col
+            ).where(F.col("__batch") == F.col("__first"))
+    docs = docs.drop("__batch")
+
     sh = shingle_rows(
-        new_docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
+        docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
     ).persist()
     staging = _os.path.join(path, f".staging-{_uuid.uuid4().hex[:8]}")
     try:
-        indexed = spark.read.parquet(_os.path.join(path, "sizes")).select("id")
+        indexed = _lsh_read(spark, path, "sizes").select("id")
         dups = sh.select("id").distinct().join(indexed, "id", "semi")
         if on_duplicate == "error":
             offenders = [r["id"] for r in dups.limit(5).collect()]
@@ -571,16 +713,20 @@ def lsh_index_add(
         sh.groupBy("id").agg(F.count("*").alias("sz")).write.mode(
             "errorifexists"
         ).parquet(_os.path.join(staging, "sizes"))
-        for sub in ("bands", "shingles", "sizes"):
-            for fn in _os.listdir(_os.path.join(staging, sub)):
-                if fn.startswith("part-"):
-                    _os.rename(
-                        _os.path.join(staging, sub, fn),
-                        _os.path.join(path, sub, fn),
-                    )
+        new_files = {t: _lsh_part_files(_os.path.join(staging, t)) for t in _LSH_TABLES}
+        for t in _LSH_TABLES:
+            for fn in new_files[t]:
+                _os.rename(
+                    _os.path.join(staging, t, fn), _os.path.join(path, t, fn)
+                )
+        # THE publish: one atomic swap makes every new file live at once
+        _lsh_manifest_write(
+            path, {t: manifest[t] + new_files[t] for t in _LSH_TABLES}
+        )
         _shutil.rmtree(staging, ignore_errors=True)
     except BaseException:
-        # staging (minus any already-published part files) is junk
+        # staging (minus any renamed-but-unmanifested files, which
+        # readers ignore and the next add GCs) is junk
         _shutil.rmtree(staging, ignore_errors=True)
         raise
     finally:
@@ -588,18 +734,27 @@ def lsh_index_add(
 
 
 def validate_lsh_index(spark, path: str) -> None:
-    """Cheap consistency check for a persisted LSH index: the three
-    tables must agree on their id sets (a crash between an add's
-    publish renames is the only way they can diverge). Raises
-    RuntimeError naming the table cardinalities on disagreement.
-    Equal distinct-id counts per table AND an equal three-way-union
-    count imply set equality — one small job, no full joins."""
+    """Consistency check for a persisted LSH index, two layers:
+
+    1. The three tables AS READERS SEE THEM (through the manifest)
+       must agree on their id sets. Equal distinct-id counts per table
+       and an equal three-way-union count imply set equality — one
+       small job, no full joins. Disagreement means a corrupted or
+       hand-edited index; raises RuntimeError with the cardinalities.
+    2. Part files present on disk but absent from the manifest — the
+       footprint of a torn add publish. Readers never see them and the
+       next add garbage-collects them, but they are named here so an
+       operator can tell "torn publish, state consistent" from (1)'s
+       real corruption. Raises RuntimeError listing the junk.
+
+    Pre-manifest (round-8 vintage) indexes check only (1), over the
+    raw directory listings readers of that vintage use."""
     import os as _os
 
     counts = {}
     frames = []
-    for sub in ("bands", "shingles", "sizes"):
-        ids = spark.read.parquet(_os.path.join(path, sub)).select("id").distinct()
+    for sub in _LSH_TABLES:
+        ids = _lsh_read(spark, path, sub).select("id").distinct()
         frames.append(ids)
         counts[sub] = ids.count()
     union_n = frames[0].union(frames[1]).union(frames[2]).distinct().count()
@@ -609,6 +764,19 @@ def validate_lsh_index(spark, path: str) -> None:
             f"distinct ids {counts}, union {union_n}. Recover by removing "
             f"the offending ids' rows or rebuilding the index."
         )
+    m = _lsh_manifest_read(path)
+    if m is not None:
+        junk = {
+            t: sorted(set(_lsh_part_files(_os.path.join(path, t))) - set(m[t]))
+            for t in _LSH_TABLES
+        }
+        junk = {t: v for t, v in junk.items() if v}
+        if junk:
+            raise RuntimeError(
+                f"LSH index {path} has unmanifested part files from a torn "
+                f"add publish (readers ignore them; the next add "
+                f"garbage-collects): {junk}"
+            )
 
 
 def lsh_query_near_dups(
@@ -642,7 +810,7 @@ def lsh_query_near_dups(
         query_docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
     )
     q_bands = _band_rows(q_sh, meta["num_hashes"], meta["band_size"])
-    idx_bands = spark.read.parquet(_os.path.join(path, "bands"))
+    idx_bands = _lsh_read(spark, path, "bands")
     cand = (
         q_bands.alias("q")
         .join(idx_bands.alias("i"), ["band", "bucket"])
@@ -650,7 +818,7 @@ def lsh_query_near_dups(
         .select(F.col("q.id").alias("query_id"), F.col("i.id").alias("index_id"))
         .distinct()
     )
-    idx_sh = spark.read.parquet(_os.path.join(path, "shingles"))
+    idx_sh = _lsh_read(spark, path, "shingles")
     inter = (
         cand.join(q_sh.select(F.col("id").alias("query_id"), "shingle"), "query_id")
         .join(
@@ -661,7 +829,7 @@ def lsh_query_near_dups(
         .agg(F.count("*").alias("inter"))
     )
     q_sizes = q_sh.groupBy("id").agg(F.count("*").alias("q_sz"))
-    idx_sizes = spark.read.parquet(_os.path.join(path, "sizes"))
+    idx_sizes = _lsh_read(spark, path, "sizes")
     return (
         inter.join(q_sizes.select(F.col("id").alias("query_id"), "q_sz"), "query_id")
         .join(

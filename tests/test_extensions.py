@@ -2608,25 +2608,170 @@ class TestLshIndex:
             dd.build_lsh_index(docs, path)
 
     def test_validate_detects_partial_publish(self, spark, docs, tmp_path):
-        """validate_lsh_index flags id-set disagreement (the only state
-        a crash between an add's publish renames can leave)."""
+        """A torn add publish (files renamed in, manifest never swapped)
+        is INVISIBLE to readers — queries return the pre-add state —
+        and validate_lsh_index names the unmanifested junk so an
+        operator can tell a torn publish from real corruption."""
         import pytest as _pytest
 
         from nibbledb_spark.operators.dedup import (
             build_lsh_index,
+            lsh_query_near_dups,
             validate_lsh_index,
         )
 
         path = str(tmp_path / "idx")
         build_lsh_index(docs, path)
         validate_lsh_index(spark, path)  # healthy
-        # simulate a torn add: a bands row for an id the other tables
-        # never saw (bands published, crash before shingles/sizes)
+
+        def q():
+            return {
+                (r["query_id"], r["index_id"], round(r["jaccard"], 12))
+                for r in lsh_query_near_dups(
+                    spark, path, docs, threshold=0.5
+                ).collect()
+            }
+
+        before = q()
+        # simulate the torn add: a bands part file lands on disk but the
+        # manifest swap never happened
         spark.createDataFrame(
             [(999999, 0, "deadbeef")], "id long, band int, bucket string"
         ).write.mode("append").parquet(path + "/bands")
-        with _pytest.raises(RuntimeError, match="inconsistent"):
+        assert q() == before, "unmanifested junk must be reader-invisible"
+        with _pytest.raises(RuntimeError, match="unmanifested"):
             validate_lsh_index(spark, path)
+
+    def test_add_many_single_publish_equals_rebuild(self, spark, docs, tmp_path):
+        """The round-9 verdict #4 contract: N staged batches through ONE
+        add_many publish == N sequential adds == from-scratch build, and
+        the index validates after each."""
+        from nibbledb_spark.operators.dedup import (
+            build_lsh_index,
+            lsh_index_add,
+            lsh_index_add_many,
+            lsh_query_near_dups,
+            validate_lsh_index,
+        )
+
+        old = docs.where("doc_id % 4 = 0")
+        b1 = docs.where("doc_id % 4 = 1")
+        b2 = docs.where("doc_id % 4 = 2")
+        probe = docs.where("doc_id % 4 = 3")
+
+        bulk = str(tmp_path / "bulk")
+        build_lsh_index(old, bulk)
+        lsh_index_add_many(spark, bulk, [b1, b2])
+        validate_lsh_index(spark, bulk)
+
+        seq = str(tmp_path / "seq")
+        build_lsh_index(old, seq)
+        lsh_index_add(spark, seq, b1)
+        lsh_index_add(spark, seq, b2)
+        validate_lsh_index(spark, seq)
+
+        rebuilt = str(tmp_path / "rebuilt")
+        build_lsh_index(old.unionByName(b1).unionByName(b2), rebuilt)
+
+        def q(path):
+            return {
+                (r["query_id"], r["index_id"], round(r["jaccard"], 12))
+                for r in lsh_query_near_dups(
+                    spark, path, probe, threshold=0.5
+                ).collect()
+            }
+
+        res = q(bulk)
+        assert res == q(seq) == q(rebuilt)
+        assert len(res) > 0
+
+    def test_add_many_cross_batch_duplicates(self, spark, docs, tmp_path):
+        """Cross-batch duplicate ids: 'error' raises naming offenders
+        before any state changes; 'skip' keeps the FIRST batch's rows —
+        exactly what the sequential per-batch loop would do."""
+        import pytest as _pytest
+
+        from nibbledb_spark.operators.dedup import (
+            build_lsh_index,
+            lsh_index_add_many,
+            lsh_query_near_dups,
+            validate_lsh_index,
+        )
+
+        old = docs.where("doc_id % 4 = 0")
+        b1 = docs.where("doc_id % 4 = 1")
+        b2 = docs.where("doc_id % 4 = 2").unionByName(b1.limit(2))
+        path = str(tmp_path / "idx")
+        build_lsh_index(old, path)
+
+        def q():
+            return {
+                (r["query_id"], r["index_id"], round(r["jaccard"], 12))
+                for r in lsh_query_near_dups(
+                    spark, path, docs.where("doc_id % 4 = 3"), threshold=0.5
+                ).collect()
+            }
+
+        before = q()
+        with _pytest.raises(ValueError, match="more than one batch"):
+            lsh_index_add_many(spark, path, [b1, b2])
+        assert q() == before, "failed add_many must not mutate the index"
+        lsh_index_add_many(spark, path, [b1, b2], on_duplicate="skip")
+        validate_lsh_index(spark, path)
+        sizes = spark.read.parquet(path + "/sizes")
+        assert sizes.groupBy("id").count().where("count > 1").count() == 0
+
+    def test_torn_publish_invisible_then_healed(
+        self, spark, docs, tmp_path, monkeypatch
+    ):
+        """Crash BETWEEN the part-file renames and the manifest swap:
+        readers still see the pre-add state, validate names the junk,
+        and the retry GCs it and succeeds — the full recovery story."""
+        import os
+
+        import pytest as _pytest
+
+        import nibbledb_spark.operators.dedup as dd
+
+        old = docs.where("doc_id % 3 != 0")
+        new = docs.where("doc_id % 3 = 0")
+        path = str(tmp_path / "idx")
+        dd.build_lsh_index(old, path)
+
+        def q():
+            return {
+                (r["query_id"], r["index_id"])
+                for r in dd.lsh_query_near_dups(
+                    spark, path, docs, threshold=0.5
+                ).collect()
+            }
+
+        before = q()
+        real_write = dd._lsh_manifest_write
+        monkeypatch.setattr(
+            dd,
+            "_lsh_manifest_write",
+            lambda *a, **k: (_ for _ in ()).throw(OSError("disk gone")),
+        )
+        with _pytest.raises(OSError, match="disk gone"):
+            dd.lsh_index_add(spark, path, new)
+        # junk landed (renames happened) but readers are unaffected
+        junk = [
+            fn
+            for fn in os.listdir(os.path.join(path, "bands"))
+            if fn.startswith("part-")
+            and fn not in dd._lsh_manifest_read(path)["bands"]
+        ]
+        assert junk, "the torn publish should have left unmanifested files"
+        assert q() == before
+        with _pytest.raises(RuntimeError, match="unmanifested"):
+            dd.validate_lsh_index(spark, path)
+        # retry heals: junk GC'd, add lands, index validates
+        monkeypatch.setattr(dd, "_lsh_manifest_write", real_write)
+        dd.lsh_index_add(spark, path, new)
+        dd.validate_lsh_index(spark, path)
+        after = q()
+        assert after > before
 
     def test_query_cost_reads_not_recompute(self, spark, docs, tmp_path):
         """The query plan scans the persisted band/shingle/size parquet —
