@@ -5733,6 +5733,103 @@ def dv_delete_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version")
 
 
+# continuous-aggregate rollup: hour + day widths over the events points,
+# appended in three hash-interleaved batches so every bucket's state is a
+# genuine MERGE of per-append partials, read back at hour width over a
+# bucket-aligned range. The auto-routing marker row carries
+# aggregate_range's count — and the query RAISES unless the engine
+# actually routed it to the coarsest (day) rollup, so the driver's hash
+# gate is also a routing gate (round-9 verdict #1).
+_ROLLUP_HOUR_US = 3_600_000_000
+_ROLLUP_DAY_US = 86_400_000_000
+
+
+def _rollup_reads_sql() -> str:
+    return (
+        _POINTS_CTE
+        + f"""
+, in_range AS (
+  SELECT series, ts, value FROM points
+  WHERE ts >= {_FROM} AND ts < {_TO}
+), hourly AS (
+  SELECT series,
+         ts - ts % {_ROLLUP_HOUR_US} AS bucket_us,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_scaled,
+         MIN(value) AS value_min,
+         MAX(value) AS value_max
+  FROM in_range GROUP BY series, bucket_us
+)
+SELECT series, bucket_us, n,
+       CAST(sum_scaled AS DOUBLE) / 1000000.0 AS value_sum,
+       value_min, value_max,
+       CAST(sum_scaled AS DOUBLE) / 1000000.0 / n AS value_mean
+FROM hourly
+UNION ALL
+SELECT '__routed_count_day__', CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE)
+FROM in_range
+ORDER BY series, bucket_us
+"""
+    )
+
+
+@declared("rollup_hourly_reads", _rollup_reads_sql())
+def rollup_hourly_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup READ path surfaced as a query
+    (engine.py enable_rollup/rollup/aggregate_range — the TimescaleDB
+    continuous-aggregate analogue, reference parity for its
+    materialized range aggregates): build a store with hour + day
+    rollups enabled, append the events points in three hash-interleaved
+    batches (so each bucket's answer merges several per-append partial
+    rows — the incremental state, not a single-batch recompute), then
+    read the merged hour view over a bucket-aligned window. The oracle
+    restates it as a direct GROUP BY over the same points with the
+    rollup's scaled-long quantization — exact because incremental
+    partials merge bit-identically to a full recompute (the pinned
+    engine invariant, now driver-visible). A marker row carries
+    aggregate_range('count')'s answer and the query raises unless the
+    engine routed it through the COARSEST aligned width (day), pinning
+    the materialized-view auto-routing too. At 100 TB the read touches
+    rollup partial rows (series x buckets), never raw points."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.engine import TimeSeriesEngine
+
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"nibbleroll_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    eng = TimeSeriesEngine(spark, root, num_buckets=4)
+    eng.enable_rollup(_ROLLUP_HOUR_US)
+    eng.enable_rollup(_ROLLUP_DAY_US)
+    part = F.pmod(F.xxhash64("series", "ts"), F.lit(3))
+    for i in range(3):
+        eng.append_points(pts.where(part == F.lit(i)))
+    r = eng.rollup(ts_from=_FROM, ts_to=_TO - 1, every_us=_ROLLUP_HOUR_US)
+    routed = eng.aggregate_range((), _FROM, _TO - 1, "count")
+    if (
+        getattr(eng, "_last_agg_source", None) != "rollup"
+        or getattr(eng, "_last_agg_width", None) != _ROLLUP_DAY_US
+    ):
+        raise RuntimeError(
+            "aggregate_range did not auto-route to the day rollup: "
+            f"source={getattr(eng, '_last_agg_source', None)} "
+            f"width={getattr(eng, '_last_agg_width', None)}"
+        )
+    marker = spark.createDataFrame(
+        [("__routed_count_day__", -1, int(routed["count"]), None, None, None, None)],
+        "series string, bucket_us long, n long, value_sum double, "
+        "value_min double, value_max double, value_mean double",
+    )
+    return r.unionByName(marker).orderBy("series", "bucket_us")
+
+
 _GAP_US = 1_200_000_000  # 20 min: report any silence longer than this
 
 
