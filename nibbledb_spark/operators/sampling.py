@@ -344,3 +344,55 @@ def sample_temperature_mix(
         .where(u.cast("double") < F.col("keep_rate") * F.lit(float(_BUCKETS)))
         .drop("keep_rate")
     )
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+    prefix_len: int = 3,
+) -> DataFrame:
+    """Deterministic global corpus shuffle (round-9 verdict #6): adds a
+    ``pos`` column — the row's 0-based position in the total order
+    ``(md5(salt || ':' || key), key)`` — so "shuffle the corpus
+    identically on any cluster" becomes a sortable column instead of an
+    RNG. Same reproducibility contract as :func:`split_assign`: no
+    seed plumbing, no partition-order sensitivity, and a new salt is a
+    fresh independent permutation (the per-epoch reshuffle).
+
+    ``key_col`` must be unique per row (the md5 tie-break is the key
+    itself, so duplicate keys would get an arbitrary relative order).
+
+    Physical shape — the 100 TB design point: a global sort-and-number
+    would funnel the corpus through one partition. Instead the first
+    ``prefix_len`` hex chars of the hash form 16^prefix_len range
+    buckets whose lexicographic order IS the hash order, so the global
+    position decomposes into (cumulative count of earlier buckets) +
+    (rank within bucket). One corpus exchange on the bucket key, a tiny
+    per-bucket count aggregate windowed into offsets (16^prefix_len
+    rows — driver-scale), broadcast back. md5 uniformity makes the
+    buckets skew-free by construction; raise ``prefix_len`` to 4
+    (65536 buckets) when a bucket must stay executor-memory sized.
+    """
+    if not 1 <= prefix_len <= 8:
+        raise ValueError(f"prefix_len must be in [1, 8]: {prefix_len}")
+    h = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")).cast("binary")
+    )
+    d = df.withColumn("__h", h).withColumn(
+        "__b", F.conv(F.substring("__h", 1, prefix_len), 16, 10).cast("int")
+    )
+    counts = d.groupBy("__b").agg(F.count("*").alias("__n"))
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "__b", F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off")
+    )
+    wb = Window.partitionBy("__b").orderBy(
+        F.col("__h").asc(), F.col(key_col).asc()
+    )
+    return (
+        d.join(F.broadcast(offs), "__b")
+        .withColumn("pos", F.col("__off") + F.row_number().over(wb) - F.lit(1))
+        .drop("__b", "__h", "__off")
+    )

@@ -5349,6 +5349,35 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(docs)
 
 
+@declared(
+    "corpus_shuffle_positions",
+    """
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5(concat('epoch0', ':', CAST(doc_id AS VARCHAR))), doc_id
+       ) - 1 AS BIGINT) AS pos
+FROM documents
+""",
+)
+def corpus_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (operators/sampling.py
+    shuffle_deterministic, round-9 verdict #6): every doc's ``pos`` is
+    its 0-based rank in the (md5(salt || ':' || doc_id), doc_id) total
+    order — the "shuffle the corpus identically on any cluster"
+    training primitive; a new salt is a fresh per-epoch permutation.
+    The oracle states the order globally (ROW_NUMBER over the full
+    sort); the Spark side must reproduce it through its decomposed
+    shape — hash-prefix range buckets whose cumulative counts turn
+    per-bucket ranks into global positions without ever funnelling the
+    corpus through one partition. The hash order is engine-portable
+    (lowercase hex is lexicographic in both), so the two plans agree
+    bit for bit."""
+    from nibbledb_spark.operators.sampling import shuffle_deterministic
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return shuffle_deterministic(docs, key_col="doc_id", salt="epoch0")
+
+
 _TEMP_MIX_CTES = """
 WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
 s AS (

@@ -350,3 +350,53 @@ def test_linear_score_paths_agree(spark, docs):
         # splitting "" on \s+ yields [""]; the empty token is filtered
         assert got[1][0] == 0 and got[1][1] == 0 and got[1][2] is None
         assert got[2][0] == 2
+
+
+def test_shuffle_deterministic_permutation_and_invariance(spark, docs):
+    """pos is a permutation of 0..n-1, equals the global
+    (md5(salt:key), key) sort order, survives any input partitioning,
+    and a new salt is a genuinely different permutation."""
+    from nibbledb_spark.operators.sampling import shuffle_deterministic
+
+    out = shuffle_deterministic(docs, key_col="doc_id", salt="e0")
+    rows = out.select("doc_id", "pos").collect()
+    n = docs.count()
+    assert sorted(r["pos"] for r in rows) == list(range(n))
+    # ground truth: the undecomposed global order
+    import hashlib
+
+    want = sorted(
+        (hashlib.md5(f"e0:{r['doc_id']}".encode()).hexdigest(), r["doc_id"])
+        for r in docs.select("doc_id").collect()
+    )
+    want_pos = {doc_id: i for i, (_, doc_id) in enumerate(want)}
+    assert {r["doc_id"]: r["pos"] for r in rows} == want_pos
+    # partitioning invariance: same positions from any physical layout
+    re7 = shuffle_deterministic(
+        docs.repartition(7), key_col="doc_id", salt="e0"
+    )
+    assert {r["doc_id"]: r["pos"] for r in re7.select("doc_id", "pos").collect()} == want_pos
+    # a different salt reorders (the per-epoch reshuffle)
+    e1 = shuffle_deterministic(docs, key_col="doc_id", salt="e1")
+    pos1 = {r["doc_id"]: r["pos"] for r in e1.select("doc_id", "pos").collect()}
+    assert pos1 != want_pos
+    assert sorted(pos1.values()) == list(range(n))
+    with pytest.raises(ValueError, match="prefix_len"):
+        shuffle_deterministic(docs, prefix_len=0)
+
+
+def test_shuffle_deterministic_no_global_sort(spark, docs):
+    """The corpus never funnels through one partition: the only global
+    (single-partition) window in the plan runs over the tiny per-bucket
+    count frame, and the corpus-side window partitions by bucket."""
+    from nibbledb_spark.operators.sampling import shuffle_deterministic
+
+    plan = shuffle_deterministic(docs, key_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+    # corpus rows are never globally sorted: no Sort with a global
+    # Exchange SinglePartition feeding a row_number over the full data.
+    # The SinglePartition exchange that IS present belongs to the
+    # 16^prefix_len-row counts frame (look for it beneath an aggregate).
+    import re as _re
+
+    singles = plan.count("SinglePartition")
+    assert singles <= 2, plan  # offsets window (+AQE echo), never the corpus
