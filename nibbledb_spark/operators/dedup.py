@@ -913,6 +913,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT for every candidate pair:
+    ``|A ∩ B| / min(|A|, |B|)`` — the asymmetric near-dup detector.
+    Jaccard divides by the union, so a short document wholly quoted
+    inside a much longer one scores near zero and survives dedup;
+    containment scores that pair 1.0. The standard subset/quote catch
+    in training-data pipelines (and the asymmetric half of the
+    substring-dedup story: this at shingle granularity, span dedup at
+    token-run granularity).
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: candidates come
+    from the shared-shingle equi-join itself (never an all-pairs
+    product), the intersection count falls out of the same join, and
+    ``max_doc_freq`` is the broadcast-anti stop-shingle cap. Integer
+    counts => the ratio is one deterministic double divide."""
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n).persist()
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    s1 = sh.select(F.col("id").alias("id1"), F.col("shingle").alias("s"))
+    s2 = sh.select(F.col("id").alias("id2"), F.col("shingle").alias("s"))
+    inter = (
+        s1.join(s2, "s")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    z1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(z1, "id1")
+        .join(z2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("inter").cast("double") / F.least("sz1", "sz2")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     *,
@@ -1095,6 +1152,81 @@ def dedup_lines_global(
         .select(
             F.col("id").alias(id_col),
             F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+_FREQ_FRAC_SCALE = 10_000  # doc-frequency fraction granularity (1/10000)
+
+
+def strip_frequent_lines(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_doc_frac: float = 0.5,
+) -> DataFrame:
+    """Corpus-df boilerplate removal (the CCNet/RefinedWeb pass that
+    complements :func:`dedup_lines_global`): a unit (line by default —
+    ``sep`` picks the granularity, e.g. ``' '`` for corpus-frequency
+    stopword stripping) is BOILERPLATE when it appears in more than
+    ``max_doc_frac`` of all documents; every occurrence is removed —
+    not just the non-first ones — and each document is rebuilt from its
+    surviving units in order. Returns (id, cleaned_text, n_removed).
+
+    The threshold compare is integer-exact: ``max_doc_frac`` quantizes
+    to 1/10000 and the keep predicate is
+    ``df * 10000 <= frac_scaled * corpus_docs`` — no float boundary for
+    engines to disagree on.
+
+    Scale shape: per-unit doc-frequency is a distinct + count keyed on
+    the unit hash (partial-aggregated, the hash not the text shuffles);
+    the over-threshold set is by construction the SMALL side (it IS the
+    boilerplate) so it broadcast-anti-joins back onto the unit rows;
+    the rebuild is the same (pos, unit) array_sort aggregate as
+    dedup_lines_global. Nothing quadratic, no driver state."""
+    if not 0.0 <= max_doc_frac <= 1.0:
+        raise ValueError(f"max_doc_frac must be in [0, 1]: {max_doc_frac}")
+    frac_scaled = int(max_doc_frac * _FREQ_FRAC_SCALE)
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    lines = d.select(
+        "id", F.posexplode(F.split("text", sep)).alias("pos", "line")
+    ).withColumn("h", F.md5(F.col("line").cast("binary")))
+    corpus_n = d.agg(F.count("*").alias("__corpus_n"))
+    hot = (
+        lines.select("id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(corpus_n))
+        .where(
+            F.col("df") * F.lit(_FREQ_FRAC_SCALE)
+            > F.lit(frac_scaled) * F.col("__corpus_n")
+        )
+        .select("h")
+    )
+    kept = lines.join(F.broadcast(hot), "h", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_total"))
+    return (
+        d.join(totals, "id")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+            (
+                F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_removed"),
         )
     )
 

@@ -1771,6 +1771,80 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@declared(
+    "ngram_containment_pairs",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM t),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2,
+       CAST(n_inter AS DOUBLE) / least(z1.sz, z2.sz) AS containment
+FROM inter JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
+WHERE CAST(n_inter AS DOUBLE) / least(z1.sz, z2.sz) >= 0.9
+""",
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by exact trigram CONTAINMENT
+    (|A ∩ B| / min(|A|, |B|), operators/dedup.py
+    ngram_containment_pairs): a short document wholly quoted inside a
+    long one scores 1.0 here while its Jaccard — divided by the union —
+    can be arbitrarily small, so this is the subset/quote catch the
+    Jaccard pass misses. Same never-all-pairs shape: candidates and the
+    intersection count both come from the shared-shingle equi-join."""
+    from nibbledb_spark.operators.dedup import ngram_containment_pairs as op
+
+    return op(_t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@declared(
+    "strip_frequent_tokens",
+    """
+WITH l AS (
+  SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents)
+),
+dfq AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM l GROUP BY line),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+hot AS (SELECT line FROM dfq, tot WHERE df * 10000 > 5000 * n),
+kept AS (SELECT l.* FROM l ANTI JOIN hot USING (line))
+SELECT d.doc_id,
+       COALESCE(agg.cleaned, '') AS cleaned_text,
+       CAST(t.n_total - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+JOIN (SELECT doc_id, COUNT(*) AS n_total FROM l GROUP BY doc_id) t
+  ON t.doc_id = d.doc_id
+LEFT JOIN (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS cleaned,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) agg ON agg.doc_id = d.doc_id
+""",
+)
+def strip_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-doc-frequency boilerplate removal (operators/dedup.py
+    strip_frequent_lines with sep=' ': this fixture's documents are
+    single-line, so the declared instance strips at token granularity —
+    any token present in more than half of all documents is removed
+    everywhere and each doc is rebuilt from the survivors in order;
+    with the default sep it is the CCNet/RefinedWeb frequent-LINE
+    boilerplate pass, pytest-pinned on a planted multi-line fixture).
+    The threshold compare is integer-exact (df*10000 > 5000*corpus_n),
+    so no float boundary can diverge between engines. Scale shape:
+    distinct+count on the token hash, broadcast-anti of the (small by
+    construction) boilerplate set, one rebuild aggregate per doc."""
+    from nibbledb_spark.operators.dedup import strip_frequent_lines
+
+    return strip_frequent_lines(
+        _t(spark, sf_dir, "documents"), sep=" ", max_doc_frac=0.5
+    )
+
+
 # Shared near-dup transitive-closure CTE chain (trigram Jaccard >= 0.5
 # pairs -> undirected edges -> recursive reachability). Composed into
 # every clustering oracle so a threshold/shingle tune can't silently

@@ -630,6 +630,62 @@ def test_dedup_lines_global_keeps_first_occurrence(spark):
     assert out[4] == "gamma content"
 
 
+def test_strip_frequent_lines_removes_boilerplate_everywhere(spark):
+    """A line in more than max_doc_frac of docs is removed from EVERY
+    doc (unlike dedup_lines_global's keep-first); rare lines survive in
+    order; n_removed counts every stripped occurrence; a doc of pure
+    boilerplate comes back empty but never drops."""
+    from nibbledb_spark.operators.dedup import strip_frequent_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COPYRIGHT 2024\nalpha content\nCOPYRIGHT 2024"),
+            (2, "COPYRIGHT 2024\nbeta content"),
+            (3, "COPYRIGHT 2024"),
+            (4, "gamma content\ndelta content"),
+        ],
+        "doc_id long, text string",
+    )
+    # COPYRIGHT appears in 3/4 docs > 0.5 -> boilerplate everywhere
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed"])
+        for r in strip_frequent_lines(docs, max_doc_frac=0.5).collect()
+    }
+    assert out[1] == ("alpha content", 2)  # both copies stripped
+    assert out[2] == ("beta content", 1)
+    assert out[3] == ("", 1)
+    assert out[4] == ("gamma content\ndelta content", 0)
+    # frac 1.0 keeps everything (df can never exceed the corpus)
+    keep_all = strip_frequent_lines(docs, max_doc_frac=1.0)
+    assert keep_all.agg(F.sum("n_removed")).collect()[0][0] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_doc_frac"):
+        strip_frequent_lines(docs, max_doc_frac=1.5)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """The asymmetric case containment exists for: a short doc wholly
+    quoted inside a much longer one. Containment scores it 1.0;
+    trigram Jaccard stays under 0.5 because the union is dominated by
+    the long doc."""
+    from nibbledb_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.upper())],
+        "doc_id long, text string",
+    )
+    cont = ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert [(r["id1"], r["id2"], r["containment"]) for r in cont] == [(1, 2, 1.0)]
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == [], "Jaccard must miss the subset pair"
+
+
 def test_substring_spans_find_embedded_paragraph(spark):
     """The round-5 verdict's acceptance case: a >= min_tokens paragraph
     duplicated INSIDE two otherwise-unique documents, phrased so the
