@@ -2596,11 +2596,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall guarantee (hamming < bands) makes the banded join EXACT here,
 # not probabilistic. Every 23rd row is an "undecodable" NULL-hash row
 # pinning the corrupt-payload contract driver-visibly.
-_MEDIA_HASH_CTES = """
+def _media_hash_ctes(fam_mod: int = 83) -> str:
+    """The oracle CTE chain with a parameterizable family modulus:
+    83 is the declared fixture; bench.py --deep-extras scales it with
+    the corpus (83 * mult) so family SIZE — and therefore pair count
+    per doc — stays constant and the at-scale measurement is
+    input-linear by construction."""
+    return f"""
 WITH RECURSIVE m AS (
   SELECT doc_id AS media_id,
          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-         doc_id % 83 AS fam,
+         doc_id % {fam_mod} AS fam,
          doc_id % 59 AS flip,
          doc_id % 23 = 0 AS corrupt
   FROM documents
@@ -2635,7 +2641,31 @@ pairs AS (
 """
 
 
-def _media_hash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+_MEDIA_HASH_CTES = _media_hash_ctes()
+
+# components + canonical tail shared by the declared query and the
+# bench's scaled replay — one definition so they cannot drift
+_MEDIA_CANON_TAIL = """,
+edges AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION
+  SELECT id2 AS a, id1 AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT media_id, media_id FROM hh
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+)
+SELECT hh.media_id, hh.kind, MIN(reach.r) AS canonical_id,
+       hh.media_id = MIN(reach.r) AS keep
+FROM hh JOIN reach ON reach.id = hh.media_id
+GROUP BY hh.media_id, hh.kind
+"""
+
+
+def _media_hash_fixture(
+    spark: SparkSession, sf_dir: str, fam_mod: int = 83
+) -> DataFrame:
     """Spark half of _MEDIA_HASH_CTES: identical (id, kind, hhex,
     hlong) rows. conv(hex,16,10) stays in-range because the hex is 15
     chars (60 bits); the hex image is rebuilt from the long so banding
@@ -2646,7 +2676,7 @@ def _media_hash_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
         .otherwise(F.lit("audio"))
         .alias("kind"),
-        (F.col("doc_id") % 83).alias("fam"),
+        (F.col("doc_id") % fam_mod).alias("fam"),
         (F.col("doc_id") % 59).alias("flip"),
         (F.col("doc_id") % 23 == 0).alias("corrupt"),
     )
@@ -2692,26 +2722,7 @@ def media_banded_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_hamming_pairs(h, max_hamming=6, bands=4, by=("kind",))
 
 
-@declared(
-    "media_clean_canonicals",
-    _MEDIA_HASH_CTES
-    + """,
-edges AS (
-  SELECT id1 AS a, id2 AS b FROM pairs
-  UNION
-  SELECT id2 AS a, id1 AS b FROM pairs
-),
-reach(id, r) AS (
-  SELECT media_id, media_id FROM hh
-  UNION
-  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
-)
-SELECT hh.media_id, hh.kind, MIN(reach.r) AS canonical_id,
-       hh.media_id = MIN(reach.r) AS keep
-FROM hh JOIN reach ON reach.id = hh.media_id
-GROUP BY hh.media_id, hh.kind
-""",
-)
+@declared("media_clean_canonicals", _MEDIA_HASH_CTES + _MEDIA_CANON_TAIL)
 def media_clean_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The clean_media post-decode stage end-to-end, driver-visible:
     banded pairs -> connected components -> lowest-id canonical, with

@@ -112,14 +112,24 @@ class LogEntry:
 
 _LOG_DIR = "_log"
 
-# DV read shape crossover: per-file position-only anti-joins pay a fixed
-# ~0.05 s plan leg per DV'd file and nothing per row; the batched
-# one-scan path pays a per-row path-string join key over the DV'd
-# files' rows. Measured locally at 20M rows: per-file wins to ~50 files
-# (0.99 s at 16 files vs ~3 s batched), batched wins beyond (3.2 s at
-# 64 files vs 4.3 s per-file). Compaction keeps real tables in the
-# per-file regime.
-_DV_BATCH_THRESHOLD = 32
+# DV read shape choice, COST-BASED (round-10 `bench.py --dv-tax`,
+# measured on both 1.2k- and 150k-row files at 128 files):
+#   per-file shape  ~= _DV_PER_FILE_S * n_dvd_files   (fixed plan leg
+#       per file, nothing per row — 18.9 s at 128 files either way)
+#   batched shape   ~= _DV_BATCH_FIXED_S
+#                      + _DV_BATCH_ROW_S * rows_in_dvd_files  (per-row
+#       path-string join key: 1.25 s at 4 files -> 4.3 s at 128 x 150k)
+# Crossover ~4 files for files up to ~150k rows; files beyond ~700k
+# rows/file keep the per-file shape at any count (the per-row string
+# tax exceeds the plan-leg cost). Entries carry physical row counts,
+# so the reader evaluates the model directly. _DV_BATCH_THRESHOLD
+# overrides for tests/ops: an int forces per-file at or below that
+# many DV'd files (0 = always batched, huge = always per-file);
+# None = cost-based.
+_DV_PER_FILE_S = 0.14
+_DV_BATCH_FIXED_S = 0.6
+_DV_BATCH_ROW_S = 1.9e-7
+_DV_BATCH_THRESHOLD: int | None = None
 _DATA_DIR = "data"
 
 
@@ -529,11 +539,12 @@ class SnapshotLog:
         ``expose_pos`` keeps ``__file`` (input_file_name) and ``__pos``
         (row position) columns — the DV delete's internal view.
 
-        All DV'd files read in ONE batched scan with ONE broadcast
-        anti-join keyed on (file identity, position): a per-file
-        scan-and-join shape costs a plan leg per file and measured
-        +0.067 s/file locally — 64 DV'd files made a 0.3 s read take
-        4.3 s. File identity comes from ``_metadata.file_path`` with
+        Shape choice is the measured cost model at _DV_* above
+        (bench --dv-tax): few DV'd files — or very LARGE ones, where
+        the batched shape's per-row string-key tax dominates — read
+        per-file with position-only anti-joins; otherwise ONE batched
+        scan with ONE broadcast anti-join keyed on (file identity,
+        position). File identity comes from ``_metadata.file_path`` with
         the ``file:`` scheme and root prefix stripped JVM-side; the
         vector side recovers its base file through the ``fk=`` hash in
         its own ``_metadata.file_path``, joined to a broadcast
@@ -576,11 +587,22 @@ class SnapshotLog:
             == os.path.abspath(os.path.join(self.root, fe.path))
             for fe in dvd
         )
-        if dvd and (len(dvd) <= _DV_BATCH_THRESHOLD or not uri_clean):
-            # few DV'd files: per-file scans with POSITION-ONLY anti
-            # joins (no string keys at all). Costs a fixed ~0.05 s plan
-            # leg per file but nothing per row — the right regime while
-            # DV'd files are few, which compaction keeps true.
+        if _DV_BATCH_THRESHOLD is not None:
+            prefer_per_file = len(dvd) <= _DV_BATCH_THRESHOLD
+        else:
+            # measured cost model (see _DV_* constants above): pay the
+            # per-file plan legs only while they undercut the batched
+            # shape's fixed setup + per-row string-key tax
+            rows_dvd = sum(fe.rows for fe in dvd)
+            prefer_per_file = (
+                len(dvd) * _DV_PER_FILE_S
+                <= _DV_BATCH_FIXED_S + rows_dvd * _DV_BATCH_ROW_S
+            )
+        if dvd and (prefer_per_file or not uri_clean):
+            # per-file scans with POSITION-ONLY anti joins (no string
+            # keys at all): a fixed plan leg per file (~0.14 s measured)
+            # but nothing per row — the right regime while DV'd files
+            # are few or huge, which compaction keeps true.
             for fe in dvd:
                 b = self._read_live(
                     [os.path.join(self.root, fe.path)], schema_json
