@@ -1231,6 +1231,50 @@ def strip_frequent_lines(
     )
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    n-grams whose first corpus occurrence (min doc id) is this doc —
+    1.0 = entirely fresh content, 0.0 = everything already seen in an
+    earlier doc. The redundancy/curriculum signal between exact dedup
+    (kills only identical docs) and near-dup scoring (pairwise): a
+    corpus-level "how much does this doc add" number, the deterministic
+    cousin of contribution scoring. Returns
+    (id, n_grams, n_novel, novelty); too-short docs (no n-grams) carry
+    NULL novelty.
+
+    Scale shape: ONE exchange — first-owner is a min-over window keyed
+    on the shingle (no second join back), then a per-doc aggregate.
+    Integer counts => the ratio is one deterministic double divide."""
+    from pyspark.sql import Window
+
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    w = Window.partitionBy("shingle")
+    f = sh.withColumn("first_id", F.min("id").over(w))
+    per = f.groupBy("id").agg(
+        F.count("*").alias("n_grams"),
+        F.count(F.when(F.col("id") == F.col("first_id"), 1)).alias("n_novel"),
+    )
+    d = docs.select(F.col(id_col).alias("id"))
+    return (
+        d.join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_novel").cast("double") / F.col("n_grams"),
+            ).alias("novelty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact-substring (duplicate-span) dedup — Lee et al. 2022
 # ---------------------------------------------------------------------------

@@ -1802,6 +1802,38 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ngram_novelty_scores",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM t),
+f AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS first_id FROM sh),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COUNT(*) FILTER (doc_id = first_id) AS BIGINT) AS n_novel
+  FROM f GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(per.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN per.n_grams > 0
+            THEN CAST(per.n_novel AS DOUBLE) / per.n_grams END AS novelty
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+""",
+)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram novelty (operators/dedup.py ngram_novelty): the
+    fraction of a doc's distinct n-grams first seen (min doc id) in
+    this doc — the corpus-level "how much does this doc add" signal
+    between exact dedup and pairwise near-dup scoring, used for
+    redundancy pruning and curriculum ordering. One exchange: first
+    ownership is a min-over window on the shingle, then a per-doc
+    aggregate; integer counts make the ratio engine-exact."""
+    from nibbledb_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+@declared(
     "strip_frequent_tokens",
     """
 WITH l AS (

@@ -664,6 +664,30 @@ def test_strip_frequent_lines_removes_boilerplate_everywhere(spark):
         strip_frequent_lines(docs, max_doc_frac=1.5)
 
 
+def test_ngram_novelty_planted_fixture(spark):
+    """Novelty semantics on a planted corpus: first doc 1.0, an exact
+    copy 0.0, a half-copy in between, a too-short doc NULL with zero
+    counts — and first-ownership goes to the MIN doc id."""
+    from nibbledb_spark.operators.dedup import ngram_novelty
+
+    fresh = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, fresh),
+            (2, fresh),  # exact copy: nothing novel
+            (3, fresh + " " + other),  # half old, half new (plus seam)
+            (4, "tiny doc"),  # < n tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0 and out[2]["n_grams"] == out[1]["n_grams"]
+    assert 0.0 < out[3]["novelty"] < 1.0
+    assert out[4]["n_grams"] == 0 and out[4]["novelty"] is None
+
+
 def test_containment_catches_subset_jaccard_misses(spark):
     """The asymmetric case containment exists for: a short doc wholly
     quoted inside a much longer one. Containment scores it 1.0;
