@@ -1020,8 +1020,16 @@ def deep_extras(spark) -> None:
     }
 
     # --- 2) LSH probe-only, Spark side ----------------------------------
+    # Two rows: cold (bare path — the one-shot shape, index parquet
+    # re-read per probe) and WARM (round 10: lsh_open_index handle with
+    # the three tables persisted once — the probe-many crawl-loop
+    # shape, and the apples-to-apples pair for DuckDB's materialized
+    # in-memory temp tables).
+    from nibbledb_spark.operators.dedup import lsh_open_index
+
     idx_root = os.path.join(tempfile.gettempdir(), "nibble_deep_lshidx")
     per = {}
+    per_warm = {}
     rows_at: dict[int, int] = {}
     for mult in (1, 10, 100):
         docs = spark.read.parquet(os.path.join(dirs[mult], "documents.parquet"))
@@ -1047,12 +1055,40 @@ def deep_extras(spark) -> None:
             f"deep-extras lsh_probe_only x{mult}: {per[mult]:.3f}s "
             f"({rows_at[mult]:,} pairs)"
         )
+        handle = lsh_open_index(spark, idx)
+        try:
+            lsh_query_near_dups(spark, handle, probe, threshold=0.8).toPandas()
+            samples = []
+            for _ in range(3 if mult < 100 else 2):
+                t0 = time.perf_counter()
+                n_warm = len(
+                    lsh_query_near_dups(
+                        spark, handle, probe, threshold=0.8
+                    ).toPandas()
+                )
+                samples.append(time.perf_counter() - t0)
+            if n_warm != rows_at[mult]:
+                log(
+                    f"deep-extras WARNING x{mult}: warm probe rows {n_warm} "
+                    f"!= cold {rows_at[mult]}"
+                )
+        finally:
+            handle.close()
+        per_warm[mult] = statistics.median(samples)
+        log(f"deep-extras lsh_probe_warm x{mult}: {per_warm[mult]:.3f}s")
     results["lsh_probe_only"] = {
         "x1_s": round(per[1], 4),
         "x10_s": round(per[10], 4),
         "x100_s": round(per[100], 4),
         "exp_decade1": round(math.log10(per[10] / per[1]), 3),
         "exp_decade2": round(math.log10(per[100] / per[10]), 3),
+    }
+    results["lsh_probe_warm"] = {
+        "x1_s": round(per_warm[1], 4),
+        "x10_s": round(per_warm[10], 4),
+        "x100_s": round(per_warm[100], 4),
+        "exp_decade1": round(math.log10(per_warm[10] / per_warm[1]), 3),
+        "exp_decade2": round(math.log10(per_warm[100] / per_warm[10]), 3),
     }
 
     # --- 3) media banded-hamming join + canonicals at scale -------------
@@ -1136,12 +1172,17 @@ def deep_extras(spark) -> None:
             )
         d = _duck_median(con, probe_sql, runs=runs)
         if d is not None:
-            r = results["lsh_probe_only"]
-            r[f"duck_x{mult}_s"] = round(d, 4)
-            r[f"ratio_x{mult}"] = round(r[f"x{mult}_s"] / d, 2)
+            # one DuckDB probe number pairs BOTH Spark shapes: DuckDB
+            # already probes materialized in-memory temp tables, i.e.
+            # it is always "warm"
+            for label in ("lsh_probe_only", "lsh_probe_warm"):
+                r = results[label]
+                r[f"duck_x{mult}_s"] = round(d, 4)
+                r[f"ratio_x{mult}"] = round(r[f"x{mult}_s"] / d, 2)
             log(
                 f"deep-extras duckdb lsh_probe x{mult}: {d:.3f}s "
-                f"(ratio {r[f'ratio_x{mult}']:.2f}x)"
+                f"(cold {results['lsh_probe_only'][f'ratio_x{mult}']:.2f}x, "
+                f"warm {results['lsh_probe_warm'][f'ratio_x{mult}']:.2f}x)"
             )
         from nibbledb_spark.queries import _MEDIA_CANON_TAIL, _media_hash_ctes
 

@@ -779,9 +779,55 @@ def validate_lsh_index(spark, path: str) -> None:
             )
 
 
+class LshIndex:
+    """Open probe-many handle over a persisted LSH index (round 10):
+    the three index tables resolved through the manifest ONCE and
+    (by default) persisted in executor memory, so a crawl loop paying
+    N probes reads the index from disk zero more times — the Spark
+    analogue of the DuckDB oracle's materialized temp tables, and the
+    fix for probe latency being dominated by parquet re-reads.
+
+    The handle pins a SNAPSHOT: the manifest's file list is captured at
+    open, so probes against the handle do not see later
+    ``lsh_index_add`` publishes until the caller re-opens — the
+    isolation a long-running probe loop wants anyway. ``close()``
+    (or the context-manager exit) unpersists the cached tables."""
+
+    def __init__(self, spark, path, meta, frames, cached):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.bands, self.shingles, self.sizes = frames
+        self._cached = cached
+
+    def close(self) -> None:
+        if self._cached:
+            for f in (self.bands, self.shingles, self.sizes):
+                f.unpersist()
+            self._cached = False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def lsh_open_index(spark, path: str, *, cache: bool = True) -> LshIndex:
+    """Open ``path`` for probe-many querying — see :class:`LshIndex`.
+    ``cache=False`` gives the snapshot pin without executor memory
+    (each probe still re-reads parquet)."""
+    meta = _lsh_index_meta(path)
+    frames = tuple(_lsh_read(spark, path, t) for t in _LSH_TABLES)
+    if cache:
+        for f in frames:
+            f.persist()
+    return LshIndex(spark, path, meta, frames, cache)
+
+
 def lsh_query_near_dups(
     spark,
-    path: str,
+    path: str | LshIndex,
     query_docs: DataFrame,
     *,
     threshold: float = 0.8,
@@ -794,23 +840,28 @@ def lsh_query_near_dups(
     band table, and the exact-Jaccard verify joins only candidate ids'
     shingle rows. Returns (query_id, index_id, jaccard) with
     jaccard >= threshold; a query id also present in the index never
-    pairs with itself. Corpus-side cost is reads, never recompute."""
+    pairs with itself. Corpus-side cost is reads, never recompute —
+    and ZERO re-reads when ``path`` is an open :class:`LshIndex`
+    handle (the probe-many loop's shape; a bare path re-resolves the
+    manifest per call, which is what a one-shot probe wants)."""
     import os as _os
 
-    meta = _lsh_index_meta(path)
-    # NOT persisted: the returned frame is lazy, so a persist here could
-    # never be unpersisted and each probe batch in the incremental crawl
-    # workflow would pin another dead cache entry for the life of the
-    # application. The three in-plan consumers (bands, intersect join,
-    # sizes) recompute the shingle explode — a narrow deterministic
-    # projection over the probe batch, which is small by design relative
-    # to the indexed corpus. Callers probing with a LARGE batch should
-    # .persist() query_docs themselves and unpersist after the action.
+    idx = path if isinstance(path, LshIndex) else None
+    meta = idx.meta if idx else _lsh_index_meta(path)
+    # Probe-side frames are NOT persisted: the returned frame is lazy,
+    # so a persist here could never be unpersisted and each probe batch
+    # in the incremental crawl workflow would pin another dead cache
+    # entry for the life of the application. The three in-plan
+    # consumers (bands, intersect join, sizes) recompute the shingle
+    # explode — a narrow deterministic projection over the probe batch,
+    # which is small by design relative to the indexed corpus. Callers
+    # probing with a LARGE batch should .persist() query_docs
+    # themselves and unpersist after the action.
     q_sh = shingle_rows(
         query_docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
     )
     q_bands = _band_rows(q_sh, meta["num_hashes"], meta["band_size"])
-    idx_bands = _lsh_read(spark, path, "bands")
+    idx_bands = idx.bands if idx else _lsh_read(spark, path, "bands")
     cand = (
         q_bands.alias("q")
         .join(idx_bands.alias("i"), ["band", "bucket"])
@@ -818,7 +869,7 @@ def lsh_query_near_dups(
         .select(F.col("q.id").alias("query_id"), F.col("i.id").alias("index_id"))
         .distinct()
     )
-    idx_sh = _lsh_read(spark, path, "shingles")
+    idx_sh = idx.shingles if idx else _lsh_read(spark, path, "shingles")
     inter = (
         cand.join(q_sh.select(F.col("id").alias("query_id"), "shingle"), "query_id")
         .join(
@@ -829,7 +880,7 @@ def lsh_query_near_dups(
         .agg(F.count("*").alias("inter"))
     )
     q_sizes = q_sh.groupBy("id").agg(F.count("*").alias("q_sz"))
-    idx_sizes = _lsh_read(spark, path, "sizes")
+    idx_sizes = idx.sizes if idx else _lsh_read(spark, path, "sizes")
     return (
         inter.join(q_sizes.select(F.col("id").alias("query_id"), "q_sz"), "query_id")
         .join(

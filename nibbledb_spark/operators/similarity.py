@@ -83,6 +83,59 @@ def cosine_topk(
     )
 
 
+def mrl_truncate(
+    df: DataFrame,
+    dim: int,
+    *,
+    vec_col: str = "embedding",
+    renormalize: bool = False,
+) -> DataFrame:
+    """Matryoshka truncation (Kusupati et al., MRL): keep the first
+    ``dim`` components of each embedding — the nesting property of
+    MRL-trained models makes the prefix a usable lower-dimensional
+    embedding, the standard cheap-retrieval / cheap-index trick (score
+    at dim 16, rerank survivors at full width). Row-local slice, zero
+    shuffles; ``renormalize=True`` rescales to unit L2 (cosine is
+    scale-invariant so ranking ops don't need it; dot-product or
+    quantization consumers do)."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1: {dim}")
+    v = F.slice(F.col(vec_col), 1, dim)
+    if renormalize:
+        n = F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        v = F.transform(v, lambda x: x.cast("double") / n)
+    return df.withColumn(vec_col, v)
+
+
+def mrl_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine at a Matryoshka-truncated width: the
+    first-stage retrieval of the MRL funnel (truncate -> score cheap ->
+    rerank survivors at full width with :func:`cosine_topk` over the
+    candidate ids). Same broadcast/no-corpus-shuffle shape as
+    cosine_topk with a ``dim/64`` fraction of the arithmetic."""
+    return cosine_topk(
+        mrl_truncate(corpus, dim, vec_col=vec_col),
+        mrl_truncate(queries, dim, vec_col=vec_col),
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 #: Hard ceiling for the brute-force all-pairs baseline. 20k vectors is
 #: 2e8 cosine evaluations — the most a "baseline/verification" run has
 #: any business doing; a real corpus must go through the bucketed path.

@@ -2289,6 +2289,38 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "embed_mrl_topk_d16",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv', 16)} / (SQRT({_dot_sql('qv', 'qv', 16)}) * SQRT({_dot_sql('cv', 'cv', 16)})) AS cos_sim
+  FROM c, q WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+""",
+)
+def embed_mrl_topk_d16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated retrieval (operators/similarity.py
+    mrl_topk): exact top-k cosine over the FIRST 16 of 64 components —
+    the MRL funnel's cheap first stage (score at dim 16, rerank
+    survivors at full width), 4x less arithmetic and a 4x smaller
+    index footprint than full-width scoring. Same broadcast/no-shuffle
+    shape as embed_cosine_topk; the oracle is the same left-assoc fold
+    chain truncated to 16 terms."""
+    from nibbledb_spark.operators.similarity import mrl_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mrl_topk(e, e.where(F.col("vec_id") < 5), 3, 16)
+
+
+@declared(
     "embed_near_dup_pairs",
     f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)

@@ -124,6 +124,62 @@ def test_cosine_topk_self_excluded_and_ranked(spark, embeddings):
     assert all(r["neighbor_id"] != 0 for r in out)
 
 
+def test_mrl_truncate_and_topk(spark, embeddings):
+    """Matryoshka funnel invariants that hold for ANY vectors (the
+    nesting/agreement property needs MRL-trained embeddings, which the
+    synthetic fixture is not, so it is deliberately not asserted):
+    dim=64 truncation is the identity retrieval; renormalize yields
+    unit L2 without changing the cosine ranking; dim-16 top-k exactly
+    matches a numpy brute-force over the 16-component prefixes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from nibbledb_spark.operators.similarity import (
+        cosine_topk,
+        mrl_topk,
+        mrl_truncate,
+    )
+
+    q = embeddings.where(F.col("vec_id") < 5)
+
+    def pairs(df):
+        return {(r["query_id"], r["rank"]): r["neighbor_id"] for r in df.collect()}
+
+    full = pairs(cosine_topk(embeddings, q, 3))
+    assert pairs(mrl_topk(embeddings, q, 3, 64)) == full
+    # renormalized truncation: unit norms, identical ranking
+    tr = mrl_truncate(embeddings, 16, renormalize=True)
+    norms = tr.select(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("n2")
+    ).agg(F.min("n2"), F.max("n2")).collect()[0]
+    assert abs(norms[0] - 1.0) < 1e-9 and abs(norms[1] - 1.0) < 1e-9
+    d16 = pairs(mrl_topk(embeddings, q, 3, 16))
+    d16_renorm = pairs(
+        cosine_topk(tr, mrl_truncate(q, 16, renormalize=True), 3)
+    )
+    assert d16 == d16_renorm
+    # exactness: dim-16 retrieval == numpy brute force on the prefixes
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"][:16] for r in rows], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    expected = {}
+    for qpos in np.where(ids < 5)[0]:
+        sims = unit @ unit[qpos]
+        sims[qpos] = -np.inf
+        # sort by (-sim, neighbor_id) to mirror the operator's tiebreak
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        for rank, i in enumerate(order[:3], start=1):
+            expected[(int(ids[qpos]), rank)] = int(ids[i])
+    assert d16 == expected
+    with _pytest.raises(ValueError, match="dim"):
+        mrl_truncate(embeddings, 0)
+
+
 def test_multimodal_feature_plumbing(spark, docs):
     from nibbledb_spark.operators.multimodal import (
         FEATURE_DIM,
@@ -2800,6 +2856,42 @@ class TestLshIndex:
         validate_lsh_index(spark, path)
         sizes = spark.read.parquet(path + "/sizes")
         assert sizes.groupBy("id").count().where("count > 1").count() == 0
+
+    def test_open_index_probe_equals_path_probe_and_pins_snapshot(
+        self, spark, docs, tmp_path
+    ):
+        """lsh_open_index: probes through the handle equal bare-path
+        probes; the handle pins the at-open snapshot (a later add is
+        invisible until re-open); close() releases the cache."""
+        from nibbledb_spark.operators.dedup import (
+            build_lsh_index,
+            lsh_index_add,
+            lsh_open_index,
+            lsh_query_near_dups,
+        )
+
+        old = docs.where("doc_id % 3 != 0")
+        new = docs.where("doc_id % 3 = 0")
+        path = str(tmp_path / "idx")
+        build_lsh_index(old, path)
+
+        def q(target):
+            return {
+                (r["query_id"], r["index_id"], round(r["jaccard"], 12))
+                for r in lsh_query_near_dups(
+                    spark, target, docs, threshold=0.5
+                ).collect()
+            }
+
+        with lsh_open_index(spark, path) as idx:
+            before = q(path)
+            assert q(idx) == before
+            lsh_index_add(spark, path, new)
+            after = q(path)
+            assert after > before  # the add landed for path probes...
+            assert q(idx) == before  # ...but the handle pins its snapshot
+        reopened = lsh_open_index(spark, path, cache=False)
+        assert q(reopened) == after
 
     def test_torn_publish_invisible_then_healed(
         self, spark, docs, tmp_path, monkeypatch
