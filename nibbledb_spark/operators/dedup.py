@@ -16,6 +16,7 @@ Scale design (the 100 TB stance):
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -817,8 +818,22 @@ def lsh_open_index(spark, path: str, *, cache: bool = True) -> LshIndex:
     """Open ``path`` for probe-many querying — see :class:`LshIndex`.
     ``cache=False`` gives the snapshot pin without executor memory
     (each probe still re-reads parquet)."""
+    import os as _os
+
     meta = _lsh_index_meta(path)
-    frames = tuple(_lsh_read(spark, path, t) for t in _LSH_TABLES)
+    # Pin the snapshot by EXPLICIT file list, even for a pre-manifest
+    # (round-8 vintage) index: a bare directory-scan frame resolves
+    # files at action time, so a later add would leak into the open
+    # handle — and a probe racing the add's rename window could read
+    # torn table state. The legacy listing is all-live by definition
+    # (the old publish appended no file before its rename).
+    m = _lsh_manifest_read(path)
+    if m is None:
+        m = {t: _lsh_part_files(_os.path.join(path, t)) for t in _LSH_TABLES}
+    frames = tuple(
+        spark.read.parquet(*[_os.path.join(path, t, fn) for fn in m[t]])
+        for t in _LSH_TABLES
+    )
     if cache:
         for f in frames:
             f.persist()
@@ -1181,7 +1196,8 @@ def dedup_lines_global(
 
     d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     lines = d.select(
-        "id", F.posexplode(F.split("text", sep)).alias("pos", "line")
+        "id",
+        F.posexplode(F.split("text", _re.escape(sep))).alias("pos", "line"),
     )
     # window keyed on md5(line): groups identical lines without hashing
     # semantics changes; rank 1 = the corpus-wide first occurrence
@@ -1221,7 +1237,9 @@ def strip_frequent_lines(
     """Corpus-df boilerplate removal (the CCNet/RefinedWeb pass that
     complements :func:`dedup_lines_global`): a unit (line by default —
     ``sep`` picks the granularity, e.g. ``' '`` for corpus-frequency
-    stopword stripping) is BOILERPLATE when it appears in more than
+    stopword stripping; always matched LITERALLY, regex metachars like
+    ``'.'`` or ``'|'`` are safe) is BOILERPLATE when it appears in more
+    than
     ``max_doc_frac`` of all documents; every occurrence is removed —
     not just the non-first ones — and each document is rebuilt from its
     surviving units in order. Returns (id, cleaned_text, n_removed).
@@ -1239,11 +1257,24 @@ def strip_frequent_lines(
     dedup_lines_global. Nothing quadratic, no driver state."""
     if not 0.0 <= max_doc_frac <= 1.0:
         raise ValueError(f"max_doc_frac must be in [0, 1]: {max_doc_frac}")
-    frac_scaled = int(max_doc_frac * _FREQ_FRAC_SCALE)
+    # round, not truncate: int(0.57 * 10000) is 5699 under binary
+    # floats, silently shifting the documented threshold one granule
+    frac_scaled = round(max_doc_frac * _FREQ_FRAC_SCALE)
     d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    lines = d.select(
-        "id", F.posexplode(F.split("text", sep)).alias("pos", "line")
-    ).withColumn("h", F.md5(F.col("line").cast("binary")))
+    # persisted: three independent consumers below (doc-frequency agg,
+    # anti-joined kept scan, per-doc totals) would each replay the
+    # split/posexplode/md5 corpus scan otherwise — same convention as
+    # ngram_jaccard_pairs' shared shingle table
+    lines = (
+        d.select(
+            "id",
+            F.posexplode(F.split("text", _re.escape(sep))).alias(
+                "pos", "line"
+            ),
+        )
+        .withColumn("h", F.md5(F.col("line").cast("binary")))
+        .persist()
+    )
     corpus_n = d.agg(F.count("*").alias("__corpus_n"))
     hot = (
         lines.select("id", "h")

@@ -381,7 +381,10 @@ def shuffle_deterministic(
         F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")).cast("binary")
     )
     d = df.withColumn("__h", h).withColumn(
-        "__b", F.conv(F.substring("__h", 1, prefix_len), 16, 10).cast("int")
+        # long, not int: 8 hex chars reach 0xFFFFFFFF > INT_MAX, and a
+        # NULL from an overflowed cast would silently drop the row at
+        # the inner offset join below
+        "__b", F.conv(F.substring("__h", 1, prefix_len), 16, 10).cast("long")
     )
     counts = d.groupBy("__b").agg(F.count("*").alias("__n"))
     woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)

@@ -1691,24 +1691,37 @@ class SnapshotLog:
 
         return held()
 
-    def _registered_clones(self) -> list[str]:
+    def _load_clone_registry(self) -> dict[str, int | None]:
+        """root -> parent-directory st_dev recorded at registration
+        (the DEVICE WITNESS: if the parent's device later differs, the
+        filesystem that held the clone is not mounted — absence from a
+        listing proves nothing). Legacy list-format registries load
+        with a None witness."""
         try:
             with open(self._clones_path()) as f:
-                return list(json.load(f))
+                data = json.load(f)
         except FileNotFoundError:
-            return []
+            return {}
+        if isinstance(data, list):
+            return {r: None for r in data}
+        return dict(data)
 
-    def _write_clones(self, roots: list[str]) -> None:
+    def _registered_clones(self) -> list[str]:
+        return sorted(self._load_clone_registry())
+
+    def _write_clones(self, reg: dict[str, int | None]) -> None:
         tmp = self._clones_path() + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump(sorted(set(roots)), f)
+            json.dump(reg, f, sort_keys=True)
         os.replace(tmp, self._clones_path())
 
     def _register_clone(self, dest_root: str) -> None:
         with self._clones_locked():
-            roots = self._registered_clones()
-            if dest_root not in roots:
-                self._write_clones(roots + [dest_root])
+            reg = self._load_clone_registry()
+            if dest_root not in reg:
+                parent = os.path.dirname(os.path.abspath(dest_root))
+                reg[dest_root] = os.stat(parent).st_dev
+                self._write_clones(reg)
 
     def _clone_protected_files(self) -> tuple[set[str], set[str]]:
         """(files, dv dirs) under THIS root still referenced by
@@ -1727,31 +1740,57 @@ class SnapshotLog:
         the same as Delta; clone at/near head (the default) is safe
         because the retain window protects head files regardless."""
         with self._clones_locked():
-            roots = self._registered_clones()
-            if not roots:
+            reg = self._load_clone_registry()
+            if not reg:
                 return set(), set()
             keep: set[str] = set()
             keep_dirs: set[str] = set()
-            still_live: list[str] = []
-            for croot in roots:
+            still_live: dict[str, int | None] = {}
+            for croot, pdev in reg.items():
                 # Unregister ONLY on CONFIRMED deletion: the clone's
-                # name absent from a successful listing of its parent.
-                # A bare isdir() False also covers an unmounted share
-                # or a permission error — dropping the registration
-                # then would silently lose vacuum protection forever,
+                # name absent from a successful listing of its parent
+                # WHILE the parent sits on the same device as at
+                # registration (the witness). An unmounted share whose
+                # mount-point directory survives passes the listing but
+                # fails the device check — dropping the registration
+                # there would silently lose vacuum protection forever,
                 # and the next vacuum could reclaim files the (live,
                 # temporarily unreachable) clone still references. Any
                 # ambiguity raises instead: vacuum() fails loudly with
                 # the registration intact, and force=True remains the
-                # explicit raw-Delta override (round-9 ADVICE, low).
+                # explicit raw-Delta override (round-9/10 ADVICE).
+                ambiguous = None
                 try:
+                    parent = os.path.dirname(os.path.abspath(croot))
                     if os.path.isdir(croot):
                         absent = False
+                        if pdev is None:  # upgrade a legacy entry
+                            pdev = os.stat(parent).st_dev
+                    elif (
+                        pdev is not None
+                        and os.stat(parent).st_dev != pdev
+                    ):
+                        absent = False
+                        ambiguous = (
+                            "parent directory is on a different device "
+                            "than at registration (unmounted share?)"
+                        )
                     else:
-                        parent = os.path.dirname(os.path.abspath(croot))
-                        absent = os.path.basename(
-                            os.path.abspath(croot)
-                        ) not in os.listdir(parent)
+                        names = os.listdir(parent)
+                        absent = (
+                            os.path.basename(os.path.abspath(croot))
+                            not in names
+                        )
+                        if absent and pdev is None and not names:
+                            # legacy entry with no witness: an empty
+                            # parent is the unmounted-mount-point
+                            # signature, not proof of deletion
+                            absent = False
+                            ambiguous = (
+                                "parent directory is empty and the "
+                                "registration has no device witness "
+                                "(unmounted mount point?)"
+                            )
                 except OSError as exc:
                     raise RuntimeError(
                         f"registered clone {croot!r} is unreachable "
@@ -1759,12 +1798,28 @@ class SnapshotLog:
                         f"mount, detach/delete the clone, or vacuum "
                         f"with force=True to reclaim regardless"
                     ) from exc
+                if ambiguous:
+                    raise RuntimeError(
+                        f"registered clone {croot!r} is unreachable "
+                        f"({ambiguous}); cannot prove it detached — fix "
+                        f"the mount, detach/delete the clone, or vacuum "
+                        f"with force=True to reclaim regardless"
+                    )
                 if absent:
                     continue  # confirmed deleted: drop registration
                 c = SnapshotLog(self.spark, croot)
                 chead = c.latest_version()
                 if chead is None:
-                    continue
+                    # registered clones are born with v0, so an empty
+                    # log under an existing root is a torn state (or an
+                    # empty mount point shadowing the real clone), not
+                    # a detach — refuse rather than drop protection
+                    raise RuntimeError(
+                        f"registered clone {croot!r} has no snapshot "
+                        f"log; cannot prove it detached — fix the "
+                        f"mount, detach/delete the clone, or vacuum "
+                        f"with force=True to reclaim regardless"
+                    )
                 refs: set[str] = set()
                 dv_refs: set[str] = set()
                 for fe in c._resolve(chead)[0]:
@@ -1781,8 +1836,8 @@ class SnapshotLog:
                 if refs or dv_refs:
                     keep |= refs
                     keep_dirs |= dv_refs
-                    still_live.append(croot)
-            if set(still_live) != set(roots):
+                    still_live[croot] = pdev
+            if still_live != reg:
                 self._write_clones(still_live)
             return keep, keep_dirs
 

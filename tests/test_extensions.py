@@ -720,6 +720,36 @@ def test_strip_frequent_lines_removes_boilerplate_everywhere(spark):
         strip_frequent_lines(docs, max_doc_frac=1.5)
 
 
+def test_strip_frequent_lines_literal_sep_and_exact_threshold(spark):
+    """Round-10 self-review pins: (a) ``sep`` is literal, so a regex
+    metachar like '.' splits on dots — not on every character, which
+    would empty the whole corpus; (b) the threshold quantizes by
+    round(), not int() — int(0.6*10000) is 5999 under binary floats,
+    so a unit in exactly 60% of docs would wrongly strip."""
+    from nibbledb_spark.operators.dedup import strip_frequent_lines
+
+    docs = spark.createDataFrame(
+        [(1, "FOO.alpha"), (2, "FOO.beta"), (3, "gamma.delta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_removed"])
+        for r in strip_frequent_lines(
+            docs, sep=".", max_doc_frac=0.5
+        ).collect()
+    }
+    assert out[1] == ("alpha", 1)  # FOO in 2/3 docs > 0.5
+    assert out[2] == ("beta", 1)
+    assert out[3] == ("gamma.delta", 0)
+    # exactly-at-threshold keeps: unit in 3 of 5 docs, frac 0.6
+    docs5 = spark.createDataFrame(
+        [(i, "COMMON\nrare%d" % i if i <= 3 else "rare%d" % i) for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    at = strip_frequent_lines(docs5, max_doc_frac=0.6)
+    assert at.agg(F.sum("n_removed")).collect()[0][0] == 0
+
+
 def test_ngram_novelty_planted_fixture(spark):
     """Novelty semantics on a planted corpus: first doc 1.0, an exact
     copy 0.0, a half-copy in between, a too-short doc NULL with zero
@@ -2892,6 +2922,43 @@ class TestLshIndex:
             assert q(idx) == before  # ...but the handle pins its snapshot
         reopened = lsh_open_index(spark, path, cache=False)
         assert q(reopened) == after
+
+    def test_open_index_pins_legacy_premanifest_index(
+        self, spark, docs, tmp_path
+    ):
+        """A pre-manifest (round-8 vintage) index must still pin its
+        at-open snapshot (round-10 self-review): the fallback used to
+        return a directory-scan frame that resolved files at action
+        time, leaking later adds into the open handle."""
+        import os as _os
+
+        from nibbledb_spark.operators.dedup import (
+            _LSH_MANIFEST,
+            build_lsh_index,
+            lsh_index_add,
+            lsh_open_index,
+            lsh_query_near_dups,
+        )
+
+        old = docs.where("doc_id % 3 != 0")
+        new = docs.where("doc_id % 3 = 0")
+        path = str(tmp_path / "idx")
+        build_lsh_index(old, path)
+        _os.remove(_os.path.join(path, _LSH_MANIFEST))  # age the index
+
+        def q(target):
+            return {
+                (r["query_id"], r["index_id"])
+                for r in lsh_query_near_dups(
+                    spark, target, docs, threshold=0.5
+                ).collect()
+            }
+
+        with lsh_open_index(spark, path, cache=False) as idx:
+            before = q(idx)
+            lsh_index_add(spark, path, new)  # re-manifests and extends
+            assert q(path) > before
+            assert q(idx) == before  # the legacy handle stays pinned
 
     def test_torn_publish_invisible_then_healed(
         self, spark, docs, tmp_path, monkeypatch

@@ -385,6 +385,20 @@ def test_shuffle_deterministic_permutation_and_invariance(spark, docs):
         shuffle_deterministic(docs, prefix_len=0)
 
 
+def test_shuffle_deterministic_prefix8_no_row_loss(spark, docs):
+    """prefix_len=8 buckets reach 0xFFFFFFFF > INT_MAX (round-10
+    self-review): a 32-bit bucket cast NULLs the top half of the hash
+    space and the inner offset join then silently drops those rows —
+    pos must stay a full permutation at the maximum allowed width."""
+    from nibbledb_spark.operators.sampling import shuffle_deterministic
+
+    out = shuffle_deterministic(docs, key_col="doc_id", prefix_len=8)
+    n = docs.count()
+    assert sorted(r["pos"] for r in out.select("pos").collect()) == list(
+        range(n)
+    )
+
+
 def test_shuffle_deterministic_no_global_sort(spark, docs):
     """The corpus never funnels through one partition: the only global
     (single-partition) window in the plan runs over the tiny per-bucket

@@ -1017,6 +1017,81 @@ def test_unreachable_clone_keeps_registration_and_fails_vacuum(
     assert log._registered_clones() == [clone.root]
 
 
+def test_unmounted_share_with_surviving_mountpoint_fails_vacuum(
+    spark, log, tmp_path
+):
+    """The device witness (round-10 self-review): the clone's name
+    absent from a SUCCESSFUL parent listing still doesn't prove
+    deletion when the parent sits on a different device than at
+    registration — the unmounted-share shape where the mount-point
+    directory itself survives the unmount. Vacuum must refuse, keeping
+    the registration for when the mount returns."""
+    import json as _json
+    import shutil as _shutil
+
+    log.append(_df(spark, 0, 40))
+    mnt = tmp_path / "mnt"
+    clone = log.clone(str(mnt / "branch"))
+    _shutil.rmtree(clone.root)  # dir gone; parent mnt survives, empty
+    # simulate "mnt is a mount point whose share unmounted": the live
+    # parent device no longer matches the registered witness
+    with open(log._clones_path()) as f:
+        reg = _json.load(f)
+    reg[clone.root] = reg[clone.root] + 1
+    with open(log._clones_path(), "w") as f:
+        _json.dump(reg, f)
+    log.delete_where("id >= 0")
+    with pytest.raises(RuntimeError, match="different device"):
+        log.vacuum(retain_versions=1, min_age_s=0.0)
+    assert log._registered_clones() == [clone.root]
+
+
+def test_legacy_registry_empty_parent_is_ambiguous(spark, log, tmp_path):
+    """A legacy (list-format, no device witness) registration whose
+    parent directory lists EMPTY is the unmounted-mount-point
+    signature, not proof of deletion: vacuum refuses. The same legacy
+    entry with a live clone is upgraded in place; with a genuinely
+    deleted clone beside surviving siblings it still unregisters."""
+    import json as _json
+    import shutil as _shutil
+
+    log.append(_df(spark, 0, 40))
+    mnt = tmp_path / "mnt"
+    clone = log.clone(str(mnt / "branch"))
+    # rewrite the registry in the pre-round-10 list format
+    with open(log._clones_path(), "w") as f:
+        _json.dump([clone.root], f)
+    _shutil.rmtree(clone.root)  # parent mnt now lists empty
+    log.delete_where("id >= 0")
+    with pytest.raises(RuntimeError, match="no device witness"):
+        log.vacuum(retain_versions=1, min_age_s=0.0)
+    assert log._registered_clones() == [clone.root]
+    # a sibling entry makes the parent listing non-empty: absence of
+    # the clone's name is then a confirmed deletion even without a
+    # witness (the legacy unregister path still works)
+    (mnt / "sibling").mkdir()
+    removed = log.vacuum(retain_versions=1, min_age_s=0.0)
+    assert removed and log._registered_clones() == []
+
+
+def test_clone_root_without_log_fails_vacuum(spark, log, tmp_path):
+    """A registered clone root that EXISTS but holds no snapshot log is
+    a torn state or an empty mount point shadowing the real clone —
+    never a detach (registered clones are born with v0). Vacuum must
+    refuse rather than silently unregister."""
+    import os as _os
+    import shutil as _shutil
+
+    log.append(_df(spark, 0, 40))
+    clone = log.clone(str(tmp_path / "branch"))
+    _shutil.rmtree(clone.root)
+    _os.makedirs(clone.root)  # empty dir at the registered path
+    log.delete_where("id >= 0")
+    with pytest.raises(RuntimeError, match="no snapshot log"):
+        log.vacuum(retain_versions=1, min_age_s=0.0)
+    assert log._registered_clones() == [clone.root]
+
+
 def test_changes_between_across_schema_evolution(spark, log):
     """CDF window spanning a merge_schema append: the newest schema in
     range pins the output, so older-vintage rows — inserts AND removes
