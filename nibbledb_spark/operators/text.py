@@ -124,6 +124,84 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Winnowing position-encoding base: selected fingerprints pack
+#: (kgram_hash, position tie-break) into one BIGINT as
+#: ``hash * 2^20 + (2^20 - 1 - pos)`` so a plain MIN picks the smallest
+#: hash and, on hash ties, the RIGHTMOST position (the winnowing rule
+#: that makes selections self-consistent across overlapping windows).
+#: Bounds: 40-bit hash * 2^20 < 2^63 stays in BIGINT, and documents are
+#: limited to 2^20 k-grams (~1M tokens) — chunk longer docs first.
+_WINNOW_POS_CAP = 1 << 20
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing local fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``k``-token gram,
+    slide a window of ``w`` consecutive hashes, and in each window
+    select the minimum (rightmost on ties). The selected set carries
+    the LOCALITY GUARANTEE the stride/modulo fingerprint schemes lack:
+    any match of at least ``w + k - 1`` tokens between two documents
+    shares at least one selected fingerprint, while only ~``2/(w+1)``
+    of positions are kept. Returns (id, pos, fp) — pos is the 0-based
+    k-gram index, fp the 40-bit k-gram hash.
+
+    Shape at scale: the whole selection is ROW-LOCAL (array HOFs over
+    the per-doc token array — build k-grams, encode (hash, pos) into
+    one BIGINT, per-window array_min, distinct) so the plan has ZERO
+    exchanges before the final explode; documents are the parallelism
+    unit, exactly what a 100 TB corpus wants. Integer-exact end to end.
+    Docs shorter than ``k`` tokens yield no rows; docs with fewer than
+    ``w`` k-grams yield the single whole-doc window (every doc with
+    content gets at least one fingerprint)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if w < 1:
+        raise ValueError(f"w must be >= 1: {w}")
+    cap = _WINNOW_POS_CAP
+    toks = tokens(text_col)
+    n_kg = F.size(toks) - F.lit(k - 1)
+    idxs = F.when(
+        n_kg > 0, F.sequence(F.lit(0), n_kg - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    combined = F.transform(
+        idxs,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)).cast("binary")),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long")
+        * F.lit(cap)
+        + (F.lit(cap - 1) - i),
+    )
+    n = F.size(combined)
+    starts = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
+    sel = F.when(
+        n > 0,
+        F.array_distinct(
+            F.transform(starts, lambda i: F.array_min(F.slice(combined, i + 1, w)))
+        ),
+    ).otherwise(F.expr("array()").cast("array<long>"))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(sel).alias("c"))
+        .select(
+            F.col("id").alias(id_col),
+            (F.lit(cap - 1) - F.col("c").bitwiseAND(cap - 1)).alias("pos"),
+            F.shiftright("c", 20).alias("fp"),
+        )
+    )
+
+
 def heavy_hitter_tokens(
     docs: DataFrame, k: int = 20, *, text_col: str = "text"
 ) -> DataFrame:

@@ -1640,6 +1640,50 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "fingerprint_winnowing",
+    """
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS wt FROM documents),
+kgidx AS (
+  SELECT doc_id, wt,
+         unnest(range(greatest(len(wt) - 2, 0))) AS i
+  FROM t
+),
+kg AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(array_to_string(wt[i+1:i+3], ' ')), 1, 10)) AS BIGINT)
+           * 1048576 + (1048575 - i) AS c
+  FROM kgidx
+),
+wins AS (
+  SELECT doc_id, i,
+         MIN(c) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cmin,
+         COUNT(*) OVER (PARTITION BY doc_id) AS nk
+  FROM kg
+)
+SELECT DISTINCT doc_id,
+       CAST(1048575 - (cmin & 1048575) AS BIGINT) AS pos,
+       CAST(cmin >> 20 AS BIGINT) AS fp
+FROM wins WHERE i <= greatest(nk - 4, 0)
+""",
+)
+def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (operators/text.py
+    winnow_fingerprints; Schleimer/Wilkerson/Aiken SIGMOD 2003, the
+    MOSS scheme): per-window minimum of 3-gram hashes over windows of
+    4, rightmost-min tie-break via the packed (hash*2^20 + inverted
+    pos) BIGINT encoding — any >= 6-token match between docs is
+    GUARANTEED to share a selected fingerprint, unlike stride/modulo
+    sampling. Spark side is zero-exchange row-local array HOFs; the
+    oracle states the same selection with a window MIN over positional
+    k-gram rows. Integer-exact, so the hash/pos decode matches bit for
+    bit."""
+    from nibbledb_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=3, w=4)
+
+
+@declared(
     "dedup_exact",
     """
 SELECT md5(text) AS dup_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

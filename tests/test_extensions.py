@@ -578,6 +578,60 @@ def test_pii_scrub_redacts_planted_pii(spark):
     ).hexdigest()
 
 
+def test_winnow_fingerprints_guarantee_and_brute_force(spark, docs):
+    """Winnowing invariants: (a) the selection equals a literal python
+    reimplementation of Schleimer et al.'s algorithm (min per window,
+    rightmost on hash ties) over the fixture corpus; (b) the locality
+    guarantee — two docs sharing a >= w+k-1 token run share a selected
+    fingerprint; (c) every doc with >= k tokens gets >= 1 fingerprint;
+    (d) parameter validation."""
+    import hashlib
+
+    from nibbledb_spark.operators.text import winnow_fingerprints
+
+    k, w = 3, 4
+
+    def brute(text):
+        toks = __import__("re").split(r"\s+", text)
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:10], 16) for g in grams
+        ]
+        if not hs:
+            return set()
+        sel = set()
+        for i in range(max(len(hs) - w, 0) + 1):
+            win = hs[i : i + w]
+            m = min(win)
+            pos = i + max(j for j, h in enumerate(win) if h == m)
+            sel.add((pos, m))
+        return sel
+
+    sample = docs.limit(50)
+    got = {}
+    for r in winnow_fingerprints(sample, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for r in sample.select("doc_id", "text").collect():
+        assert got.get(r["doc_id"], set()) == brute(r["text"]), r["doc_id"]
+    # locality guarantee on a planted >= w+k-1 = 6-token shared run
+    shared = "alpha beta gamma delta epsilon zeta"
+    pair = spark.createDataFrame(
+        [(1, "one two " + shared + " three"), (2, shared + " four five six")],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnow_fingerprints(pair, k=k, w=w).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert all(len(v) >= 1 for v in fps.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k"):
+        winnow_fingerprints(pair, k=0)
+    with _pytest.raises(ValueError, match="w"):
+        winnow_fingerprints(pair, w=0)
+
+
 def test_repetition_stats_flags_duplicated_content(spark):
     from nibbledb_spark.operators.text import repetition_stats
 
