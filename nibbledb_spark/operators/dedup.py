@@ -979,6 +979,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS — the
+    MOSS match step over :func:`~nibbledb_spark.operators.text.
+    winnow_fingerprints`. Two docs pair when they share at least
+    ``min_shared`` selected fingerprints; the score is fingerprint
+    containment ``shared / min(|F1|, |F2|)``. The winnowing guarantee
+    transfers: any >= w+k-1-token overlap is represented by >= 1 shared
+    fingerprint, while the join runs over a ~``2/(w+1)``-density
+    selection of the k-gram space — the same candidate generation as
+    the shared-shingle join at roughly 40% of its row volume (w=4),
+    which is the whole point at corpus scale. ``max_doc_freq`` is the
+    stop-fingerprint blocking cap (same broadcast-anti shape and the
+    same exact→filtered-exact semantics note as ngram_jaccard_pairs).
+    Returns (id1, id2, n_shared, containment)."""
+    from nibbledb_spark.operators.text import winnow_fingerprints
+
+    fps = (
+        winnow_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, w=w)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+        .persist()
+    )
+    if max_doc_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti").persist()
+    sizes = fps.groupBy("id").agg(F.count("*").alias("sz"))
+    f1 = fps.select(F.col("id").alias("id1"), "fp")
+    f2 = fps.select(F.col("id").alias("id2"), "fp")
+    inter = (
+        f1.join(f2, "fp")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    z1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(z1, "id1")
+        .join(z2, "id2")
+        .select(
+            "id1",
+            "id2",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("sz1", "sz2")
+            ).alias("containment"),
+        )
+    )
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     *,

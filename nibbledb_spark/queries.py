@@ -1667,6 +1667,59 @@ SELECT DISTINCT doc_id,
 FROM wins WHERE i <= greatest(nk - 4, 0)
 """,
 )
+@declared(
+    "winnow_near_dup_pairs",
+    """
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS wt FROM documents),
+kgidx AS (
+  SELECT doc_id, wt,
+         unnest(range(greatest(len(wt) - 2, 0))) AS i
+  FROM t
+),
+kg AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(array_to_string(wt[i+1:i+3], ' ')), 1, 10)) AS BIGINT)
+           * 1048576 + (1048575 - i) AS c
+  FROM kgidx
+),
+wins AS (
+  SELECT doc_id, i,
+         MIN(c) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cmin,
+         COUNT(*) OVER (PARTITION BY doc_id) AS nk
+  FROM kg
+),
+fps AS (
+  SELECT DISTINCT doc_id, cmin >> 20 AS fp
+  FROM wins WHERE i <= greatest(nk - 4, 0)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM fps GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared AS DOUBLE) / least(z1.sz, z2.sz) AS containment
+FROM inter
+JOIN sizes z1 ON z1.doc_id = id1
+JOIN sizes z2 ON z2.doc_id = id2
+WHERE n_shared >= 2
+""",
+)
+def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints
+    (operators/dedup.py winnow_near_dup_pairs — the MOSS match step):
+    the fingerprint equi-join generates candidates over a ~2/(w+1)
+    density selection of the k-gram space (~40% of the shared-shingle
+    join's row volume at w=4) while keeping the locality guarantee
+    that every >= 6-token overlap pairs. n_shared and the sizes are
+    exact integers; containment is one int/int divide — parity-safe."""
+    from nibbledb_spark.operators.dedup import winnow_near_dup_pairs as op
+
+    return op(_t(spark, sf_dir, "documents"), k=3, w=4, min_shared=2)
+
+
 def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing local fingerprints (operators/text.py
     winnow_fingerprints; Schleimer/Wilkerson/Aiken SIGMOD 2003, the

@@ -632,6 +632,43 @@ def test_winnow_fingerprints_guarantee_and_brute_force(spark, docs):
         winnow_fingerprints(pair, w=0)
 
 
+def test_winnow_near_dup_pairs_planted_and_capped(spark):
+    """The MOSS match step: a planted heavy-overlap pair is found with
+    containment near 1 for the contained doc; an unrelated doc pairs
+    with nobody; min_shared filters single-fingerprint coincidences;
+    the stop-fingerprint cap drops a corpus-wide boilerplate run that
+    would otherwise pair everything."""
+    from nibbledb_spark.operators.dedup import winnow_near_dup_pairs
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, body + " unique one two three"),
+            (2, body),  # wholly contained in doc 1
+            (3, "totally different words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id1"], r["id2"]): r
+        for r in winnow_near_dup_pairs(docs, min_shared=2).collect()
+    }
+    assert (1, 2) in out
+    assert out[(1, 2)]["containment"] == 1.0  # doc 2's fps all in doc 1
+    assert not any(3 in p for p in out)
+    # boilerplate cap: a shared prefix in every doc pairs everything
+    # without the cap, nothing with it
+    boiler = "same header line for every document in the corpus"
+    bdocs = spark.createDataFrame(
+        [(i, boiler + f" tail{i} x{i} y{i} z{i}") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    assert winnow_near_dup_pairs(bdocs, min_shared=1).count() == 6  # all pairs
+    assert (
+        winnow_near_dup_pairs(bdocs, min_shared=1, max_doc_freq=2).count() == 0
+    )
+
+
 def test_repetition_stats_flags_duplicated_content(spark):
     from nibbledb_spark.operators.text import repetition_stats
 
