@@ -1074,6 +1074,28 @@ def test_legacy_registry_empty_parent_is_ambiguous(spark, log, tmp_path):
     assert removed and log._registered_clones() == []
 
 
+def test_clone_restore_past_source_vacuum_raises_not_corrupts(
+    spark, log, tmp_path
+):
+    """The detach-then-time-travel edge: a compacted (detached) clone
+    unregisters on the next source vacuum, after which its v0 still
+    names source files that are now gone. Restoring to v0 must fail
+    LOUDLY at restore time (dangling-path check) — never commit a head
+    that reads broken — while the clone's own head stays intact.
+    Delta-consistent: vacuum bounds time travel, not liveness."""
+    log.append(_df(spark, 0, 40))
+    clone = log.clone(str(tmp_path / "branch"))
+    clone.compact()  # the documented detach: head now all clone-owned
+    log.delete_where("id >= 0")
+    removed = log.vacuum(retain_versions=1, min_age_s=0.0)
+    assert removed, "detached clone must not pin source files"
+    assert log._registered_clones() == []
+    assert clone.read().count() == 40  # head unaffected
+    with pytest.raises(ValueError, match="vacuumed"):
+        clone.restore(0)
+    assert clone.read().count() == 40  # failed restore committed nothing
+
+
 def test_clone_root_without_log_fails_vacuum(spark, log, tmp_path):
     """A registered clone root that EXISTS but holds no snapshot log is
     a torn state or an empty mount point shadowing the real clone —
