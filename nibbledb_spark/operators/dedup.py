@@ -501,6 +501,15 @@ def _lsh_read(spark, path: str, table: str) -> DataFrame:
     m = _lsh_manifest_read(path)
     if m is None:
         return spark.read.parquet(_os.path.join(path, table))
+    if not m[table]:
+        # An empty file list would make spark.read.parquet() raise the
+        # cryptic "path not specified"; it can only mean a corrupt or
+        # empty-corpus index (build_lsh_index rejects empty corpora).
+        raise ValueError(
+            f"LSH index at {path} lists no part files for table "
+            f"{table!r} — corrupt manifest or pre-guard empty-corpus "
+            f"build; rebuild the index"
+        )
     return spark.read.parquet(*[_os.path.join(path, table, fn) for fn in m[table]])
 
 
@@ -538,6 +547,17 @@ def build_lsh_index(
         raise FileExistsError(f"LSH index already exists: {path}")
     tmp = f"{path}.inprogress-{_uuid.uuid4().hex[:8]}"
     sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=shingle_n).persist()
+    # An empty shingle table (empty corpus, or every doc shorter than
+    # shingle_n) would publish tables with ZERO part files, and the
+    # manifest's empty file list breaks every reader. Reject up front
+    # with a usable message; the limit(1) probe also warms the persist.
+    if not sh.limit(1).count():
+        sh.unpersist()
+        raise ValueError(
+            "build_lsh_index: corpus yields no shingles (empty corpus or "
+            f"all documents shorter than shingle_n={shingle_n}) — nothing "
+            "to index"
+        )
     try:
         try:
             _band_rows(sh, num_hashes, band_size).write.mode(
@@ -1008,7 +1028,6 @@ def winnow_near_dup_pairs(
         winnow_fingerprints(docs, id_col=id_col, text_col=text_col, k=k, w=w)
         .select(F.col(id_col).alias("id"), "fp")
         .distinct()
-        .persist()
     )
     if max_doc_freq is not None:
         hot = (
@@ -1017,7 +1036,15 @@ def winnow_near_dup_pairs(
             .where(F.col("df") > max_doc_freq)
             .select("fp")
         )
-        fps = fps.join(F.broadcast(hot), "fp", "left_anti").persist()
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    # Persist ONCE, after the optional stop-fingerprint filter: an
+    # earlier draft persisted both the raw and the filtered frame, and
+    # the raw copy stayed pinned in the filtered frame's lineage with
+    # no handle left to unpersist it — doubling executor cache for the
+    # three downstream consumers. The df-count branch re-derives
+    # fingerprints once at materialization; cache memory is the scarcer
+    # resource at corpus scale.
+    fps = fps.persist()
     sizes = fps.groupBy("id").agg(F.count("*").alias("sz"))
     f1 = fps.select(F.col("id").alias("id1"), "fp")
     f2 = fps.select(F.col("id").alias("id2"), "fp")
@@ -1068,7 +1095,7 @@ def ngram_containment_pairs(
     product), the intersection count falls out of the same join, and
     ``max_doc_freq`` is the broadcast-anti stop-shingle cap. Integer
     counts => the ratio is one deterministic double divide."""
-    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n).persist()
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("shingle")
@@ -1076,7 +1103,11 @@ def ngram_containment_pairs(
             .where(F.col("df") > max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # Single persist after the stop-shingle filter — see the matching
+    # note in winnow_near_dup_pairs (double-persist pinned the raw
+    # shingle frame in cache with no unpersist handle).
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     s1 = sh.select(F.col("id").alias("id1"), F.col("shingle").alias("s"))
     s2 = sh.select(F.col("id").alias("id2"), F.col("shingle").alias("s"))

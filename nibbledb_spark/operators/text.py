@@ -130,7 +130,8 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
 #: hash and, on hash ties, the RIGHTMOST position (the winnowing rule
 #: that makes selections self-consistent across overlapping windows).
 #: Bounds: 40-bit hash * 2^20 < 2^63 stays in BIGINT, and documents are
-#: limited to 2^20 k-grams (~1M tokens) — chunk longer docs first.
+#: limited to 2^20 k-grams (~1M tokens) — ENFORCED with a per-row
+#: assert_true in winnow_fingerprints; chunk longer docs first.
 _WINNOW_POS_CAP = 1 << 20
 
 
@@ -192,6 +193,21 @@ def winnow_fingerprints(
             F.transform(starts, lambda i: F.array_min(F.slice(combined, i + 1, w)))
         ),
     ).otherwise(F.expr("array()").cast("array<long>"))
+    # The position encoding holds for at most 2^20 k-grams; past that,
+    # (cap-1-i) goes negative and silently corrupts BOTH fp and pos for
+    # the doc. Fail loudly instead: assert_true is row-local and
+    # codegen-friendly (returns NULL when the bound holds, raises with
+    # the offending doc id when it doesn't), so the zero-exchange plan
+    # shape is unchanged.
+    cap_ok = F.assert_true(
+        n_kg <= F.lit(cap),
+        F.concat(
+            F.lit("winnow_fingerprints: document "),
+            F.col(id_col).cast("string"),
+            F.lit(f" exceeds {cap} k-grams; chunk longer docs first"),
+        ),
+    )
+    sel = F.when(cap_ok.isNull(), sel)
     return (
         docs.select(F.col(id_col).alias("id"), F.explode(sel).alias("c"))
         .select(

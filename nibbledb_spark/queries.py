@@ -51,6 +51,19 @@ def declared(name: str, sql: str | None = None, *, pytest_only: bool = False):
         # caught it. Fail at import instead.
         if name in QUERIES or name in PYTEST_ONLY_QUERIES:
             raise ValueError(f"duplicate declared query name: {name}")
+        # ... and stacking two @declared decorators on ONE def binds both
+        # names to the same builder while the def the second name was
+        # meant for goes unregistered (round-10 incident:
+        # fingerprint_winnowing silently served winnow_near_dup_pairs'
+        # plan, 103 vs 10105 rows). The def's own name IS the declared
+        # name by project convention, so a mismatch here can only mean a
+        # stacked/misplaced decorator. Fail at import.
+        if fn.__name__ != name:
+            raise ValueError(
+                f"@declared({name!r}) placed on def {fn.__name__!r}: "
+                "decorator stacking or a misnamed builder — each declared "
+                "name must decorate a def of the same name"
+            )
         if pytest_only:
             assert sql is None, f"{name}: pytest_only queries carry no oracle"
             PYTEST_ONLY_QUERIES[name] = fn
@@ -662,7 +675,7 @@ FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """,
 )
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").select("o_custkey")
@@ -1640,34 +1653,6 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
-    "fingerprint_winnowing",
-    """
-WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS wt FROM documents),
-kgidx AS (
-  SELECT doc_id, wt,
-         unnest(range(greatest(len(wt) - 2, 0))) AS i
-  FROM t
-),
-kg AS (
-  SELECT doc_id, i,
-         CAST(concat('0x', substr(md5(array_to_string(wt[i+1:i+3], ' ')), 1, 10)) AS BIGINT)
-           * 1048576 + (1048575 - i) AS c
-  FROM kgidx
-),
-wins AS (
-  SELECT doc_id, i,
-         MIN(c) OVER (PARTITION BY doc_id ORDER BY i
-                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cmin,
-         COUNT(*) OVER (PARTITION BY doc_id) AS nk
-  FROM kg
-)
-SELECT DISTINCT doc_id,
-       CAST(1048575 - (cmin & 1048575) AS BIGINT) AS pos,
-       CAST(cmin >> 20 AS BIGINT) AS fp
-FROM wins WHERE i <= greatest(nk - 4, 0)
-""",
-)
-@declared(
     "winnow_near_dup_pairs",
     """
 WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS wt FROM documents),
@@ -1720,6 +1705,34 @@ def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(_t(spark, sf_dir, "documents"), k=3, w=4, min_shared=2)
 
 
+@declared(
+    "fingerprint_winnowing",
+    """
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS wt FROM documents),
+kgidx AS (
+  SELECT doc_id, wt,
+         unnest(range(greatest(len(wt) - 2, 0))) AS i
+  FROM t
+),
+kg AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(array_to_string(wt[i+1:i+3], ' ')), 1, 10)) AS BIGINT)
+           * 1048576 + (1048575 - i) AS c
+  FROM kgidx
+),
+wins AS (
+  SELECT doc_id, i,
+         MIN(c) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cmin,
+         COUNT(*) OVER (PARTITION BY doc_id) AS nk
+  FROM kg
+)
+SELECT DISTINCT doc_id,
+       CAST(1048575 - (cmin & 1048575) AS BIGINT) AS pos,
+       CAST(cmin >> 20 AS BIGINT) AS fp
+FROM wins WHERE i <= greatest(nk - 4, 0)
+""",
+)
 def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing local fingerprints (operators/text.py
     winnow_fingerprints; Schleimer/Wilkerson/Aiken SIGMOD 2003, the
@@ -2301,7 +2314,7 @@ SELECT doc_id, {votes} AS simhash FROM h GROUP BY doc_id
 
 
 @declared("simhash_docs", _simhash_sql())
-def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (md5-derived token hashes, signed bit
     votes — single pass, engine-portable)."""
     from nibbledb_spark.operators.dedup import simhash_docs
@@ -3466,7 +3479,7 @@ SELECT agg.series, agg.n, agg.total, agg.vmin, agg.vmax, agg.last_ts, fin.ewma
 FROM agg JOIN fin USING (series)
 """,
 )
-def stateful_series_stats_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stateful_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-checkable replay of the custom stateful streaming operator
     (streaming/ingest.py stateful_series_stats, the managed-state
     analogue of the reference's per-series membuf cache — SURVEY.md A35,
@@ -5655,7 +5668,7 @@ r AS (
     _TEMP_MIX_CTES
     + "SELECT source, n_docs, mix_share, keep_rate FROM r ORDER BY source",
 )
-def temperature_mix_rates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def temperature_mix_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source keep rates for alpha = 0.5 temperature mixture
     sampling (the multilingual/multi-domain training recipe: tempered
     share n_s^0.5 / sum, keep rate realizing it under a half-corpus
@@ -5719,7 +5732,7 @@ FROM s
 
 
 @declared("linear_quality_score", _LINEAR_SCORE_SQL)
-def linear_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style linear classifier inference as a ZERO-SHUFFLE
     codegen projection (operators/text.py linear_quality_score): hashed
     token buckets -> integer weight lookup -> exact per-doc dot product,

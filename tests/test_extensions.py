@@ -632,6 +632,32 @@ def test_winnow_fingerprints_guarantee_and_brute_force(spark, docs):
         winnow_fingerprints(pair, w=0)
 
 
+def test_winnow_fingerprints_kgram_cap_enforced(spark):
+    """A document past 2^20 k-grams would make the packed
+    ``hash*2^20 + (cap-1-pos)`` encoding go NEGATIVE and silently
+    corrupt both fp and pos; the operator must fail loudly instead.
+    The guard is a per-row assert_true on the k-gram COUNT, so the
+    raise happens before any of the million k-gram hashes are computed
+    (this test finishes in seconds, not minutes)."""
+    from pyspark.errors import SparkRuntimeException
+
+    from nibbledb_spark.operators.text import _WINNOW_POS_CAP, winnow_fingerprints
+
+    import pytest as _pytest
+
+    k = 3
+    n_tokens = _WINNOW_POS_CAP + k  # => cap+1 k-grams, one past the bound
+    big = spark.createDataFrame(
+        [(7, " ".join(["tok"] * n_tokens))], "doc_id long, text string"
+    )
+    with _pytest.raises(SparkRuntimeException, match="exceeds"):
+        winnow_fingerprints(big, k=k).count()
+    # The bound is inclusive (n_kg <= cap): an exactly-at-cap doc is
+    # valid but computing its 2^20 interpreted k-gram hashes takes
+    # minutes, so the happy path is covered by the small-doc tests
+    # above rather than a full at-cap run.
+
+
 def test_winnow_near_dup_pairs_planted_and_capped(spark):
     """The MOSS match step: a planted heavy-overlap pair is found with
     containment near 1 for the contained doc; an unrelated doc pairs
@@ -2863,6 +2889,45 @@ class TestLshIndex:
         dd.validate_lsh_index(spark, path)
         with _pytest.raises(FileExistsError):
             dd.build_lsh_index(docs, path)
+
+    def test_build_rejects_empty_corpus(self, spark, tmp_path):
+        """An empty corpus (or one where every doc is shorter than
+        shingle_n) would publish tables with ZERO part files; the
+        manifest's empty file list then breaks every reader with the
+        cryptic 'path not specified'. Build must refuse up front, and
+        a hand-corrupted empty manifest list must fail with a usable
+        message naming the table."""
+        import json
+        import os
+
+        import pytest as _pytest
+
+        import nibbledb_spark.operators.dedup as dd
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="no shingles"):
+            dd.build_lsh_index(empty, str(tmp_path / "idx_empty"))
+        assert not os.path.exists(str(tmp_path / "idx_empty"))
+
+        short = spark.createDataFrame(
+            [(1, "just two")], "doc_id long, text string"
+        )
+        with _pytest.raises(ValueError, match="no shingles"):
+            dd.build_lsh_index(short, str(tmp_path / "idx_short"))
+
+        # reader-side guard: corrupt an otherwise-healthy manifest
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon tail{i}") for i in range(6)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "idx_ok")
+        dd.build_lsh_index(docs, path)
+        mpath = os.path.join(path, dd._LSH_MANIFEST)
+        m = json.load(open(mpath))
+        m["bands"] = []
+        json.dump(m, open(mpath, "w"))
+        with _pytest.raises(ValueError, match="bands"):
+            dd._lsh_read(spark, path, "bands")
 
     def test_validate_detects_partial_publish(self, spark, docs, tmp_path):
         """A torn add publish (files renamed in, manifest never swapped)

@@ -94,3 +94,52 @@ def test_spark_query_output_types_survive_pandas(spark):
         f"Spark queries output nested columns the driver's pandas sort "
         f"crashes on ({hostile}); emit concat_ws/to_json scalars instead"
     )
+
+
+def test_registry_names_bind_their_own_builders():
+    """Round-10 incident class: stacking two ``@declared`` decorators on
+    one def registers BOTH names to that def and orphans the def the
+    second decorator was written for (``fingerprint_winnowing`` served
+    ``winnow_near_dup_pairs``'s plan for a full driver round). The
+    decorator now raises at import on a ``__name__`` mismatch; this pin
+    fails if that guard is ever weakened, and additionally asserts no
+    function object answers to two names."""
+    from nibbledb_spark.queries import PYTEST_ONLY_QUERIES, QUERIES
+
+    every = {**QUERIES, **PYTEST_ONLY_QUERIES}
+    mismatched = [n for n, fn in every.items() if fn.__name__ != n]
+    assert not mismatched, f"registry name != builder __name__: {mismatched}"
+
+    by_id: dict[int, list[str]] = {}
+    for n, fn in every.items():
+        by_id.setdefault(id(fn), []).append(n)
+    shared = [names for names in by_id.values() if len(names) > 1]
+    assert not shared, f"one builder registered under several names: {shared}"
+
+
+def test_no_orphaned_query_builders():
+    """The other half of the stacking failure mode: a def written to be
+    a registry entry that no decorator actually registered. Any
+    module-level function in queries.py with the ``(spark, sf_dir)``
+    builder signature must appear in QUERIES or PYTEST_ONLY_QUERIES."""
+    import inspect
+
+    import nibbledb_spark.queries as q
+
+    registered = set(q.QUERIES) | set(q.PYTEST_ONLY_QUERIES)
+    orphans = []
+    for name, fn in vars(q).items():
+        if not inspect.isfunction(fn) or fn.__module__ != q.__name__:
+            continue
+        if name.startswith("_"):  # private helpers share the signature
+            continue
+        try:
+            params = list(inspect.signature(fn).parameters)
+        except (TypeError, ValueError):
+            continue
+        if params[:2] == ["spark", "sf_dir"] and name not in registered:
+            orphans.append(name)
+    assert not orphans, (
+        f"builder-shaped defs never registered (misplaced/missing "
+        f"@declared): {orphans}"
+    )
