@@ -36,48 +36,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # `no_oracle`. This list is GENERATED — refresh each round:
 #   python tools/update_rotation.py CORRECTNESS_r*.json
 _DRIVER_VERIFIED = [
-    "join_lineitem_orders_smj",
-    "join_lineitem_part_broadcast",
-    "join_salted_orders_customer",
-    "join_theta_nation_region",
-    "join_outer_order_histogram",
-    "join_full_outer_key_coverage",
-    "join_semi_customers_with_orders",
-    "range_join_shipped_90d",
-    "dedup_substring_spans",
-    "dedup_substring_extent",
-    "dedup_substring_scrub",
-    "dedup_substring_self_spans",
-    "stream_interval_join_louter",
-    "q6_forecast_revenue",
-    "q8_national_market_share",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "ts_corr_pairs",
-    "window_ntile_quartiles",
-    "argmax_latest_order",
-    "bitmask_user_event_flags",
-    "ts_moments_skew_kurt",
-    "asof_last_purchase_before_click",
-    "asof_next_purchase_after_click",
-    "rollup_customers_region_nation",
-    "cube_orders_status_priority",
-    "grouping_sets_revenue",
-    "count_distinct_customers",
-    "moving_avg_7d",
-    "setop_intersect",
-    "setop_except",
-    "string_funcs_part",
-    "math_funcs_lineitem",
-    "text_lang_id",
-    "text_fingerprints",
-    "dedup_exact",
-    "dedup_content",
-    "lsh_near_dup_pairs",
-    "ngram_jaccard_pairs",
-    "near_dup_components",
-    "dedup_lines_global",
-    "near_dup_components_star",
     "simhash_docs",
     "embed_norms",
     "embed_cosine_topk",
@@ -208,6 +166,55 @@ _DRIVER_VERIFIED = [
     "ts_anomaly_zscore",
     "lm_quality_bigram",
     "ts_seasonal_residuals",
+    "join_lineitem_orders_smj",
+    "join_lineitem_part_broadcast",
+    "join_salted_orders_customer",
+    "join_theta_nation_region",
+    "join_outer_order_histogram",
+    "join_full_outer_key_coverage",
+    "join_semi_customers_with_orders",
+    "range_join_shipped_90d",
+    "asof_last_purchase_before_click",
+    "asof_next_purchase_after_click",
+    "rollup_customers_region_nation",
+    "cube_orders_status_priority",
+    "grouping_sets_revenue",
+    "count_distinct_customers",
+    "moving_avg_7d",
+    "setop_intersect",
+    "setop_except",
+    "string_funcs_part",
+    "math_funcs_lineitem",
+    "text_lang_id",
+    "text_fingerprints",
+    "winnow_near_dup_pairs",
+    "dedup_exact",
+    "dedup_content",
+    "lsh_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
+    "ngram_novelty_scores",
+    "strip_frequent_tokens",
+    "near_dup_components",
+    "dedup_lines_global",
+    "dedup_substring_spans",
+    "dedup_substring_extent",
+    "dedup_substring_scrub",
+    "dedup_substring_self_spans",
+    "near_dup_components_star",
+    "embed_mrl_topk_d16",
+    "stream_interval_join_louter",
+    "q6_forecast_revenue",
+    "q8_national_market_share",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "corpus_shuffle_positions",
+    "rollup_hourly_reads",
+    "ts_corr_pairs",
+    "window_ntile_quartiles",
+    "argmax_latest_order",
+    "bitmask_user_event_flags",
+    "ts_moments_skew_kurt",
 ]
 
 

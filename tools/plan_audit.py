@@ -29,6 +29,47 @@ JOIN_OPS = [
     "CartesianProduct",
 ]
 
+# HARD plan invariants, not just reporting: these queries are claimed
+# (SURVEY.md / docstrings) to be row-local zero-exchange projections or
+# scans — an Exchange appearing in one of them is a regression the audit
+# must FAIL on, not a table cell a reviewer might miss. The round-10
+# fingerprint_winnowing registration bug shipped exactly because the
+# audit only reported its 4 surprise exchanges. Update this pin only
+# with a conscious plan change, never to silence a failure.
+ZERO_EXCHANGE = frozenset(
+    {
+        "bpe_learn_merges",  # corpus side; learning aggs are separate jobs
+        "embed_near_dup_pairs",  # broadcast sweep; corpus never shuffles
+        "embed_norms",
+        "embed_quantize_int8",
+        "fingerprint_winnowing",  # row-local array HOFs (SURVEY.md §2.5)
+        "insert_feed_versions",
+        "join_salted_orders_customer",  # broadcast after salting
+        "join_theta_nation_region",  # broadcast NL by design
+        "json_map_events",
+        "linear_quality_score",
+        "math_funcs_lineitem",
+        "multimodal_frame_sample",
+        "multimodal_payload_fp",
+        "notin_suppliers_no_returns",
+        "sample_stratified_sources",
+        "sample_weighted_priority",
+        "split_train_val_test",
+        "stream_interval_join",
+        "stream_interval_join_louter",
+        "string_funcs_part",
+        "subquery_exists_big_spenders",
+        "text_fingerprints",
+        "text_lang_id",
+        "text_pii_scrub",
+        "text_quality",
+        "text_token_stats",
+        "tokenize_bpe",
+        "top10_orders",  # TakeOrderedAndProject, never a full sort
+        "unpivot_lineitem_measures",
+    }
+)
+
 
 def plan_of(df, mode: str) -> str:
     buf = io.StringIO()
@@ -86,6 +127,26 @@ def main() -> int:
         )
     if failed:
         lines += ["", "Failed to plan:", ""] + [f"- {n}: {m}" for n, m in failed]
+    breaches = [
+        r["name"]
+        for r in rows
+        if r["name"] in ZERO_EXCHANGE and r["exchanges"] != 0
+    ]
+    missing_pins = ZERO_EXCHANGE - {r["name"] for r in rows} - {
+        n for n, _ in failed
+    }
+    if breaches:
+        lines += [
+            "",
+            "**INVARIANT BREACH** — queries pinned zero-exchange now shuffle:",
+            "",
+        ] + [f"- {n}" for n in breaches]
+    if missing_pins:
+        lines += [
+            "",
+            "**INVARIANT PIN STALE** — pinned names missing from registry:",
+            "",
+        ] + [f"- {n}" for n in sorted(missing_pins)]
     n_py = sum(1 for r in rows if r["python"] == "yes")
     n_nlj = sum(1 for r in rows if "NestedLoop" in r["joins"] or "×" in r["joins"])
     lines += [
@@ -105,8 +166,12 @@ def main() -> int:
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(lines))
-    print(f"PLANS.md: {len(rows)} audited, {len(failed)} failed")
-    return 0 if not failed else 1
+    print(
+        f"PLANS.md: {len(rows)} audited, {len(failed)} failed, "
+        f"{len(breaches)} zero-exchange breaches, "
+        f"{len(missing_pins)} stale pins"
+    )
+    return 0 if not (failed or breaches or missing_pins) else 1
 
 
 if __name__ == "__main__":
