@@ -526,6 +526,12 @@ def serve(
         def do_DELETE(self):
             self._respond("DELETE")
 
+        def do_PUT(self):
+            # the reference answers 400 Error:unknown method (main.re:
+            # 219-222) where BaseHTTPRequestHandler would 501 — route
+            # through the Router so wire behavior matches
+            self._respond("PUT")
+
         def log_message(self, *args):  # quiet
             pass
 

@@ -421,3 +421,152 @@ def test_resample_served_from_rollup_matches_operator(router):
     assert routed == raw and len(routed) > 0
     filled = get(router, "/x/ts/honeybees/resample/3600000000/prev")
     assert len(filled) >= len(routed)  # gap-fill adds grid rows
+
+
+def test_full_wire_protocol_over_http(engine, tmp_path):
+    """A5/verdict-r10 e2e: EVERY route of the reference's table
+    (src/main.re:175-202) driven over a REAL TCP socket — including the
+    sync control endpoint — plus the ported load generator
+    (tools/client.py, the reference's test/client.re) run as an actual
+    subprocess against the live server. The in-process Router tests pin
+    semantics; this pins the wire: URL parsing from a raw request line,
+    Content-Length framing, JSON bodies both ways, 400 statuses."""
+    import os
+    import subprocess
+    import sys
+    import urllib.error
+    import urllib.request
+
+    router = Router(engine)
+    server = serve(router, port=0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def http(method, path, body=None):
+        req = urllib.request.Request(
+            base + path,
+            data=json.dumps(body).encode() if body is not None else None,
+            method=method,
+        )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                text = resp.read().decode()
+                return resp.status, (json.loads(text) if text else None)
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    try:
+        # -- ingest: the reference's own client workflow ------------------
+        # (client.re --file: POST a whole fixture file's array payload)
+        fixture = tmp_path / "butterflies.json"
+        fixture.write_text(json.dumps(BFLY))
+        r = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "tools", "client.py"),
+                "--uri", f"{base}/ts/butterflies", "--file",
+                "--payload", str(fixture), "--loop", "1", "--freq", "0",
+            ],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert r.returncode == 0 and "=> Created" in r.stdout, r.stderr
+        # (client.re default payload loop: N single-point POSTs)
+        r = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "tools", "client.py"),
+                "--uri", f"{base}/ts/foo", "--loop", "3", "--freq", "0",
+            ],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert r.returncode == 0 and r.stdout.count("=> Created") == 3
+        # a 400 terminates the client with exit 1 (improvement over
+        # client.re, which ignores statuses entirely)
+        r = subprocess.run(
+            [
+                sys.executable, os.path.join(repo, "tools", "client.py"),
+                "--uri", f"{base}/ts/bad", "--payload", "not json",
+                "--loop", "1", "--freq", "0",
+            ],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert r.returncode == 1 and "HTTP 400" in r.stderr
+
+        # -- every GET route over the socket ------------------------------
+        assert http("GET", "/ts/butterflies/length")[1] == {"length": 8}
+        assert http("GET", "/ts/foo/length")[1] == {"length": 3}
+        s, last2 = http("GET", "/ts/butterflies/last/2")
+        assert s == 200 and [p["value"] for p in last2] == [7.0, 8.0]
+        assert http("GET", "/ts/butterflies/latest")[1][0]["value"] == 7.0
+        s, first2 = http("GET", "/ts/butterflies/first/2")
+        assert s == 200 and len(first2) == 2
+        assert (
+            http("GET", "/ts/butterflies/earliest")[1][0]["timestamp"]
+            == 1439856000000000
+        )
+        assert len(http("GET", "/ts/butterflies/since/1439877240000000")[1]) == 4
+        assert (
+            len(
+                http(
+                    "GET",
+                    "/ts/butterflies/range/1439856000000000/1439856360000000",
+                )[1]
+            )
+            == 4
+        )
+        # xargs over the wire: filter, filter+agg, bare agg
+        s, flt = http(
+            "GET", "/ts/butterflies/last/8/filter/scientist/equals/perpetua"
+        )
+        assert s == 200 and sorted(p["value"] for p in flt) == [1.0, 3.0, 7.0, 8.0]
+        assert http(
+            "GET", "/ts/butterflies/last/8/filter/scientist/equals/perpetua/sum"
+        )[1] == {"sum": 19.0}
+        assert http("GET", "/ts/butterflies/last/8/sum")[1] == {"sum": 45.0}
+        # multi-series union read
+        assert http("GET", "/ts/butterflies,foo/length")[1] == {"length": 11}
+        # memory/disk split + sync control endpoint (A5)
+        mem0 = http("GET", "/ts/butterflies/memory/length")[1]["length"]
+        disk0 = http("GET", "/ts/butterflies/disk/length")[1]["length"]
+        assert mem0 + disk0 == 8
+        assert http("GET", "/ctl/ts/sync") == (200, None)
+        assert http("GET", "/ts/butterflies/memory/length")[1] == {"length": 0}
+        assert http("GET", "/ts/butterflies/disk/length")[1] == {"length": 8}
+        # index endpoints (post-sync the shard index is non-trivial)
+        n_idx = http("GET", "/ts/butterflies/index/length")[1]["length"]
+        assert n_idx >= 1
+        s, idx = http("GET", "/ts/butterflies/index")
+        assert s == 200 and len(idx["butterflies"]) == n_idx
+        assert all(lo <= hi for lo, hi in idx["butterflies"])
+        # info endpoints
+        assert http("GET", "/info/status")[1] == {"status": "ok"}
+        names = http("GET", "/info/ts/names")[1]["timeseries"]
+        assert {"butterflies", "foo"} <= set(names)
+        s, stats = http("GET", "/info/ts/stats")
+        assert s == 200 and [list(d)[0] for d in stats] == [
+            "length", "length_in_memory", "length_on_disk", "length_of_index",
+        ]
+
+        # -- DELETE routes over the socket --------------------------------
+        assert http(
+            "DELETE",
+            "/ts/butterflies/range/1439877240000000/1439877600000000"
+            "/filter/scientist/equals/langstroth",
+        ) == (200, None)
+        assert http("GET", "/ts/butterflies/length")[1] == {"length": 6}
+        assert http("DELETE", "/ts/butterflies/since/1439877240000000") == (
+            200,
+            None,
+        )
+        assert http("GET", "/ts/butterflies/length")[1] == {"length": 4}
+
+        # -- wire-level 400s ----------------------------------------------
+        for method, path in [
+            ("GET", "/nope"),
+            ("GET", "/ts/butterflies/last/notanumber"),
+            ("GET", "/ts/butterflies/last/8/bogusagg"),
+            ("DELETE", "/ts/butterflies"),
+            ("PUT", "/ts/butterflies"),
+        ]:
+            status, text = http(method, path)
+            assert status == 400 and text.startswith("Error:"), (method, path)
+    finally:
+        server.shutdown()
