@@ -1439,6 +1439,168 @@ def extract_features(media: DataFrame, *, batch_hint: int | None = None) -> Data
     return media.mapInPandas(run, schema=_FEATURES_SCHEMA)
 
 
+def parse_avi(payload: bytes) -> dict:
+    """Minimal RIFF-AVI container walk (public AVI 1.0 / OpenDML spec):
+    returns ``{"width", "height", "usec_per_frame", "handler",
+    "frames": [bytes, ...]}`` for the FIRST video stream.
+
+    REAL for MJPEG ('MJPG'/'mjpg'/'dmb1' fourccs — every frame is a
+    standalone JPEG the existing :func:`decode_image` handles).
+    Recognized video streams with an inter-frame codec (XVID/H264/...)
+    raise ``NotImplementedError`` — that is the documented seam where a
+    real cluster plugs ffmpeg/pyav in; the container walk, frame
+    timing, and sampling logic above it stay exactly as tested here.
+    Malformed containers raise ``ValueError``.
+
+    Timing: ``strh.dwRate/dwScale`` (the canonical per-stream clock)
+    when present and sane, else ``avih.dwMicroSecPerFrame``.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+
+    def chunks(data: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body_end = pos + 8 + size
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            yield fourcc, pos + 8, body_end
+            pos = body_end + (size & 1)  # chunks are word-aligned
+
+    info: dict = {
+        "width": None,
+        "height": None,
+        "usec_per_frame": None,
+        "handler": None,
+        "frames": [],
+    }
+    saw_vids = False
+
+    def walk(pos: int, end: int, in_movi: bool = False) -> None:
+        nonlocal saw_vids
+        for fourcc, b0, b1 in chunks(payload, pos, end):
+            if fourcc == b"LIST":
+                ltype = payload[b0 : b0 + 4]
+                walk(b0 + 4, b1, in_movi or ltype in (b"movi", b"rec "))
+            elif fourcc == b"avih" and b1 - b0 >= 40:
+                info["usec_per_frame"] = info["usec_per_frame"] or int.from_bytes(
+                    payload[b0 : b0 + 4], "little"
+                )
+                info["width"] = int.from_bytes(payload[b0 + 32 : b0 + 36], "little")
+                info["height"] = int.from_bytes(payload[b0 + 36 : b0 + 40], "little")
+            elif fourcc == b"strh" and b1 - b0 >= 32 and not saw_vids:
+                if payload[b0 : b0 + 4] == b"vids":
+                    saw_vids = True
+                    info["handler"] = payload[b0 + 4 : b0 + 8].decode(
+                        "ascii", "replace"
+                    )
+                    scale = int.from_bytes(payload[b0 + 20 : b0 + 24], "little")
+                    rate = int.from_bytes(payload[b0 + 24 : b0 + 28], "little")
+                    if rate > 0 and scale > 0:
+                        info["usec_per_frame"] = round(1_000_000 * scale / rate)
+            elif in_movi and fourcc[2:4] in (b"dc", b"db"):
+                # stream-00 video frames; audio ('wb') and index chunks skip
+                if fourcc[:2] == b"00":
+                    info["frames"].append(payload[b0:b1])
+
+    walk(12, len(payload))
+    if not saw_vids:
+        raise ValueError("AVI has no video ('vids') stream")
+    handler = (info["handler"] or "").strip("\x00 ").upper()
+    if handler not in ("MJPG", "DMB1"):
+        raise NotImplementedError(
+            f"AVI video codec {handler or '<none>'!r} needs an inter-frame "
+            "decoder (ffmpeg/pyav) — only MJPEG decodes without codec libs"
+        )
+    if not info["usec_per_frame"] or info["usec_per_frame"] <= 0:
+        raise ValueError("AVI carries no usable frame timing")
+    return info
+
+
+_KEYFRAMES_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms bigint, frame binary, "
+    "width int, height int, lum_mean float, decoded boolean"
+)
+
+
+def video_keyframes(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Keyframe extraction from MJPEG-in-AVI payloads: the REAL video
+    path behind the :func:`frame_sample` metadata plan. Walks the RIFF
+    container (:func:`parse_avi`), samples one frame per ``every_ms``
+    of STREAM time (``strh`` clock, not a guessed constant), and
+    decodes each sampled frame with the existing pure-numpy JPEG
+    decoder — emitting the frame bytes (a standalone image payload any
+    downstream image operator accepts) plus decoded luminance stats.
+
+    Failure contract matches the other media operators: a corrupt
+    container or an inter-frame codec yields ONE flagged row
+    (``decoded=false``, null frame) for the media item; a single bad
+    frame inside a good container flags just that frame. A 100 TB
+    crawl always contains both, and neither may kill a task. Arrow
+    batch shape, schema, and the per-frame row explosion are the parts
+    that matter for partition sizing at scale — all real here.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "frame_idx", "frame_ts_ms", "frame",
+                    "width", "height", "lum_mean", "decoded",
+                )
+            }
+
+            def emit(mid, idx, ts, frame, w, h, lum, ok):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["frame_ts_ms"].append(ts)
+                out["frame"].append(frame)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["lum_mean"].append(lum)
+                out["decoded"].append(ok)
+
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    avi = parse_avi(bytes(payload))
+                except (NotImplementedError, ValueError, TypeError):
+                    emit(mid, None, None, None, None, None, None, False)
+                    continue
+                period_us = avi["usec_per_frame"]
+                frames = avi["frames"]
+                k = 0
+                prev_idx = -1
+                while True:
+                    idx = (k * every_ms * 1000) // period_us
+                    if idx >= len(frames):
+                        break
+                    k += 1
+                    if idx == prev_idx:  # every_ms finer than the stream clock
+                        continue
+                    prev_idx = idx
+                    ts_ms = (idx * period_us) // 1000
+                    jpeg = frames[idx]
+                    try:
+                        arr = decode_image(jpeg).astype(np.float64)
+                    except (NotImplementedError, ValueError, TypeError,
+                            ZeroDivisionError, IndexError, OverflowError):
+                        emit(mid, idx, ts_ms, jpeg, None, None, None, False)
+                    else:
+                        h, w = arr.shape[:2]
+                        emit(
+                            mid, idx, ts_ms, jpeg, w, h,
+                            np.float32(arr.mean(axis=2).mean() / 255.0), True,
+                        )
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("kind") == "video").select(
+        "media_id", "payload"
+    ).mapInPandas(run, _KEYFRAMES_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan: one output row per sampled frame
     timestamp, derived from meta.duration_ms — the decode itself is

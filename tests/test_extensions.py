@@ -3529,3 +3529,144 @@ def test_clean_ingest_sink_gates_dedups_exactly_once(spark, tmp_path):
     lax = clean_ingest_sink(log, min_quality=0.0, keep_empty=True, stream_id="lax")
     lax(empty, 0)
     assert 77_777 in {r["doc_id"] for r in log.read().collect()}
+
+
+def _avi_mjpeg_bytes(
+    frames, *, scale=1, rate=10, width=16, height=16, handler=b"MJPG",
+    wrap_rec=False, fourcc=b"00dc",
+):
+    """Minimal spec-correct AVI 1.0 writer for the container tests:
+    RIFF(AVI (hdrl(avih, strl(strh, strf)), movi(frames))). ``strh``
+    carries the canonical dwScale/dwRate clock; ``avih`` carries a
+    deliberately DIFFERENT µs/frame so tests prove the parser prefers
+    the stream clock. ``wrap_rec`` nests the frame chunks inside a
+    'rec ' LIST (interleaved-file layout some muxers emit)."""
+    import struct
+
+    def chunk(cc, data):
+        return cc + struct.pack("<I", len(data)) + data + (b"\0" * (len(data) & 1))
+
+    def lst(ltype, data):
+        return chunk(b"LIST", ltype + data)
+
+    usec = 1_000_000 * scale // rate
+    avih = struct.pack(
+        "<10I", usec + 7, 0, 0, 0, len(frames), 0, 1, 0, width, height
+    ) + b"\0" * 16
+    strh = (
+        b"vids" + handler
+        + struct.pack("<IHH6I", 0, 0, 0, 0, scale, rate, 0, len(frames), 0)
+        + struct.pack("<II", 0, 0) + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, handler, 0, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    body = b"".join(chunk(fourcc, f) for f in frames)
+    if wrap_rec:
+        body = lst(b"rec ", body)
+    movi = lst(b"movi", body)
+    return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
+
+
+def test_parse_avi_container_walk():
+    """parse_avi: MJPEG frames come back in order with the strh clock
+    (NOT the decoy avih µs/frame); rec-nested movi layouts parse; odd
+    frame sizes keep word alignment; non-MJPEG video codecs raise the
+    documented NotImplementedError seam; malformed containers raise
+    ValueError."""
+    from nibbledb_spark.operators.multimodal import parse_avi
+
+    frames = [b"\xff\xd8frame%d\xff\xd9" % i for i in range(5)]
+    frames[2] += b"!"  # odd length -> exercises the pad byte
+    for wrap in (False, True):
+        avi = parse_avi(
+            _avi_mjpeg_bytes(frames, scale=1, rate=10, wrap_rec=wrap)
+        )
+        assert avi["frames"] == frames
+        assert avi["usec_per_frame"] == 100_000  # strh 10fps, not avih+7
+        assert (avi["width"], avi["height"]) == (16, 16)
+    # 00db (uncompressed-flagged) chunks still collect as stream-0 video
+    assert parse_avi(_avi_mjpeg_bytes(frames, fourcc=b"00db"))["frames"] == frames
+    with pytest.raises(NotImplementedError, match="XVID"):
+        parse_avi(_avi_mjpeg_bytes(frames, handler=b"XVID"))
+    with pytest.raises(ValueError):
+        parse_avi(b"RIFF\x04\x00\x00\x00AVI ")  # no streams
+    with pytest.raises(ValueError):
+        parse_avi(b"not an avi at all")
+    truncated = _avi_mjpeg_bytes(frames)[:-9]
+    with pytest.raises(ValueError):
+        parse_avi(truncated)
+
+
+def test_video_keyframes_mjpeg_end_to_end(spark):
+    """The real video path (round-10 verdict #8): MJPEG-in-AVI payloads
+    -> container walk -> stream-clock frame sampling -> REAL JPEG decode
+    of each sampled frame. Sampled indices/timestamps follow the strh
+    clock; decoded dims and luminance match decoding the same JPEG
+    standalone; emitted frame bytes are themselves valid image payloads;
+    corrupt containers and inter-frame codecs flag one row instead of
+    failing the task; a single bad frame flags just itself."""
+    import numpy as np
+    import pandas as pd
+
+    from nibbledb_spark.operators.multimodal import (
+        decode_image,
+        parse_avi,
+        video_keyframes,
+    )
+
+    rng = np.random.RandomState(11)
+    jpegs = [
+        _jpeg_bytes(rng.randint(0, 256, (16, 16, 3)).astype(np.uint8))
+        for _ in range(10)
+    ]
+    good = _avi_mjpeg_bytes(jpegs, scale=1, rate=10)  # 10 fps, 1s of video
+    one_bad = _avi_mjpeg_bytes(
+        jpegs[:3] + [b"\xff\xd8 not really a jpeg"] + jpegs[4:], scale=1, rate=10
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(good), None),
+            (2, "video", bytearray(one_bad), None),
+            (3, "video", bytearray(b"garbage, not RIFF"), None),
+            (4, "video", bytearray(_avi_mjpeg_bytes(jpegs, handler=b"XVID")), None),
+            (5, "image", bytearray(jpegs[0]), None),  # non-video rows drop
+        ],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:bigint>",
+    )
+
+    out = video_keyframes(media, every_ms=300).toPandas()
+    by_id = {mid: g for mid, g in out.groupby("media_id")}
+    assert set(by_id) == {1, 2, 3, 4}
+
+    g1 = by_id[1].sort_values("frame_idx")
+    # 300ms steps on a 100ms/frame clock -> frames 0,3,6,9 at 0/300/600/900
+    assert list(g1["frame_idx"]) == [0, 3, 6, 9]
+    assert list(g1["frame_ts_ms"]) == [0, 300, 600, 900]
+    assert g1["decoded"].all()
+    assert set(zip(g1["width"], g1["height"])) == {(16, 16)}
+    # decode parity with the standalone image path, frame bytes intact
+    row = g1.iloc[1]
+    assert bytes(row["frame"]) == jpegs[3]
+    arr = decode_image(jpegs[3]).astype(np.float64)
+    assert abs(row["lum_mean"] - arr.mean(axis=2).mean() / 255.0) < 1e-6
+
+    # finer-than-clock sampling dedupes to every frame exactly once
+    all_frames = video_keyframes(
+        media.where(F.col("media_id") == 1), every_ms=50
+    ).toPandas()
+    assert list(all_frames["frame_idx"]) == list(range(10))
+
+    g2 = by_id[2].sort_values("frame_idx")
+    assert list(g2["frame_idx"]) == [0, 3, 6, 9]
+    assert list(g2["decoded"]) == [True, False, True, True]  # only frame 3 flags
+
+    for mid in (3, 4):  # corrupt container / inter-frame codec: one flagged row
+        g = by_id[mid]
+        assert len(g) == 1 and not g["decoded"].iloc[0]
+        assert g["frame"].iloc[0] is None and pd.isna(g["frame_idx"].iloc[0])
+
+    # emitted frames feed the existing image operators unchanged
+    assert parse_avi(good)["frames"][0] == jpegs[0]
