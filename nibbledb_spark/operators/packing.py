@@ -21,6 +21,10 @@ extension scope.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,3 +72,109 @@ def pack_sequences(
             F.expr(f"(start_offset + n_tokens - 1) div {budget}") != F.col("pack_id"),
         )
     )
+
+
+_FFD_SCHEMA = (
+    "doc_id long, group string, n_tokens int, bin_id int, bin_offset int, "
+    "oversize boolean"
+)
+
+
+def pack_bins_ffd(
+    docs: DataFrame,
+    budget: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n_subgroups: int = 1,
+) -> DataFrame:
+    """First-fit-decreasing bin packing WITHOUT document splitting —
+    the other half of the packing story. :func:`pack_sequences` is
+    concat-and-chop (documents straddle sequence boundaries; maximal
+    density, attention bleed across documents); this packs each
+    document WHOLE into budget-sized bins (no straddling — the prep
+    for models trained without cross-document attention), trading a
+    bounded amount of padding waste for clean boundaries.
+
+    Per group, documents sort by (n_tokens desc, id) and each goes to
+    the first open bin it fits in — the classic FFD heuristic
+    (Johnson 1973: never worse than 11/9 OPT + 6/9 bins; first-fit
+    also guarantees AT MOST ONE bin at or below half fill, the
+    invariant the declared ``pack_ffd_bound`` query checks driver-
+    visibly). Documents longer than ``budget`` cannot pack; each gets
+    a dedicated bin flagged ``oversize`` (route those through
+    chunk_documents first).
+
+    Returns one row per document: (id, group, n_tokens, bin_id,
+    bin_offset, oversize) — bin_id dense per group in bin-creation
+    order, bin_offset the token offset inside the bin in placement
+    order.
+
+    Shape at scale: packing is inherently SEQUENTIAL within a stream,
+    so this is the documented ``applyInPandas`` seam (Arrow-batched,
+    one shuffle on the group key) rather than a window trick. Groups
+    pack in parallel; a group too large for one task is subdivided
+    with ``n_subgroups`` (hash-salted subgroup key appended to
+    ``group``) — each subgroup packs independently, adding at most
+    one under-half-full bin per subgroup while keeping every task
+    O(group/n_subgroups · log). The FFD inner loop itself is the
+    textbook one, over an int array per task, nothing per-row in
+    Python at the Spark layer.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    if n_subgroups < 1:
+        raise ValueError(f"n_subgroups must be >= 1: {n_subgroups}")
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (
+            F.col(group_col)
+            if n_subgroups == 1
+            else F.concat_ws(
+                "#",
+                F.col(group_col),
+                (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_subgroups))).cast(
+                    "string"
+                ),
+            )
+        ).alias("group"),
+        F.size(tokens(text_col)).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        bins_free: list[int] = []  # remaining capacity per bin
+        bins_fill: list[int] = []  # tokens placed per bin (offset source)
+        bin_ids, offsets, oversize = [], [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > budget:
+                bin_ids.append(len(bins_free))
+                offsets.append(0)
+                oversize.append(True)
+                bins_free.append(0)  # full: nothing else joins this bin
+                bins_fill.append(n)
+                continue
+            for b, free in enumerate(bins_free):
+                if free >= n:
+                    break
+            else:
+                b = len(bins_free)
+                bins_free.append(budget)
+                bins_fill.append(0)
+            bin_ids.append(b)
+            offsets.append(bins_fill[b])
+            bins_free[b] -= n
+            bins_fill[b] += n
+            oversize.append(False)
+        out = pdf.copy()
+        out["bin_id"] = bin_ids
+        out["bin_offset"] = offsets
+        out["oversize"] = oversize
+        return out
+
+    return base.groupBy("group").applyInPandas(pack, _FFD_SCHEMA)

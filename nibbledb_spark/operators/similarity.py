@@ -83,6 +83,69 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training
+    (the global form of DPR-style negative selection, Karpukhin et al.
+    2020): per anchor, the ``k`` highest-cosine corpus vectors whose
+    label DIFFERS from the anchor's — maximally confusable examples,
+    the ones that actually move a contrastive loss. Same-label
+    neighbors and self-matches are excluded; ties break on neighbor id.
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label, rank,
+    cos_sim).
+
+    Shape at scale: identical to :func:`cosine_topk` — the anchor set
+    broadcasts, the corpus never shuffles, and the per-anchor top-k is
+    a window over the scored rows (partial top-k per partition under
+    AQE). For web-scale corpora mine within :func:`ivf_topk` posting
+    lists first and re-score; this exact form is the recall oracle for
+    that, like every other *_topk here.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "rank", "cos_sim",
+        )
+    )
+
+
 def mrl_truncate(
     df: DataFrame,
     dim: int,

@@ -412,6 +412,70 @@ def repetition_stats(
     )
 
 
+def collocations_lift(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level collocation mining: top-``k`` token bigrams by LIFT
+    ``N·c(ab) / (c(a)·c(b))`` — the exact-rational form of PMI (PMI is
+    its log; the ranking is identical and log-free arithmetic keeps the
+    result engine-exact, see NOTES.md float-parity rules). Lift ≫ 1
+    marks words that co-occur far above chance: multi-word entities,
+    boilerplate phrases, tokenizer-merge candidates — the standard
+    phrase-mining signal (Church & Hanks 1990 association ratios).
+
+    ``min_count`` drops rare accidental pairs (the classic PMI-loves-
+    hapax failure). Ties rank by bigram text for determinism.
+
+    Shape at scale: bigram pairs come straight out of the per-doc token
+    array (row-local transform, then one explode — no window, no
+    per-doc shuffle); unigram and bigram counts are map-side-combined
+    hash aggregates; the two count joins shuffle on the word key (the
+    vocabulary, not the corpus); the final top-k is
+    TakeOrderedAndProject, never a global sort. Counts stay exact
+    longs; the one double expression is a deterministic IEEE
+    multiply/divide both engines evaluate identically.
+    """
+    toks = tokens(text_col)
+    pairs = F.expr(
+        "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+        "(t, i) -> struct(t as a, _toks[i + 1] as b))"
+    )
+    bg = (
+        docs.select(toks.alias("_toks"))
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    ug = docs.select(F.explode(toks).alias("tok"))
+    ugc = ug.groupBy("tok").agg(F.count("*").alias("c"))
+    total = ug.agg(F.count("*").alias("n"))
+    bgc = (
+        bg.groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+        .where(F.col("cab") >= min_count)
+    )
+    ca = ugc.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    cb = ugc.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    lift = (F.col("cab").cast("double") * F.col("n").cast("double")) / (
+        F.col("ca").cast("double") * F.col("cb").cast("double")
+    )
+    return (
+        bgc.join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            "cab",
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
+
+
 def lm_quality_scores(
     docs: DataFrame,
     ref: DataFrame,

@@ -456,6 +456,60 @@ def delta(points: DataFrame, *, per_second: bool = False) -> DataFrame:
     return out.where(F.col("delta").isNotNull())
 
 
+def autocorr(points: DataFrame, lag: int = 1, *, value_scale: int = 2) -> DataFrame:
+    """Per-series lag-``k`` autocorrelation: Pearson r between the
+    series and itself shifted ``lag`` observations forward in ts order
+    — THE seasonality/persistence screen (flat ≈ white noise, high
+    lag-1 ≈ trending/sticky, high lag-24h-worth ≈ daily cycle) run
+    before fitting anything heavier.
+
+    Exactness (the corr_quantity_price pattern, see queries.py
+    _pearson_r): each value is quantized once to an exact long
+    (``round(value·10^scale)``), the six pair sufficient statistics
+    accumulate as order-independent int64 sums, and the final r is one
+    deterministic IEEE expression tree — so a statistic that is
+    normally merge-order noise is engine-exact. Pairing is total-order
+    deterministic: (ts, value) ordering within a series (ties on bare
+    ts would make neighbor pairing ambiguous across engines).
+
+    Scale: one window shuffle on the series key (the same partitioning
+    every per-series ts operator here reuses), then a map-side-combined
+    hash agg to |series| rows. int64 bounds: |x| <= ~5e4 at scale=2, so
+    sx2 stays in-range past 1e9 points per series; coarsen value_scale
+    for hotter series."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1: {lag}")
+    x = F.floor(F.col("value") * F.lit(float(10**value_scale)) + F.lit(0.5)).cast(
+        "long"
+    )
+    # tie-break on the quantized x (monotone-injective in the quantized
+    # value domain, so identical to ordering by value — and the same
+    # column the oracle's LEAD window orders by)
+    w = Window.partitionBy("series").orderBy(F.col("ts").asc(), F.col("x").asc())
+    d = (
+        points.select("series", "ts", "value")
+        .select("series", "ts", x.alias("x"))
+        .withColumn("y", F.lead("x", lag).over(w))
+        .where(F.col("y").isNotNull())
+    )
+    s = d.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2, sy2 = F.col("sx2").cast("double"), F.col("sy2").cast("double")
+    r = (nd * sxy - sx * sy) / F.nullif(
+        F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy), F.lit(0.0)
+    )
+    return s.select("series", "n", r.alias("autocorr")).orderBy("series")
+
+
 def lttb(points: DataFrame, every_us: int, *, value_scale: int = 6) -> DataFrame:
     """Triangle-area visual downsampling — the parallel bucket-average
     variant of LTTB (Steinarsson 2014): per (series, time bucket) keep

@@ -2399,6 +2399,38 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "embed_hard_negatives",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS cv
+      FROM embeddings),
+scored AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         {_dot_sql('qv', 'cv')} / (SQRT({_dot_sql('qv', 'qv')}) * SQRT({_dot_sql('cv', 'cv')})) AS cos_sim
+  FROM c, q WHERE neighbor_id <> query_id AND neighbor_label <> query_label
+),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cos_sim
+FROM ranked WHERE rank <= 3
+""",
+)
+def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py hard_negatives):
+    per anchor, the top-3 most-similar OTHER-label vectors — the
+    contrastive-training curation step. Broadcast anchors, no corpus
+    shuffle; exact cosine via the same HOF fold as embed_cosine_topk."""
+    from nibbledb_spark.operators.similarity import hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(e, e.where(F.col("vec_id") < 5), 3)
+
+
+@declared(
     "embed_mrl_topk_d16",
     f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -3730,6 +3762,76 @@ def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "pack_ffd_bound",
+    f"""
+WITH t AS (SELECT doc_id, source, len({_TOKS}) AS n FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN n > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+       CAST(0 AS BIGINT) AS cap_violations,
+       CAST(0 AS BIGINT) AS half_fill_violations,
+       CAST(0 AS BIGINT) AS offset_violations
+FROM t GROUP BY source
+""",
+)
+def pack_ffd_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-straddle FFD bin packing (operators/packing.py pack_bins_ffd),
+    driver-checked APPROX-class style: the packing itself is sequential
+    (not SQL-expressible), so the oracle pins its INVARIANTS instead —
+    per source, token/doc/oversize conservation must match the corpus
+    exactly and three violation counters must be zero: no non-oversize
+    bin over the 64-token budget (cap), at most one bin at or below
+    half fill (the first-fit guarantee — the padding-waste bound), and
+    per-bin offsets that are contiguous (min 0, max end == fill, one
+    distinct offset per doc). A wrong packing breaks one of these and
+    hash-mismatches."""
+    from nibbledb_spark.operators.packing import pack_bins_ffd
+
+    budget = 64
+    out = pack_bins_ffd(_t(spark, sf_dir, "documents"), budget)
+    bins = out.groupBy("group", "bin_id").agg(
+        F.sum("n_tokens").alias("fill"),
+        F.max(F.col("oversize").cast("int")).alias("ovs"),
+        F.count("*").alias("n_in_bin"),
+        F.min("bin_offset").alias("min_off"),
+        F.max(F.col("bin_offset") + F.col("n_tokens")).alias("max_end"),
+        F.countDistinct("bin_offset").alias("nd_off"),
+    )
+    bad_offsets = (
+        (F.col("min_off") != 0)
+        | (F.col("max_end") != F.col("fill"))
+        | (F.col("nd_off") != F.col("n_in_bin"))
+    )
+    return (
+        bins.groupBy("group")
+        .agg(
+            F.sum("n_in_bin").alias("n_docs"),
+            F.sum("fill").alias("total_tokens"),
+            F.sum("ovs").cast("long").alias("n_oversize"),
+            F.sum(
+                ((F.col("fill") > budget) & (F.col("ovs") == 0)).cast("int")
+            ).alias("cap_violations"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.sum((F.col("fill") * 2 <= budget).cast("int")) - 1,
+            ).alias("half_fill_violations"),
+            F.sum(bad_offsets.cast("int")).alias("offset_violations"),
+        )
+        .select(
+            F.col("group").alias("source"),
+            "n_docs",
+            "total_tokens",
+            "n_oversize",
+            "cap_violations",
+            "half_fill_violations",
+            "offset_violations",
+        )
+        .orderBy("source")
+    )
+
+
+@declared(
     "heavy_hitter_tokens",
     f"""
 SELECT token, COUNT(*) AS n
@@ -3746,6 +3848,41 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nibbledb_spark.operators.text import heavy_hitter_tokens as op
 
     return op(_t(spark, sf_dir, "documents"), 20)
+
+
+@declared(
+    "collocations_lift_top20",
+    f"""
+WITH t AS (SELECT {_TOKS} AS w FROM documents),
+ug AS (SELECT unnest(w) AS tok FROM t),
+ugc AS (SELECT tok, COUNT(*) AS c FROM ug GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM ug),
+bg AS (
+  SELECT w[i] AS a, w[i + 1] AS b
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t)
+),
+bgc AS (
+  SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b HAVING COUNT(*) >= 5
+)
+SELECT a || ' ' || b AS bigram, cab,
+       (CAST(cab AS DOUBLE) * CAST(n.n AS DOUBLE))
+         / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+FROM bgc
+JOIN ugc ca ON ca.tok = a
+JOIN ugc cb ON cb.tok = b
+CROSS JOIN n
+ORDER BY lift DESC, bigram ASC LIMIT 20
+""",
+)
+def collocations_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/text.py collocations_lift): top-20
+    bigrams by exact-rational lift N·c(ab)/(c(a)·c(b)) — PMI's ranking
+    without PMI's log (log outputs are never engine-exact; a product
+    and a divide of exact longs widened to double are). min_count=5
+    blocks the hapax-pair blowup."""
+    from nibbledb_spark.operators.text import collocations_lift
+
+    return collocations_lift(_t(spark, sf_dir, "documents"), min_count=5, k=20)
 
 
 @declared(
@@ -6489,6 +6626,46 @@ def ts_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("zscore"),
         )
     )
+
+
+@declared(
+    "ts_autocorr_lag1",
+    _POINTS_CTE
+    + f"""
+, x AS (
+  SELECT series, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x FROM points
+),
+l AS (
+  SELECT series, x,
+         LEAD(x, 1) OVER (PARTITION BY series ORDER BY ts ASC, x ASC) AS y
+  FROM x
+),
+p AS (
+  SELECT series,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM l WHERE y IS NOT NULL GROUP BY series
+)
+SELECT series, n,
+       {_PEARSON_R_SQL}
+         AS autocorr
+FROM p
+ORDER BY series
+""",
+)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series lag-1 autocorrelation (operators/timeseries.py
+    autocorr): the persistence/seasonality screen, engine-exact via
+    once-quantized longs + integer pair power sums + the shared
+    _pearson_r IEEE tree. One series-keyed window shuffle, then a
+    map-side-combined agg to |series| rows. The oracle orders the lead
+    window by (ts, value-quantized) exactly like the operator, so
+    neighbor pairing is total-order deterministic."""
+    pts = points_from_events(spark, sf_dir)
+    return ts_ops.autocorr(pts, 1)
 
 
 @declared(

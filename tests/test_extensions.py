@@ -3670,3 +3670,61 @@ def test_video_keyframes_mjpeg_end_to_end(spark):
 
     # emitted frames feed the existing image operators unchanged
     assert parse_avi(good)["frames"][0] == jpegs[0]
+
+
+def test_collocations_lift_planted_phrase(spark):
+    """A planted always-together pair tops the ranking with the exact
+    closed-form lift; a pair that co-occurs at chance scores ~1 and
+    ranks below; min_count suppresses rare accidental pairs."""
+    from nibbledb_spark.operators.text import collocations_lift
+
+    rows = [(i, "new york " + ("a b " * 5).strip()) for i in range(6)]
+    rows += [(100 + i, "b a c new c york a c b") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations_lift(docs, min_count=5, k=30).collect()
+    got = {r["bigram"]: r for r in out}
+    assert out[0]["bigram"] == "new york"
+    # closed form: N tokens total, c(new)=c(york)=8? no — 6+2 each = 8
+    n_total = sum(len(r[1].split()) for r in rows)
+    exp = (6 * n_total) / (8 * 8)
+    assert abs(got["new york"]["lift"] - exp) < 1e-12
+    assert got["new york"]["cab"] == 6
+    # rare pair 'c york' (2 occurrences) filtered by min_count=5
+    assert "c york" not in got
+
+
+def test_hard_negatives_label_contract(spark):
+    """Every mined negative has a different label than its anchor, self
+    never appears, ranks are dense by descending cosine, and the result
+    equals a numpy brute-force over the same vectors."""
+    import numpy as np
+
+    from nibbledb_spark.operators.similarity import hard_negatives
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 8).astype("float32")
+    labels = [i % 3 for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], labels[i]) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = hard_negatives(df, df.where("vec_id < 4"), 5).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        assert r["neighbor_label"] != r["query_label"]
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, 6))
+        cand = [
+            (-(sims[q, j]), j)
+            for j in range(30)
+            if j != q and labels[j] != labels[q]
+        ]
+        cand.sort()
+        assert [r["neighbor_id"] for r in rows] == [j for _, j in cand[:5]]
+        for r, (negs, j) in zip(rows, cand[:5]):
+            assert abs(r["cos_sim"] - sims[q, j]) < 1e-5

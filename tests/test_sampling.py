@@ -414,3 +414,111 @@ def test_shuffle_deterministic_no_global_sort(spark, docs):
 
     singles = plan.count("SinglePartition")
     assert singles <= 2, plan  # offsets window (+AQE echo), never the corpus
+
+
+def _ffd_reference(sizes, budget):
+    """Textbook FFD over (n, id) pairs — the independent model the Spark
+    operator must reproduce exactly (same sort key, same first-fit)."""
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i][0], sizes[i][1]))
+    free, fill, place = [], [], {}
+    for i in order:
+        n, _id = sizes[i]
+        if n > 64:
+            place[_id] = (len(free), 0, True)
+            free.append(0)
+            fill.append(n)
+            continue
+        for b, f in enumerate(free):
+            if f >= n:
+                break
+        else:
+            b = len(free)
+            free.append(64)
+            fill.append(0)
+        place[_id] = (b, fill[b], False)
+        free[b] -= n
+        fill[b] += n
+    return place
+
+
+def test_pack_bins_ffd_matches_reference_model(spark, docs):
+    """The distributed FFD equals the sequential textbook FFD bin-for-bin
+    (same (len desc, id) order, same first-fit choice, same offsets,
+    same oversize handling) on every source group of the real corpus."""
+    from pyspark.sql import functions as F
+
+    from nibbledb_spark.operators.packing import pack_bins_ffd
+    from nibbledb_spark.operators.text import tokens
+
+    out = pack_bins_ffd(docs, 64).collect()
+    sizes = {
+        (r["doc_id"], r["source"]): r["n"]
+        for r in docs.select(
+            "doc_id", "source", F.size(tokens("text")).alias("n")
+        ).collect()
+    }
+    by_group: dict[str, list] = {}
+    for r in out:
+        by_group.setdefault(r["group"], []).append(r)
+        assert r["n_tokens"] == sizes[(r["doc_id"], r["group"])]
+    assert sum(len(v) for v in by_group.values()) == len(sizes)
+    for g, rows in by_group.items():
+        model = _ffd_reference(
+            [(r["n_tokens"], r["doc_id"]) for r in rows], 64
+        )
+        for r in rows:
+            assert (r["bin_id"], r["bin_offset"], r["oversize"]) == model[
+                r["doc_id"]
+            ], (g, r["doc_id"])
+
+    # determinism across runs
+    again = pack_bins_ffd(docs, 64).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_bins_ffd_invariants_and_subgroups(spark):
+    """Cap respected, at most one bin at/below half fill per group
+    (first-fit guarantee), offsets contiguous, oversize docs isolated —
+    and all of it still holds with hash subgrouping (the big-group scale
+    path), where each subgroup is an independent stream."""
+    import pytest as _pytest
+
+    from nibbledb_spark.operators.packing import pack_bins_ffd
+
+    rows = [
+        (i, "s", " ".join(["w"] * n))
+        for i, n in enumerate([40, 40, 30, 30, 20, 10, 9, 70, 100, 3, 3])
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    for n_sub in (1, 3):
+        out = pack_bins_ffd(docs, 64, n_subgroups=n_sub).collect()
+        assert len(out) == len(rows)
+        bins: dict[tuple, list] = {}
+        for r in out:
+            bins.setdefault((r["group"], r["bin_id"]), []).append(r)
+        for members in bins.values():
+            fills = sorted(r["bin_offset"] for r in members)
+            total = sum(r["n_tokens"] for r in members)
+            if any(r["oversize"] for r in members):
+                assert len(members) == 1  # oversize docs never share
+                assert members[0]["n_tokens"] > 64
+            else:
+                assert total <= 64
+            # contiguous placement: offsets are the running fill
+            run = 0
+            for r in sorted(members, key=lambda r: r["bin_offset"]):
+                assert r["bin_offset"] == run
+                run += r["n_tokens"]
+            assert fills[0] == 0
+        # first-fit guarantee: <=1 non-oversize bin at or below half fill
+        by_group: dict[str, list] = {}
+        for (g, b), members in bins.items():
+            fill = sum(r["n_tokens"] for r in members)
+            if not any(r["oversize"] for r in members):
+                by_group.setdefault(g, []).append(fill)
+        for g, fills in by_group.items():
+            assert sum(1 for f in fills if 2 * f <= 64) <= 1, (g, fills)
+    with _pytest.raises(ValueError, match="budget"):
+        pack_bins_ffd(docs, 0)
+    with _pytest.raises(ValueError, match="n_subgroups"):
+        pack_bins_ffd(docs, 64, n_subgroups=0)

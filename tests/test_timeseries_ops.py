@@ -342,3 +342,37 @@ def test_lttb_downsample_semantics(spark):
             key=lambda p: (abs((lt - rt) * (p[1] - lv) - (lt - p[0]) * (rv - lv)), -p[0]),
         )
         assert out[b] == best, b
+
+
+def test_autocorr_known_sequences(spark):
+    """Lag-1 autocorrelation pins: a perfectly alternating series is
+    exactly -1, a linear ramp is strongly positive and matches numpy's
+    corrcoef of the shifted pair, a constant series is NULL (zero
+    variance guard), and lag=2 on the alternating series is +1."""
+    import numpy as np
+
+    from nibbledb_spark.operators.timeseries import autocorr
+
+    alt = [(i, 1.0 if i % 2 == 0 else 2.0) for i in range(40)]
+    ramp = [(i, float(i)) for i in range(40)]
+    const = [(i, 7.0) for i in range(40)]
+    rows = (
+        [("alt", t * 1000, v) for t, v in alt]
+        + [("ramp", t * 1000, v) for t, v in ramp]
+        + [("const", t * 1000, v) for t, v in const]
+    )
+    pts = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = {r["series"]: r for r in autocorr(pts, 1).collect()}
+    assert out["alt"]["n"] == 39
+    assert abs(out["alt"]["autocorr"] + 1.0) < 1e-12
+    assert out["const"]["autocorr"] is None
+    x = np.array([v for _, v in ramp])
+    exp = np.corrcoef(x[:-1], x[1:])[0, 1]
+    assert abs(out["ramp"]["autocorr"] - exp) < 1e-9
+    out2 = {r["series"]: r for r in autocorr(pts, 2).collect()}
+    assert abs(out2["alt"]["autocorr"] - 1.0) < 1e-12
+    assert out2["alt"]["n"] == 38
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lag"):
+        autocorr(pts, 0)
