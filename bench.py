@@ -1235,6 +1235,135 @@ def deep_extras(spark) -> None:
     )
 
 
+def winnow_stress(spark) -> None:
+    """Round-10 verdict #7 follow-up: the winnowing-vs-shared-shingle
+    candidate-volume table (BASELINE.md round-10, x1/x10) extended to
+    x100 with PAIRED DuckDB numbers — the at-scale evidence for the
+    ~2/(w+1) join-input density claim, the same treatment the media
+    family got in r8/r10. Spark times the two pair pipelines
+    (winnow_near_dup_pairs with the declared k=3/w=4/min_shared=2 vs
+    ngram_jaccard_pairs at threshold 0.5 — different OUTPUT semantics,
+    same candidate-join shape: this compares the join) on the salted
+    replica dirs; the DuckDB pair runs each query's own ORACLE sql on
+    the same parquet under the standard watchdog budget. One JSON line
+    ({"metric": "winnow_stress", ...}) to stdout."""
+    import math
+
+    from nibbledb_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_rows,
+        winnow_near_dup_pairs,
+    )
+    from nibbledb_spark.operators.text import winnow_fingerprints
+    from nibbledb_spark.queries import ORACLE
+
+    dirs = _deep_dirs(spark)
+    mults = (1, 10, 100)
+    results: dict[str, dict] = {}
+
+    def docs_at(mult):
+        return spark.read.parquet(os.path.join(dirs[mult], "documents.parquet"))
+
+    # --- candidate-volume (join input) density ---------------------------
+    # The counts are fully deterministic (md5-derived fingerprints over
+    # fixed replica dirs), so a re-sit that only needs fresh TIMINGS can
+    # skip this ~20-minute pass and splice the previously-logged counts:
+    # WINNOW_STRESS_SKIP_DENSITY=1.
+    density: dict[str, float] = {}
+    skip_density = os.environ.get("WINNOW_STRESS_SKIP_DENSITY") == "1"
+    for mult in mults if not skip_density else ():
+        docs = docs_at(mult)
+        n_win = (
+            winnow_fingerprints(docs, k=3, w=4)
+            .select("doc_id", "fp")
+            .distinct()
+            .count()
+        )
+        n_sh = shingle_rows(docs).count()
+        density[f"x{mult}_winnow_rows"] = n_win
+        density[f"x{mult}_shingle_rows"] = n_sh
+        density[f"x{mult}_density"] = round(n_win / n_sh, 4)
+        log(
+            f"winnow-stress x{mult}: join input winnow {n_win:,} vs "
+            f"shingle {n_sh:,} (density {n_win / n_sh:.2%}; theory 2/(w+1)=40%)"
+        )
+    if not skip_density:
+        results["candidate_density"] = density
+
+    # --- Spark timings ----------------------------------------------------
+    rows_at: dict[str, dict[int, int]] = {}
+    for label, run in (
+        (
+            "winnow_pairs",
+            lambda d: winnow_near_dup_pairs(d, k=3, w=4, min_shared=2),
+        ),
+        ("jaccard_pairs", lambda d: ngram_jaccard_pairs(d, threshold=0.5)),
+    ):
+        per: dict[int, float] = {}
+        rows_at[label] = {}
+        for mult in mults:
+            docs = docs_at(mult)
+            run(docs).toPandas()  # warm
+            samples = []
+            for _ in range(3 if mult < 100 else 2):
+                t0 = time.perf_counter()
+                n = len(run(docs).toPandas())
+                samples.append(time.perf_counter() - t0)
+            per[mult] = statistics.median(samples)
+            rows_at[label][mult] = n
+            log(f"winnow-stress {label} x{mult}: {per[mult]:.3f}s ({n:,} pairs)")
+        results[label] = {
+            "x1_s": round(per[1], 4),
+            "x10_s": round(per[10], 4),
+            "x100_s": round(per[100], 4),
+            "exp_decade1": round(math.log10(per[10] / per[1]), 3),
+            "exp_decade2": round(math.log10(per[100] / per[10]), 3),
+            "pairs_x100": rows_at[label][100],
+        }
+
+    # --- paired DuckDB pass (after all Spark timing) ----------------------
+    for mult in mults:
+        con = _duck_connect(dirs[mult])
+        runs = 3 if mult < 100 else 2
+        for label, name in (
+            ("winnow_pairs", "winnow_near_dup_pairs"),
+            ("jaccard_pairs", "ngram_jaccard_pairs"),
+        ):
+            n_duck = None
+            try:
+                n_duck = con.execute(
+                    f"SELECT COUNT(*) FROM ({ORACLE[name]})"
+                ).fetchone()[0]
+            except Exception as e:  # budget/interrupt-class failures
+                log(f"winnow-stress duckdb {label} x{mult} count failed: {e}")
+            if n_duck is not None and n_duck != rows_at[label][mult]:
+                log(
+                    f"winnow-stress WARNING x{mult}: duck {label} rows "
+                    f"{n_duck} != spark {rows_at[label][mult]}"
+                )
+            d = _duck_median(con, ORACLE[name], runs=runs)
+            if d is not None:
+                r = results[label]
+                r[f"duck_x{mult}_s"] = round(d, 4)
+                r[f"ratio_x{mult}"] = round(r[f"x{mult}_s"] / d, 2)
+                log(
+                    f"winnow-stress duckdb {label} x{mult}: {d:.3f}s "
+                    f"(ratio {r[f'ratio_x{mult}']:.2f}x)"
+                )
+        con.close()
+
+    print(
+        json.dumps(
+            {
+                "metric": "winnow_stress",
+                "unit": "sec",
+                "queries": results,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+
+
 def main() -> int:
     from nibbledb_spark.queries import ORACLE, QUERIES
     from nibbledb_spark.session import get_spark
@@ -1257,6 +1386,11 @@ def main() -> int:
     if "--stress-deep" in sys.argv:
         spark.range(1_000_000).selectExpr("sum(id)").collect()
         stress_deep(spark)
+        return 0
+
+    if "--winnow-stress" in sys.argv:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        winnow_stress(spark)
         return 0
 
     if "--deep-extras" in sys.argv:
