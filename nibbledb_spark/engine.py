@@ -120,9 +120,11 @@ class TimeSeriesEngine:
             if widths is None and meta.get("rollup_every_us"):
                 widths = [meta["rollup_every_us"]]  # pre-multi-width meta
             self.rollup_widths: list[int] = sorted(int(x) for x in (widths or []))
+            self.retention_floor_us: int = int(meta.get("retention_floor_us", 0))
         else:
             self.layout = STORE_LAYOUT
             self.rollup_widths = []
+            self.retention_floor_us = 0
         # heal any bucket swap interrupted by a crash (see _staged_swap)
         self._recover_staged_swap()
 
@@ -154,6 +156,8 @@ class TimeSeriesEngine:
             meta: dict = {"num_buckets": self.num_buckets, "layout": self.layout}
             if self.rollup_widths:
                 meta["rollup_widths"] = self.rollup_widths
+            if self.retention_floor_us:
+                meta["retention_floor_us"] = self.retention_floor_us
             with open(self._meta_path(), "w") as f:
                 json.dump(meta, f)
 
@@ -503,6 +507,18 @@ class TimeSeriesEngine:
             raise ValueError("rollup width must be positive")
         if every_us in self.rollup_widths:
             return
+        if self.retention_floor_us:
+            # Refuse BEFORE mutating state: raw points below the floor
+            # are gone, so a new width's pre-floor buckets are primary
+            # data that never existed — and registering the width first
+            # would leave a phantom entry whose dir can never be built,
+            # failing every later rebuild.
+            raise ValueError(
+                f"cannot enable a new rollup width {every_us} after "
+                f"retention (floor {self.retention_floor_us}): its "
+                "pre-floor aggregates are primary data that cannot be "
+                "rebuilt from dropped raw points"
+            )
         self.rollup_widths = sorted(self.rollup_widths + [every_us])
         if os.path.exists(self.path):
             self._write_meta(force=True)
@@ -585,12 +601,92 @@ class TimeSeriesEngine:
 
         widths = [every_us] if every_us else self.rollup_widths
         pts = self.points()
+        floor = self.retention_floor_us
+        if floor:
+            # Below the retention floor the rollup rows are PRIMARY data
+            # (their raw points were dropped by apply_retention) — they
+            # cannot be recomputed, only carried forward. Raw points, if
+            # any remain below the floor mid-retention, are excluded so
+            # nothing double-counts.
+            pts = pts.where(F.col("ts") >= floor)
         for every in widths:
-            tmp = self._rollup_dir(every) + ".__rebuild__"
+            rdir = self._rollup_dir(every)
+            tmp = rdir + ".__rebuild__"
             shutil.rmtree(tmp, ignore_errors=True)
-            self._rollup_partials(pts, every).write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(self._rollup_dir(every), ignore_errors=True)
-            os.rename(tmp, self._rollup_dir(every))
+            fresh = self._rollup_partials(pts, every)
+            if floor:
+                if not os.path.exists(rdir):
+                    raise ValueError(
+                        f"rollup dir for width {every} is missing but the "
+                        f"retention floor is {floor}: the pre-floor "
+                        "aggregates are primary data and cannot be rebuilt "
+                        "from raw points (they were dropped). Restore the "
+                        "rollup dir from backup, or enable this width "
+                        "before applying retention."
+                    )
+                kept = self.spark.read.schema(ROLLUP_SCHEMA).parquet(rdir).where(
+                    F.col("bucket_us") < floor
+                )
+                fresh = kept.unionByName(fresh)
+            fresh.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(rdir, ignore_errors=True)
+            os.rename(tmp, rdir)
+
+    def apply_retention(self, older_than_us: int) -> None:
+        """Data-lifecycle retention (the TimescaleDB drop_chunks +
+        continuous-aggregate pattern): DROP raw points with
+        ``ts < older_than_us`` while the rollup aggregates over the
+        dropped range stay queryable forever — at 100 TB this is the
+        difference between storing raw telemetry for 30 days vs 5
+        years of hourly aggregates in a fraction of the footprint.
+
+        Contract:
+        - requires at least one enabled rollup width, and the cutoff
+          must be bucket-ALIGNED to every enabled width (no bucket may
+          straddle the cutoff, or its partial would mix dropped and
+          kept points);
+        - rollups are consolidated and materialized for every width
+          BEFORE any raw row is dropped;
+        - below the new floor, rollup rows become PRIMARY data:
+          ``rollup_rebuild`` carries them forward instead of
+          recomputing (and refuses to run if the rollup dir vanished);
+          ``enable_rollup`` for a NEW width after retention refuses for
+          the same reason;
+        - raw reads (last/first/since/range) only see ``ts >= cutoff``
+          afterwards; ``aggregate_range`` keeps answering over the
+          dropped range from the rollup route.
+
+        Retention is monotone: a second call must not lower the floor.
+        """
+        if not self.rollup_widths:
+            raise ValueError(
+                "retention requires an enabled rollup: the dropped raw "
+                "points' aggregates must live somewhere (enable_rollup())"
+            )
+        if older_than_us <= 0:
+            raise ValueError(f"retention cutoff must be positive: {older_than_us}")
+        if older_than_us < self.retention_floor_us:
+            raise ValueError(
+                f"retention floor cannot move backwards: have "
+                f"{self.retention_floor_us}, got {older_than_us}"
+            )
+        misaligned = [w for w in self.rollup_widths if older_than_us % w]
+        if misaligned:
+            raise ValueError(
+                f"retention cutoff {older_than_us} is not bucket-aligned to "
+                f"enabled rollup widths {misaligned}: a straddling bucket "
+                "would mix dropped and kept points"
+            )
+        if not os.path.exists(self.path):
+            return
+        # materialize every width from the still-complete raw store,
+        # then pin the floor BEFORE dropping rows (a crash between the
+        # two leaves a too-early floor and intact raw — safe; the
+        # reverse order could drop raw with no aggregate anywhere)
+        self.rollup_rebuild()
+        self.retention_floor_us = older_than_us
+        self._write_meta(force=True)
+        self.delete((), -(2**62), older_than_us - 1)
 
     def _rollup_consolidate(self) -> None:
         """Merge accumulated per-append delta rows to one row per

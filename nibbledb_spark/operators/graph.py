@@ -180,3 +180,88 @@ def connected_components_star(
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 9,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999) over a directed edge
+    list, in INTEGER arithmetic end to end — the graph-quality signal a
+    corpus pipeline ranks pages/domains with before sampling.
+
+    Every quantity is an exact long: ranks are scaled by ``10^scale``
+    (uniform init = one quantum-1 mass per node), each edge contributes
+    ``r[src] DIV outdeg[src]``, and the damping update is the exact
+    rational ``((den-num)·Q + num·Σcontrib) DIV den`` with
+    ``(num, den) = damping`` — no float ever enters the recurrence, so
+    the result is bit-identical on ANY engine/partitioning (the
+    tokenize_bpe/scaled-long playbook applied to an iterative
+    algorithm; floats appear once, in the final single divide for
+    display). Truncating integer division leaks sub-quantum mass —
+    that is the documented price of exactness, ~n·iterations quanta,
+    i.e. < 1e-9 of total mass per node at the default scale. Nodes
+    with no out-edges leak their damped mass (the classic "dangling"
+    simplification); symmetrized graphs have none.
+
+    Returns (node, rank) where rank = final scaled long / 10^scale
+    (ranks average ~1.0 by construction, sum <= n).
+
+    Shape at scale: the edge list is persisted once and every iteration
+    is one shuffle — the contribution aggregate keyed on dst — plus a
+    broadcast-or-keyed join of the (|nodes|-sized) rank frame onto the
+    edges; ranks persist per iteration and the previous iteration
+    unpersists, so lineage stays O(1) deep. The driver holds only the
+    loop counter. int64 headroom: num·Σ <= num·n·Q, so the default
+    (85, 100)/Q=1e9 is safe past 10^8 nodes; drop ``scale`` for more.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
+    num, den = damping
+    if not (0 < num < den):
+        raise ValueError(f"damping must be a proper fraction: {damping}")
+    q = 10**scale
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src").persist()  # (src, dst, deg) — reused every round
+
+    ranks = nodes.select("node", F.lit(q).cast("long").alias("r")).persist()
+    # the damping update stays in INTEGER division (Spark DIV == DuckDB
+    # // on non-negatives); a double `/` + cast would round above 2^53
+    update = F.expr(
+        f"(CAST({(den - num) * q} AS BIGINT)"
+        f" + {num} * coalesce(s, CAST(0 AS BIGINT))) DIV {den}"
+    )
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("r DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select("node", update.alias("r"))
+            .persist()
+        )
+        new_ranks.count()  # materialize before dropping the parent
+        ranks.unpersist()
+        ranks = new_ranks
+    out = ranks.select(
+        "node", (F.col("r").cast("double") / F.lit(float(q))).alias("rank")
+    )
+    return out

@@ -1295,12 +1295,15 @@ def _g711_alaw_to_linear(codes):
 
 def decode_audio(payload: bytes) -> tuple[object, int]:
     """Decode a WAV payload to (samples float64 in [-1, 1] shaped
-    (n, channels), sample_rate). REAL for RIFF/WAVE linear PCM (16-bit,
-    format 1) and G.711 companded telephony audio (format 6 A-law,
-    format 7 mu-law — one byte per sample, expanded by the public-spec
-    segment arithmetic) — header walk over chunks, then ``frombuffer``,
-    no audio libraries. Compressed codecs (mp3/aac/opus) raise at this
-    seam."""
+    (n, channels), sample_rate). REAL for RIFF/WAVE linear PCM (16-bit
+    AND 24-bit, format 1 — 24-bit via a vectorized sign-extending
+    triple-widen, no i3 dtype needed), IEEE float32 PCM (format 3),
+    G.711 companded telephony audio (format 6 A-law, format 7 mu-law —
+    one byte per sample, expanded by the public-spec segment
+    arithmetic), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers around
+    any of those (real format read from the SubFormat GUID) — header
+    walk over chunks, then ``frombuffer``, no audio libraries.
+    Compressed codecs (mp3/aac/opus) raise at this seam."""
     import struct
 
     import numpy as np
@@ -1308,20 +1311,41 @@ def decode_audio(payload: bytes) -> tuple[object, int]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAVE PCM decodes without codec libs")
     pos, fmt, data = 12, None, None
+    fmt_body, len_fmt = b"", 0
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body, len_fmt = body, len(body)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("truncated WAV: missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
+    # WAVE_FORMAT_EXTENSIBLE (0xFFFE): the real format lives in the
+    # first 2 bytes of the 16-byte SubFormat GUID at offset 24
+    if audio_format == 0xFFFE and len_fmt >= 26:
+        audio_format = struct.unpack("<H", fmt_body[24:26])[0]
     if audio_format == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 24:
+        # 24-bit PCM (the studio-master depth): no i3 dtype, so widen
+        # each little-endian triple into an int32 with sign extension —
+        # one vectorized reshape+shift pass, no per-sample Python
+        raw = np.frombuffer(data, dtype=np.uint8)
+        if len(raw) % 3:
+            raise ValueError("24-bit WAV data not a multiple of 3 bytes")
+        b = raw.reshape(-1, 3).astype(np.int32)
+        lin = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        lin -= (lin & 0x800000) << 1  # sign-extend bit 23
+        samples = lin.astype(np.float64) / 8388608.0
+    elif audio_format == 3 and bits == 32:
+        # IEEE float32 PCM (format 3) — the float-pipeline interchange
+        # depth; values are already in [-1, 1] by convention
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
     elif audio_format in (6, 7) and bits == 8:
         codes = np.frombuffer(data, dtype=np.uint8)
         lin = (
@@ -1332,7 +1356,8 @@ def decode_audio(payload: bytes) -> tuple[object, int]:
         samples = lin.astype(np.float64) / 32768.0
     else:
         raise NotImplementedError(
-            "only 16-bit PCM and G.711 A-law/mu-law WAV decode without codec libs"
+            "only 16/24-bit PCM, float32 PCM, and G.711 A-law/mu-law WAV "
+            "decode without codec libs"
         )
     if channels < 1 or len(samples) % channels:
         raise ValueError("WAV data size does not match channel count")

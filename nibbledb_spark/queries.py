@@ -2017,6 +2017,86 @@ reach(id, r) AS (
 )"""
 
 
+def _pagerank_sql(iterations: int = 5, q: int = 10**9, num: int = 85, den: int = 100) -> str:
+    """Unrolled fixed-iteration PageRank oracle: the operator's integer
+    recurrence restated as chained CTEs (one contribution agg + one
+    damped update per iteration). Everything is BIGINT until the final
+    display divide, so the oracle is bit-identical to the Spark loop by
+    construction — an EXACT oracle over an iterative graph algorithm."""
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        """edges AS (
+  SELECT s * 10 + 1 AS src, c * 10 + 2 AS dst FROM pairs
+  UNION ALL
+  SELECT c * 10 + 2 AS src, s * 10 + 1 AS dst FROM pairs
+)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        """deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+)""",
+        """ed AS (
+  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON d.src = e.src
+)""",
+        f"r0 AS (SELECT node, CAST({q} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT ed.dst AS node, CAST(SUM(r.r // ed.deg) AS BIGINT) AS s
+  FROM ed JOIN r{i - 1} r ON r.node = ed.src GROUP BY ed.dst
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(({(den - num) * q} + {num} * COALESCE(c.s, 0)) // {den} AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(r AS DOUBLE) / {float(q)} AS rank "
+        + f"FROM r{iterations} ORDER BY node"
+    )
+
+
+@declared("pagerank_trade_graph", _pagerank_sql())
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the supplier<->customer trade graph
+    (operators/graph.py pagerank; Page et al. 1999) — the graph-quality
+    ranking signal of corpus curation, run on the one real graph the
+    test tables induce: distinct (supplier, customer) trading pairs
+    from lineitem JOIN orders, symmetrized, with disjoint node ids
+    (suppkey*10+1 / custkey*10+2). Five exact-integer iterations at
+    Q=1e9, damping 85/100 — no float enters the recurrence, so an
+    ITERATIVE algorithm hash-matches the oracle bit for bit. Per
+    iteration: one dst-keyed contribution agg + one rank join; edges
+    persist once; lineage stays O(1) via per-iteration persist."""
+    from nibbledb_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 10 + 1).alias("s"),
+            (F.col("o_custkey") * 10 + 2).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).unionByName(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+    return (
+        pagerank(edges, iterations=5, damping=(85, 100), scale=9)
+        .orderBy("node")
+    )
+
+
 @declared(
     "near_dup_components",
     _NDC_CLOSURE_CTES

@@ -381,3 +381,80 @@ def test_multi_width_rollup_hierarchy_and_routing(spark, tmp_path):
     # widths survive reopen
     eng2 = TimeSeriesEngine(spark, str(tmp_path / "store"))
     assert eng2.rollup_widths == [H, DAY_US]
+
+
+def test_retention_drops_raw_keeps_rollup_aggregates(spark, tmp_path):
+    """apply_retention (the drop_chunks + continuous-aggregate
+    lifecycle): raw points below the cutoff disappear from every raw
+    read, while bucket-aligned range aggregates over the dropped range
+    keep answering EXACTLY from the rollup; the floor survives reopen;
+    later deletes/compactions/rebuilds never lose the pre-floor
+    aggregates (they are primary data now); the guard rails (no
+    rollup, misaligned cutoff, backwards floor, lost rollup dir,
+    enabling a new width post-retention) all refuse loudly."""
+    import os
+    import shutil
+
+    import pytest
+
+    from nibbledb_spark.engine import TimeSeriesEngine
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    HOUR = 3_600_000_000
+    eng = TimeSeriesEngine(spark, str(tmp_path / "store"), num_buckets=2)
+    rows = [
+        (f"s{i}", h * HOUR + j * 600_000_000, None, float(i * 100 + h * 10 + j))
+        for i in range(2)
+        for h in range(4)
+        for j in range(6)
+    ]
+    eng.append_points(spark.createDataFrame(rows, POINT_SCHEMA))
+
+    with pytest.raises(ValueError, match="rollup"):
+        eng.apply_retention(2 * HOUR)  # no rollup enabled yet
+
+    eng.enable_rollup(HOUR)
+    ids = ["s0", "s1"]
+    pre_sum = eng.aggregate_range(ids, 0, 2 * HOUR - 1, "sum")
+    pre_mean = eng.aggregate_range(ids, 0, 2 * HOUR - 1, "mean")
+    pre_cnt = eng.aggregate_range(ids, 0, 2 * HOUR - 1, "count")
+    n_total = eng.length(ids)
+
+    with pytest.raises(ValueError, match="aligned"):
+        eng.apply_retention(2 * HOUR + 5)
+
+    eng.apply_retention(2 * HOUR)
+
+    # raw reads only see the live range
+    assert eng.length(ids) == n_total // 2
+    assert eng.earliest(ids).collect()[0]["ts"] == 2 * HOUR
+    assert eng.range(ids, 0, 2 * HOUR - 1).count() == 0
+
+    # dropped-range aggregates still answer, exactly, from the rollup
+    for agg, pre in (("sum", pre_sum), ("mean", pre_mean), ("count", pre_cnt)):
+        assert eng.aggregate_range(ids, 0, 2 * HOUR - 1, agg) == pre
+        assert eng._last_agg_source == "rollup"
+
+    # floor survives reopen
+    eng2 = TimeSeriesEngine(spark, str(tmp_path / "store"))
+    assert eng2.retention_floor_us == 2 * HOUR
+    assert eng2.aggregate_range(ids, 0, 2 * HOUR - 1, "sum") == pre_sum
+
+    # a live-range delete triggers a rebuild — pre-floor rows must survive
+    eng.delete(["s0"], 3 * HOUR, 4 * HOUR)
+    assert eng.aggregate_range(ids, 0, 2 * HOUR - 1, "sum") == pre_sum
+    eng.compact()
+    assert eng.aggregate_range(ids, 0, 2 * HOUR - 1, "sum") == pre_sum
+
+    # monotone floor; post-retention new widths refuse (nothing to
+    # rebuild the dropped range from)
+    with pytest.raises(ValueError, match="backwards"):
+        eng.apply_retention(HOUR)
+    with pytest.raises(ValueError, match="primary data"):
+        eng.enable_rollup(2 * HOUR)
+
+    # a lost rollup dir is no longer self-healing: it held primary data
+    shutil.rmtree(eng._rollup_dir(HOUR))
+    with pytest.raises(ValueError, match="primary data"):
+        eng.rollup_rebuild(HOUR)
+    assert not os.path.exists(eng._rollup_dir(HOUR))

@@ -3728,3 +3728,112 @@ def test_hard_negatives_label_contract(spark):
         assert [r["neighbor_id"] for r in rows] == [j for _, j in cand[:5]]
         for r, (negs, j) in zip(rows, cand[:5]):
             assert abs(r["cos_sim"] - sims[q, j]) < 1e-5
+
+
+def test_wav_24bit_float32_and_extensible_decode():
+    """Round-11 WAV depth-matrix extension: 24-bit PCM (sign-extended
+    vectorized triple-widen), IEEE float32 (format 3), and
+    WAVE_FORMAT_EXTENSIBLE wrappers all decode to the same normalized
+    samples as the 16-bit path on the same waveform; unknown compressed
+    formats still raise."""
+    import struct
+
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_audio
+
+    def wav(fmt_tag, bits, data, rate=8000, channels=1, extensible=False):
+        if extensible:
+            sub = struct.pack("<H", fmt_tag) + b"\x00\x00" + b"\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+            fmt = struct.pack(
+                "<HHIIHH", 0xFFFE, channels, rate,
+                rate * channels * bits // 8, channels * bits // 8, bits,
+            ) + struct.pack("<H", 22) + struct.pack("<H", bits) + struct.pack("<I", 0) + sub
+        else:
+            fmt = struct.pack(
+                "<HHIIHH", fmt_tag, channels, rate,
+                rate * channels * bits // 8, channels * bits // 8, bits,
+            )
+        c = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        c += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(c)) + b"WAVE" + c
+
+    t = np.arange(64) / 8000.0
+    ref = 0.5 * np.sin(2 * np.pi * 440 * t)
+
+    s16 = (ref * 32767).astype("<i2")
+    got16, rate = decode_audio(wav(1, 16, s16.tobytes()))
+    assert rate == 8000 and got16.shape == (64, 1)
+
+    i24 = np.round(ref * 8388607).astype(np.int32)
+    b24 = np.zeros((64, 3), np.uint8)
+    b24[:, 0] = i24 & 0xFF
+    b24[:, 1] = (i24 >> 8) & 0xFF
+    b24[:, 2] = (i24 >> 16) & 0xFF
+    got24, _ = decode_audio(wav(1, 24, b24.tobytes()))
+    assert np.allclose(got24[:, 0], ref, atol=2e-7)  # 24-bit quantization
+    # negative samples round-trip (sign extension is the failure mode)
+    assert (got24[:, 0] < 0).any()
+
+    f32 = ref.astype("<f4")
+    gotf, _ = decode_audio(wav(3, 32, f32.tobytes()))
+    assert np.allclose(gotf[:, 0], ref, atol=1e-7)
+
+    # EXTENSIBLE wrappers resolve to their SubFormat codec
+    gote, _ = decode_audio(wav(1, 16, s16.tobytes(), extensible=True))
+    assert np.array_equal(gote, got16)
+    gotef, _ = decode_audio(wav(3, 32, f32.tobytes(), extensible=True))
+    assert np.array_equal(gotef, gotf)
+
+    with pytest.raises(NotImplementedError):  # MP3 format tag
+        decode_audio(wav(0x0055, 16, s16.tobytes()))
+    with pytest.raises(ValueError):  # 24-bit payload not length%3
+        decode_audio(wav(1, 24, b24.tobytes()[:-1]))
+
+
+def test_pagerank_integer_recurrence_and_structure(spark):
+    """The distributed integer PageRank equals a sequential replay of
+    the exact same recurrence (longs, DIV, damping rational) node for
+    node; structurally, the hub of a symmetrized star outranks the
+    leaves, all leaves tie, and a disconnected symmetric pair holds the
+    2-cycle fixpoint rank 1.0; determinism across runs; float-free
+    guard: results are identical under a different shuffle-partition
+    count (partitioning cannot perturb integer sums)."""
+    from nibbledb_spark.operators.graph import pagerank
+
+    star = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    pair = [(10, 11), (11, 10)]
+    edges = spark.createDataFrame(star + pair, "src long, dst long")
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+
+    # sequential replay of the identical integer recurrence
+    q, num, den = 10**9, 85, 100
+    nodes = sorted({s for s, _ in star + pair} | {d for _, d in star + pair})
+    deg: dict[int, int] = {}
+    for s, _ in star + pair:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: q for n in nodes}
+    for _ in range(5):
+        s_in = {n: 0 for n in nodes}
+        for a, b in star + pair:
+            s_in[b] += r[a] // deg[a]
+        r = {n: ((den - num) * q + num * s_in[n]) // den for n in nodes}
+    for n in nodes:
+        assert out[n] == r[n] / q, (n, out[n], r[n] / q)
+
+    assert out[0] > out[1]  # hub beats leaves
+    assert len({out[i] for i in range(1, 6)}) == 1  # leaves tie
+    assert out[10] == out[11] == 1.0  # isolated 2-cycle fixpoint
+
+    again = {r2["node"]: r2["rank"] for r2 in pagerank(edges, iterations=5).collect()}
+    assert again == out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
+    with _pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=(100, 100))
+
+    repart = spark.createDataFrame(star + pair, "src long, dst long").repartition(7)
+    outp = {r2["node"]: r2["rank"] for r2 in pagerank(repart, iterations=5).collect()}
+    assert outp == out
