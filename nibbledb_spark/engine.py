@@ -333,6 +333,17 @@ class TimeSeriesEngine:
                 # A24 shaping: sum/count over empty are 0, the rest {}
                 return {agg: 0.0} if agg in ("sum", "count") else {}
             return {agg: float(val)}
+        if self.retention_floor_us and ts_from < self.retention_floor_us:
+            # the raw fallback would silently aggregate over rows
+            # apply_retention dropped — refuse with the fix spelled out
+            raise ValueError(
+                f"aggregate_range [{ts_from}, {ts_to}] reaches below the "
+                f"retention floor {self.retention_floor_us} and cannot be "
+                "served from raw points (they were dropped); align the "
+                "window to an enabled rollup width and use a mergeable "
+                f"aggregate (sum/count/min/max/mean), or start at/after "
+                "the floor"
+            )
         self._last_agg_source = "points"
         return self.aggregate(ids, agg, self.range(ids, ts_from, ts_to))
 

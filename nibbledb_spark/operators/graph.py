@@ -227,9 +227,10 @@ def pagerank(
         raise ValueError(f"damping must be a proper fraction: {damping}")
     q = 10**scale
 
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
+    # e itself is NOT persisted: nodes and ed (below) are, and they are
+    # the only frames the loop re-reads — caching e too would pin a
+    # redundant copy of the edge list with no unpersist handle
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

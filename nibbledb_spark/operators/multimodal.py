@@ -1501,9 +1501,12 @@ def parse_avi(payload: bytes) -> dict:
         "frames": [],
     }
     saw_vids = False
+    n_streams = 0  # strh chunks seen; the vids stream's ORDINAL is its
+    vids_tag = None  # movi chunk prefix ('00', '01', ...) — streams are
+    # numbered by strl order, so an audio-first file puts video at '01dc'
 
     def walk(pos: int, end: int, in_movi: bool = False) -> None:
-        nonlocal saw_vids
+        nonlocal saw_vids, n_streams, vids_tag
         for fourcc, b0, b1 in chunks(payload, pos, end):
             if fourcc == b"LIST":
                 ltype = payload[b0 : b0 + 4]
@@ -1514,9 +1517,10 @@ def parse_avi(payload: bytes) -> dict:
                 )
                 info["width"] = int.from_bytes(payload[b0 + 32 : b0 + 36], "little")
                 info["height"] = int.from_bytes(payload[b0 + 36 : b0 + 40], "little")
-            elif fourcc == b"strh" and b1 - b0 >= 32 and not saw_vids:
-                if payload[b0 : b0 + 4] == b"vids":
+            elif fourcc == b"strh" and b1 - b0 >= 32:
+                if payload[b0 : b0 + 4] == b"vids" and not saw_vids:
                     saw_vids = True
+                    vids_tag = b"%02d" % n_streams
                     info["handler"] = payload[b0 + 4 : b0 + 8].decode(
                         "ascii", "replace"
                     )
@@ -1524,9 +1528,10 @@ def parse_avi(payload: bytes) -> dict:
                     rate = int.from_bytes(payload[b0 + 24 : b0 + 28], "little")
                     if rate > 0 and scale > 0:
                         info["usec_per_frame"] = round(1_000_000 * scale / rate)
+                n_streams += 1
             elif in_movi and fourcc[2:4] in (b"dc", b"db"):
-                # stream-00 video frames; audio ('wb') and index chunks skip
-                if fourcc[:2] == b"00":
+                # the vids stream's chunks; audio ('wb') and index skip
+                if vids_tag is not None and fourcc[:2] == vids_tag:
                     info["frames"].append(payload[b0:b1])
 
     walk(12, len(payload))
@@ -1567,6 +1572,9 @@ def video_keyframes(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     that matter for partition sizing at scale — all real here.
     """
     import numpy as np
+
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be >= 1: {every_ms}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

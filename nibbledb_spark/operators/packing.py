@@ -21,8 +21,6 @@ extension scope.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -117,10 +115,13 @@ def pack_bins_ffd(
     pack in parallel; a group too large for one task is subdivided
     with ``n_subgroups`` (hash-salted subgroup key appended to
     ``group``) — each subgroup packs independently, adding at most
-    one under-half-full bin per subgroup while keeping every task
-    O(group/n_subgroups · log). The FFD inner loop itself is the
-    textbook one, over an int array per task, nothing per-row in
-    Python at the Spark layer.
+    one under-half-full bin per subgroup while bounding every task to
+    its subgroup. The FFD inner loop is the textbook linear-scan
+    first-fit — O(docs x open-bins) per subgroup worst case (a
+    capacity-indexed tree would make it O(n log n); at that point
+    raise n_subgroups instead, which also caps the quadratic term) —
+    over plain int lists per task, nothing per-row in Python at the
+    Spark layer.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
@@ -156,7 +157,10 @@ def pack_bins_ffd(
                 bin_ids.append(len(bins_free))
                 offsets.append(0)
                 oversize.append(True)
-                bins_free.append(0)  # full: nothing else joins this bin
+                # -1, not 0: even a degenerate zero-token doc (n == 0
+                # passes any free >= n test) must never share an
+                # oversize bin
+                bins_free.append(-1)
                 bins_fill.append(n)
                 continue
             for b, free in enumerate(bins_free):

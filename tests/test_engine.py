@@ -453,6 +453,16 @@ def test_retention_drops_raw_keeps_rollup_aggregates(spark, tmp_path):
     with pytest.raises(ValueError, match="primary data"):
         eng.enable_rollup(2 * HOUR)
 
+    # a raw fallback into the dropped range must refuse, not silently
+    # aggregate over absent rows (round-11 review find): unaligned
+    # window / non-mergeable agg below the floor both raise
+    with pytest.raises(ValueError, match="retention floor"):
+        eng.aggregate_range(ids, 0, 2 * HOUR - 2, "sum")  # unaligned end
+    with pytest.raises(ValueError, match="retention floor"):
+        eng.aggregate_range(ids, 0, 2 * HOUR - 1, "median")  # unmergeable
+    # ...but live-range raw fallbacks still work
+    assert eng.aggregate_range(ids, 2 * HOUR, 3 * HOUR - 2, "median")
+
     # a lost rollup dir is no longer self-healing: it held primary data
     shutil.rmtree(eng._rollup_dir(HOUR))
     with pytest.raises(ValueError, match="primary data"):

@@ -3533,7 +3533,7 @@ def test_clean_ingest_sink_gates_dedups_exactly_once(spark, tmp_path):
 
 def _avi_mjpeg_bytes(
     frames, *, scale=1, rate=10, width=16, height=16, handler=b"MJPG",
-    wrap_rec=False, fourcc=b"00dc",
+    wrap_rec=False, fourcc=b"00dc", audio_first=False,
 ):
     """Minimal spec-correct AVI 1.0 writer for the container tests:
     RIFF(AVI (hdrl(avih, strl(strh, strf)), movi(frames))). ``strh``
@@ -3561,7 +3561,17 @@ def _avi_mjpeg_bytes(
     strf = struct.pack(
         "<IiiHH4sIiiII", 40, width, height, 1, 24, handler, 0, 0, 0, 0, 0
     )
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    if audio_first:
+        # an auds stream listed BEFORE the video one: video becomes
+        # stream 1, its movi chunks '01dc'
+        astrh = (
+            b"audsPCM " + struct.pack("<IHH6I", 0, 0, 0, 0, 1, 8000, 0, 0, 0)
+            + struct.pack("<II", 0, 0) + struct.pack("<4H", 0, 0, 0, 0)
+        )
+        astrf = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        strls = lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf)) + strls
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
     body = b"".join(chunk(fourcc, f) for f in frames)
     if wrap_rec:
         body = lst(b"rec ", body)
@@ -3597,6 +3607,17 @@ def test_parse_avi_container_walk():
     truncated = _avi_mjpeg_bytes(frames)[:-9]
     with pytest.raises(ValueError):
         parse_avi(truncated)
+    # streams are numbered by strl ORDER: with an auds stream listed
+    # first, the video stream's movi chunks are '01dc' — the walk must
+    # follow the ordinal, not assume stream 00 (round-11 review find)
+    af = parse_avi(
+        _avi_mjpeg_bytes(frames, fourcc=b"01dc", audio_first=True)
+    )
+    assert af["frames"] == frames and af["usec_per_frame"] == 100_000
+    # ...and stream-00 chunks in that file would be the AUDIO stream
+    assert parse_avi(
+        _avi_mjpeg_bytes(frames, fourcc=b"00wb", audio_first=True)
+    )["frames"] == []
 
 
 def test_video_keyframes_mjpeg_end_to_end(spark):
@@ -3670,6 +3691,11 @@ def test_video_keyframes_mjpeg_end_to_end(spark):
 
     # emitted frames feed the existing image operators unchanged
     assert parse_avi(good)["frames"][0] == jpegs[0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every_ms"):
+        video_keyframes(media, every_ms=0)
 
 
 def test_collocations_lift_planted_phrase(spark):

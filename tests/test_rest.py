@@ -570,3 +570,34 @@ def test_full_wire_protocol_over_http(engine, tmp_path):
             assert status == 400 and text.startswith("Error:"), (method, path)
     finally:
         server.shutdown()
+
+
+def test_client_loop_zero_posts_once():
+    """client.re's post_loop sends once even at the default loop=0
+    (loop(0) fires the first request before checking n > 1); the port
+    must match — --loop 0 is one POST, not zero. Pinned without a
+    server: one connection attempt to a dead port = one error exit."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import client
+    finally:
+        sys.path.pop(0)
+
+    calls = []
+
+    def fake_post(uri, payload, content_type):
+        calls.append((uri, payload, content_type))
+        return 200, ""
+
+    orig = client.post_once
+    client.post_once = fake_post
+    try:
+        assert client.main(["--uri", "http://x/ts/a"]) == 0
+        assert len(calls) == 1  # loop default 0 => exactly one POST
+        calls.clear()
+        assert client.main(["--uri", "http://x/ts/a", "--loop", "3", "--freq", "0"]) == 0
+        assert len(calls) == 3
+    finally:
+        client.post_once = orig

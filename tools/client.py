@@ -70,13 +70,17 @@ def main(argv: list[str] | None = None) -> int:
         with open(payload) as f:
             payload = f.read()
 
-    for i in range(args.loop):
+    # client.re's post_loop always sends once, then recurses while
+    # n > 1 — so --loop 0 (the reference default) still POSTs exactly
+    # once; mirror that instead of silently doing nothing
+    n_posts = max(1, args.loop)
+    for i in range(n_posts):
         status, body = post_once(args.uri, payload, FORMATS[args.format])
         if not 200 <= status < 300:
             print(f"Error: HTTP {status}: {body}", file=sys.stderr)
             return 1
         print("=> Created")
-        if i + 1 < args.loop and args.freq > 0:
+        if i + 1 < n_posts and args.freq > 0:
             time.sleep(args.freq)
     return 0
 
