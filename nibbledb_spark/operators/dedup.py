@@ -1801,3 +1801,87 @@ def substring_self_spans(
             F.col("len_tokens").cast("long").alias("len_tokens"),
         )
     )
+
+
+def lsh_dedup_gate(
+    spark,
+    path: str,
+    *,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    on_pass=None,
+):
+    """``foreachBatch`` handler factory for the CRAWL-LOOP near-dup
+    gate — the streaming composition of the persisted LSH index's
+    probe and add halves: every micro-batch is probed against the
+    indexed corpus, near-dups are DROPPED, and the survivors are both
+    ADDED to the index (so later batches dedup against them) and handed
+    to ``on_pass(survivors_df, batch_id)`` for the downstream commit.
+    This is the near-dup analogue of
+    ``SnapshotTable.dedup_streaming_sink`` (which gates on EXACT keys):
+    the corpus-as-its-own-seen-set shape every crawl pipeline needs.
+
+    Drop policy, deterministic and recall-biased:
+    - a batch doc near-dupping ANY indexed doc (``jaccard >=
+      threshold``) drops;
+    - within the batch, the HIGHER id of every exact-Jaccard pair at
+      the index's frozen shingle_n drops — greedy lower-id-wins, which
+      can over-drop along chains (a~b, b~c, a!~c drops both b and c);
+      for dedup gating that bias is safe (content stays represented);
+      run pairs -> connected components offline when the exact
+      one-per-cluster policy matters.
+
+    Exactly-once: survivors are deterministic for a given (index state,
+    batch), and the index add runs ``on_duplicate='skip'`` — so a
+    crash-replayed batch re-adds nothing. ``on_pass`` receives the SAME
+    survivors again on replay and must be idempotent by ``batch_id``
+    (compose with ``SnapshotTable.append(meta={'stream_batch_id': ...})``
+    or any sink carrying the micro-batch-id guard).
+
+    Scale shape per batch: probe cost tracks the batch (the measured
+    lsh_probe contract — corpus-side state is reads, never recompute);
+    the intra-batch pair join is batch x batch through the shared-
+    shingle equi-join; the add appends band/shingle/size rows for
+    survivors only and publishes with one manifest swap.
+    """
+    meta = _lsh_index_meta(path)
+    n = int(meta["shingle_n"])
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.persist()
+        survivors = None
+        try:
+            vs_index = (
+                lsh_query_near_dups(
+                    spark, path, batch,
+                    threshold=threshold, id_col=id_col, text_col=text_col,
+                )
+                .select(F.col("query_id").alias(id_col))
+                .distinct()
+            )
+            intra = (
+                ngram_jaccard_pairs(
+                    batch, id_col=id_col, text_col=text_col,
+                    n=n, threshold=threshold,
+                )
+                .select(F.col("id2").alias(id_col))
+                .distinct()
+            )
+            survivors = (
+                batch.join(vs_index, id_col, "left_anti")
+                .join(intra, id_col, "left_anti")
+                .persist()
+            )
+            lsh_index_add(
+                spark, path, survivors,
+                id_col=id_col, text_col=text_col, on_duplicate="skip",
+            )
+            if on_pass is not None:
+                on_pass(survivors, batch_id)
+        finally:
+            batch.unpersist()
+            if survivors is not None:
+                survivors.unpersist()
+
+    return sink

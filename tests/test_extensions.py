@@ -3863,3 +3863,63 @@ def test_pagerank_integer_recurrence_and_structure(spark):
     repart = spark.createDataFrame(star + pair, "src long, dst long").repartition(7)
     outp = {r2["node"]: r2["rank"] for r2 in pagerank(repart, iterations=5).collect()}
     assert outp == out
+
+
+def test_lsh_dedup_gate_crawl_loop(spark, tmp_path):
+    """The streaming crawl-loop near-dup gate: batch docs near-dupping
+    the INDEX drop; within a batch the higher id of a near-dup pair
+    drops; survivors join the index so LATER batches dedup against
+    them; a crash-replayed batch re-adds nothing and re-emits the same
+    survivors (downstream idempotence by batch_id); the index stays
+    validate-clean throughout."""
+    from nibbledb_spark.operators.dedup import (
+        build_lsh_index,
+        lsh_dedup_gate,
+        validate_lsh_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about distributed query engines"
+    docs = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    build_lsh_index(docs, path)
+
+    emitted: dict[int, list[int]] = {}
+
+    def on_pass(survivors, batch_id):
+        emitted.setdefault(batch_id, []).extend(
+            sorted(r["doc_id"] for r in survivors.collect())
+        )
+
+    sink = lsh_dedup_gate(spark, path, threshold=0.6, on_pass=on_pass)
+
+    novel_a = "a brand new document describing winnowing fingerprints nicely"
+    b1 = spark.createDataFrame(
+        [
+            (10, base + " tail"),        # near-dups indexed doc 1 -> drop
+            (11, novel_a),               # novel -> survive
+            (12, novel_a + " extra"),    # near-dups 11 in-batch -> drop
+            (13, "unrelated fresh text about parquet row group statistics"),
+        ],
+        "doc_id long, text string",
+    )
+    sink(b1, 0)
+    assert emitted[0] == [11, 13]
+    validate_lsh_index(spark, path)
+
+    # later batch dedups against batch-1 SURVIVORS, now in the index
+    b2 = spark.createDataFrame(
+        [(20, novel_a + " also"), (21, "yet another wholly novel page")],
+        "doc_id long, text string",
+    )
+    sink(b2, 1)
+    assert emitted[1] == [21]
+
+    # crash-replay of batch 1: same survivors re-emitted (downstream
+    # guards by batch_id), index unchanged (skip add), still valid
+    emitted.clear()
+    sink(b1, 0)
+    assert emitted[0] == [11, 13]
+    validate_lsh_index(spark, path)
