@@ -393,6 +393,18 @@ class Router:
             if len(p) == 2 and p[0] == "ts":
                 self._post(p[1], body)
                 return None
+            if p[:4] == ["x", "ctl", "ts", "retention"] and len(p) == 5:
+                # extension control: apply the drop-raw/keep-rollup
+                # retention lifecycle at a bucket-aligned µs cutoff.
+                # Mutating => POST; flush first so buffered points
+                # participate in the cutoff (reference flush-before-
+                # mutate discipline, src/timeseries.re:294-300)
+                self._flush()
+                try:
+                    self.engine.apply_retention(int(p[4]))
+                except ValueError as e:
+                    raise RouteError(str(e)) from e
+                return {"retention_floor_us": self.engine.retention_floor_us}
             raise RouteError("unknown path")
         if method == "GET":
             if p[:1] == ["ts"] and len(p) >= 3:

@@ -601,3 +601,40 @@ def test_client_loop_zero_posts_once():
         assert len(calls) == 3
     finally:
         client.post_once = orig
+
+
+def test_retention_control_route(engine):
+    """POST /x/ctl/ts/retention/:cutoff — the drop-raw/keep-rollup
+    lifecycle over the wire: buffered points flush first, raw reads
+    shrink to the live range, the rollup keeps answering aligned
+    aggregates over the dropped range, and the engine's guard rails
+    (no rollup, misaligned cutoff) surface as clean 400s."""
+    HOUR = 3_600_000_000
+    router = Router(engine)
+    pts = [
+        {"timestamp": h * HOUR + j * 600_000_000, "tag": [{"k": "v"}],
+         "value": float(h * 10 + j)}
+        for h in range(4) for j in range(3)
+    ]
+    assert router.handle("POST", "/ts/m", json.dumps(pts))[0] == 200
+
+    # guard: retention without a rollup is a 400, not a crash
+    status, body = router.handle("POST", f"/x/ctl/ts/retention/{2 * HOUR}")
+    assert status == 400 and "rollup" in body
+
+    router.handle("GET", f"/x/ts/m/rollup/{HOUR}")  # enable maintenance
+    pre = router.handle_json(
+        "GET", f"/ts/m/range/0/{2 * HOUR - 1}/sum"
+    )[1]
+
+    status, out = router.handle_json("POST", f"/x/ctl/ts/retention/{2 * HOUR}")
+    assert status == 200 and out == {"retention_floor_us": 2 * HOUR}
+
+    assert router.handle_json("GET", "/ts/m/length")[1] == {"length": 6}
+    # dropped-range aligned aggregate still answers from the rollup
+    assert router.handle_json(
+        "GET", f"/ts/m/range/0/{2 * HOUR - 1}/sum"
+    )[1] == pre
+    # misaligned cutoff and backwards floor both 400
+    assert router.handle("POST", f"/x/ctl/ts/retention/{3 * HOUR + 5}")[0] == 400
+    assert router.handle("POST", f"/x/ctl/ts/retention/{HOUR}")[0] == 400
