@@ -36,50 +36,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # `no_oracle`. This list is GENERATED — refresh each round:
 #   python tools/update_rotation.py CORRECTNESS_r*.json
 _DRIVER_VERIFIED = [
-    "simhash_docs",
-    "embed_norms",
-    "embed_cosine_topk",
-    "embed_near_dup_pairs",
-    "ivf_ann_topk",
-    "multimodal_payload_fp",
-    "multimodal_frame_sample",
-    "clean_corpus",
-    "clean_corpus_gated",
-    "window_rank_family",
-    "window_range_frame_30d",
-    "subquery_exists_big_spenders",
-    "subquery_scalar_above_avg",
-    "subquery_correlated_above_own_avg",
-    "unpivot_lineitem_measures",
-    "simhash_near_dup_pairs",
-    "chunk_documents_64",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_interval_join",
-    "sample_stratified_sources",
-    "training_shard_manifest",
-    "sample_token_budget_per_source",
-    "sample_quota_per_source",
-    "heavy_hitter_tokens",
-    "decontaminate_ngrams",
-    "timetravel_versions",
-    "udtf_token_counts",
-    "tfidf_pair_scores",
-    "asof_nearest_purchase_to_click",
-    "approx_distinct_parts_bound",
-    "json_map_events",
-    "pivot_events_weekday",
-    "text_pii_scrub",
-    "text_repetition",
-    "ts_outliers_mad",
-    "mad_per_series",
-    "text_token_stats",
-    "text_quality",
-    "minhash_signatures",
-    "srp_ann_topk",
-    "ivf_kmeans_probe_all_bound",
-    "embed_label_cohesion",
     "profile_documents",
     "stream_interval_join_fouter",
     "stateful_series_stats",
@@ -215,6 +171,56 @@ _DRIVER_VERIFIED = [
     "argmax_latest_order",
     "bitmask_user_event_flags",
     "ts_moments_skew_kurt",
+    "asof_nearest_purchase_to_click",
+    "approx_distinct_parts_bound",
+    "json_map_events",
+    "pivot_events_weekday",
+    "text_pii_scrub",
+    "text_repetition",
+    "ts_outliers_mad",
+    "mad_per_series",
+    "text_token_stats",
+    "text_quality",
+    "fingerprint_winnowing",
+    "minhash_signatures",
+    "pagerank_trade_graph",
+    "simhash_docs",
+    "embed_norms",
+    "embed_cosine_topk",
+    "embed_hard_negatives",
+    "embed_near_dup_pairs",
+    "srp_ann_topk",
+    "ivf_ann_topk",
+    "ivf_kmeans_probe_all_bound",
+    "embed_label_cohesion",
+    "multimodal_payload_fp",
+    "multimodal_frame_sample",
+    "clean_corpus",
+    "clean_corpus_gated",
+    "window_rank_family",
+    "window_range_frame_30d",
+    "subquery_exists_big_spenders",
+    "subquery_scalar_above_avg",
+    "subquery_correlated_above_own_avg",
+    "unpivot_lineitem_measures",
+    "simhash_near_dup_pairs",
+    "chunk_documents_64",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_interval_join",
+    "sample_stratified_sources",
+    "training_shard_manifest",
+    "sample_token_budget_per_source",
+    "sample_quota_per_source",
+    "pack_ffd_bound",
+    "heavy_hitter_tokens",
+    "collocations_lift_top20",
+    "decontaminate_ngrams",
+    "timetravel_versions",
+    "udtf_token_counts",
+    "tfidf_pair_scores",
+    "ts_autocorr_lag1",
 ]
 
 

@@ -1839,6 +1839,17 @@ def lsh_dedup_gate(
     (compose with ``SnapshotTable.append(meta={'stream_batch_id': ...})``
     or any sink carrying the micro-batch-id guard).
 
+    Id-reuse caveat: ids are treated as CONTENT-STABLE. A re-crawled
+    doc whose id already exists in the index but whose TEXT changed
+    will pass the gate (the probe excludes self-id pairs) and its
+    index add is then dropped by ``on_duplicate='skip'`` — so
+    ``on_pass`` commits content the index never learns, and later
+    batches cannot near-dup against the UPDATED text (only the
+    original). Crawl pipelines that revisit URLs should make the id a
+    content address (e.g. ``sha2(text)`` or url+fetch-digest) or
+    rebuild the index on recrawl epochs; the gate does not attempt
+    in-place index updates by design (the manifest is append-only).
+
     Scale shape per batch: probe cost tracks the batch (the measured
     lsh_probe contract — corpus-side state is reads, never recompute);
     the intra-batch pair join is batch x batch through the shared-

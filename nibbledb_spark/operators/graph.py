@@ -262,7 +262,16 @@ def pagerank(
         new_ranks.count()  # materialize before dropping the parent
         ranks.unpersist()
         ranks = new_ranks
+    # the final ranks are already materialized, so the loop-only inputs
+    # can be released; lineage recompute (if `out` is ever evicted)
+    # falls back to the source scans
+    nodes.unpersist()
+    ed.unpersist()
     out = ranks.select(
         "node", (F.col("r").cast("double") / F.lit(float(q))).alias("rank")
     )
+    # NOTE: the returned frame pins ONE |nodes|-sized cache entry (the
+    # final `ranks` persist) for the application lifetime; callers that
+    # need it released should materialize and unpersist via
+    # out.sparkSession.catalog.clearCache() or track the frame themselves
     return out

@@ -3876,12 +3876,18 @@ def pack_ffd_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_in_bin"),
         F.min("bin_offset").alias("min_off"),
         F.max(F.col("bin_offset") + F.col("n_tokens")).alias("max_end"),
-        F.countDistinct("bin_offset").alias("nd_off"),
+        # zero-token docs legitimately share bin_offset == fill (they
+        # occupy no space), so the one-distinct-offset-per-doc check
+        # applies only to docs that consume tokens
+        F.countDistinct(
+            F.when(F.col("n_tokens") > 0, F.col("bin_offset"))
+        ).alias("nd_off"),
+        F.sum((F.col("n_tokens") > 0).cast("int")).alias("n_pos"),
     )
     bad_offsets = (
         (F.col("min_off") != 0)
         | (F.col("max_end") != F.col("fill"))
-        | (F.col("nd_off") != F.col("n_in_bin"))
+        | (F.col("nd_off") != F.col("n_pos"))
     )
     return (
         bins.groupBy("group")
