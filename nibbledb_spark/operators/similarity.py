@@ -499,6 +499,67 @@ def ivf_topk(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    eps: float,
+    *,
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    SEMANTIC dedup — cluster the corpus with the IVF coarse quantizer,
+    then within each cluster drop every vector that has cosine
+    similarity above ``eps`` to a lower-id cluster-mate. Returns the
+    KEPT rows as (``id_col``, cid).
+
+    Drop policy, deterministic and recall-biased (the same
+    lower-id-wins rule as ``lsh_dedup_gate``'s intra-batch step): the
+    higher id of EVERY within-cluster pair with ``cos > eps`` drops,
+    even when the lower-id doc is itself dropped by a still-lower
+    neighbor — so chains a~b, b~c (a!~c) keep only ``a``. That
+    over-drops vs the paper's keep-one-per-group, but is expressible
+    as pure set algebra (no sequential scan), replicates exactly in
+    SQL, and for training-data dedup the bias is safe: every dropped
+    doc has a kept semantic representative within 2·eps.
+
+    Scale shape: centroid assignment is one broadcast map-side sweep
+    (``ivf_assign`` — the corpus never shuffles for it); the pair step
+    shuffles vectors ONCE keyed by cid, then self-joins per cluster —
+    quadratic only in CLUSTER size, never corpus all-pairs. At 100 TB
+    the paper's regime applies: pick ``n_centroids`` so clusters stay
+    ~50k vectors (LAION used k=50,000) and pass Lloyd-refined
+    ``centroids`` (:func:`kmeans_centroids`) for balance; a skewed
+    cluster is visible as one straggler task and fixable by raising k.
+    The default lowest-id quantizer keeps the whole pipeline
+    oracle-replicable (the ``ivf_ann_topk`` precedent).
+    """
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        )
+    asg = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    m = asg.join(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+    )
+    a, b = m.alias("a"), m.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(cosine(F.col("a.v"), F.col("b.v")) > eps)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return asg.join(drops, "id", "left_anti").select(
+        F.col("id").alias(id_col), "cid"
+    )
+
+
 def near_dup_pairs_srp(
     corpus: DataFrame,
     threshold: float,

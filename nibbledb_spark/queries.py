@@ -2679,6 +2679,54 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, e.where(F.col("vec_id") < 5), 3, n_centroids=8, nprobe=2)
 
 
+@declared(
+    "semdedup_keep",
+    f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8),
+corp AS (SELECT vec_id, embedding FROM embeddings),
+asg AS (
+  SELECT id, cid FROM (
+    SELECT corp.vec_id AS id, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY corp.vec_id
+             ORDER BY {_dot_sql('corp.embedding', 'cent.cvec')}
+                      / (SQRT({_dot_sql('corp.embedding', 'corp.embedding')})
+                         * SQRT({_dot_sql('cent.cvec', 'cent.cvec')})) DESC,
+                      cent.cid ASC) AS rn
+    FROM corp, cent) WHERE rn = 1
+),
+drops AS (
+  SELECT DISTINCT a2.id
+  FROM asg a1 JOIN asg a2 ON a1.cid = a2.cid AND a1.id < a2.id
+  JOIN corp c1 ON c1.vec_id = a1.id
+  JOIN corp c2 ON c2.vec_id = a2.id
+  WHERE {_dot_sql('c1.embedding', 'c2.embedding')}
+        / (SQRT({_dot_sql('c1.embedding', 'c1.embedding')})
+           * SQRT({_dot_sql('c2.embedding', 'c2.embedding')})) > 0.35
+)
+SELECT CAST(a.id AS BIGINT) AS vec_id, CAST(a.cid AS BIGINT) AS cid
+FROM asg a LEFT JOIN drops d ON a.id = d.id
+WHERE d.id IS NULL
+ORDER BY vec_id
+""",
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas 2023) — embedding-space semantic dedup: IVF
+    coarse-quantize the corpus (8 lowest-id centroids, the
+    oracle-replicable ivf_ann_topk quantizer), then within each cluster
+    drop the higher id of every cosine>0.35 pair. The kept set is the
+    semantically-deduplicated corpus. Cluster assignment is a broadcast
+    map-side sweep; the pair step shuffles vectors once keyed by cid
+    and self-joins per cluster — quadratic in CLUSTER size only, the
+    paper's scale contract (k grows with the corpus so clusters stay
+    bounded). Full hash-matched oracle: assignment, pair predicate, and
+    drop-set algebra all replicate bit-identically in DuckDB."""
+    from nibbledb_spark.operators.similarity import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, 0.35, n_centroids=8).orderBy("vec_id")
+
+
 @declared("ivf_ann_topk_kmeans", pytest_only=True)  # recall pinned in pytest
 def ivf_ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with Lloyd-refined k-means centroids — the quality/scale

@@ -402,6 +402,64 @@ def _mean_recall(ann_rows, truth, k):
     ) / len(truth)
 
 
+def test_semdedup_model_equality(spark, embeddings):
+    """semdedup == a numpy brute-force replica of the declared policy:
+    nearest-of-8-lowest-id-centroids assignment (ties to lowest cid),
+    then the higher id of every within-cluster cos>eps pair drops."""
+    import numpy as np
+
+    from nibbledb_spark.operators.similarity import semdedup
+
+    eps = 0.35
+    rows = embeddings.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn[:8]  # 8 lowest-id centroids
+    cid_idx = (Mn @ C.T).argmax(axis=1)  # argmax = first max = lowest cid
+    expect_drop = set()
+    for c in range(8):
+        idx = np.where(cid_idx == c)[0]
+        S = Mn[idx] @ Mn[idx].T
+        a, b = np.triu_indices(len(idx), 1)
+        expect_drop.update(ids[idx[np.maximum(a, b)[S[a, b] > eps]]].tolist())
+    expect_keep = {(int(i), int(ids[cid_idx[k]])) for k, i in enumerate(ids) if i not in expect_drop}
+
+    got = {(r["vec_id"], r["cid"]) for r in semdedup(embeddings, eps).collect()}
+    assert got == expect_keep
+    assert 0 < len(expect_drop) < len(ids)  # non-trivial at this eps
+
+
+def test_semdedup_kept_set_is_eps_separated(spark, embeddings):
+    """Policy invariants: (a) no two KEPT docs in the same cluster are
+    closer than eps (the dedup guarantee); (b) planted exact twins
+    (cos=1 to a lower-id original) always drop. Drop-cause exactness is
+    covered by test_semdedup_model_equality's full-set comparison."""
+    from nibbledb_spark.operators.similarity import cosine, semdedup
+
+    eps = 0.35
+    base = embeddings.select("vec_id", "embedding")
+    twins = base.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(twins)
+    kept = semdedup(corpus, eps).cache()
+
+    # (c) every twin (cos=1 to its lower-id original) must drop
+    assert kept.where(F.col("vec_id") >= 10_000).count() == 0
+    # (a) no surviving within-cluster pair above eps
+    v = corpus.withColumnRenamed("vec_id", "id")
+    k = kept.join(v, kept.vec_id == v.id).select("vec_id", "cid", "embedding")
+    a, b = k.alias("a"), k.alias("b")
+    close = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cosine(F.col("a.embedding"), F.col("b.embedding")) > eps)
+        .count()
+    )
+    assert close == 0
+    kept.unpersist()
+
+
 @pytest.fixture(scope="module")
 def clustered_ann(spark):
     corpus_np, queries_np = _clustered_vectors()
