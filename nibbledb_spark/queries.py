@@ -7401,6 +7401,122 @@ def lsh_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_gate_replay_sql() -> str:
+    """Unrolled 3-step declarative replay of the crawl-loop gate: the
+    pagerank precedent (fixed K, one CTE block per step). Candidates
+    come from TWO generators mirroring the gate's two halves — band
+    collisions for the vs-index probe (lsh_query_near_dups) and
+    shared-shingle pairs for the intra-batch step (ngram_jaccard_pairs,
+    same-batch only) — with ONE shared exact-jaccard verify."""
+    bands = ", ".join(
+        f"md5(sig[{2*b+1}]||'|'||sig[{2*b+2}])" for b in range(4)
+    )
+    # per-step drop/survivor CTEs: batch t drops a doc when a good BAND
+    # pair links it to the prior index state i{t-1}, or a good SAME-
+    # BATCH pair links it to a lower id; survivors join the index.
+    steps = []
+    for t_ in (1, 2, 3):
+        prev = "i0" if t_ == 1 else f"i{t_-1}"
+        steps.append(f"""
+d{t_} AS (
+  SELECT DISTINCT x.doc_id FROM (
+    SELECT id1 AS doc_id, id2 AS other FROM good WHERE viaband AND id1 % 4 = {t_}
+    UNION ALL
+    SELECT id2, id1 FROM good WHERE viaband AND id2 % 4 = {t_}) x
+  WHERE x.other IN (SELECT doc_id FROM {prev})
+),
+di{t_} AS (
+  SELECT DISTINCT id2 AS doc_id FROM good
+  WHERE viash AND id1 % 4 = {t_} AND id2 % 4 = {t_}
+),
+s{t_} AS (
+  SELECT doc_id FROM t WHERE doc_id % 4 = {t_}
+    AND doc_id NOT IN (SELECT doc_id FROM d{t_})
+    AND doc_id NOT IN (SELECT doc_id FROM di{t_})
+),
+i{t_} AS (SELECT doc_id FROM {prev} UNION SELECT doc_id FROM s{t_})""")
+    step_sql = ",".join(steps)
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+sig AS (SELECT doc_id, s, {_sig_sql()} AS sig FROM sh),
+bands AS (
+  SELECT doc_id, u.b, [{bands}][u.b + 1] AS bucket
+  FROM sig, (SELECT unnest([0,1,2,3]) AS b) u
+),
+cand_band AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+shx AS (SELECT doc_id, unnest(s) AS g FROM sh),
+cand_sh AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+  WHERE (a.doc_id % 4) = (b.doc_id % 4) AND (a.doc_id % 4) <> 0
+),
+candu AS (
+  SELECT id1, id2, bool_or(viaband) AS viaband, bool_or(viash) AS viash
+  FROM (SELECT id1, id2, TRUE AS viaband, FALSE AS viash FROM cand_band
+        UNION ALL
+        SELECT id1, id2, FALSE, TRUE FROM cand_sh)
+  GROUP BY id1, id2
+),
+good AS (
+  SELECT c.id1, c.id2, c.viaband, c.viash
+  FROM candu c JOIN sh s1 ON c.id1 = s1.doc_id JOIN sh s2 ON c.id2 = s2.doc_id
+  WHERE CAST(len(list_intersect(s1.s, s2.s)) AS DOUBLE)
+        / (len(s1.s) + len(s2.s) - len(list_intersect(s1.s, s2.s))) >= 0.8
+),
+i0 AS (SELECT doc_id FROM t WHERE doc_id % 4 = 0),{step_sql}
+SELECT CAST(b.batch_id AS BIGINT) AS batch_id, CAST(b.doc_id AS BIGINT) AS doc_id
+FROM (SELECT 1 AS batch_id, doc_id FROM s1
+      UNION ALL SELECT 2, doc_id FROM s2
+      UNION ALL SELECT 3, doc_id FROM s3) b
+ORDER BY batch_id, doc_id
+"""
+
+
+@declared("lsh_gate_replay", _lsh_gate_replay_sql())
+def lsh_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming crawl-loop near-dup gate (lsh_dedup_gate), made
+    driver-checkable as a K=3 ordered batch replay: build a fresh LSH
+    index over the seed corpus (doc_id % 4 = 0), push batches 1, 2, 3
+    through the REAL foreachBatch sink in order — probe vs the index,
+    intra-batch lower-id-wins drop, survivors added so LATER batches
+    dedup against them — with on_pass committing each batch's
+    survivors to a parquet sink (the production composition). Returns
+    (batch_id, doc_id) of everything that passed. The oracle unrolls
+    the same greedy sequence as three CTE steps (the pagerank
+    fixed-iteration precedent), so the stateful crawl loop is
+    hash-matched end to end, including the sequential index growth."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.operators.dedup import build_lsh_index, lsh_dedup_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nibblegate_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
+    )
+    idx = os.path.join(base, "index")
+    passed = os.path.join(base, "passed")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    build_lsh_index(docs.where("doc_id % 4 = 0"), idx)
+
+    def on_pass(surv: DataFrame, batch_id: int) -> None:
+        surv.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+        ).write.mode("append").parquet(passed)
+
+    sink = lsh_dedup_gate(spark, idx, threshold=0.8, on_pass=on_pass)
+    for t_ in (1, 2, 3):
+        sink(docs.where(f"doc_id % 4 = {t_}"), t_)
+    return spark.read.parquet(passed).orderBy("batch_id", "doc_id")
+
+
 def _bpe_vocab_sql(k: int) -> str:
     # Reuse the tokenize CTE chain, then count token frequencies.
     return f"""{_bpe_tok_cte(k)}
