@@ -399,3 +399,102 @@ def shuffle_deterministic(
         .withColumn("pos", F.col("__off") + F.row_number().over(wb) - F.lit(1))
         .drop("__b", "__h", "__off")
     )
+
+
+def dsir_hashed_ngram_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    n_buckets: int = 64,
+    scale: int = 10**6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every ``docs`` row by how much its hashed-bigram profile
+    looks like ``target``'s distribution rather than ``docs``' own —
+    the data-selection signal that upweights target-domain-like raw
+    documents before resampling.
+
+    Bag-of-hashed-ngrams with add-1 smoothing, made ENGINE-EXACT by
+    the integer playbook instead of the paper's log-probability sums
+    (logs are never parity-safe across engines): each bucket ``h``
+    gets an exact-long quantized likelihood ratio
+
+        r[h] = ((T[h]+1) * (S_tot+B) * scale) DIV ((S[h]+1) * (T_tot+B))
+
+    (T = target bucket counts, S = source bucket counts, B smoothing
+    mass) and a doc's score is the exact integer SUM of r over its
+    bigram occurrences — order-free, bit-identical anywhere. The
+    returned ``weight`` is that sum divided ONCE by ``n_ngrams *
+    scale`` (a single IEEE division of two exact integers — the
+    geometric-mean-free analogue of the paper's mean log ratio).
+
+    Shape at scale: bigrams explode row-locally; bucket stats are two
+    map-side-combined hash aggregates of at most ``n_buckets`` rows
+    each; the per-doc join broadcasts the tiny ratio table, so the
+    corpus shuffles only on ``id_col`` for the final per-doc sum.
+    int64 headroom: max(T)·(S_tot+B)·scale must stay below 2^63 —
+    at scale=1e6 and B=64 that holds past 10^8 target bigrams
+    against a 10^9-bigram pool; shrink ``scale`` or raise
+    ``n_buckets`` beyond that.
+
+    Docs with fewer than two tokens have no bigrams and are omitted
+    (no ngram evidence, no weight). Returns (id_col, n_ngrams,
+    score_scaled, weight) with weight ~ 1.0 meaning "looks equally
+    target- and source-like".
+    """
+    from .text import tokens
+
+    def bg(df: DataFrame, keep_id: bool) -> DataFrame:
+        pairs = F.expr(
+            "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)), "
+            "(t, i) -> concat(t, ' ', _toks[i + 1]))"
+        )
+        cols = ([F.col(id_col).alias("id")] if keep_id else []) + [
+            tokens(text_col).alias("_toks")
+        ]
+        ex = df.select(*cols).select(
+            *(["id"] if keep_id else []), F.explode(pairs).alias("ng")
+        )
+        h = F.conv(F.substring(F.md5(F.col("ng")), 1, 8), 16, 10).cast(
+            "long"
+        ) % n_buckets
+        return ex.select(*(["id"] if keep_id else []), h.alias("h"))
+
+    sbg = bg(docs, keep_id=True)
+    tbg = bg(target, keep_id=False)
+    tc = tbg.groupBy("h").agg(F.count("*").alias("tcnt"))
+    scnt = sbg.groupBy("h").agg(F.count("*").alias("scnt"))
+    tt = tbg.agg(F.count("*").alias("t_total"))
+    st = sbg.agg(F.count("*").alias("s_total"))
+    ratio = (
+        scnt.join(tc, "h", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "h",
+            F.expr(
+                f"((coalesce(tcnt, CAST(0 AS BIGINT)) + 1)"
+                f" * (s_total + {n_buckets}) * {scale})"
+                f" DIV ((scnt + 1) * (t_total + {n_buckets}))"
+            ).alias("r"),
+        )
+    )
+    return (
+        sbg.join(F.broadcast(ratio), "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum("r").alias("score_scaled"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_ngrams",
+            "score_scaled",
+            (
+                F.col("score_scaled").cast("double")
+                / (F.col("n_ngrams") * F.lit(scale)).cast("double")
+            ).alias("weight"),
+        )
+    )

@@ -5857,6 +5857,54 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "dsir_importance_weights",
+    f"""
+WITH pool AS (SELECT doc_id, {_TOKS} AS w FROM documents WHERE lang <> 'en'),
+tgt AS (SELECT {_TOKS} AS w FROM documents WHERE lang = 'en'),
+pbg AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(w[i] || ' ' || w[i+1]), 1, 8)) AS BIGINT) % 64 AS h
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM pool)
+),
+tbg AS (
+  SELECT CAST(concat('0x', substr(md5(w[i] || ' ' || w[i+1]), 1, 8)) AS BIGINT) % 64 AS h
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tgt)
+),
+tc AS (SELECT h, COUNT(*) AS tcnt FROM tbg GROUP BY h),
+sc AS (SELECT h, COUNT(*) AS scnt FROM pbg GROUP BY h),
+tt AS (SELECT COUNT(*) AS t_total FROM tbg),
+st AS (SELECT COUNT(*) AS s_total FROM pbg),
+ratio AS (
+  SELECT sc.h,
+         ((COALESCE(tc.tcnt, 0) + 1) * (st.s_total + 64) * 1000000)
+           // ((sc.scnt + 1) * (tt.t_total + 64)) AS r
+  FROM sc LEFT JOIN tc ON sc.h = tc.h CROSS JOIN tt CROSS JOIN st
+)
+SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(r.r) AS BIGINT) AS score_scaled,
+       CAST(SUM(r.r) AS DOUBLE) / (COUNT(*) * 1000000) AS weight
+FROM pbg p JOIN ratio r ON p.h = r.h
+GROUP BY p.doc_id
+ORDER BY doc_id
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie 2023): importance weights for every
+    non-English doc against the English target distribution, over
+    64-bucket hashed bigrams with add-1 smoothing — integer-exact
+    quantized likelihood ratios summed as longs, one IEEE division at
+    the end (operators/sampling.py dsir_hashed_ngram_weights). Composes
+    with sample_weighted_priority for the resample step; the shift
+    property is pytest-pinned on a skewed synthetic corpus."""
+    from nibbledb_spark.operators.sampling import dsir_hashed_ngram_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_hashed_ngram_weights(
+        docs.where(F.col("lang") != "en"), docs.where(F.col("lang") == "en")
+    ).orderBy("doc_id")
+
+
+@declared(
     "split_train_val_test",
     """
 SELECT doc_id,

@@ -522,3 +522,40 @@ def test_pack_bins_ffd_invariants_and_subgroups(spark):
         pack_bins_ffd(docs, 0)
     with _pytest.raises(ValueError, match="n_subgroups"):
         pack_bins_ffd(docs, 64, n_subgroups=0)
+
+
+def test_dsir_weights_shift_mixture_toward_target(spark):
+    """DSIR pin on a skewed synthetic corpus: pool docs written in the
+    target's vocabulary outweigh off-target docs (every one of them),
+    and resampling the pool by weight shifts the selected mixture
+    toward the target-like share. Also pins weight ~ 1 symmetry when
+    pool == target distribution."""
+    from nibbledb_spark.operators.sampling import dsir_hashed_ngram_weights
+
+    a_text = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    b_text = "omega psi chi phi omega psi chi phi omega psi"
+    target = spark.createDataFrame(
+        [(1000 + i, a_text) for i in range(20)], "doc_id long, text string"
+    )
+    # pool: 10 target-like docs, 30 off-target docs
+    pool = spark.createDataFrame(
+        [(i, a_text) for i in range(10)]
+        + [(100 + i, b_text) for i in range(30)],
+        "doc_id long, text string",
+    )
+    w = dsir_hashed_ngram_weights(pool, target).collect()
+    assert len(w) == 40
+    wa = [r["weight"] for r in w if r["doc_id"] < 100]
+    wb = [r["weight"] for r in w if r["doc_id"] >= 100]
+    assert min(wa) > max(wb)  # every target-like doc outweighs every off-target doc
+    # resample: top-10 by (weight desc, id) — mixture shifts 25% -> 100%
+    top = sorted(w, key=lambda r: (-r["weight"], r["doc_id"]))[:10]
+    share_before = 10 / 40
+    share_after = sum(1 for r in top if r["doc_id"] < 100) / 10
+    assert share_after > share_before
+    assert share_after == 1.0
+    # identical distributions => every ratio ~1 (exact up to smoothing
+    # mass and the DIV quantization): weights within a tight band of 1
+    same = dsir_hashed_ngram_weights(target, target).collect()
+    for r in same:
+        assert 0.9 < r["weight"] < 1.1, r
