@@ -619,6 +619,7 @@ def build_ivf_index(
     kmeans_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> None:
     """Materialize an IVF index: k-means centroids + inverted-list
     assignments + vectors, as parquet under ``path`` — the build-once /
@@ -629,10 +630,20 @@ def build_ivf_index(
 
     Index layout: ``path/centroids`` (cid, cvec — tiny, broadcast at
     query time) and ``path/postings/cid=N/`` (id, v).
+
+    ``centroids`` (cid, cvec) overrides the k-means quantizer with a
+    caller-supplied one — e.g. the lowest-id coarse quantizer when the
+    index contents must be oracle-replicable, or centroids trained on
+    a sample when the full corpus is too large for Lloyd rounds.
     """
-    cents = kmeans_centroids(
-        corpus, n_centroids, n_iter=kmeans_iters, id_col=id_col, vec_col=vec_col
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("cid").cast("long").alias("cid"), "cvec"
+        )
+    else:
+        cents = kmeans_centroids(
+            corpus, n_centroids, n_iter=kmeans_iters, id_col=id_col, vec_col=vec_col
+        )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     inv = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col,
                      cid_col="cid", cvec_col="cvec")
@@ -719,6 +730,80 @@ def ivf_topk_indexed(
         .withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def hard_negatives_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    labels: DataFrame,
+    *,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining over a persisted IVF index — the mining-job
+    shape of :func:`hard_negatives`, whose broadcast brute-force sweep
+    is fine for a handful of anchors but not for the millions a real
+    contrastive-training run mines. Candidates come from the anchor's
+    ``nprobe`` nearest posting lists (partition-pruned directory reads,
+    vectors travel WITH the postings so no corpus re-read), the
+    same-label/self exclusion joins the candidate set — not the corpus
+    — against the narrow ``labels`` (id, label) forward table, and the
+    exact-cosine rerank runs on what's left. Results with nprobe =
+    n_centroids equal brute force exactly (pinned test); smaller
+    nprobe trades recall for pruning like every IVF read.
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label, rank,
+    cos_sim), ties on neighbor id.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    post = spark.read.parquet(f"{path}/postings")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+    )
+    qs = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "query_label", "qv", "cid",
+        cosine(F.col("qv"), F.col("cvec")).alias("cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    probes = (
+        qs.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "query_label", "qv", "cid")
+    )
+    lab = labels.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("neighbor_label")
+    )
+    cand = (
+        post.join(F.broadcast(probes), "cid")
+        .where(F.col("id") != F.col("query_id"))
+        .join(lab, "id")
+        .where(F.col("neighbor_label") != F.col("query_label"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            "query_label",
+            F.col("id").alias("neighbor_id"),
+            "neighbor_label",
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "rank", "cos_sim",
+        )
     )
 
 

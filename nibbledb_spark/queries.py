@@ -2511,6 +2511,88 @@ def embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "hard_negatives_indexed",
+    f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8),
+corp AS (SELECT vec_id, embedding, label FROM embeddings),
+asg AS (
+  SELECT id, cid FROM (
+    SELECT corp.vec_id AS id, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY corp.vec_id
+             ORDER BY {_dot_sql('corp.embedding', 'cent.cvec')}
+                      / (SQRT({_dot_sql('corp.embedding', 'corp.embedding')})
+                         * SQRT({_dot_sql('cent.cvec', 'cent.cvec')})) DESC,
+                      cent.cid ASC) AS rn
+    FROM corp, cent) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+      FROM embeddings WHERE vec_id < 5),
+probes AS (
+  SELECT query_id, query_label, qv, cid FROM (
+    SELECT q.query_id, q.query_label, q.qv, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_dot_sql('q.qv', 'cent.cvec')}
+                      / (SQRT({_dot_sql('q.qv', 'q.qv')})
+                         * SQRT({_dot_sql('cent.cvec', 'cent.cvec')})) DESC,
+                      cent.cid ASC) AS rn
+    FROM q, cent) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, p.query_label, a.id AS neighbor_id, c.label AS neighbor_label,
+         {_dot_sql('p.qv', 'c.embedding')}
+           / (SQRT({_dot_sql('p.qv', 'p.qv')})
+              * SQRT({_dot_sql('c.embedding', 'c.embedding')})) AS cos_sim
+  FROM probes p JOIN asg a USING (cid) JOIN corp c ON c.vec_id = a.id
+  WHERE a.id <> p.query_id AND c.label <> p.query_label
+),
+ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cos_sim
+FROM ranked WHERE rank <= 3
+""",
+)
+def hard_negatives_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining at mining-job scale: candidates from a
+    PERSISTED IVF index's pruned posting lists (nprobe=2 of 8), label
+    exclusion against the narrow forward table, exact rerank — vs
+    embed_hard_negatives' broadcast sweep that scores the whole corpus
+    per anchor. Built here with the fixed lowest-id quantizer so the
+    entire indexed path (build -> probe -> label filter -> rerank) is
+    hash-matched; the kmeans-quantizer variant and the
+    equals-brute-force-at-nprobe=all invariant are pytest-pinned."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.operators.similarity import (
+        build_ivf_index,
+        hard_negatives_indexed as _hni,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"nibblehni_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    cents = (
+        e.orderBy(F.col("vec_id").asc())
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    build_ivf_index(e, path, centroids=cents)
+    return _hni(
+        spark, path, e.where(F.col("vec_id") < 5), 3,
+        e.select("vec_id", "label"), nprobe=2,
+    )
+
+
+@declared(
     "embed_mrl_topk_d16",
     f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

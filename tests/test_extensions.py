@@ -3981,3 +3981,34 @@ def test_lsh_dedup_gate_crawl_loop(spark, tmp_path):
     sink(b1, 0)
     assert emitted[0] == [11, 13]
     validate_lsh_index(spark, path)
+
+
+def test_hard_negatives_indexed_probe_all_equals_brute_force(spark, embeddings, tmp_path):
+    """The IVF-indexed miner with nprobe = n_centroids (no pruning, and
+    the DEFAULT kmeans quantizer) must equal the brute-force sweep
+    exactly — the probe-all invariant that holds for ANY centroid set;
+    and at nprobe=2 results are a subset with the label constraint
+    exact."""
+    from nibbledb_spark.operators.similarity import (
+        build_ivf_index,
+        hard_negatives,
+        hard_negatives_indexed,
+    )
+
+    path = str(tmp_path / "hni")
+    build_ivf_index(embeddings, path, n_centroids=8)
+    anchors = embeddings.where(F.col("vec_id") < 5)
+    labels = embeddings.select("vec_id", "label")
+
+    full = hard_negatives_indexed(spark, path, anchors, 3, labels, nprobe=8)
+    brute = hard_negatives(embeddings, anchors, 3)
+    assert full.exceptAll(brute).count() == 0
+    assert brute.exceptAll(full).count() == 0
+
+    pruned = hard_negatives_indexed(spark, path, anchors, 3, labels, nprobe=2).collect()
+    assert len(pruned) == 15  # 5 anchors x k=3 — lists are dense enough
+    lab = {r["vec_id"]: r["label"] for r in labels.collect()}
+    for r in pruned:
+        assert r["neighbor_label"] != r["query_label"]
+        assert r["neighbor_label"] == lab[r["neighbor_id"]]
+        assert r["neighbor_id"] != r["query_id"]
