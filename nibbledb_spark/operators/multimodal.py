@@ -1634,6 +1634,126 @@ def video_keyframes(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     ).mapInPandas(run, _KEYFRAMES_SCHEMA)
 
 
+#: frame-key packing stride for video near-dup: frame keys are
+#: video_id * _FRAME_KEY + frame_idx, so frame_idx must stay below it
+#: (row-local assert) and video ids below 2^63 / _FRAME_KEY ~ 9.2e12.
+_FRAME_KEY = 1_000_000
+
+
+def video_pairs_from_frame_hashes(
+    frame_hashes: DataFrame,
+    *,
+    max_hamming: int = 6,
+    bands: int = 4,
+    min_shared_frames: int = 2,
+) -> DataFrame:
+    """Roll frame-level perceptual-hash matches up to VIDEO near-dup
+    pairs: band the per-frame 64-bit hashes (``frame_hashes`` carries
+    video_id, frame_idx, hhex, hlong), find frame pairs within
+    ``max_hamming`` via the shared :func:`banded_hamming_pairs` join,
+    drop same-video pairs, and keep video pairs connected by at least
+    ``min_shared_frames`` matching keyframe pairs — one chance match
+    is noise, several sampled instants agreeing is a re-encode/
+    re-level of the same footage. Output: (video1, video2,
+    n_frame_pairs, min_hamming), video1 < video2.
+
+    The frame key packs (video_id, frame_idx) into one long so the
+    banding join stays a single-column equi-join; the unpack after the
+    join is integer DIV. A frame matching TWO frames of the same other
+    video contributes two pairs — n_frame_pairs counts matching pairs,
+    not distinct frames (documented, monotone in either reading).
+    """
+    idx_ok = F.assert_true(
+        (F.col("frame_idx") >= 0) & (F.col("frame_idx") < _FRAME_KEY),
+        F.concat(
+            F.lit("video_pairs_from_frame_hashes: frame_idx out of range for key packing: "),
+            F.col("frame_idx").cast("string"),
+        ),
+    )
+    # the assert is folded INTO the consumed key expression (the winnow
+    # cap pattern) so column pruning can never drop the check
+    packed = F.when(
+        idx_ok.isNull(),
+        F.col("video_id") * F.lit(_FRAME_KEY) + F.col("frame_idx"),
+    )
+    keyed = frame_hashes.select(packed.alias("id"), "hhex", "hlong")
+    fp = banded_hamming_pairs(keyed, max_hamming=max_hamming, bands=bands)
+    v1 = F.expr(f"id1 DIV {_FRAME_KEY}")
+    v2 = F.expr(f"id2 DIV {_FRAME_KEY}")
+    return (
+        fp.select(v1.alias("v1"), v2.alias("v2"), "hamming")
+        .where(F.col("v1") != F.col("v2"))
+        .select(
+            F.least("v1", "v2").alias("video1"),
+            F.greatest("v1", "v2").alias("video2"),
+            "hamming",
+        )
+        .groupBy("video1", "video2")
+        .agg(
+            F.count(F.lit(1)).alias("n_frame_pairs"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .where(F.col("n_frame_pairs") >= min_shared_frames)
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    *,
+    every_ms: int = 1000,
+    max_hamming: int = 6,
+    bands: int = 4,
+    min_shared_frames: int = 2,
+) -> DataFrame:
+    """Video near-dup detection, composed end to end from the existing
+    media path: :func:`video_keyframes` (real MJPEG-in-AVI decode, one
+    keyframe per ``every_ms`` of stream time) -> :func:`image_dhash`
+    over the sampled frames (each frame is a standalone JPEG payload)
+    -> :func:`video_pairs_from_frame_hashes` (banded hamming join +
+    video rollup). Two uploads of the same footage — re-encoded,
+    re-levelled, container rewritten — keep near-identical keyframe
+    dHashes and pair; distinct footage doesn't.
+
+    Scale shape: decode cost is one pass over the video corpus
+    (Arrow-batched, flagged-row failure contract); everything after
+    the per-frame hash is the banded equi-join — never all-pairs —
+    and the rollup aggregates the (small) matched-pair set. Corrupt
+    containers/frames drop at the ``decoded`` filter.
+    """
+    kf = video_keyframes(media, every_ms=every_ms).where(F.col("decoded"))
+    # the packing wraps silently past _FRAME_KEY, so guard it here too
+    # (the rollup's assert only sees the already-unpacked remainder);
+    # folded into the consumed key so pruning can't drop the check
+    idx_ok = F.assert_true(
+        F.col("frame_idx") < F.lit(_FRAME_KEY),
+        F.concat(
+            F.lit("video_near_dup_pairs: frame_idx exceeds key stride: "),
+            F.col("frame_idx").cast("string"),
+        ),
+    )
+    frames = kf.select(
+        F.when(
+            idx_ok.isNull(),
+            F.col("media_id") * F.lit(_FRAME_KEY) + F.col("frame_idx"),
+        ).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("frame").alias("payload"),
+    )
+    dh = image_dhash(frames).where(F.col("decoded"))
+    hashes = dh.select(
+        F.expr(f"media_id DIV {_FRAME_KEY}").alias("video_id"),
+        F.expr(f"media_id % {_FRAME_KEY}").alias("frame_idx"),
+        F.col("dhash").alias("hhex"),
+        F.col("dhash_long").alias("hlong"),
+    )
+    return video_pairs_from_frame_hashes(
+        hashes,
+        max_hamming=max_hamming,
+        bands=bands,
+        min_shared_frames=min_shared_frames,
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan: one output row per sampled frame
     timestamp, derived from meta.duration_ms — the decode itself is

@@ -3153,6 +3153,102 @@ def media_clean_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_canonical_from_hashes(h, max_hamming=6, bands=4)
 
 
+@declared(
+    "video_near_dup_rollup",
+    """
+WITH m AS (
+  SELECT doc_id AS video_id, f.f AS frame_idx,
+         doc_id % 83 AS fam, doc_id % 59 AS flip,
+         (doc_id % 23 = 0) AS corrupt
+  FROM documents, (SELECT unnest(range(0, 3)) AS f) f
+),
+hh AS (
+  SELECT video_id, frame_idx,
+         CASE WHEN corrupt THEN NULL ELSE
+           xor(CAST('0x' || substr(md5('vid#' || CAST(fam AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR)), 1, 15) AS BIGINT),
+               CAST(1 AS BIGINT) << CAST(flip AS INT))
+         END AS hlong
+  FROM m
+),
+keyed AS (
+  SELECT video_id * 1000000 + frame_idx AS id, hlong
+  FROM hh WHERE hlong IS NOT NULL
+),
+banded AS (
+  SELECT id, hlong, b.band,
+         substr(lower(lpad(to_hex(hlong), 16, '0')), b.band * 4 + 1, 4) AS val
+  FROM keyed, (SELECT unnest(range(0, 4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2, a.hlong AS h1, b.hlong AS h2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+),
+fp AS (
+  SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+  FROM cand WHERE bit_count(xor(h1, h2)) <= 6
+),
+vp AS (
+  SELECT id1 // 1000000 AS va, id2 // 1000000 AS vb, hamming
+  FROM fp WHERE id1 // 1000000 <> id2 // 1000000
+)
+SELECT LEAST(va, vb) AS video1, GREATEST(va, vb) AS video2,
+       CAST(COUNT(*) AS BIGINT) AS n_frame_pairs, MIN(hamming) AS min_hamming
+FROM vp GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY video1, video2
+""",
+)
+def video_near_dup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by shared near-dup keyframes, driver-visible: the
+    post-decode rollup (multimodal.video_pairs_from_frame_hashes — the
+    exact stage video_near_dup_pairs runs after video_keyframes +
+    image_dhash) over a deterministic per-frame hash fixture: every doc
+    is a 3-keyframe video, frame hashes share a family base per
+    (doc_id % 83, frame_idx) with one flipped bit per doc, every 23rd
+    row corrupt/NULL. Same-family videos match on >= 2 frames and pair;
+    the decode halves are pytest-pinned on real in-test AVI fixtures
+    (test_video_near_dup_pairs_end_to_end)."""
+    from nibbledb_spark.operators.multimodal import video_pairs_from_frame_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        F.col("doc_id").alias("video_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("frame_idx"),
+        (F.col("doc_id") % 83).alias("fam"),
+        (F.col("doc_id") % 59).alias("flip"),
+        (F.col("doc_id") % 23 == 0).alias("corrupt"),
+    )
+    base = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("vid#"),
+                    F.col("fam").cast("string"),
+                    F.lit("#"),
+                    F.col("frame_idx").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hlong = F.when(F.col("corrupt"), F.lit(None).cast("long")).otherwise(
+        base.bitwiseXOR(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(flip AS INT))"))
+    )
+    hashes = m.select(
+        "video_id", "frame_idx", hlong.alias("hlong")
+    ).withColumn(
+        "hhex",
+        F.when(
+            F.col("hlong").isNotNull(), F.lpad(F.lower(F.hex("hlong")), 16, "0")
+        ),
+    ).where(F.col("hlong").isNotNull())
+    return video_pairs_from_frame_hashes(
+        hashes, max_hamming=6, bands=4, min_shared_frames=2
+    ).orderBy("video1", "video2")
+
+
 # ---------------------------------------------------------------------------
 # STREAM-class window operators, declared on the batch frame (the stream
 # runs the identical plan; convergence is pinned in tests/test_streaming.py)

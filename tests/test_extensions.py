@@ -4012,3 +4012,44 @@ def test_hard_negatives_indexed_probe_all_equals_brute_force(spark, embeddings, 
         assert r["neighbor_label"] != r["query_label"]
         assert r["neighbor_label"] == lab[r["neighbor_id"]]
         assert r["neighbor_id"] != r["query_id"]
+
+
+def test_video_near_dup_pairs_end_to_end(spark):
+    """The full video dedup composition over REAL in-test AVI files:
+    a re-encoded + re-levelled copy of the same footage pairs with the
+    original (>=2 matching keyframes, small hamming); distinct footage
+    pairs with nothing; a corrupt container contributes nothing."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import video_near_dup_pairs
+
+    def frame(f, base):
+        # smooth directional gradients — dHash-stable structure
+        y, x = np.mgrid[0:16, 0:16]
+        arr = (base + x * 9 + y * 4 + f * 30) % 220
+        return np.stack([arr, arr, arr], axis=2).astype(np.uint8)
+
+    footage_a = [frame(f, 0) for f in range(3)]
+    footage_b = [frame(f, 111) + 20 for f in range(3)]  # different footage
+    relevel = [np.clip(fr.astype(np.int16) + 12, 0, 255).astype(np.uint8) for fr in footage_a]
+
+    # rate=1 fps so every_ms=1000 samples every frame
+    v1 = _avi_mjpeg_bytes([_jpeg_bytes(fr) for fr in footage_a], rate=1)
+    v2 = _avi_mjpeg_bytes(
+        [_jpeg_bytes(fr, restart_interval=2) for fr in relevel],
+        rate=1, wrap_rec=True,  # re-encoded, re-levelled, rewrapped container
+    )
+    v3 = _avi_mjpeg_bytes([_jpeg_bytes(fr) for fr in footage_b], rate=1)
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(v1)),
+            (2, "video", bytearray(v2)),
+            (3, "video", bytearray(v3)),
+            (4, "video", bytearray(b"not an avi")),  # corrupt container
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    out = video_near_dup_pairs(media, every_ms=1000, min_shared_frames=2).collect()
+    assert [(r["video1"], r["video2"]) for r in out] == [(1, 2)]
+    assert out[0]["n_frame_pairs"] >= 2
+    assert out[0]["min_hamming"] <= 6
