@@ -1030,6 +1030,7 @@ def deep_extras(spark) -> None:
     idx_root = os.path.join(tempfile.gettempdir(), "nibble_deep_lshidx")
     per = {}
     per_warm = {}
+    per_bucketed = {}
     rows_at: dict[int, int] = {}
     for mult in (1, 10, 100):
         docs = spark.read.parquet(os.path.join(dirs[mult], "documents.parquet"))
@@ -1076,6 +1077,74 @@ def deep_extras(spark) -> None:
             handle.close()
         per_warm[mult] = statistics.median(samples)
         log(f"deep-extras lsh_probe_warm x{mult}: {per_warm[mult]:.3f}s")
+
+        # BUCKETED band-table probe (round 12): the disk-resident
+        # co-located-join shape — bands published bucketBy(band,bucket)
+        # so the probe's band join needs NO corpus-side exchange even
+        # when the index outgrows executor memory. Broadcast stays OFF
+        # during the measurement to pin the at-scale SMJ shape (at
+        # small multiples the planner would otherwise broadcast the
+        # probe side and hide the exchange being measured). Build
+        # (one-time rewrite) is amortized/untimed like the index build.
+        from nibbledb_spark.operators.dedup import lsh_bucketize_bands
+
+        btable = f"bench_lsh_bands_x{mult}"
+        if not spark.catalog.tableExists(btable):
+            # the in-memory catalog forgets tables across processes but
+            # the warehouse directory survives — clear any orphan so
+            # the errorifexists write can't trip over a prior run
+            import shutil as _shutil
+
+            wdir = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).replace("file:", "")
+            _shutil.rmtree(os.path.join(wdir, btable.lower()), ignore_errors=True)
+            t0 = time.perf_counter()
+            lsh_bucketize_bands(spark, idx, btable, n_buckets=32)
+            log(
+                f"deep-extras lsh bucketize x{mult}: "
+                f"{time.perf_counter() - t0:.1f}s (amortized, untimed)"
+            )
+        bcast_old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        bhandle = lsh_open_index(spark, idx, cache=False, bands_table=btable)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            q = lsh_query_near_dups(spark, bhandle, probe, threshold=0.8)
+            n_bucketed = len(q.toPandas())  # warm
+            if n_bucketed != rows_at[mult]:
+                log(
+                    f"deep-extras WARNING x{mult}: bucketed probe rows "
+                    f"{n_bucketed} != cold {rows_at[mult]}"
+                )
+            samples = []
+            for _ in range(3 if mult < 100 else 2):
+                t0 = time.perf_counter()
+                len(
+                    lsh_query_near_dups(
+                        spark, bhandle, probe, threshold=0.8
+                    ).toPandas()
+                )
+                samples.append(time.perf_counter() - t0)
+            if mult == 1:
+                from nibbledb_spark.plans.scale import exchange_count
+
+                plain_h = lsh_open_index(spark, idx, cache=False)
+                n_ex_plain = exchange_count(
+                    lsh_query_near_dups(spark, plain_h, probe, threshold=0.8)
+                )
+                n_ex_buck = exchange_count(q)
+                results["lsh_probe_bucketed_plan"] = {
+                    "exchanges_plain": n_ex_plain,
+                    "exchanges_bucketed": n_ex_buck,
+                }
+                log(
+                    f"deep-extras lsh bucketed plan: exchanges "
+                    f"{n_ex_plain} -> {n_ex_buck}"
+                )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_old)
+        per_bucketed[mult] = statistics.median(samples)
+        log(f"deep-extras lsh_probe_bucketed x{mult}: {per_bucketed[mult]:.3f}s")
     results["lsh_probe_only"] = {
         "x1_s": round(per[1], 4),
         "x10_s": round(per[10], 4),
@@ -1089,6 +1158,15 @@ def deep_extras(spark) -> None:
         "x100_s": round(per_warm[100], 4),
         "exp_decade1": round(math.log10(per_warm[10] / per_warm[1]), 3),
         "exp_decade2": round(math.log10(per_warm[100] / per_warm[10]), 3),
+    }
+    results["lsh_probe_bucketed"] = {
+        "x1_s": round(per_bucketed[1], 4),
+        "x10_s": round(per_bucketed[10], 4),
+        "x100_s": round(per_bucketed[100], 4),
+        "exp_decade1": round(math.log10(per_bucketed[10] / per_bucketed[1]), 3),
+        "exp_decade2": round(
+            math.log10(per_bucketed[100] / per_bucketed[10]), 3
+        ),
     }
 
     # --- 3) media banded-hamming join + canonicals at scale -------------
@@ -1175,14 +1253,19 @@ def deep_extras(spark) -> None:
             # one DuckDB probe number pairs BOTH Spark shapes: DuckDB
             # already probes materialized in-memory temp tables, i.e.
             # it is always "warm"
-            for label in ("lsh_probe_only", "lsh_probe_warm"):
+            for label in (
+                "lsh_probe_only",
+                "lsh_probe_warm",
+                "lsh_probe_bucketed",
+            ):
                 r = results[label]
                 r[f"duck_x{mult}_s"] = round(d, 4)
                 r[f"ratio_x{mult}"] = round(r[f"x{mult}_s"] / d, 2)
             log(
                 f"deep-extras duckdb lsh_probe x{mult}: {d:.3f}s "
                 f"(cold {results['lsh_probe_only'][f'ratio_x{mult}']:.2f}x, "
-                f"warm {results['lsh_probe_warm'][f'ratio_x{mult}']:.2f}x)"
+                f"warm {results['lsh_probe_warm'][f'ratio_x{mult}']:.2f}x, "
+                f"bucketed {results['lsh_probe_bucketed'][f'ratio_x{mult}']:.2f}x)"
             )
         from nibbledb_spark.queries import _MEDIA_CANON_TAIL, _media_hash_ctes
 

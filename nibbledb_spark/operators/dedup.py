@@ -834,10 +834,42 @@ class LshIndex:
         self.close()
 
 
-def lsh_open_index(spark, path: str, *, cache: bool = True) -> LshIndex:
+def lsh_bucketize_bands(
+    spark, path: str, table: str, *, n_buckets: int = 32
+) -> None:
+    """Publish the persisted index's band table as a Spark BUCKETED
+    table (``bucketBy(n_buckets, band, bucket)``, sorted the same) —
+    the object-store-scale seam for the probe join: a probe keyed on
+    (band, bucket) against the bucketed table needs NO corpus-side
+    Exchange (and no corpus-side Sort) — only the small query side
+    shuffles, into ``n_buckets`` partitions. That is the co-located
+    join every crawl-loop probe wants once the index outgrows executor
+    memory: the :class:`LshIndex` persist handle trades memory for the
+    re-read, this trades a one-time rewrite for the shuffle itself.
+
+    Reads the manifest-pinned snapshot of ``path``'s bands, so the
+    published table is consistent even while adds race. Size
+    ``n_buckets`` so each bucket file stays in the hundreds of MB at
+    the target corpus (bands rows ~ num_bands x corpus)."""
+    bands = _lsh_read(spark, path, "bands")
+    (
+        bands.write.mode("errorifexists")
+        .bucketBy(n_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .saveAsTable(table)
+    )
+
+
+def lsh_open_index(
+    spark, path: str, *, cache: bool = True, bands_table: str | None = None
+) -> LshIndex:
     """Open ``path`` for probe-many querying — see :class:`LshIndex`.
     ``cache=False`` gives the snapshot pin without executor memory
-    (each probe still re-reads parquet)."""
+    (each probe still re-reads parquet). ``bands_table`` swaps the
+    band frame for a :func:`lsh_bucketize_bands` table so the probe's
+    band join runs corpus-shuffle-free; the bucketed frame is never
+    persisted (caching would hide the bucketed scan's partitioning
+    win — it IS the disk-resident path)."""
     import os as _os
 
     meta = _lsh_index_meta(path)
@@ -850,14 +882,19 @@ def lsh_open_index(spark, path: str, *, cache: bool = True) -> LshIndex:
     m = _lsh_manifest_read(path)
     if m is None:
         m = {t: _lsh_part_files(_os.path.join(path, t)) for t in _LSH_TABLES}
-    frames = tuple(
+    frames = [
         spark.read.parquet(*[_os.path.join(path, t, fn) for fn in m[t]])
         for t in _LSH_TABLES
-    )
+    ]
+    bands_i = _LSH_TABLES.index("bands")
+    if bands_table is not None:
+        frames[bands_i] = spark.table(bands_table)
     if cache:
-        for f in frames:
+        for i, f in enumerate(frames):
+            if bands_table is not None and i == bands_i:
+                continue  # the bucketed scan IS the point — never cache it
             f.persist()
-    return LshIndex(spark, path, meta, frames, cache)
+    return LshIndex(spark, path, meta, tuple(frames), cache)
 
 
 def lsh_query_near_dups(

@@ -217,3 +217,43 @@ def test_compact_zorder_by_enables_trailing_dim_pruning(spark, tmp_path):
     assert (before["sx"], before["sy"]) == (after["sx"], after["sy"])
     got = tbl.read(bounds=bounds).where("y BETWEEN 0 AND 31").count()
     assert got == 256 * 32
+
+
+def test_lsh_bucketed_bands_probe_drops_corpus_exchange(spark, tmp_path):
+    """lsh_bucketize_bands publishes the band table bucketed+sorted by
+    (band, bucket); a probe against it (broadcast disabled, the
+    at-scale SMJ shape) returns IDENTICAL pairs with strictly fewer
+    exchanges — the corpus side of the band join reads co-located
+    bucket files instead of shuffling."""
+    from nibbledb_spark.operators.dedup import (
+        build_lsh_index,
+        lsh_bucketize_bands,
+        lsh_open_index,
+        lsh_query_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = str(tmp_path / "lshidx")
+    build_lsh_index(docs.where("doc_id % 5 <> 0"), idx)
+    lsh_bucketize_bands(spark, idx, "lsh_bands_bucketed_t", n_buckets=8)
+    probe = docs.where("doc_id % 5 = 0")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = lsh_open_index(spark, idx, cache=False)
+        buck = lsh_open_index(
+            spark, idx, cache=False, bands_table="lsh_bands_bucketed_t"
+        )
+        r_plain = lsh_query_near_dups(spark, plain, probe, threshold=0.8)
+        r_buck = lsh_query_near_dups(spark, buck, probe, threshold=0.8)
+        assert r_plain.exceptAll(r_buck).count() == 0
+        assert r_buck.exceptAll(r_plain).count() == 0
+        n_plain, n_buck = exchange_count(r_plain), exchange_count(r_buck)
+        assert n_buck < n_plain, (n_plain, n_buck)
+        # the band join's corpus side specifically: the bucketed scan
+        # feeds its SortMergeJoin with neither Exchange nor Sort
+        s = plan_string(r_buck)
+        assert "lsh_bands_bucketed_t" in s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS lsh_bands_bucketed_t")
