@@ -1261,6 +1261,53 @@ def decontaminate(
     )
 
 
+def decontaminate_semantic(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space eval-set decontamination — the SEMANTIC
+    complement of :func:`decontaminate`: n-gram overlap misses
+    paraphrased or translated benchmark leakage, cosine similarity
+    over embeddings catches it (the SemDeDup observation applied to
+    train-test contamination). Flags every training vector whose
+    cosine to ANY eval vector exceeds ``threshold``.
+
+    Returns (train_id, eval_id, cos_sim) per contaminated pair — the
+    same audit-trail contract as the n-gram form
+    (``.select('train_id').distinct()`` is the kill list).
+
+    Scale shape: identical to the n-gram form — the eval set is small
+    by construction, so it BROADCASTS and the training corpus never
+    shuffles; the score is a map-side expression over the training
+    scan with the predicate applied before anything aggregates. For
+    corpora where even one broadcast sweep is too hot, route candidate
+    generation through the persisted IVF index first
+    (:func:`~nibbledb_spark.operators.similarity.ivf_topk_indexed`)
+    and exact-verify the survivors with this operator's predicate.
+    """
+    from .similarity import cosine
+
+    tr = train.select(
+        F.col(id_col).alias("train_id"), F.col(vec_col).alias("tv")
+    )
+    ev = eval_set.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
+    )
+    return (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            "train_id",
+            "eval_id",
+            cosine(F.col("tv"), F.col("ev")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") > threshold)
+    )
+
+
 def near_dup_components(
     docs: DataFrame,
     *,

@@ -510,6 +510,71 @@ def autocorr(points: DataFrame, lag: int = 1, *, value_scale: int = 2) -> DataFr
     return s.select("series", "n", r.alias("autocorr")).orderBy("series")
 
 
+def cusum_changepoint(points: DataFrame, *, value_scale: int = 2) -> DataFrame:
+    """Per-series CUSUM changepoint screen (Page 1954): the point where
+    the cumulative deviation from the series' global mean peaks — the
+    standard single-changepoint location statistic (a level shift at t
+    makes |Σ_{j<=i}(x_j - mean)| a tent with its apex at t; white noise
+    stays near zero). Run before fitting segmented models, and as the
+    drift alarm on ingest monitoring.
+
+    Exactness (the autocorr pattern): values quantize ONCE to exact
+    longs, and the deviation sum is kept INTEGER by multiplying
+    through by n — D_i = n·P_i − i·T (P = prefix sum, T = total) — so
+    the argmax is over exact int64s, never accumulated floats; ties
+    break (ts, quantized-x) like every per-series window here. The
+    reported ``magnitude`` is one IEEE division at the end:
+    max|D| / (n·10^scale) = the peak cumulative deviation in original
+    value units.
+
+    Output: (series, n, cp_ts, cusum_abs, magnitude), one row per
+    series. Scale: one window shuffle on the series key + a broadcast
+    totals join + one argmax window over the same partitioning — no
+    second shuffle. int64 bounds: n·P_i <= n²·max|x|·10^scale — at
+    scale=2 and |x|<=5e4 that holds past 40M points per series;
+    coarsen ``value_scale`` beyond.
+    """
+    x = F.floor(F.col("value") * F.lit(float(10**value_scale)) + F.lit(0.5)).cast(
+        "long"
+    )
+    w = Window.partitionBy("series").orderBy(F.col("ts").asc(), F.col("x").asc())
+    c = (
+        points.select("series", "ts", x.alias("x"))
+        .withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "p", F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    t = c.groupBy("series").agg(
+        F.sum("x").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    d = c.join(F.broadcast(t), "series").select(
+        "series",
+        "ts",
+        "i",
+        "n",
+        F.abs(F.col("n") * F.col("p") - F.col("i") * F.col("tot")).alias("ad"),
+    )
+    wr = Window.partitionBy("series").orderBy(
+        F.col("ad").desc(), F.col("ts").asc(), F.col("i").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "series",
+            "n",
+            F.col("ts").alias("cp_ts"),
+            F.col("ad").alias("cusum_abs"),
+            (
+                F.col("ad").cast("double")
+                / (F.col("n") * F.lit(10**value_scale)).cast("double")
+            ).alias("magnitude"),
+        )
+        .orderBy("series")
+    )
+
+
 def lttb(points: DataFrame, every_us: int, *, value_scale: int = 6) -> DataFrame:
     """Triangle-area visual downsampling — the parallel bucket-average
     variant of LTTB (Steinarsson 2014): per (series, time bucket) keep

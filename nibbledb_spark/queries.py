@@ -4227,6 +4227,33 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "decontaminate_semantic",
+    f"""
+WITH ev AS (SELECT vec_id AS eval_id, embedding AS ev FROM embeddings WHERE vec_id < 20),
+tr AS (SELECT vec_id AS train_id, embedding AS tv FROM embeddings WHERE vec_id >= 20)
+SELECT train_id, eval_id,
+       {_dot_sql('tv', 'ev')}
+         / (SQRT({_dot_sql('tv', 'tv')}) * SQRT({_dot_sql('ev', 'ev')})) AS cos_sim
+FROM tr, ev
+WHERE {_dot_sql('tv', 'ev')}
+        / (SQRT({_dot_sql('tv', 'tv')}) * SQRT({_dot_sql('ev', 'ev')})) > 0.35
+""",
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination: training vectors (vec_id
+    >= 20) whose cosine to any eval vector (vec_id < 20) exceeds 0.35 —
+    catches the paraphrased/translated benchmark leakage n-gram overlap
+    misses (operators/dedup.py decontaminate_semantic). Broadcast eval
+    side, map-side predicate; the corpus never shuffles."""
+    from nibbledb_spark.operators.dedup import decontaminate_semantic
+
+    e = _t(spark, sf_dir, "embeddings")
+    return decontaminate_semantic(
+        e.where(F.col("vec_id") >= 20), e.where(F.col("vec_id") < 20), 0.35
+    )
+
+
+@declared(
     "prep_training_mix",
     _CLEAN_CORPUS_CTES
     + f"""
@@ -7026,6 +7053,47 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor pairing is total-order deterministic."""
     pts = points_from_events(spark, sf_dir)
     return ts_ops.autocorr(pts, 1)
+
+
+@declared(
+    "ts_cusum_changepoints",
+    _POINTS_CTE
+    + """
+, q AS (SELECT series, ts, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x FROM points),
+c AS (
+  SELECT series, ts, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY series ORDER BY ts ASC, x ASC) AS BIGINT) AS i,
+         CAST(SUM(x) OVER (PARTITION BY series ORDER BY ts ASC, x ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+  FROM q
+),
+t AS (SELECT series, CAST(SUM(x) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1),
+d AS (
+  SELECT c.series, c.ts, c.i, t.n,
+         CAST(ABS(t.n * c.p - c.i * t.tot) AS BIGINT) AS ad
+  FROM c JOIN t USING (series)
+),
+r AS (
+  SELECT series, n, ts, ad,
+         ROW_NUMBER() OVER (PARTITION BY series ORDER BY ad DESC, ts ASC, i ASC) AS rn
+  FROM d
+)
+SELECT series, n, ts AS cp_ts, ad AS cusum_abs,
+       CAST(ad AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS magnitude
+FROM r WHERE rn = 1
+ORDER BY series
+""",
+)
+def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM changepoint (Page 1954,
+    operators/timeseries.py cusum_changepoint): the argmax of the
+    cumulative deviation from the series mean, kept INTEGER by
+    multiplying through by n (D_i = n·P_i − i·T over once-quantized
+    longs) so the location statistic is engine-exact; magnitude is one
+    IEEE division at the end. One series-keyed window shuffle, a
+    broadcast totals join, one argmax window."""
+    pts = points_from_events(spark, sf_dir)
+    return ts_ops.cusum_changepoint(pts)
 
 
 @declared(

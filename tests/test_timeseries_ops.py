@@ -376,3 +376,30 @@ def test_autocorr_known_sequences(spark):
 
     with _pytest.raises(ValueError, match="lag"):
         autocorr(pts, 0)
+
+
+def test_cusum_changepoint_locates_planted_shift(spark):
+    """CUSUM pins: a level shift at t=25 of a 60-point series puts the
+    cusum apex exactly at the last pre-shift point (t=24, the classic
+    tent apex); magnitude equals the numpy max |cumdev| to quantization;
+    a constant series has cusum_abs == 0."""
+    import numpy as np
+
+    from nibbledb_spark.operators.timeseries import cusum_changepoint
+
+    shift = [(i, 10.0 if i < 25 else 14.0) for i in range(60)]
+    const = [(i, 3.25) for i in range(60)]
+    rows = (
+        [("shift", t * 1000, v) for t, v in shift]
+        + [("const", t * 1000, v) for t, v in const]
+    )
+    pts = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = {r["series"]: r for r in cusum_changepoint(pts).collect()}
+
+    assert out["const"]["cusum_abs"] == 0
+    assert out["shift"]["n"] == 60
+    vals = np.array([v for _, v in shift])
+    cumdev = np.abs(np.cumsum(vals - vals.mean()))
+    apex = int(cumdev.argmax())
+    assert out["shift"]["cp_ts"] == apex * 1000
+    assert out["shift"]["magnitude"] == pytest.approx(cumdev.max(), abs=1e-9)
