@@ -807,6 +807,103 @@ def hard_negatives_indexed(
     )
 
 
+def semdedup_gate(
+    spark,
+    path: str,
+    *,
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    on_pass=None,
+):
+    """``foreachBatch`` handler factory for the EMBEDDING-space
+    crawl-loop dedup gate — :func:`semdedup` composed with the
+    persisted IVF index the way ``lsh_dedup_gate`` composes the LSH
+    probe/add halves: every micro-batch is coarse-assigned to the
+    index's FROZEN centroids, compared against ITS OWN cluster's
+    posting list only (the SemDeDup cluster-bounded contract — never
+    batch x corpus), semantic near-dups (cosine > eps) drop, and
+    survivors are appended to the posting lists so later batches dedup
+    against them, then handed to ``on_pass(survivors_df, batch_id)``.
+
+    Drop policy mirrors the LSH gate, deterministic and recall-biased:
+    a batch vector with cosine > eps to ANY same-cluster indexed
+    vector drops; within the batch, the HIGHER id of every
+    same-cluster cos > eps pair drops (computed over the whole batch,
+    so chains over-drop — safe for gating, content stays represented).
+
+    Exactly-once: survivors are deterministic for a given (index
+    state, batch), and the add anti-joins survivor ids against the
+    posting lists first — so a crash-replayed batch re-adds nothing
+    and ``on_pass`` re-receives the SAME survivors (make it idempotent
+    by ``batch_id``). Ids are content-stable here too: a re-crawled id
+    with a CHANGED vector passes the self-id exclusion and its re-add
+    is dropped — content-address ids (or periodic rebuilds) if your
+    crawl revisits keys.
+
+    Scale shape per batch: assignment is one broadcast map-side sweep;
+    the vs-index join reads only the probed cid partitions of the
+    posting lists (partition-pruned directories); the intra-batch pair
+    join is batch x batch within clusters; the add appends cid-keyed
+    parquet. The id-guard anti-join scans the postings' id column —
+    the same read class as the LSH gate's sizes-table check.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.persist()
+        survivors = None
+        try:
+            asg = ivf_assign(batch, cents, id_col=id_col, vec_col=vec_col)
+            m = asg.join(
+                batch.select(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+                ),
+                "id",
+            )
+            post = spark.read.parquet(f"{path}/postings")
+            vs_index = (
+                m.alias("q")
+                .join(post.alias("i"), "cid")
+                .where(F.col("q.id") != F.col("i.id"))
+                .where(cosine(F.col("q.v"), F.col("i.v")) > eps)
+                .select(F.col("q.id").alias(id_col))
+                .distinct()
+            )
+            a, b = m.alias("a"), m.alias("b")
+            intra = (
+                a.join(
+                    b,
+                    (F.col("a.cid") == F.col("b.cid"))
+                    & (F.col("a.id") < F.col("b.id")),
+                )
+                .where(cosine(F.col("a.v"), F.col("b.v")) > eps)
+                .select(F.col("b.id").alias(id_col))
+                .distinct()
+            )
+            survivors = (
+                batch.join(vs_index, id_col, "left_anti")
+                .join(intra, id_col, "left_anti")
+                .persist()
+            )
+            already = post.select(F.col("id").alias(id_col)).distinct()
+            ivf_index_add(
+                spark,
+                path,
+                survivors.join(already, id_col, "left_anti"),
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            if on_pass is not None:
+                on_pass(survivors, batch_id)
+        finally:
+            batch.unpersist()
+            if survivors is not None:
+                survivors.unpersist()
+
+    return sink
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ) — the compressed-domain ANN path
 # --------------------------------------------------------------------------

@@ -2809,6 +2809,118 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(e, 0.35, n_centroids=8).orderBy("vec_id")
 
 
+def _semdedup_gate_replay_sql() -> str:
+    """Unrolled 3-step replay of the embedding crawl gate (the
+    lsh_gate_replay pattern with cosine/cluster semantics): centroids
+    are the seed's 8 lowest ids, `good` holds every same-assigned-
+    cluster cos>eps pair, and each step drops batch members paired to
+    the prior index state or to a lower same-batch id."""
+    cos = (
+        f"{_dot_sql('c1.embedding', 'c2.embedding')}"
+        f" / (SQRT({_dot_sql('c1.embedding', 'c1.embedding')})"
+        f" * SQRT({_dot_sql('c2.embedding', 'c2.embedding')}))"
+    )
+    steps = []
+    for t_ in (1, 2, 3):
+        prev = "i0" if t_ == 1 else f"i{t_-1}"
+        steps.append(f"""
+d{t_} AS (
+  SELECT DISTINCT x.id FROM (
+    SELECT id1 AS id, id2 AS other FROM good WHERE id1 % 4 = {t_}
+    UNION ALL
+    SELECT id2, id1 FROM good WHERE id2 % 4 = {t_}) x
+  WHERE x.other IN (SELECT id FROM {prev})
+),
+di{t_} AS (
+  SELECT DISTINCT id2 AS id FROM good WHERE id1 % 4 = {t_} AND id2 % 4 = {t_}
+),
+s{t_} AS (
+  SELECT id FROM asg WHERE id % 4 = {t_}
+    AND id NOT IN (SELECT id FROM d{t_})
+    AND id NOT IN (SELECT id FROM di{t_})
+),
+i{t_} AS (SELECT id FROM {prev} UNION SELECT id FROM s{t_})""")
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+              WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT 8),
+corp AS (SELECT vec_id, embedding FROM embeddings),
+asg AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT corp.vec_id AS id, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY corp.vec_id
+             ORDER BY {_dot_sql('corp.embedding', 'cent.cvec')}
+                      / (SQRT({_dot_sql('corp.embedding', 'corp.embedding')})
+                         * SQRT({_dot_sql('cent.cvec', 'cent.cvec')})) DESC,
+                      cent.cid ASC) AS rn
+    FROM corp, cent) WHERE rn = 1
+),
+good AS MATERIALIZED (
+  SELECT a1.id AS id1, a2.id AS id2
+  FROM asg a1 JOIN asg a2 ON a1.cid = a2.cid AND a1.id < a2.id
+  JOIN corp c1 ON c1.vec_id = a1.id
+  JOIN corp c2 ON c2.vec_id = a2.id
+  WHERE {cos} > 0.35
+),
+i0 AS (SELECT id FROM asg WHERE id % 4 = 0),{",".join(steps)}
+SELECT CAST(b.batch_id AS BIGINT) AS batch_id, CAST(b.id AS BIGINT) AS vec_id
+FROM (SELECT 1 AS batch_id, id FROM s1
+      UNION ALL SELECT 2, id FROM s2
+      UNION ALL SELECT 3, id FROM s3) b
+ORDER BY batch_id, vec_id
+"""
+
+
+@declared("semdedup_gate_replay", _semdedup_gate_replay_sql())
+def semdedup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-space crawl-loop dedup gate (semdedup_gate), made
+    driver-checkable as a K=3 ordered batch replay: build a persisted
+    IVF index over the seed vectors (vec_id % 4 = 0, frozen lowest-id
+    quantizer), push batches 1, 2, 3 through the REAL foreachBatch
+    sink — cluster-bounded probe vs the posting lists, intra-batch
+    lower-id-wins drop at cosine > 0.35, survivors appended so later
+    batches dedup against them — with on_pass committing each batch's
+    survivors to parquet. Returns (batch_id, vec_id) of everything
+    that passed; the oracle unrolls the same greedy sequence with the
+    semdedup_keep pair algebra, so the stateful embedding-index growth
+    is hash-matched end to end."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.operators.similarity import (
+        build_ivf_index,
+        semdedup_gate,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"nibblesdgate_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
+    )
+    idx = os.path.join(base, "index")
+    passed = os.path.join(base, "passed")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    seed = e.where("vec_id % 4 = 0")
+    cents = (
+        seed.orderBy(F.col("vec_id").asc())
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    build_ivf_index(seed, idx, centroids=cents)
+
+    def on_pass(surv: DataFrame, batch_id: int) -> None:
+        surv.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+        ).write.mode("append").parquet(passed)
+
+    sink = semdedup_gate(spark, idx, eps=0.35, on_pass=on_pass)
+    for t_ in (1, 2, 3):
+        sink(e.where(f"vec_id % 4 = {t_}"), t_)
+    return spark.read.parquet(passed).orderBy("batch_id", "vec_id")
+
+
 @declared("ivf_ann_topk_kmeans", pytest_only=True)  # recall pinned in pytest
 def ivf_ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with Lloyd-refined k-means centroids — the quality/scale

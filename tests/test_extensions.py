@@ -4053,3 +4053,59 @@ def test_video_near_dup_pairs_end_to_end(spark):
     assert [(r["video1"], r["video2"]) for r in out] == [(1, 2)]
     assert out[0]["n_frame_pairs"] >= 2
     assert out[0]["min_hamming"] <= 6
+
+
+def test_semdedup_gate_replay_idempotent_and_cross_batch(spark, tmp_path):
+    """semdedup_gate pins: a batch vector near an INDEXED one (same
+    cluster, cos > eps) drops; survivors join the index so a LATER
+    batch near-dup of a survivor also drops; replaying a batch re-adds
+    nothing (posting count stable) and re-emits the same survivors."""
+    import numpy as np
+
+    from nibbledb_spark.operators.similarity import build_ivf_index, semdedup_gate
+
+    def vec(d, jitter=0.0):
+        v = np.zeros(8)
+        v[d] = 1.0
+        v[(d + 1) % 8] = jitter
+        return [float(x) for x in v / np.linalg.norm(v)]
+
+    schema = "vec_id long, embedding array<double>"
+    # seed: two orthogonal anchors (clusters 0 and 1)
+    seed = spark.createDataFrame([(0, vec(0)), (1, vec(4))], schema)
+    idx = str(tmp_path / "sdidx")
+    cents = seed.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    build_ivf_index(seed, idx, centroids=cents)
+
+    passed: list[tuple[int, frozenset]] = []
+
+    def on_pass(surv, batch_id):
+        passed.append((batch_id, frozenset(r["vec_id"] for r in surv.collect())))
+
+    sink = semdedup_gate(spark, idx, eps=0.8, on_pass=on_pass)
+
+    # batch 1: 10 ~ seed 0 (drops vs index); 11 novel; 12 ~ 11 with a
+    # higher id (intra-batch drop); 13 novel in the other cluster
+    b1 = spark.createDataFrame(
+        [(10, vec(0, 0.05)), (11, vec(1)), (12, vec(1, 0.05)), (13, vec(5))],
+        schema,
+    )
+    sink(b1, 1)
+    assert passed[-1] == (1, frozenset({11, 13}))
+    post = spark.read.parquet(f"{idx}/postings")
+    n_after_b1 = post.count()
+    assert {r["id"] for r in post.collect()} == {0, 1, 11, 13}
+
+    sink(b1, 1)  # crash replay: same survivors, no index growth
+    assert passed[-1] == (1, frozenset({11, 13}))
+    assert spark.read.parquet(f"{idx}/postings").count() == n_after_b1
+
+    # batch 2: 20 ~ survivor 11 (drops vs the GROWN index); 21 novel
+    b2 = spark.createDataFrame([(20, vec(1, 0.1)), (21, vec(2))], schema)
+    sink(b2, 2)
+    assert passed[-1] == (2, frozenset({21}))
+    assert {r["id"] for r in spark.read.parquet(f"{idx}/postings").collect()} == {
+        0, 1, 11, 13, 21,
+    }
