@@ -213,7 +213,6 @@ _DRIVER_VERIFIED = [
     "training_shard_manifest",
     "sample_token_budget_per_source",
     "sample_quota_per_source",
-    "pack_ffd_bound",
     "heavy_hitter_tokens",
     "collocations_lift_top20",
     "decontaminate_ngrams",

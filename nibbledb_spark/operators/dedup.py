@@ -882,13 +882,33 @@ def lsh_open_index(
     m = _lsh_manifest_read(path)
     if m is None:
         m = {t: _lsh_part_files(_os.path.join(path, t)) for t in _LSH_TABLES}
-    frames = [
-        spark.read.parquet(*[_os.path.join(path, t, fn) for fn in m[t]])
-        for t in _LSH_TABLES
-    ]
     bands_i = _LSH_TABLES.index("bands")
+    frames = [
+        spark.table(bands_table)
+        if (bands_table is not None and i == bands_i)
+        # skip even CONSTRUCTING the parquet frame being replaced: the
+        # read triggers an eager file-index pass over the largest table
+        else spark.read.parquet(*[_os.path.join(path, t, fn) for fn in m[t]])
+        for i, t in enumerate(_LSH_TABLES)
+    ]
     if bands_table is not None:
-        frames[bands_i] = spark.table(bands_table)
+        # STALENESS GUARD: the bucketed table is a snapshot from
+        # bucketize time while shingles/sizes follow the CURRENT
+        # manifest — a post-bucketize lsh_index_add would make probes
+        # silently blind to the added docs (candidates only come from
+        # bands). bands rows are exactly n_bands per indexed doc, so
+        # two cheap counts detect the drift; re-run lsh_bucketize_bands
+        # after adds (or probe un-bucketed) to clear it.
+        n_bands_per_doc = meta["num_hashes"] // meta["band_size"]
+        n_docs = frames[_LSH_TABLES.index("sizes")].count()
+        n_band_rows = frames[bands_i].count()
+        if n_band_rows != n_bands_per_doc * n_docs:
+            raise ValueError(
+                f"lsh_open_index: bucketed band table {bands_table!r} is "
+                f"stale: {n_band_rows} band rows != {n_bands_per_doc} bands "
+                f"x {n_docs} indexed docs — rebuild it with "
+                "lsh_bucketize_bands after index adds"
+            )
     if cache:
         for i, f in enumerate(frames):
             if bands_table is not None and i == bands_i:

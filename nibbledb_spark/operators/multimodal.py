@@ -1664,10 +1664,23 @@ def video_pairs_from_frame_hashes(
     not distinct frames (documented, monotone in either reading).
     """
     idx_ok = F.assert_true(
-        (F.col("frame_idx") >= 0) & (F.col("frame_idx") < _FRAME_KEY),
+        (F.col("frame_idx") >= 0)
+        & (F.col("frame_idx") < _FRAME_KEY)
+        # video_id must survive the pack/unpack round trip: negatives
+        # flip the DIV/% unpack (Spark % keeps the dividend sign) and
+        # ids past 2^63/_FRAME_KEY wrap the non-ANSI multiply — both
+        # silently regroup frames under the WRONG video
+        & (F.col("video_id") >= 0)
+        & (F.col("video_id") < F.lit((1 << 63) // _FRAME_KEY)),
         F.concat(
-            F.lit("video_pairs_from_frame_hashes: frame_idx out of range for key packing: "),
+            F.lit(
+                "video_pairs_from_frame_hashes: (video_id, frame_idx) out of "
+                "range for key packing: ("
+            ),
+            F.col("video_id").cast("string"),
+            F.lit(", "),
             F.col("frame_idx").cast("string"),
+            F.lit(")"),
         ),
     )
     # the assert is folded INTO the consumed key expression (the winnow
@@ -1725,10 +1738,15 @@ def video_near_dup_pairs(
     # (the rollup's assert only sees the already-unpacked remainder);
     # folded into the consumed key so pruning can't drop the check
     idx_ok = F.assert_true(
-        F.col("frame_idx") < F.lit(_FRAME_KEY),
+        (F.col("frame_idx") < F.lit(_FRAME_KEY))
+        & (F.col("media_id") >= 0)
+        & (F.col("media_id") < F.lit((1 << 63) // _FRAME_KEY)),
         F.concat(
-            F.lit("video_near_dup_pairs: frame_idx exceeds key stride: "),
+            F.lit("video_near_dup_pairs: (media_id, frame_idx) out of key range: ("),
+            F.col("media_id").cast("string"),
+            F.lit(", "),
             F.col("frame_idx").cast("string"),
+            F.lit(")"),
         ),
     )
     frames = kf.select(

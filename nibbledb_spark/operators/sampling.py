@@ -466,8 +466,18 @@ def dsir_hashed_ngram_weights(
     tbg = bg(target, keep_id=False)
     tc = tbg.groupBy("h").agg(F.count("*").alias("tcnt"))
     scnt = sbg.groupBy("h").agg(F.count("*").alias("scnt"))
-    tt = tbg.agg(F.count("*").alias("t_total"))
-    st = sbg.agg(F.count("*").alias("s_total"))
+    # totals derive from the <=n_buckets-row aggregates — re-aggregating
+    # tbg/sbg from scratch would run the corpus-wide explode+hash sweep
+    # twice more per action. (sbg itself is still evaluated twice — the
+    # bucket stats and the per-doc join; deliberately NOT persisted, the
+    # probe-frame rule: corpus-scale bigram rows pinned in executor
+    # memory with no unpersist handle cost more than the second scan.)
+    tt = tc.agg(
+        F.coalesce(F.sum("tcnt"), F.lit(0).cast("long")).alias("t_total")
+    )
+    st = scnt.agg(
+        F.coalesce(F.sum("scnt"), F.lit(0).cast("long")).alias("s_total")
+    )
     ratio = (
         scnt.join(tc, "h", "left")
         .crossJoin(F.broadcast(tt))

@@ -542,9 +542,15 @@ def semdedup(
             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         )
     asg = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    # the assignment sweep (corpus x centroids + a row_number window) is
+    # the dominant cost and has THREE plan consumers (both self-join
+    # sides + the final anti); persist it once — the ngram_jaccard
+    # shingle-table contract: the returned frame pins one corpus-sized
+    # cache entry for its lifetime, callers wanting it released
+    # materialize and unpersist via their own handle
     m = asg.join(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
-    )
+    ).persist()
     a, b = m.alias("a"), m.alias("b")
     drops = (
         a.join(
@@ -555,7 +561,7 @@ def semdedup(
         .select(F.col("b.id").alias("id"))
         .distinct()
     )
-    return asg.join(drops, "id", "left_anti").select(
+    return m.select("id", "cid").join(drops, "id", "left_anti").select(
         F.col("id").alias(id_col), "cid"
     )
 
@@ -744,6 +750,7 @@ def hard_negatives_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    broadcast_anchors: bool = True,
 ) -> DataFrame:
     """Hard-negative mining over a persisted IVF index — the mining-job
     shape of :func:`hard_negatives`, whose broadcast brute-force sweep
@@ -756,6 +763,12 @@ def hard_negatives_indexed(
     exact-cosine rerank runs on what's left. Results with nprobe =
     n_centroids equal brute force exactly (pinned test); smaller
     nprobe trades recall for pruning like every IVF read.
+
+    ``broadcast_anchors`` (default) hints the probe side of the
+    posting join — right while anchors x dim fits an executor. A
+    million-anchor mining job must pass ``False`` so the probes
+    SHUFFLE-join the cid-keyed postings instead of shipping ~0.5 GB of
+    anchor vectors to every task; everything else is unchanged.
 
     Returns (query_id, query_label, neighbor_id, neighbor_label, rank,
     cos_sim), ties on neighbor id.
@@ -781,8 +794,9 @@ def hard_negatives_indexed(
     lab = labels.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("neighbor_label")
     )
+    probe_side = F.broadcast(probes) if broadcast_anchors else probes
     cand = (
-        post.join(F.broadcast(probes), "cid")
+        post.join(probe_side, "cid")
         .where(F.col("id") != F.col("query_id"))
         .join(lab, "id")
         .where(F.col("neighbor_label") != F.col("query_label"))
@@ -853,14 +867,18 @@ def semdedup_gate(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.persist()
         survivors = None
+        m = None
         try:
             asg = ivf_assign(batch, cents, id_col=id_col, vec_col=vec_col)
+            # the per-batch assignment has three consumers (vs-index
+            # probe + both intra-join sides) — persist for the sink's
+            # lifetime, released in the finally below
             m = asg.join(
                 batch.select(
                     F.col(id_col).alias("id"), F.col(vec_col).alias("v")
                 ),
                 "id",
-            )
+            ).persist()
             post = spark.read.parquet(f"{path}/postings")
             vs_index = (
                 m.alias("q")
@@ -898,6 +916,8 @@ def semdedup_gate(
                 on_pass(survivors, batch_id)
         finally:
             batch.unpersist()
+            if m is not None:
+                m.unpersist()
             if survivors is not None:
                 survivors.unpersist()
 

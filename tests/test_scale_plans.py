@@ -249,11 +249,18 @@ def test_lsh_bucketed_bands_probe_drops_corpus_exchange(spark, tmp_path):
         assert r_plain.exceptAll(r_buck).count() == 0
         assert r_buck.exceptAll(r_plain).count() == 0
         n_plain, n_buck = exchange_count(r_plain), exchange_count(r_buck)
-        assert n_buck < n_plain, (n_plain, n_buck)
-        # the band join's corpus side specifically: the bucketed scan
-        # feeds its SortMergeJoin with neither Exchange nor Sort
+        # exactly the band join's corpus-side Exchange disappears —
+        # every other exchange in the probe plan is identical
+        assert n_buck == n_plain - 1, (n_plain, n_buck)
+        # and it disappears BECAUSE the scan is bucketed (not because
+        # some other exchange moved): the planner must report the
+        # bucketed read as actually exploited. (The in-bucket sortBy
+        # does NOT remove the SMJ sort — Spark only skips it at one
+        # file per bucket — so Sort counts are unpinned here.)
         s = plan_string(r_buck)
         assert "lsh_bands_bucketed_t" in s
+        assert "Bucketed: true" in s, "bucketed scan not exploited"
+        assert "SelectedBucketsCount" in s
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS lsh_bands_bucketed_t")

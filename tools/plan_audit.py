@@ -39,6 +39,7 @@ JOIN_OPS = [
 ZERO_EXCHANGE = frozenset(
     {
         "bpe_learn_merges",  # corpus side; learning aggs are separate jobs
+        "decontaminate_semantic",  # broadcast eval sweep; corpus never shuffles
         "embed_near_dup_pairs",  # broadcast sweep; corpus never shuffles
         "embed_norms",
         "embed_quantize_int8",
