@@ -575,6 +575,67 @@ def cusum_changepoint(points: DataFrame, *, value_scale: int = 2) -> DataFrame:
     )
 
 
+def linreg_trend(
+    points: DataFrame, *, value_scale: int = 2, x_unit_us: int = 1_000_000
+) -> DataFrame:
+    """Per-series ordinary-least-squares trend line: slope and
+    intercept of value over elapsed time — the linear drift estimator
+    every monitoring tsdb fits for capacity forecasting ("disk full in
+    N days") and detrending before seasonal analysis.
+
+    Exactness (the autocorr/cusum pattern): the regressor is integer
+    elapsed time ``x = (ts − min(ts) per series) DIV x_unit_us`` and
+    the response quantizes once to an exact long, so the five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) accumulate as
+    order-independent int64 sums; slope and intercept are then one
+    deterministic IEEE expression tree each —
+    ``slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`` and
+    ``intercept = (ΣyΣx² − ΣxΣxy)/(nΣx² − (Σx)²)`` — divided by
+    ``10^value_scale`` back to original value units. Slope is per
+    x-unit (per second at the default); intercept is the fitted value
+    at the series' first timestamp. Constant-x series (all points in
+    one x quantum) return NULL slope/intercept via NULLIF.
+
+    Scale: one window shuffle on the series key (the per-series MIN is
+    a window over the same partitioning every ts operator reuses),
+    then a map-side-combined hash agg to |series| rows. int64 bounds:
+    Σx² ≤ n·span² where span is the series duration in x-units — at
+    seconds granularity that holds to ~1e6 points over a 30-day
+    series; coarsen ``x_unit_us`` (minutes: 60_000_000) for longer or
+    denser series, exactly like ``value_scale`` on hot values.
+    """
+    if x_unit_us < 1:
+        raise ValueError(f"x_unit_us must be >= 1: {x_unit_us}")
+    y = F.floor(F.col("value") * F.lit(float(10**value_scale)) + F.lit(0.5)).cast(
+        "long"
+    )
+    d = points.select("series", "ts", y.alias("y")).select(
+        "series",
+        F.expr(f"(ts - min(ts) OVER (PARTITION BY series)) DIV {x_unit_us}").alias(
+            "x"
+        ),
+        "y",
+    )
+    s = d.groupBy("series").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sx2 = F.col("sxy").cast("double"), F.col("sx2").cast("double")
+    denom = F.nullif(nd * sx2 - sx * sx, F.lit(0.0))
+    m = float(10**value_scale)
+    return s.select(
+        "series",
+        "n",
+        ((nd * sxy - sx * sy) / denom / F.lit(m)).alias("slope"),
+        ((sy * sx2 - sx * sxy) / denom / F.lit(m)).alias("intercept"),
+    ).orderBy("series")
+
+
 def lttb(points: DataFrame, every_us: int, *, value_scale: int = 6) -> DataFrame:
     """Triangle-area visual downsampling — the parallel bucket-average
     variant of LTTB (Steinarsson 2014): per (series, time bucket) keep

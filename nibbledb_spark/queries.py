@@ -7209,6 +7209,49 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ts_linreg_trend",
+    _POINTS_CTE
+    + """
+, x AS (
+  SELECT series,
+         CAST((ts - MIN(ts) OVER (PARTITION BY series)) // 1000000 AS BIGINT) AS x,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+  FROM points
+),
+p AS (
+  SELECT series,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2
+  FROM x GROUP BY series
+)
+SELECT series, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / NULLIF(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+         / 100.0 AS slope,
+       (CAST(sy AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+         / NULLIF(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)
+         / 100.0 AS intercept
+FROM p
+ORDER BY series
+""",
+)
+def ts_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend line (operators/timeseries.py
+    linreg_trend): slope in value units per second of elapsed series
+    time plus the fitted intercept at the series start — the linear
+    drift / capacity-forecast estimator, engine-exact via integer
+    elapsed-seconds regressors, once-quantized responses, int64
+    sufficient statistics, and one mirrored IEEE expression tree per
+    coefficient (the autocorr/cusum playbook applied to model
+    fitting). One series-keyed window shuffle for the per-series MIN,
+    then a map-side-combined agg to |series| rows."""
+    pts = points_from_events(spark, sf_dir)
+    return ts_ops.linreg_trend(pts)
+
+
+@declared(
     "ts_corr_pairs",
     _POINTS_CTE
     + f"""

@@ -378,6 +378,44 @@ def test_autocorr_known_sequences(spark):
         autocorr(pts, 0)
 
 
+def test_linreg_trend_recovers_planted_line(spark):
+    """OLS trend pins: a series generated as value = a + b·seconds is
+    recovered exactly (slope b, intercept a — quantization-exact since
+    the planted values are 2-dp); a constant series has slope exactly 0
+    and intercept equal to the constant; a single-x-quantum series
+    (zero x variance) returns NULL coefficients; the x origin is the
+    series' own first timestamp, so a late-starting series fits the
+    same line as an epoch-aligned one."""
+    from nibbledb_spark.operators.timeseries import linreg_trend
+
+    us = 1_000_000
+    line = [(i * us, 5.25 + 0.5 * i) for i in range(50)]
+    late = [((i + 1000) * us, 5.25 + 0.5 * i) for i in range(50)]
+    const = [(i * us, 7.75) for i in range(50)]
+    onequantum = [(i, 1.0 + i) for i in range(5)]  # all ts < 1 second
+    rows = (
+        [("line", t, v) for t, v in line]
+        + [("late", t, v) for t, v in late]
+        + [("const", t, v) for t, v in const]
+        + [("oneq", t, float(v)) for t, v in onequantum]
+    )
+    pts = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = {r["series"]: r for r in linreg_trend(pts).collect()}
+
+    assert out["line"]["n"] == 50
+    assert out["line"]["slope"] == pytest.approx(0.5, abs=1e-12)
+    assert out["line"]["intercept"] == pytest.approx(5.25, abs=1e-12)
+    # elapsed-time origin: identical fit regardless of epoch offset
+    assert out["late"]["slope"] == out["line"]["slope"]
+    assert out["late"]["intercept"] == out["line"]["intercept"]
+    assert out["const"]["slope"] == 0.0
+    assert out["const"]["intercept"] == pytest.approx(7.75, abs=1e-12)
+    assert out["oneq"]["slope"] is None
+    assert out["oneq"]["intercept"] is None
+    with pytest.raises(ValueError, match="x_unit_us"):
+        linreg_trend(pts, x_unit_us=0)
+
+
 def test_cusum_changepoint_locates_planted_shift(spark):
     """CUSUM pins: a level shift at t=25 of a 60-point series puts the
     cusum apex exactly at the last pre-shift point (t=24, the classic
