@@ -182,6 +182,140 @@ def connected_components_star(
     )
 
 
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph — the local
+    clustering / community-density signal (a node's triangles measure
+    how interconnected its neighborhood is; graph-quality curation
+    ranks domains by it, spam subgraphs are triangle-poor trees).
+
+    Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11) —
+    each canonical edge points from its lower-(degree, id) endpoint to
+    the higher, every triangle then has exactly ONE apex whose two
+    out-edges cover it, and wedge generation at the apex is a self-join
+    of the oriented list on the apex key. Orientation bounds per-node
+    out-degree by O(sqrt(m)), so the wedge count is O(m^1.5) WORST
+    case instead of Σdeg² — the orientation exists purely to tame the
+    hub-skew that kills the naive id-ordered join ("the curse of the
+    last reducer"). The closure check is one equi-join of the wedge
+    set against the canonical edge list. Counts are exact integers;
+    the result is orientation-invariant, so an id-ordered SQL oracle
+    matches bit for bit.
+
+    Returns (node, n_tri) for every node with at least one edge
+    (isolated nodes have no triangles by definition; left-join the
+    caller's universe for 0-rows). Self-loops and duplicate/reversed
+    edges are canonicalized away.
+
+    Scale shape: one distinct over the canonical edge list, one
+    degree aggregate, two keyed joins to orient, one self-join keyed
+    on the apex (the wedge shuffle — the big one, bounded by the
+    orientation), one closure equi-join, one explode+count. The
+    canonical edge list is persisted (read by the degree, wedge, and
+    closure stages); NOTE: that pins one |edges|-sized cache entry
+    for the returned frame's lifetime, the pagerank contract.
+    """
+    c = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        c.select(F.col("u").alias("node"))
+        .unionByName(c.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    cd = c.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u").join(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v"
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = cd.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    w1 = o.select("a", F.col("b").alias("x"))
+    w2 = o.select("a", F.col("b").alias("y"))
+    wedges = w1.join(w2, "a").where(F.col("x") < F.col("y"))
+    closure = c.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closure, ["x", "y"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select("node", F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_tri"))
+    )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Bounded breadth-first search: (node, hops) — the MINIMUM hop
+    distance from any seed, for every node within ``hops`` hops over a
+    DIRECTED edge list (symmetrize for undirected reach). The k-hop
+    neighborhood primitive: blast-radius analysis, crawl frontier
+    expansion, "everything within N links of the eval set".
+
+    Frontier-only expansion: round ``i`` joins only the nodes FIRST
+    reached at ``i−1`` against the edge list (a node re-reached later
+    can never improve its minimum, so re-expanding the full reached
+    set — what a declarative unrolled oracle does — is work the
+    min-semantics make redundant; results are identical). Distances
+    are exact small integers.
+
+    Scale shape per round: one keyed join of the frontier against the
+    edge list + one map-side-combined min-aggregate; each round's
+    frame localCheckpoints (the iterative-lineage rule, see
+    connected_components) and the previous round unpersists, so
+    lineage and cache stay O(1). Early-exits when a frontier empties.
+    The loop holds only counters, never rows.
+    """
+    if hops < 0:
+        raise ValueError(f"hops must be >= 0: {hops}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for i in range(1, hops + 1):
+        expanded = frontier.select(F.col("node").alias("src")).join(e, "src").select(
+            F.col("dst").alias("node"), F.lit(i).cast("long").alias("hops")
+        )
+        new_dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        dist.unpersist()
+        dist = new_dist
+        frontier = dist.where(F.col("hops") == i)
+        if frontier.isEmpty():
+            break
+    return dist
+
+
 def pagerank(
     edges: DataFrame,
     *,

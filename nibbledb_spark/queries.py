@@ -2098,6 +2098,133 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "graph_triangle_count",
+    """
+WITH c AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c3
+  FROM c e1
+  JOIN c e2 ON e2.u = e1.v
+  JOIN c e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+nodes AS (SELECT u AS node FROM c UNION SELECT v FROM c),
+t AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c3 FROM tri
+),
+g AS (SELECT node, COUNT(*) AS t FROM t GROUP BY node)
+SELECT n.node, CAST(COALESCE(g.t, 0) AS BIGINT) AS n_tri
+FROM nodes n LEFT JOIN g ON g.node = n.node
+ORDER BY n.node
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py triangle_count;
+    Suri & Vassilvitskii WWW'11 degree-ordered orientation) over the
+    co-purchase graph: parts are adjacent when some order contains
+    both. Edges come out of the per-order item set row-locally (one
+    orderkey-keyed agg, sorted-array pair explode — never an
+    order-level self-join shuffle); the count is exact and
+    orientation-invariant, so the oracle's id-ordered 3-way join
+    matches bit for bit while the operator's degree orientation keeps
+    the wedge join skew-bounded at scale."""
+    from nibbledb_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("its")
+    )
+    pairs = F.expr(
+        "flatten(transform(its, (x, i) -> "
+        "transform(slice(its, i + 2, size(its)), y -> struct(x AS u, y AS v))))"
+    )
+    edges = (
+        items.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.u").alias("src"), F.col("p.v").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges).orderBy("node")
+
+
+@declared(
+    "graph_khop_reach",
+    """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT s * 10 + 1 AS src, c * 10 + 2 AS dst FROM pairs
+  UNION ALL
+  SELECT c * 10 + 2 AS src, s * 10 + 1 AS dst FROM pairs
+),
+r0 AS (
+  SELECT DISTINCT s_suppkey * 10 + 1 AS node, CAST(0 AS BIGINT) AS hops
+  FROM supplier WHERE s_suppkey < 3
+),
+r1 AS (
+  SELECT node, MIN(hops) AS hops FROM (
+    SELECT node, hops FROM r0
+    UNION ALL
+    SELECT e.dst, r0.hops + 1 FROM r0 JOIN edges e ON e.src = r0.node
+  ) GROUP BY node
+),
+r2 AS (
+  SELECT node, MIN(hops) AS hops FROM (
+    SELECT node, hops FROM r1
+    UNION ALL
+    SELECT e.dst, r1.hops + 1 FROM r1 JOIN edges e ON e.src = r1.node
+  ) GROUP BY node
+),
+r3 AS (
+  SELECT node, MIN(hops) AS hops FROM (
+    SELECT node, hops FROM r2
+    UNION ALL
+    SELECT e.dst, r2.hops + 1 FROM r2 JOIN edges e ON e.src = r2.node
+  ) GROUP BY node
+)
+SELECT node, hops FROM r3 ORDER BY node
+""",
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS (operators/graph.py bfs_hops): minimum hop distance
+    within 3 hops of a fixed seed set (suppliers 0-2, non-empty at
+    every SF) over the symmetrized
+    supplier<->customer trade graph (pagerank_trade_graph's node
+    encoding) — the blast-radius / k-hop-neighborhood primitive. The
+    operator expands only each round's frontier (min-semantics make
+    re-expansion redundant); the oracle re-expands the full reached
+    set per unrolled CTE round and MIN-aggregates — same fixpoint,
+    hash-matched on exact integer distances."""
+    from nibbledb_spark.operators.graph import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 10 + 1).alias("s"),
+            (F.col("o_custkey") * 10 + 2).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).unionByName(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") < 3)
+        .select((F.col("s_suppkey") * 10 + 1).alias("node"))
+    )
+    return bfs_hops(edges, seeds, 3).orderBy("node")
+
+
+@declared(
     "near_dup_components",
     _NDC_CLOSURE_CTES
     + """

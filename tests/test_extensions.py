@@ -3923,6 +3923,95 @@ def test_pagerank_integer_recurrence_and_structure(spark):
     assert outp == out
 
 
+def test_triangle_count_structures_and_canonicalization(spark):
+    """Triangle counts pin to hand-checked structures: K4 gives every
+    node 3 triangles, a 4-cycle gives zero everywhere, a triangle with
+    a pendant counts 1 on the triangle and 0 on the pendant; feeding
+    the same graph with duplicated, reversed, and self-loop edges
+    changes nothing (canonicalization); a brute-force itertools count
+    on a deterministic graph agrees exactly."""
+    import itertools
+
+    from nibbledb_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    out = {r["node"]: r["n_tri"] for r in triangle_count(
+        spark.createDataFrame(k4, "src long, dst long")).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    out = {r["node"]: r["n_tri"] for r in triangle_count(
+        spark.createDataFrame(square, "src long, dst long")).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0}
+
+    tri_pendant = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    messy = tri_pendant + [(1, 0), (2, 1), (0, 0), (2, 0), (3, 2)]
+    out_clean = {r["node"]: r["n_tri"] for r in triangle_count(
+        spark.createDataFrame(tri_pendant, "src long, dst long")).collect()}
+    out_messy = {r["node"]: r["n_tri"] for r in triangle_count(
+        spark.createDataFrame(messy, "src long, dst long")).collect()}
+    assert out_clean == {0: 1, 1: 1, 2: 1, 3: 0}
+    assert out_messy == out_clean
+
+    # deterministic pseudo-random graph vs brute force
+    n = 12
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(range(n), 2)
+        if (a * 7 + b * 13) % 3 == 0
+    ]
+    eset = set(edges)
+    brute = {v: 0 for v in range(n)}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            brute[a] += 1
+            brute[b] += 1
+            brute[c] += 1
+    out = {r["node"]: r["n_tri"] for r in triangle_count(
+        spark.createDataFrame(edges, "src long, dst long")).collect()}
+    touched = {v for e in edges for v in e}
+    assert out == {v: brute[v] for v in touched}
+
+
+def test_bfs_hops_distances_and_direction(spark):
+    """Bounded BFS pins: a symmetrized path graph from seed 0 yields
+    hop i at node i and omits nodes past the bound; two seeds take the
+    MIN distance; direction is respected on a one-way edge; hops=0
+    returns exactly the (deduplicated) seeds; an isolated seed
+    early-exits; negative hops raises."""
+    import pytest as _pytest
+
+    from nibbledb_spark.operators.graph import bfs_hops
+
+    path = [(i, i + 1) for i in range(5)]
+    sym = path + [(b, a) for a, b in path]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, 3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    two = spark.createDataFrame([(0,), (5,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, two, 3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 0}
+
+    directed = spark.createDataFrame([(0, 1)], "src long, dst long")
+    s1 = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(directed, s1, 2).collect()}
+    assert out == {1: 0}
+
+    dup_seeds = spark.createDataFrame([(2,), (2,)], "node long")
+    out = bfs_hops(edges, dup_seeds, 0).collect()
+    assert [(r["node"], r["hops"]) for r in out] == [(2, 0)]
+
+    iso = spark.createDataFrame([(99,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(edges, iso, 10).collect()}
+    assert out == {99: 0}
+
+    with _pytest.raises(ValueError, match="hops"):
+        bfs_hops(edges, seeds, -1)
+
+
 def test_lsh_dedup_gate_crawl_loop(spark, tmp_path):
     """The streaming crawl-loop near-dup gate: batch docs near-dupping
     the INDEX drop; within a batch the higher id of a near-dup pair
