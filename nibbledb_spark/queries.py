@@ -4437,6 +4437,81 @@ def collocations_lift_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "market_basket_lift",
+    """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n FROM b),
+ci AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY item),
+pc AS (
+  SELECT a.item AS item_a, b2.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM b a JOIN b b2 ON a.basket = b2.basket AND a.item < b2.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT item_a, item_b, n_ab,
+       (CAST(n_ab AS DOUBLE) * CAST(n.n AS DOUBLE))
+         / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+FROM pc
+JOIN ci ca ON ca.item = item_a
+JOIN ci cb ON cb.item = item_b
+CROSS JOIN n
+ORDER BY lift DESC, item_a ASC, item_b ASC LIMIT 20
+""",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity (operators/mining.py
+    basket_pair_lift; Agrawal & Srikant VLDB'94 support counting, lift
+    interest measure): top-20 part pairs by exact-rational lift over
+    order baskets — the transactional sibling of
+    collocations_lift_top20, counting per-basket presence instead of
+    adjacent tokens. Pairs come out of each order's sorted item set
+    row-locally; support >= 2 is the hapax floor; counts exact longs,
+    lift one mirrored IEEE expression, ties at the k-boundary broken
+    by the (item_a, item_b) total order."""
+    from nibbledb_spark.operators.mining import basket_pair_lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    return basket_pair_lift(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_count=2, k=20
+    )
+
+
+@declared(
+    "edit_distance_near_dups",
+    """
+WITH p AS (
+  SELECT doc_id, substr(text, 1, 120) AS pre, string_split(text, ' ')[1] AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE abs(length(a.pre) - length(b.pre)) <= 8
+  AND levenshtein(a.pre, b.pre) <= 8
+ORDER BY id_a, id_b
+""",
+)
+def edit_distance_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs (operators/mining.py
+    fuzzy_match_blocked): documents whose 120-char text prefixes are
+    within Levenshtein 8, candidates blocked on the first token —
+    the character-level record-linkage complement of the
+    shingle/MinHash family (single-character edits that token hashing
+    can't see). The free length lower bound prunes before the
+    quadratic compare; Spark runs the bounded (banded-DP) levenshtein.
+    Distances are exact integers on both engines."""
+    from nibbledb_spark.operators.mining import fuzzy_match_blocked
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 120).alias("pre"),
+        F.split(F.col("text"), " ").getItem(0).alias("blk"),
+    )
+    return fuzzy_match_blocked(
+        d, id_col="doc_id", key_col="pre", block_cols=["blk"], max_dist=8
+    ).orderBy("id_a", "id_b")
+
+
+@declared(
     "decontaminate_ngrams",
     f"""
 WITH ev0 AS (

@@ -4012,6 +4012,87 @@ def test_bfs_hops_distances_and_direction(spark):
         bfs_hops(edges, seeds, -1)
 
 
+def test_basket_pair_lift_hand_counts(spark):
+    """Market-basket lift pins to hand arithmetic: over baskets
+    {x,y},{x,y},{x,z},{y,z} the pair (x,y) has lift 2·4/(3·3) and
+    outranks (x,z)/(y,z) at 1·4/(3·2); equal-lift ties order by item
+    names; min_count=2 keeps only the repeated pair; duplicate
+    (basket, item) rows collapse before counting; k truncates."""
+    from nibbledb_spark.operators.mining import basket_pair_lift
+
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"), (2, "y"),  # dup presence collapses
+        (3, "x"), (3, "z"),
+        (4, "y"), (4, "z"),
+    ]
+    tx = spark.createDataFrame(rows, "b long, i string")
+    out = basket_pair_lift(
+        tx, basket_col="b", item_col="i", min_count=1, k=10
+    ).collect()
+    got = [(r["item_a"], r["item_b"], r["n_ab"], r["lift"]) for r in out]
+    assert got[0] == ("x", "y", 2, 2 * 4 / (3 * 3))
+    assert got[1] == ("x", "z", 1, 1 * 4 / (3 * 2))
+    assert got[2] == ("y", "z", 1, 1 * 4 / (3 * 2))
+    assert len(got) == 3
+
+    out2 = basket_pair_lift(
+        tx, basket_col="b", item_col="i", min_count=2, k=10
+    ).collect()
+    assert [(r["item_a"], r["item_b"]) for r in out2] == [("x", "y")]
+
+    out3 = basket_pair_lift(tx, basket_col="b", item_col="i", min_count=1, k=2)
+    assert out3.count() == 2
+
+
+def test_fuzzy_match_blocked_semantics(spark):
+    """Blocked fuzzy matching pins: a typo pair inside one block
+    surfaces with its exact edit distance; a near pair in DIFFERENT
+    blocks is never compared (blocking bounds recall — documented);
+    pairs beyond max_dist drop; a match whose lengths differ by less
+    than max_dist survives the length prefilter; max_dist=0 degrades
+    to exact-dup detection within blocks; guards raise."""
+    import pytest as _pytest
+
+    from nibbledb_spark.operators.mining import fuzzy_match_blocked
+
+    rows = [
+        (1, "smith", "s"),
+        (2, "smyth", "s"),
+        (3, "smithers", "s"),
+        (4, "smith", "j"),   # near id 1 but other block: never compared
+        (5, "zzzzzzzz", "s"),
+        (6, "smith", "s"),   # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    out = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_match_blocked(
+            df, id_col="id", key_col="name", block_cols=["blk"], max_dist=3
+        ).collect()
+    }
+    assert out[(1, 2)] == 1       # smith ~ smyth
+    assert out[(1, 3)] == 3       # smith ~ smithers (insert 3, lengths differ 3)
+    assert out[(1, 6)] == 0
+    assert out[(2, 6)] == 1
+    assert (1, 4) not in out and (4, 6) not in out  # cross-block unseen
+    assert all(5 not in p for p in out)  # beyond max_dist
+
+    exact = fuzzy_match_blocked(
+        df, id_col="id", key_col="name", block_cols=["blk"], max_dist=0
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 6)}
+
+    with _pytest.raises(ValueError, match="max_dist"):
+        fuzzy_match_blocked(
+            df, id_col="id", key_col="name", block_cols=["blk"], max_dist=-1
+        )
+    with _pytest.raises(ValueError, match="block_cols"):
+        fuzzy_match_blocked(
+            df, id_col="id", key_col="name", block_cols=[], max_dist=1
+        )
+
+
 def test_lsh_dedup_gate_crawl_loop(spark, tmp_path):
     """The streaming crawl-loop near-dup gate: batch docs near-dupping
     the INDEX drop; within a batch the higher id of a near-dup pair
