@@ -218,6 +218,97 @@ def winnow_fingerprints(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 relevance to a fixed term set
+    (Robertson & Spärck Jones probabilistic retrieval; the Okapi
+    ``tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`` saturation with the
+    classic parameters) — the lexical-retrieval scorer that
+    complements ``tfidf_pair_scores``/``hybrid_retrieval_rrf``.
+
+    Engine-exactness variant: the term weight is the raw
+    Robertson–Spärck Jones odds ratio ``(N−df+0.5)/(df+0.5)`` rather
+    than its logarithm — log outputs are never engine-exact (libm
+    differs in the last ulp across engines; the collocations-lift
+    rule), and the raw ratio keeps each weight one IEEE divide.
+    Per-term monotonicity in df is identical (rarer ⇒ heavier);
+    the cross-term mixture weights rare terms harder than log-BM25 —
+    a documented deviation, deterministic on any engine. A term
+    missing from the corpus (df=0) safely contributes 0 everywhere
+    (tf=0 zeroes its saturation numerator).
+
+    Shape at scale: term frequencies and document length come out of
+    each row's token array in ONE row-local projection (no explode,
+    no vocabulary shuffle — the term list is a handful of constants);
+    corpus statistics (N, Σdl, per-term df) are a single
+    map-side-combined aggregate broadcast back as one row; scoring is
+    a fixed expression tree summed in term-list order; the top-k is
+    TakeOrderedAndProject with the id tiebreak. The documents scan
+    runs twice (stats + scoring) — cache upstream if the source is
+    remote.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError(f"terms must be unique: {terms}")
+    w = tokens(text_col)
+
+    def _tf(term: str):
+        # NB: a `lambda x, t=t:` default would make this a 2-arg HOF
+        # lambda and PySpark would bind the second arg to the ELEMENT
+        # INDEX — capture the term via closure instead
+        return F.size(F.filter(w, lambda x: x == F.lit(term))).cast("long")
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)]
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(w).cast("long").alias("dl"),
+        *tf_cols,
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).cast("long").alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    nd = F.col("n").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    dlr = F.col("dl").cast("double") / avgdl
+
+    def term_score(i: int):
+        tfd = F.col(f"tf_{i}").cast("double")
+        dfd = F.col(f"df_{i}").cast("double")
+        idf = (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+        return idf * (
+            (tfd * F.lit(k1 + 1.0))
+            / (tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dlr))
+        )
+
+    score = term_score(0)
+    for i in range(1, len(terms)):
+        score = score + term_score(i)
+    any_tf = F.col("tf_0")
+    for i in range(1, len(terms)):
+        any_tf = any_tf + F.col(f"tf_{i}")
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .where(any_tf > 0)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def heavy_hitter_tokens(
     docs: DataFrame, k: int = 20, *, text_col: str = "text"
 ) -> DataFrame:

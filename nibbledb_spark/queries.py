@@ -4401,6 +4401,63 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return op(_t(spark, sf_dir, "documents"), 20)
 
 
+def _bm25_sql(terms: list[str], k1: float = 1.2, b: float = 0.75, k: int = 20) -> str:
+    """BM25 oracle mirroring operators/text.py bm25_topk expression for
+    expression: rational (log-free) RSJ idf, Okapi tf saturation, the
+    per-term scores summed in term-list order — every double op in the
+    same IEEE order as the Spark tree."""
+    nterm = len(terms)
+    tf_defs = ",\n       ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(nterm)
+    )
+    dlr = "(CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))"
+    scores = "\n     + ".join(
+        f"(((CAST(n AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{i} AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1!r} * (1.0 - {b!r} + {b!r} * {dlr}))))"
+        for i in range(nterm)
+    )
+    any_tf = " + ".join(f"tf_{i}" for i in range(nterm))
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+       {tf_defs}
+  FROM (SELECT doc_id, {_TOKS} AS w FROM documents)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       {df_defs}
+  FROM t
+)
+SELECT doc_id,
+       {scores} AS score
+FROM t CROSS JOIN s
+WHERE {any_tf} > 0
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@declared("bm25_topk", _bm25_sql(["dup", "spark", "scan"]))
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/text.py bm25_topk; Robertson
+    & Spärck Jones): top-20 documents for the query {dup, spark, scan}
+    — one rare term (the near-dup marker, df≈5%) and two common ones,
+    so idf weighting visibly drives the ranking. Engine-exact via the
+    log-free rational RSJ idf (documented variant) and a fully
+    mirrored IEEE expression tree; tf/dl come out of the token array
+    row-locally, corpus stats are one broadcast row, top-k is
+    TakeOrderedAndProject."""
+    from nibbledb_spark.operators.text import bm25_topk as op
+
+    return op(_t(spark, sf_dir, "documents"), ["dup", "spark", "scan"], k=20)
+
+
 @declared(
     "collocations_lift_top20",
     f"""

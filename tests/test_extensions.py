@@ -4012,6 +4012,60 @@ def test_bfs_hops_distances_and_direction(spark):
         bfs_hops(edges, seeds, -1)
 
 
+def test_bm25_topk_matches_reference_and_ranks_rare_terms(spark):
+    """BM25 pins: scores equal a sequential Python replay of the exact
+    same rational-idf Okapi formula on a hand corpus; a doc containing
+    the RARE query term outranks docs with only the common term
+    (idf weighting); a term absent from the corpus contributes zero
+    (identical scores with and without it); docs with no query term
+    are absent; guards raise on empty/duplicate term lists."""
+    import pytest as _pytest
+
+    from nibbledb_spark.operators.text import bm25_topk
+
+    corpus = [
+        (0, "rare common common filler"),
+        (1, "common filler filler filler filler"),
+        (2, "common common filler filler"),
+        (3, "nothing here at all"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    terms = ["rare", "common"]
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(docs, terms, k=10).collect()}
+
+    # sequential replay, same arithmetic order
+    k1, b = 1.2, 0.75
+    toks = {i: t.split(" ") for i, t in corpus}
+    n = len(corpus)
+    dls = {i: len(w) for i, w in toks.items()}
+    avgdl = float(sum(dls.values())) / float(n)
+    df = {t: sum(1 for w in toks.values() if t in w) for t in terms}
+    exp = {}
+    for i, w in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = float(w.count(t))
+            idf = (float(n) - float(df[t]) + 0.5) / (float(df[t]) + 0.5)
+            term = idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (float(dls[i]) / avgdl))))
+            s = s + term
+        if any(t in w for t in terms):
+            exp[i] = s
+    assert out == exp  # bit-exact, not approx
+    assert 3 not in out
+    assert out[0] > out[2] > out[1]  # rare term dominates; tf breaks the rest
+
+    with_ghost = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, ["rare", "common", "ghostterm"], k=10).collect()
+    }
+    assert with_ghost == out
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(docs, [])
+    with _pytest.raises(ValueError, match="unique"):
+        bm25_topk(docs, ["a", "a"])
+
+
 def test_basket_pair_lift_hand_counts(spark):
     """Market-basket lift pins to hand arithmetic: over baskets
     {x,y},{x,y},{x,z},{y,z} the pair (x,y) has lift 2·4/(3·3) and
