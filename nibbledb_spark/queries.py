@@ -2224,6 +2224,54 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds, 3).orderBy("node")
 
 
+def _hilbert_layout_sql(bits: int = 6) -> str:
+    from nibbledb_spark.operators.layout import hilbert_sql
+
+    return (
+        """
+WITH src AS (
+  SELECT p_partkey,
+         CAST(p_size AS BIGINT) % 64 AS qx,
+         CAST(FLOOR(p_retailprice) AS BIGINT) % 64 AS qy
+  FROM part
+),
+"""
+        + hilbert_sql("qx", "qy", bits=bits)
+        + f"""
+SELECT p_partkey, qx AS grid_x, qy AS grid_y, hd{bits} AS hilbert_d
+FROM r{bits}
+ORDER BY p_partkey
+"""
+    )
+
+
+@declared("hilbert_layout_index", _hilbert_layout_sql())
+def hilbert_layout_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering index (operators/layout.py
+    hilbert_index) over parts quantized onto a 64×64 (p_size,
+    retail-price) grid — the write-order that makes file min/max stats
+    selective on BOTH columns at once, and strictly tighter than the
+    snapshot log's Z-order (every Hilbert unit step is a spatial unit
+    step, so value ranges hit fewer files; why Delta moved its
+    clustering default to Hilbert). The xy2d bit walk unrolls to 6
+    rounds of integer CASE/bitwise expressions — one codegen'd
+    projection, no UDF, no shuffle; the oracle replays the identical
+    recurrence as unrolled CTEs (the pagerank pattern on a per-row bit
+    walk)."""
+    from nibbledb_spark.operators.layout import hilbert_index
+
+    p = _t(spark, sf_dir, "part")
+    qx = (F.col("p_size").cast("long") % 64).alias("grid_x")
+    qy = (F.floor(F.col("p_retailprice")).cast("long") % 64).alias("grid_y")
+    base = p.select("p_partkey", qx, qy)
+    return base.select(
+        "p_partkey",
+        "grid_x",
+        "grid_y",
+        hilbert_index(F.col("grid_x"), F.col("grid_y"), bits=6).alias("hilbert_d"),
+    ).orderBy("p_partkey")
+
+
 @declared(
     "near_dup_components",
     _NDC_CLOSURE_CTES

@@ -4261,6 +4261,66 @@ def test_bfs_hops_distances_and_direction(spark):
         bfs_hops(edges, seeds, -1)
 
 
+def test_hilbert_index_reference_and_unit_step_locality(spark):
+    """Hilbert index pins: on the full 16x16 grid (bits=4) the Spark
+    expression equals a sequential Python xy2d replay point for point,
+    the 256 indices are a permutation of 0..255 (space-filling
+    bijection), and consecutive indices are ALWAYS spatial unit steps
+    (|dx|+|dy| == 1 — the locality property Z-order lacks: the same
+    grid in Z-order takes jumps up to 15); bits out of range raises."""
+    import pytest as _pytest
+
+    from nibbledb_spark.operators.layout import hilbert_index
+
+    def xy2d(order, x, y):
+        d = 0
+        s = order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    from pyspark.sql import functions as SF
+
+    out = df.select(
+        "x", "y", hilbert_index(SF.col("x"), SF.col("y"), bits=4).alias("d")
+    ).collect()
+    got = {(r["x"], r["y"]): r["d"] for r in out}
+    assert got == {(x, y): xy2d(16, x, y) for x, y in pts}
+    assert sorted(got.values()) == list(range(256))
+
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(255):
+        (x0, y0), (x1, y1) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x0) + abs(y1 - y0) == 1, d
+
+    # Z-order on the same grid: interleave bits -- max step is a jump
+    def z(x, y):
+        out = 0
+        for i in range(4):
+            out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    zd = {z(x, y): (x, y) for x, y in pts}
+    zmax = max(
+        abs(zd[d + 1][0] - zd[d][0]) + abs(zd[d + 1][1] - zd[d][1])
+        for d in range(255)
+    )
+    assert zmax > 1  # the locality gap hilbert closes
+
+    with _pytest.raises(ValueError, match="bits"):
+        hilbert_index(SF.col("x"), SF.col("y"), bits=0)
+
+
 def test_bm25_topk_matches_reference_and_ranks_rare_terms(spark):
     """BM25 pins: scores equal a sequential Python replay of the exact
     same rational-idf Okapi formula on a hand corpus; a doc containing
