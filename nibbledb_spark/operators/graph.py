@@ -282,36 +282,47 @@ def bfs_hops(
     are exact small integers.
 
     Scale shape per round: one keyed join of the frontier against the
-    edge list + one map-side-combined min-aggregate; each round's
-    frame localCheckpoints (the iterative-lineage rule, see
-    connected_components) and the previous round unpersists, so
-    lineage and cache stay O(1). Early-exits when a frontier empties.
-    The loop holds only counters, never rows.
+    edge list + one map-side-combined min-aggregate. Small bounds
+    (``hops <= lazy_below``, the k-hop-neighborhood norm) build ONE
+    lazy plan — no per-round materialization, so the whole walk is a
+    single job. Deeper walks switch to the iterative-lineage
+    discipline (see connected_components): each round
+    localCheckpoints, the previous round unpersists, and an emptied
+    frontier early-exits — lineage and cache stay O(1) however deep
+    the graph. The loop holds only counters, never rows.
     """
     if hops < 0:
         raise ValueError(f"hops must be >= 0: {hops}")
+    lazy = hops <= 8  # plan depth stays trivially plannable below this
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    dist = (
-        seeds.select(F.col(node_col).alias("node"))
-        .distinct()
-        .select("node", F.lit(0).cast("long").alias("hops"))
-        .localCheckpoint(eager=True)
+    dist = seeds.select(F.col(node_col).alias("node")).distinct().select(
+        "node", F.lit(0).cast("long").alias("hops")
     )
+    if not lazy:
+        dist = dist.localCheckpoint(eager=True)
     frontier = dist
     for i in range(1, hops + 1):
         expanded = frontier.select(F.col("node").alias("src")).join(e, "src").select(
             F.col("dst").alias("node"), F.lit(i).cast("long").alias("hops")
         )
-        new_dist = (
-            dist.unionByName(expanded)
-            .groupBy("node")
-            .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
+        new_dist = dist.unionByName(expanded).groupBy("node").agg(
+            F.min("hops").alias("hops")
         )
-        dist.unpersist()
+        if lazy:
+            # each round is referenced TWICE downstream (the next
+            # union AND the next frontier) — a bare lazy plan would
+            # recompute every level 2^k times; a LAZY persist makes
+            # the first runtime evaluation of each level feed both
+            # consumers while keeping the whole walk one job. Pins
+            # `hops` |reached|-sized cache entries for the returned
+            # frame's lifetime (the pagerank contract).
+            new_dist = new_dist.persist()
+        else:
+            new_dist = new_dist.localCheckpoint(eager=True)
+            dist.unpersist()
         dist = new_dist
         frontier = dist.where(F.col("hops") == i)
-        if frontier.isEmpty():
+        if not lazy and frontier.isEmpty():
             break
     return dist
 

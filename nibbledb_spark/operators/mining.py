@@ -47,26 +47,38 @@ def basket_pair_lift(
     deterministic IEEE expression (the collocations_lift algebra), so
     selection ties at the k boundary break identically on any engine.
 
-    Shape at scale: one distinct over (basket, item), ONE
-    basket-keyed aggregate whose sorted item array explodes to ordered
-    pairs row-locally (baskets are small — never a basket-level
-    self-join of the transaction table), map-side-combined pair/item
-    counts, two vocabulary-keyed count joins, a broadcast single-row
-    total, TakeOrderedAndProject for the top-k — no global sort.
+    Shape at scale: ONE basket-keyed aggregate builds each basket's
+    sorted item set (``collect_set`` dedups, so no separate distinct
+    shuffle), and everything derives from that frame — N is its row
+    count, item counts explode it, ordered pairs explode it row-locally
+    (baskets are small — never a basket-level self-join of the
+    transaction table) — then map-side-combined pair/item counts, two
+    vocabulary-keyed count joins, a broadcast single-row total, and
+    TakeOrderedAndProject for the top-k; no global sort. The shared
+    basket-sets frame is persisted for its three consumers (one
+    |baskets|-sized cache entry pinned by the returned frame, the
+    pagerank contract).
     """
-    b = transactions.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
-    total = b.select(F.countDistinct("basket").alias("n"))
-    ci = b.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    sets = (
+        transactions.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .groupBy("basket")
+        .agg(F.sort_array(F.collect_set("item")).alias("its"))
+        .persist()
+    )
+    total = sets.agg(F.count(F.lit(1)).alias("n"))
+    ci = (
+        sets.select(F.explode("its").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     pairs_expr = F.expr(
         "flatten(transform(its, (x, i) -> "
         "transform(slice(its, i + 2, size(its)), y -> struct(x AS a, y AS b))))"
     )
     pc = (
-        b.groupBy("basket")
-        .agg(F.sort_array(F.collect_set("item")).alias("its"))
-        .select(F.explode(pairs_expr).alias("p"))
+        sets.select(F.explode(pairs_expr).alias("p"))
         .select(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
