@@ -25,7 +25,7 @@ convergence counter, never rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -325,6 +325,82 @@ def bfs_hops(
         if not lazy and frontier.isEmpty():
             break
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    iterations: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), the
+    density-based community detector — distinct from connected
+    components: CC merges everything reachable; LPA splits a connected
+    graph into communities where labels win LOCAL majorities. The
+    corpus-curation use is grouping domains/documents into topical
+    neighborhoods cheaper than any clustering that needs embeddings.
+
+    Deterministic fixed-iteration form (the pagerank playbook): labels
+    start as node ids; each round every node adopts the most frequent
+    label among its IN-neighbors over the DIRECTED edge list
+    (symmetrize for undirected), ties broken by the minimum label, a
+    node with no in-edges keeping its current label. Everything is
+    exact integers and total-order tiebreaks, so a fixed ``iterations``
+    run is bit-identical on any engine/partitioning. (Classic sync LPA
+    caveats apply and are inherent, not bugs: bipartite structures can
+    oscillate with period 2 — fixed iteration count makes the output
+    well-defined regardless; the async/semi-sync variants that damp
+    oscillation sacrifice engine-exact determinism.)
+
+    Returns (node, label). Per round: one keyed join of labels onto
+    edges, one map-side-combined (node, label) count, one per-node
+    argmax window over the same node partitioning, one left join back
+    to the node universe; rounds persist lazily and the walk stays one
+    job for small ``iterations`` (each round is referenced by the next
+    round AND the final output — the bfs_hops recompute-doubling
+    lesson), switching to per-round localCheckpoint + unpersist beyond
+    8 (the iterative-lineage rule). Pins up to ``iterations``
+    |nodes|-sized cache entries in the lazy regime (pagerank contract).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
+    lazy = iterations <= 8
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    if not lazy:
+        labels = labels.localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(iterations):
+        msgs = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pick = (
+            msgs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(pick, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+        )
+        if lazy:
+            new_labels = new_labels.persist()
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
+            labels.unpersist()
+        labels = new_labels
+    if not lazy:
+        nodes.unpersist()  # final labels are checkpointed; lineage is cut
+    return labels
 
 
 def pagerank(

@@ -2224,6 +2224,81 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds, 3).orderBy("node")
 
 
+def _lpa_sql(iterations: int = 3) -> str:
+    """Unrolled fixed-iteration sync-LPA oracle (the pagerank pattern):
+    per round one (node, label) count CTE, one argmax-window CTE, one
+    keep-own-label left join — the operator's exact integer recurrence
+    restated declaratively."""
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""",
+        """edges AS (
+  SELECT s * 10 + 1 AS src, c * 10 + 2 AS dst FROM pairs
+  UNION ALL
+  SELECT c * 10 + 2 AS src, s * 10 + 1 AS dst FROM pairs
+)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""m{i} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN l{i - 1} l ON l.node = e.src GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""p{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM m{i}
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+  SELECT l.node, COALESCE(p.label, l.label) AS label
+  FROM l{i - 1} l LEFT JOIN p{i} p ON p.node = l.node
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{iterations} ORDER BY node"
+    )
+
+
+@declared("graph_label_propagation", _lpa_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (operators/graph.py
+    label_propagation; Raghavan 2007) over the symmetrized trade graph
+    — the density-based community detector, distinct from connected
+    components (which would merge this whole connected graph into one
+    blob): labels win LOCAL in-neighborhood majorities, ties to the
+    minimum label, three fixed iterations. Exact integers + total-order
+    tiebreaks end to end, so an oscillation-prone heuristic is
+    bit-identical against the unrolled count/argmax/keep CTE oracle."""
+    from nibbledb_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 10 + 1).alias("s"),
+            (F.col("o_custkey") * 10 + 2).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).unionByName(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
+    return label_propagation(edges, iterations=3).orderBy("node")
+
+
 def _hilbert_layout_sql(bits: int = 6) -> str:
     from nibbledb_spark.operators.layout import hilbert_sql
 

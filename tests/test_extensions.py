@@ -4222,6 +4222,71 @@ def test_triangle_count_structures_and_canonicalization(spark):
     assert out == {v: brute[v] for v in touched}
 
 
+def test_label_propagation_communities_and_determinism(spark):
+    """Sync LPA pins: the distributed run equals a sequential Python
+    replay of the identical recurrence (in-neighbor majority, min-label
+    ties, keep-own when isolated) round for round on a two-clique +
+    bridge graph; both cliques converge internally to their min label
+    (communities CC cannot produce — the graph is one component);
+    results are partitioning-invariant; iterations=0 raises."""
+    import itertools
+
+    from nibbledb_spark.operators.graph import label_propagation
+
+    c1 = list(itertools.permutations(range(5), 2))
+    c2 = list(itertools.permutations(range(10, 15), 2))
+    bridge = [(4, 10), (10, 4)]
+    e = c1 + c2 + bridge
+
+    def replay(k):
+        nodes = sorted({s for s, _ in e} | {d for _, d in e})
+        lab = {n: n for n in nodes}
+        for _ in range(k):
+            cnt: dict = {}
+            for s, d in e:
+                cnt.setdefault(d, {}).setdefault(lab[s], 0)
+                cnt[d][lab[s]] += 1
+            lab = {
+                n: (
+                    min(
+                        (l for l, c in cnt[n].items()
+                         if c == max(cnt[n].values()))
+                    )
+                    if n in cnt
+                    else lab[n]
+                )
+                for n in nodes
+            }
+        return lab
+
+    edges = spark.createDataFrame(e, "src long, dst long")
+    for k in (1, 2, 3):
+        out = {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, iterations=k).collect()
+        }
+        assert out == replay(k), k
+
+    final = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert all(final[n] == 0 for n in range(5))  # clique 1 -> min label 0
+    assert all(final[n] == 10 for n in range(11, 15))  # clique 2 -> 10
+
+    repart = spark.createDataFrame(e, "src long, dst long").repartition(7)
+    again = {
+        r["node"]: r["label"]
+        for r in label_propagation(repart, iterations=3).collect()
+    }
+    assert again == final
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        label_propagation(edges, iterations=0)
+
+
 def test_bfs_hops_distances_and_direction(spark):
     """Bounded BFS pins: a symmetrized path graph from seed 0 yields
     hop i at node i and omits nodes past the bound; two seeds take the
