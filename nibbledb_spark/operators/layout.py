@@ -30,11 +30,19 @@ def hilbert_index(x: Column, y: Column, *, bits: int) -> Column:
     bit-identical on any engine.
 
     Inputs must already be quantized to ``[0, 2^bits)`` longs (clamp or
-    bucket upstream — out-of-range bits would silently alias). Output
-    fits in a long for ``bits <= 31``.
+    bucket upstream — out-of-range bits would silently alias).
+
+    LIMIT: as a single Column the recurrence duplicates the x/y
+    subtrees ~3x per bit, so the expression tree grows ~3^bits and
+    Catalyst analysis time with it — capped at 6 bits (a 64x64 grid,
+    plenty for layout bucketing). For finer grids use
+    :func:`append_hilbert_index`, the chained-projection form whose
+    plan grows LINEARLY in bits (per-round aliases are referenced more
+    than once, so CollapseProject keeps them materialized instead of
+    re-inlining the blowup).
     """
-    if not 1 <= bits <= 31:
-        raise ValueError(f"bits must be in [1, 31]: {bits}")
+    if not 1 <= bits <= 6:
+        raise ValueError(f"bits must be in [1, 6]: {bits}")
     xx, yy = x.cast("long"), y.cast("long")
     d = F.lit(0).cast("long")
     for i in range(bits - 1, -1, -1):
@@ -49,6 +57,59 @@ def hilbert_index(x: Column, y: Column, *, bits: int) -> Column:
         ny = F.when(ry == 0, F.when(rx == 1, F.lit(s - 1).cast("long") - xx).otherwise(xx)).otherwise(yy)
         xx, yy = nx, ny
     return d
+
+
+def append_hilbert_index(
+    df,
+    x_col: str,
+    y_col: str,
+    *,
+    bits: int,
+    out_col: str = "__hilbert",
+):
+    """:func:`hilbert_index` as one chained projection per bit: each
+    round SELECTs the rotated (x, y) and accumulated d as NAMED columns
+    the next round references — plan size linear in ``bits`` (the
+    Column form is ~3^bits; see its LIMIT note), still pure codegen'd
+    integer expressions, no UDF, no shuffle. Returns ``df`` plus
+    ``out_col``; the scratch columns are dropped."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31]: {bits}")
+    xx, yy, dd = "__hx", "__hy", out_col
+    cur = df.select(
+        "*",
+        F.col(x_col).cast("long").alias(xx),
+        F.col(y_col).cast("long").alias(yy),
+        F.lit(0).cast("long").alias(dd),
+    )
+    others = [c for c in df.columns]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.when((F.col(xx).bitwiseAND(F.lit(s))) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        ry = F.when((F.col(yy).bitwiseAND(F.lit(s))) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        nd = F.col(dd) + F.lit(s).cast("long") * F.lit(s).cast("long") * (
+            (F.lit(3).cast("long") * rx).bitwiseXOR(ry)
+        )
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1).cast("long") - F.col(yy)).otherwise(
+                F.col(yy)
+            ),
+        ).otherwise(F.col(xx))
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(s - 1).cast("long") - F.col(xx)).otherwise(
+                F.col(xx)
+            ),
+        ).otherwise(F.col(yy))
+        cur = cur.select(
+            *others, nx.alias(xx), ny.alias(yy), nd.alias(dd)
+        )
+    return cur.select(*others, F.col(dd))
 
 
 def hilbert_sql(x_expr: str, y_expr: str, *, bits: int) -> str:

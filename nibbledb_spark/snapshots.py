@@ -1193,20 +1193,32 @@ class SnapshotLog:
         self,
         target_files: int = 1,
         zorder_by: tuple[str, ...] | list[str] | None = None,
+        *,
+        cluster: str = "zorder",
     ) -> int:
         """Rewrite the live set into ``target_files`` files. Read-result
         invariant; atomic swap via the log (readers at any version never
         see a half-compacted set).
 
-        ``zorder_by``: numeric columns to Morton-cluster the rewrite on
-        (the Delta ``OPTIMIZE ... ZORDER BY`` analogue). Each column is
-        min/max-scaled to 8-bit buckets (one tiny agg — no global-order
-        window, which would single-partition at scale), interleaved via
-        ``plans.scale.zorder_key``, then range-repartitioned + sorted on
-        the key: afterwards this table's per-file min/max stats prune
-        ``files(bounds=...)`` on ANY clustered dimension, where a linear
-        sort prunes only the leading one. Cost is the compaction itself
-        (a shuffle the rewrite pays anyway); reads pay nothing."""
+        ``zorder_by``: numeric columns to space-fill-cluster the rewrite
+        on (the Delta ``OPTIMIZE ... ZORDER BY`` analogue). Each column
+        is min/max-scaled to 8-bit buckets (one tiny agg — no
+        global-order window, which would single-partition at scale),
+        combined into the clustering key, then range-repartitioned +
+        sorted on it: afterwards this table's per-file min/max stats
+        prune ``files(bounds=...)`` on ANY clustered dimension, where a
+        linear sort prunes only the leading one. Cost is the compaction
+        itself (a shuffle the rewrite pays anyway); reads pay nothing.
+
+        ``cluster``: the curve — ``"zorder"`` (Morton interleave,
+        ``plans.scale.zorder_key``, any column count) or ``"hilbert"``
+        (``operators.layout.hilbert_index``, exactly 2 columns): every
+        Hilbert unit step is a spatial unit step, so files cover
+        tighter rectangles and range queries touch fewer of them (the
+        reason Delta's liquid clustering moved off Z-order).
+        """
+        if cluster not in ("zorder", "hilbert"):
+            raise ValueError(f"unknown cluster strategy: {cluster!r}")
         head = self.latest_version()
         if head is None:
             raise ValueError("empty table")
@@ -1215,6 +1227,10 @@ class SnapshotLog:
         if zorder_by:
             from nibbledb_spark.plans.scale import zorder_key
 
+            if cluster == "hilbert" and len(zorder_by) != 2:
+                raise ValueError(
+                    f"hilbert clustering takes exactly 2 columns: {zorder_by}"
+                )
             bits = 8
             span = (1 << bits) - 1
             ranges = df.agg(
@@ -1234,9 +1250,20 @@ class SnapshotLog:
                         F.least(F.lit(span), F.greatest(F.lit(0), b)), F.lit(0)
                     ).cast("long")
                 )
+            if cluster == "hilbert":
+                from nibbledb_spark.operators.layout import append_hilbert_index
+
+                keyed = append_hilbert_index(
+                    df.withColumn("__bx", buckets[0]).withColumn("__by", buckets[1]),
+                    "__bx",
+                    "__by",
+                    bits=bits,
+                    out_col="__z",
+                ).drop("__bx", "__by")
+            else:
+                keyed = df.withColumn("__z", zorder_key(buckets, bits=bits))
             df = (
-                df.withColumn("__z", zorder_key(buckets, bits=bits))
-                .repartitionByRange(max(1, target_files), "__z")
+                keyed.repartitionByRange(max(1, target_files), "__z")
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
@@ -1251,7 +1278,11 @@ class SnapshotLog:
             {
                 "from_files": len(files),
                 "to_files": len(add),
-                **({"zorder_by": list(zorder_by)} if zorder_by else {}),
+                **(
+                    {"zorder_by": list(zorder_by), "cluster": cluster}
+                    if zorder_by
+                    else {}
+                ),
             },
             base_head=head,
         )

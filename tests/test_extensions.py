@@ -4385,6 +4385,15 @@ def test_hilbert_index_reference_and_unit_step_locality(spark):
     with _pytest.raises(ValueError, match="bits"):
         hilbert_index(SF.col("x"), SF.col("y"), bits=0)
 
+    # the linear-plan chained-projection form is value-identical to the
+    # Column form (and is the one compact() uses at bits=8)
+    from nibbledb_spark.operators.layout import append_hilbert_index
+
+    app = append_hilbert_index(df, "x", "y", bits=4, out_col="d").collect()
+    assert {(r["x"], r["y"]): r["d"] for r in app} == got
+    with _pytest.raises(ValueError, match="bits"):
+        append_hilbert_index(df, "x", "y", bits=0)
+
 
 def test_bm25_topk_matches_reference_and_ranks_rare_terms(spark):
     """BM25 pins: scores equal a sequential Python replay of the exact

@@ -219,6 +219,59 @@ def test_compact_zorder_by_enables_trailing_dim_pruning(spark, tmp_path):
     assert got == 256 * 32
 
 
+def test_compact_hilbert_prunes_tighter_than_zorder(spark, tmp_path):
+    """compact(cluster='hilbert') vs the Z-order default on the same
+    256x256 grid into 16 files: identical read results, and the
+    Hilbert layout touches STRICTLY fewer files — over the 16 aligned
+    quadrant boxes (measured: 32 vs 48 total file hits) and on every
+    axis slab — because every Hilbert unit step is a spatial unit
+    step, so each file covers one tight rectangle where Z-order's
+    jumps stretch file bounding boxes. Also pins the strategy guardrails
+    (unknown strategy, wrong column count) and the history metadata."""
+    from nibbledb_spark.snapshots import SnapshotLog
+
+    grid = spark.range(256 * 256).selectExpr(
+        "CAST(id % 256 AS INT) AS x", "CAST(id DIV 256 AS INT) AS y"
+    )
+
+    def build(strategy):
+        tbl = SnapshotLog(
+            spark, str(tmp_path / strategy), stats_cols=("x", "y")
+        )
+        tbl.append(
+            grid.repartitionByRange(16, "x", "y").sortWithinPartitions("x", "y")
+        )
+        tbl.compact(target_files=16, zorder_by=("x", "y"), cluster=strategy)
+        return tbl
+
+    tz, th = build("zorder"), build("hilbert")
+    assert th.history()[0]["meta"]["cluster"] == "hilbert"
+
+    def quad_hits(tbl):
+        return sum(
+            len(tbl.files(bounds={"x": (x0, x0 + 63), "y": (y0, y0 + 63)}))
+            for x0 in range(0, 256, 64)
+            for y0 in range(0, 256, 64)
+        )
+
+    hits_z, hits_h = quad_hits(tz), quad_hits(th)
+    assert hits_h < hits_z, (hits_h, hits_z)
+    for bounds in ({"x": (0, 31)}, {"y": (0, 31)}):
+        assert len(th.files(bounds=bounds)) <= len(tz.files(bounds=bounds))
+
+    a = tz.read().selectExpr("sum(x) sx", "sum(y) sy", "count(*) n").collect()
+    b = th.read().selectExpr("sum(x) sx", "sum(y) sy", "count(*) n").collect()
+    assert a == b
+    assert th.read(bounds={"x": (0, 31)}).where("x <= 31").count() == 32 * 256
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cluster strategy"):
+        th.compact(zorder_by=("x", "y"), cluster="peano")
+    with _pytest.raises(ValueError, match="exactly 2"):
+        th.compact(zorder_by=("x",), cluster="hilbert")
+
+
 def test_lsh_bucketed_bands_probe_drops_corpus_exchange(spark, tmp_path):
     """lsh_bucketize_bands publishes the band table bucketed+sorted by
     (band, bucket); a probe against it (broadcast disabled, the
