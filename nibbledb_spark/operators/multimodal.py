@@ -7,7 +7,8 @@ and tested. So are most codecs by now, pure stdlib+numpy: PPM(P6),
 24-bit BMP, 8-bit PNG (all filters), huffman JPEG (baseline AND
 progressive incl. successive approximation), GIF87a/89a (full LZW,
 interlace, transparency, frame compositing — stills AND animations),
-16-bit PCM WAV, and G.711 A-law/mu-law WAV. Codecs that genuinely need external libraries
+baseline TIFF 6.0 (both byte orders, strips, none/LZW/PackBits,
+predictor 2), 16-bit PCM WAV, and G.711 A-law/mu-law WAV. Codecs that genuinely need external libraries
 (video frame decode, WebP/AVIF, mp3/aac/opus, arithmetic-coded JPEG)
 stay behind ``NotImplementedError`` or a clearly-marked deterministic
 fake so the pipeline shape can still be exercised end-to-end.
@@ -919,6 +920,182 @@ def decode_gif(payload: bytes) -> dict:
     }
 
 
+def _lzw_decode_tiff(data: bytes, max_out: int) -> bytearray:
+    """TIFF-flavor LZW (TIFF6 §13): MSB-first bit packing, 256-entry
+    byte alphabet, CLEAR=256/EOI=257, codes start at 9 bits — and the
+    spec's "early change": the width bumps when the dictionary reaches
+    ``2^width − 1`` (one code EARLIER than GIF's late change; mixing
+    the two desyncs at the first width boundary). Same hostile-stream
+    bounds as :func:`_lzw_decode`."""
+    clear, eoi = 256, 257
+    literals = [bytes([i]) for i in range(256)] + [b"", b""]
+    dict_ = list(literals)
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == clear:
+            dict_ = list(literals)
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError("corrupt TIFF LZW stream (non-literal first code)")
+            entry = dict_[code]
+        elif code < len(dict_):
+            entry = dict_[code]
+        elif code == len(dict_):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF LZW stream (code beyond dictionary)")
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("TIFF LZW output exceeds image size")
+        if prev is not None and len(dict_) < 4096:
+            dict_.append(prev + entry[:1])
+            if len(dict_) == (1 << width) - 1 and width < 12:
+                width += 1  # EARLY change — the TIFF6 quirk
+        prev = entry
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytearray:
+    """PackBits (TIFF6 §9 / the classic Apple RLE): n in [0,127] copies
+    n+1 literals, n in [-127,-1] repeats the next byte 1−n times, -128
+    is a no-op."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        n = data[pos] - 256 if data[pos] > 127 else data[pos]
+        pos += 1
+        if n == -128:
+            continue
+        if n >= 0:
+            if pos + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal run")
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        else:
+            if pos >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[pos]]) * (1 - n)
+            pos += 1
+        if len(out) > max_out:
+            raise ValueError("PackBits output exceeds image size")
+    return out
+
+
+def decode_tiff(payload: bytes) -> object:
+    """Baseline TIFF 6.0 decode to HxWx3 uint8, pure stdlib+numpy:
+    both byte orders (II/MM), the first IFD, 8-bit grayscale
+    (WhiteIsZero/BlackIsZero) and RGB, strip-organized data with any
+    RowsPerStrip, compressions 1 (none), 5 (LZW — :func:`_lzw_decode_tiff`,
+    early-change variant) and 32773 (PackBits), and horizontal-
+    differencing predictor 2. Tiled layouts, palette color, planar=2,
+    and non-8-bit depths raise ``NotImplementedError`` (the documented
+    codec seams); malformed files raise ``ValueError``."""
+    import numpy as np
+
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF")
+    bo = "little" if payload[:2] == b"II" else "big"
+
+    def rd(off: int, n: int) -> int:
+        if off + n > len(payload):
+            raise ValueError("truncated TIFF")
+        return int.from_bytes(payload[off : off + n], bo)
+
+    if rd(2, 2) != 42:
+        raise ValueError("bad TIFF magic")
+    ifd = rd(4, 4)
+    n_entries = rd(ifd, 2)
+    tags: dict[int, list[int]] = {}
+    TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+    for i in range(n_entries):
+        e = ifd + 2 + i * 12
+        tag, typ, cnt = rd(e, 2), rd(e + 2, 2), rd(e + 4, 4)
+        if typ not in TYPE_SIZE:
+            continue  # RATIONAL/ASCII metadata we don't need
+        sz = TYPE_SIZE[typ]
+        base = e + 8 if cnt * sz <= 4 else rd(e + 8, 4)
+        tags[tag] = [rd(base + j * sz, sz) for j in range(cnt)]
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF needs a tile walk — strips only")
+    w, h = one(256), one(257)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid TIFF dimensions ({w}x{h})")
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    planar = one(284, 1)
+    pred = one(317, 1)
+    if photo == 3:
+        raise NotImplementedError("palette-color TIFF")
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"only 8-bit samples decode: {bits}")
+    if planar != 1:
+        raise NotImplementedError("planar-separated TIFF")
+    if spp not in (1, 3):
+        raise NotImplementedError(f"{spp} samples/pixel (1 or 3 supported)")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (none/LZW/PackBits supported)"
+        )
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts missing or mismatched")
+    rps = one(278, h)
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF strip beyond file end")
+        strip = payload[off : off + cnt]
+        n_rows = min(rps, h - si * rps)
+        need = n_rows * w * spp
+        if comp == 1:
+            got = strip[:need]
+        elif comp == 5:
+            got = bytes(_lzw_decode_tiff(strip, need))
+        else:
+            got = bytes(_packbits_decode(strip, need))
+        if len(got) < need:
+            raise ValueError("short TIFF strip data")
+        raw += got[:need]
+    arr = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if pred == 2:  # horizontal differencing: undo by modular row cumsum
+        arr = arr.astype(np.uint32).cumsum(axis=1).astype(np.uint8)
+    if spp == 1:
+        if photo == 0:  # WhiteIsZero
+            arr = 255 - arr
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
 def _ppm_bytes(arr: object) -> bytes:
     """HxWx3 uint8 array -> binary PPM (P6) payload — the loss-free
     interchange wrapper for decoded frames, accepted back by
@@ -955,10 +1132,15 @@ def decode_image(payload: bytes) -> object:
         # its first composited frame; frame-level access goes through
         # decode_gif / video_keyframes
         return decode_gif(payload)["frames"][0]
+    if payload[:2] in (b"II", b"MM") and len(payload) >= 4 and int.from_bytes(
+        payload[2:4], "little" if payload[:2] == b"II" else "big"
+    ) == 42:
+        return decode_tiff(payload)
     if not payload.startswith(b"P6"):
         raise NotImplementedError(
-            "only PPM(P6), 24-bit BMP, 8-bit PNG, GIF, and huffman JPEG "
-            "(baseline + progressive) decode without codec libs; plug PIL in here"
+            "only PPM(P6), 24-bit BMP, 8-bit PNG, GIF, baseline TIFF, and "
+            "huffman JPEG (baseline + progressive) decode without codec "
+            "libs; plug PIL in here"
         )
     # tokenize header: magic, width, height, maxval; '#' starts a comment
     pos, tokens = 2, []

@@ -3886,6 +3886,215 @@ def test_video_keyframes_gif_animation(spark):
     assert len(by_id[2]) == 1 and by_id[2][0]["decoded"] is False
 
 
+def _tiff_lzw_encode(data):
+    """TIFF-flavor LZW encoder (MSB-first, 9-bit start, 4096 cap,
+    EARLY change: the encoder widens when next_code reaches 2^width —
+    one code earlier than the GIF encoder, mirroring the decoder's
+    len == 2^width − 1 rule)."""
+    clear, eoi = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    emit(clear)
+    prev = b""
+    for px in bytes(data):
+        cur = prev + bytes([px])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = bytes([px])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data):
+    """Literal-run PackBits encoder (127-byte literal chunks — valid,
+    if suboptimal, PackBits) with one repeat run thrown in when a
+    long repeat exists, so both decoder branches exercise."""
+    out = bytearray()
+    i = 0
+    data = bytes(data)
+    while i < len(data):
+        # emit a repeat run if >= 3 identical bytes ahead
+        run = 1
+        while run < 128 and i + run < len(data) and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([256 - (run - 1), data[i]])
+            i += run
+            continue
+        j = min(len(data), i + 127)
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _tiff_bytes(
+    arr, *, big_endian=False, compression=1, predictor=1,
+    rows_per_strip=None, photometric=None,
+):
+    """Minimal spec-correct TIFF 6.0 writer for the decoder tests:
+    single IFD, strip-organized, gray or RGB, none/LZW/PackBits."""
+    import numpy as np
+    import struct
+
+    bo = ">" if big_endian else "<"
+    h, w = arr.shape[:2]
+    spp = 1 if arr.ndim == 2 else arr.shape[2]
+    photo = photometric if photometric is not None else (1 if spp == 1 else 2)
+    rps = rows_per_strip or h
+    flat = arr.reshape(h, w * spp) if spp else arr
+    if predictor == 2:
+        enc = arr.astype(np.int16)
+        enc = np.concatenate(
+            [enc[:, :1], (enc[:, 1:] - enc[:, :-1]) % 256], axis=1
+        ).astype(np.uint8)
+        flat = enc.reshape(h, w * spp)
+    strips = []
+    for s0 in range(0, h, rps):
+        chunk = flat[s0 : s0 + rps].tobytes()
+        if compression == 5:
+            chunk = _tiff_lzw_encode(chunk)
+        elif compression == 32773:
+            chunk = _packbits_encode(chunk)
+        strips.append(chunk)
+
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def short(tag, *vals):
+        entries.append((tag, 3, len(vals), vals))
+
+    def long_(tag, *vals):
+        entries.append((tag, 4, len(vals), vals))
+
+    short(256, w)
+    short(257, h)
+    short(258, *([8] * spp))
+    short(259, compression)
+    short(262, photo)
+    short(277, spp)
+    short(278, rps)
+    short(317, predictor)
+    # layout: header(8) + ifd + out-of-line values + strip data
+    n = len(entries) + 2  # + offsets + counts
+    ifd_size = 2 + n * 12 + 4
+    # reserve: out-of-line area computed in two passes
+    def build(strip_off_base):
+        offs, pos = [], strip_off_base
+        for sdata in strips:
+            offs.append(pos)
+            pos += len(sdata)
+        all_entries = entries + [
+            (273, 4, len(strips), tuple(offs)),
+            (279, 4, len(strips), tuple(len(s) for s in strips)),
+        ]
+        all_entries.sort(key=lambda e: e[0])
+        out_of_line = bytearray()
+        ool_base = 8 + ifd_size
+        ifd = struct.pack(bo + "H", len(all_entries))
+        tsz = {3: 2, 4: 4}
+        tfmt = {3: "H", 4: "I"}
+        for tag, typ, cnt, vals in all_entries:
+            ifd += struct.pack(bo + "HHI", tag, typ, cnt)
+            payload_bytes = b"".join(
+                struct.pack(bo + tfmt[typ], v) for v in vals
+            )
+            if len(payload_bytes) <= 4:
+                ifd += payload_bytes + b"\0" * (4 - len(payload_bytes))
+            else:
+                ifd += struct.pack(bo + "I", ool_base + len(out_of_line))
+                out_of_line += payload_bytes
+        ifd += struct.pack(bo + "I", 0)  # next IFD
+        return ifd, bytes(out_of_line)
+
+    # pass 1 to size out-of-line, pass 2 with final strip offsets
+    ifd1, ool1 = build(0)
+    strip_base = 8 + ifd_size + len(ool1)
+    ifd2, ool2 = build(strip_base)
+    header = (b"MM" if big_endian else b"II") + struct.pack(bo + "HI", 42, 8)
+    return header + ifd2 + ool2 + b"".join(strips)
+
+
+def test_decode_tiff_matrix():
+    """TIFF decode pins: gray and RGB round-trip pixel-exact through
+    the in-test spec writer across {none, LZW (early-change),
+    PackBits} x {predictor 1, 2} x {little, big endian} x multi-strip;
+    WhiteIsZero inverts; tiled/palette/deep files raise the documented
+    NotImplementedError seams; malformed files raise ValueError;
+    decode_image dispatches on both byte-order magics."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import decode_image, decode_tiff
+
+    rng = np.random.RandomState(5)
+    rgb = rng.randint(0, 256, (21, 17, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (21, 17)).astype(np.uint8)
+    gray_rgb = np.repeat(gray[:, :, None], 3, axis=2)
+
+    for be in (False, True):
+        for comp in (1, 5, 32773):
+            for pred in (1, 2):
+                for rps in (None, 5):
+                    t = _tiff_bytes(
+                        rgb, big_endian=be, compression=comp,
+                        predictor=pred, rows_per_strip=rps,
+                    )
+                    assert np.array_equal(decode_tiff(t), rgb), (be, comp, pred, rps)
+                    g = _tiff_bytes(
+                        gray, big_endian=be, compression=comp,
+                        predictor=pred, rows_per_strip=rps,
+                    )
+                    assert np.array_equal(decode_tiff(g), gray_rgb)
+
+    inv = _tiff_bytes(gray, photometric=0)  # WhiteIsZero
+    assert np.array_equal(decode_tiff(inv), 255 - gray_rgb)
+    assert np.array_equal(decode_image(_tiff_bytes(rgb)), rgb)
+    assert np.array_equal(decode_image(_tiff_bytes(rgb, big_endian=True)), rgb)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_tiff(b"II\x2b\x00rest")  # BigTIFF magic
+    with _pytest.raises(ValueError):
+        decode_tiff(_tiff_bytes(rgb)[:40])
+    lzw = _tiff_bytes(rgb, compression=5)
+    with _pytest.raises(ValueError):
+        decode_tiff(lzw[: len(lzw) // 2])  # truncated strip data
+    # a tiled file: patch tag 273 -> 322 (TileOffsets)
+    import struct as _struct
+
+    t = bytearray(_tiff_bytes(rgb))
+    n = _struct.unpack("<H", t[8:10])[0]
+    for i in range(n):
+        e = 10 + i * 12
+        if _struct.unpack("<H", t[e : e + 2])[0] == 273:
+            t[e : e + 2] = _struct.pack("<H", 322)
+    with _pytest.raises(NotImplementedError, match="tile"):
+        decode_tiff(bytes(t))
+
+
 def test_parse_avi_container_walk():
     """parse_avi: MJPEG frames come back in order with the strh clock
     (NOT the decoy avih µs/frame); rec-nested movi layouts parse; odd
