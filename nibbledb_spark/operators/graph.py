@@ -327,6 +327,72 @@ def bfs_hops(
     return dist
 
 
+def link_prediction_common_neighbors(
+    edges: DataFrame,
+    *,
+    k: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Top-``k`` missing links by common-neighbor count, with the
+    Jaccard coefficient — the classic structural link-prediction
+    baselines (Liben-Nowell & Kleinberg 2003): NON-adjacent node pairs
+    sharing many neighbors are the edges most likely to appear (or,
+    in a dedup graph, the pairs a noisy pairwise threshold missed —
+    candidates for a second-look verify pass).
+
+    Returns (node_a, node_b, common_neighbors, jaccard) with
+    node_a < node_b, ranked (common_neighbors desc, node_a, node_b) —
+    counts exact, jaccard ``cn/(deg_a + deg_b − cn)`` one IEEE divide.
+
+    Shape at scale: wedge generation is one self-join of the
+    symmetrized adjacency on the shared-neighbor key (the triangle
+    wedge shuffle; hub nodes contribute deg² wedges — the inherent
+    cost of common-neighbor scores; cap hub degree upstream if the
+    graph has super-nodes), one map-side-combined pair count, one
+    anti join against the canonical edge list to keep NON-edges, two
+    degree joins, TakeOrderedAndProject. The canonical edge list is
+    persisted (three consumers; the pagerank cache-pin contract).
+    """
+    c = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    sym = c.select(F.col("u").alias("node"), F.col("v").alias("peer")).unionByName(
+        c.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    l = sym.select("node", F.col("peer").alias("u"))
+    r = sym.select("node", F.col("peer").alias("v"))
+    cn = (
+        l.join(r, "node")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    non_edges = cn.join(c, ["u", "v"], "left_anti")
+    jac = F.col("cn").cast("double") / (
+        F.col("du") + F.col("dv") - F.col("cn")
+    ).cast("double")
+    return (
+        non_edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.col("u").alias("node_a"),
+            F.col("v").alias("node_b"),
+            F.col("cn").alias("common_neighbors"),
+            jac.alias("jaccard"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "node_a", "node_b")
+        .limit(k)
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     *,

@@ -2224,6 +2224,66 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds, 3).orderBy("node")
 
 
+@declared(
+    "graph_link_prediction",
+    """
+WITH c AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (
+  SELECT u AS node, v AS peer FROM c
+  UNION ALL
+  SELECT v AS node, u AS peer FROM c
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY node),
+cn AS (
+  SELECT a.peer AS u, b.peer AS v, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM sym a JOIN sym b ON a.node = b.node AND a.peer < b.peer
+  GROUP BY 1, 2
+),
+ne AS (
+  SELECT cn.u, cn.v, cn.cn
+  FROM cn LEFT JOIN c ON c.u = cn.u AND c.v = cn.v
+  WHERE c.u IS NULL
+)
+SELECT ne.u AS node_a, ne.v AS node_b, ne.cn AS common_neighbors,
+       CAST(ne.cn AS DOUBLE) / CAST(du.d + dv.d - ne.cn AS DOUBLE) AS jaccard
+FROM ne
+JOIN deg du ON du.node = ne.u
+JOIN deg dv ON dv.node = ne.v
+ORDER BY common_neighbors DESC, node_a ASC, node_b ASC LIMIT 20
+""",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural link prediction (operators/graph.py
+    link_prediction_common_neighbors; Liben-Nowell & Kleinberg 2003):
+    the top-20 NON-adjacent part pairs of the co-purchase graph by
+    common-neighbor count with the Jaccard coefficient — in a dedup
+    graph these are the pairs a pairwise threshold missed. Same wedge
+    machinery as graph_triangle_count with an anti join flipping the
+    closure: triangles keep closed wedges, link prediction keeps the
+    open ones. Counts exact; jaccard one mirrored IEEE divide;
+    k-boundary ties broken by the (node_a, node_b) total order."""
+    from nibbledb_spark.operators.graph import link_prediction_common_neighbors
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("its")
+    )
+    pairs = F.expr(
+        "flatten(transform(its, (x, i) -> "
+        "transform(slice(its, i + 2, size(its)), y -> struct(x AS u, y AS v))))"
+    )
+    edges = (
+        items.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.u").alias("src"), F.col("p.v").alias("dst"))
+        .distinct()
+    )
+    return link_prediction_common_neighbors(edges, k=20)
+
+
 def _lpa_sql(iterations: int = 3) -> str:
     """Unrolled fixed-iteration sync-LPA oracle (the pagerank pattern):
     per round one (node, label) count CTE, one argmax-window CTE, one

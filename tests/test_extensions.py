@@ -4431,6 +4431,35 @@ def test_triangle_count_structures_and_canonicalization(spark):
     assert out == {v: brute[v] for v in touched}
 
 
+def test_link_prediction_common_neighbors_hand_graph(spark):
+    """Link prediction pins to a hand graph: in a path a-b-c the open
+    pair (a,c) scores cn=1 with jaccard 1/(1+1-1)=1.0... (deg a=1,
+    deg c=1); adjacent pairs never appear (anti join); a square
+    surfaces both diagonals with cn=2; ranking is (cn desc, ids) and
+    k truncates; duplicate/reversed input edges change nothing."""
+    from nibbledb_spark.operators.graph import link_prediction_common_neighbors
+
+    path = [(1, 2), (2, 3)]
+    out = link_prediction_common_neighbors(
+        spark.createDataFrame(path, "src long, dst long"), k=10
+    ).collect()
+    assert [(r["node_a"], r["node_b"], r["common_neighbors"], r["jaccard"])
+            for r in out] == [(1, 3, 1, 1.0)]
+
+    square = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 0), (0, 0)]  # + noise
+    out = link_prediction_common_neighbors(
+        spark.createDataFrame(square, "src long, dst long"), k=10
+    ).collect()
+    got = [(r["node_a"], r["node_b"], r["common_neighbors"]) for r in out]
+    assert got == [(0, 2, 2), (1, 3, 2)]  # the two diagonals, id-ordered
+    assert all(r["jaccard"] == 2 / (2 + 2 - 2) for r in out)
+
+    top1 = link_prediction_common_neighbors(
+        spark.createDataFrame(square, "src long, dst long"), k=1
+    ).collect()
+    assert [(r["node_a"], r["node_b"]) for r in top1] == [(0, 2)]
+
+
 def test_label_propagation_communities_and_determinism(spark):
     """Sync LPA pins: the distributed run equals a sequential Python
     replay of the identical recurrence (in-neighbor majority, min-label

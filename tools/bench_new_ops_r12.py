@@ -19,6 +19,9 @@ NAMES = [
     "ts_linreg_trend",
     "graph_triangle_count",
     "graph_khop_reach",
+    "graph_label_propagation",
+    "graph_link_prediction",
+    "hilbert_layout_index",
     "market_basket_lift",
     "edit_distance_near_dups",
     "bm25_topk",
