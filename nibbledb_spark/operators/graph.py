@@ -327,12 +327,87 @@ def bfs_hops(
     return dist
 
 
+def kcore(
+    edges: DataFrame,
+    k: int,
+    *,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman 1983 coreness): repeatedly
+    delete nodes of undirected degree < ``k`` (with their edges) for
+    ``rounds`` iterations, then return the surviving nodes still at
+    degree >= ``k`` — the dense-substructure filter: spam/link-farm
+    detection keeps high cores, influence analysis ranks by coreness,
+    and in a near-dup graph the heavy cores are template families.
+
+    Fixed ``rounds`` rather than run-to-fixpoint keeps the operator an
+    exact finite recurrence (the pagerank playbook — the oracle
+    unrolls the same rounds; peeling is monotone, so R rounds is
+    exactly the R-peel prefix of true coreness and converges once no
+    round removes a node; size ``rounds`` to the expected peel depth,
+    which is small on real graphs). Returns (node, degree) over the
+    final edge set — exact integers.
+
+    Per round: one degree aggregate over the symmetrized survivor
+    edges + two semi joins filtering the edge list to kept endpoints.
+    Each round's edge list is referenced twice downstream (degree +
+    filter), so rounds persist lazily — one job for the whole peel
+    (the bfs_hops recompute-doubling lesson); switch to per-round
+    localCheckpoint past ~8 rounds (the iterative-lineage rule).
+    Pins up to ``rounds`` edge-list-sized cache entries (pagerank
+    contract).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1: {rounds}")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    lazy = rounds <= 8
+    if lazy:
+        e = e.persist()
+    else:
+        e = e.localCheckpoint(eager=True)
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("u").alias("node"))
+            .unionByName(ed.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    for _ in range(rounds):
+        keep = degrees(e).where(F.col("degree") >= k).select("node")
+        new_e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+        if lazy:
+            new_e = new_e.persist()
+        else:
+            new_e = new_e.localCheckpoint(eager=True)
+            e.unpersist()
+        e = new_e
+    return degrees(e).where(F.col("degree") >= k)
+
+
 def link_prediction_common_neighbors(
     edges: DataFrame,
     *,
     k: int = 20,
     src_col: str = "src",
     dst_col: str = "dst",
+    wedge_filter=None,
 ) -> DataFrame:
     """Top-``k`` missing links by common-neighbor count, with the
     Jaccard coefficient — the classic structural link-prediction
@@ -347,12 +422,19 @@ def link_prediction_common_neighbors(
 
     Shape at scale: wedge generation is one self-join of the
     symmetrized adjacency on the shared-neighbor key (the triangle
-    wedge shuffle; hub nodes contribute deg² wedges — the inherent
-    cost of common-neighbor scores; cap hub degree upstream if the
-    graph has super-nodes), one map-side-combined pair count, one
-    anti join against the canonical edge list to keep NON-edges, two
-    degree joins, TakeOrderedAndProject. The canonical edge list is
-    persisted (three consumers; the pagerank cache-pin contract).
+    wedge shuffle). Hub nodes contribute deg² wedges — the inherent
+    cost of common-neighbor scores, and on a dense graph the thing
+    that kills the job (measured: the sf0.1 co-purchase graph OOMs a
+    default heap unoriented). ``wedge_filter`` is the standard
+    containment: a predicate on the shared-neighbor column restricting
+    which nodes GENERATE wedges — e.g. the bipartite projection
+    (wedges only at the low-degree side's nodes), or a
+    degree-bounded node set computed upstream. Scores keep full
+    degrees; only candidate generation narrows. Then one
+    map-side-combined pair count, one anti join against the canonical
+    edge list to keep NON-edges, two degree joins,
+    TakeOrderedAndProject. The canonical edge list is persisted
+    (three consumers; the pagerank cache-pin contract).
     """
     c = (
         edges.select(
@@ -367,8 +449,9 @@ def link_prediction_common_neighbors(
         c.select(F.col("v").alias("node"), F.col("u").alias("peer"))
     )
     deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    l = sym.select("node", F.col("peer").alias("u"))
-    r = sym.select("node", F.col("peer").alias("v"))
+    hubs = sym if wedge_filter is None else sym.where(wedge_filter)
+    l = hubs.select("node", F.col("peer").alias("u"))
+    r = hubs.select("node", F.col("peer").alias("v"))
     cn = (
         l.join(r, "node")
         .where(F.col("u") < F.col("v"))

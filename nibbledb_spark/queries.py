@@ -2224,13 +2224,80 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(edges, seeds, 3).orderBy("node")
 
 
-@declared(
-    "graph_link_prediction",
-    """
-WITH c AS (
+def _kcore_sql(k: int = 70, rounds: int = 4) -> str:
+    """Unrolled fixed-round k-core peel (the pagerank oracle pattern):
+    per round one degree CTE, one keep CTE, one double-semi-join edge
+    CTE — identical to the operator's recurrence."""
+    ctes = [
+        """e0 AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p}
+  ) GROUP BY node
+)"""
+        )
+        ctes.append(f"k{i} AS (SELECT node FROM d{i} WHERE degree >= {k})")
+        ctes.append(
+            f"""e{i} AS (
+  SELECT e.u, e.v FROM e{p} e
+  WHERE e.u IN (SELECT node FROM k{i}) AND e.v IN (SELECT node FROM k{i})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+  SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+) GROUP BY node HAVING COUNT(*) >= {k}
+ORDER BY node"""
+    )
+
+
+@declared("graph_kcore", _kcore_sql(k=70))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core dense-substructure filter (operators/graph.py kcore;
+    Seidman 1983): four peeling rounds at k=70 over the co-purchase
+    part graph — surviving nodes with their in-core degree, the
+    template-family / link-farm detector of the graph family. Exact
+    integer degrees; the oracle unrolls the identical peel rounds."""
+    from nibbledb_spark.operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("its")
+    )
+    pairs = F.expr(
+        "flatten(transform(its, (x, i) -> "
+        "transform(slice(its, i + 2, size(its)), y -> struct(x AS u, y AS v))))"
+    )
+    edges = (
+        items.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.u").alias("src"), F.col("p.v").alias("dst"))
+        .distinct()
+    )
+    return kcore(edges, 70, rounds=4).orderBy("node")
+
+
+@declared(
+    "graph_link_prediction",
+    """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+c AS (
+  SELECT LEAST(s * 10 + 1, c * 10 + 2) AS u,
+         GREATEST(s * 10 + 1, c * 10 + 2) AS v
+  FROM pairs
 ),
 sym AS (
   SELECT u AS node, v AS peer FROM c
@@ -2241,6 +2308,7 @@ deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY node),
 cn AS (
   SELECT a.peer AS u, b.peer AS v, CAST(COUNT(*) AS BIGINT) AS cn
   FROM sym a JOIN sym b ON a.node = b.node AND a.peer < b.peer
+  WHERE a.node % 10 = 2
   GROUP BY 1, 2
 ),
 ne AS (
@@ -2259,29 +2327,30 @@ ORDER BY common_neighbors DESC, node_a ASC, node_b ASC LIMIT 20
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural link prediction (operators/graph.py
     link_prediction_common_neighbors; Liben-Nowell & Kleinberg 2003):
-    the top-20 NON-adjacent part pairs of the co-purchase graph by
-    common-neighbor count with the Jaccard coefficient — in a dedup
-    graph these are the pairs a pairwise threshold missed. Same wedge
-    machinery as graph_triangle_count with an anti join flipping the
-    closure: triangles keep closed wedges, link prediction keeps the
-    open ones. Counts exact; jaccard one mirrored IEEE divide;
-    k-boundary ties broken by the (node_a, node_b) total order."""
+    the top-20 supplier pairs of the trade graph by shared-customer
+    count with the Jaccard coefficient — "which suppliers serve the
+    same market". Wedges generate ONLY at customer nodes
+    (``wedge_filter``, the bipartite one-sided projection): customer
+    degree is small, so the wedge join is bounded by it — the
+    unrestricted form OOMs on a dense graph (measured on the sf0.1
+    co-purchase graph; NOTES gotcha). Scores keep full degrees;
+    counts exact; jaccard one mirrored IEEE divide; k-boundary ties
+    broken by the (node_a, node_b) total order."""
     from nibbledb_spark.operators.graph import link_prediction_common_neighbors
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("its")
-    )
-    pairs = F.expr(
-        "flatten(transform(its, (x, i) -> "
-        "transform(slice(its, i + 2, size(its)), y -> struct(x AS u, y AS v))))"
-    )
-    edges = (
-        items.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.u").alias("src"), F.col("p.v").alias("dst"))
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("l_suppkey") * 10 + 1).alias("src"),
+            (F.col("o_custkey") * 10 + 2).alias("dst"),
+        )
         .distinct()
     )
-    return link_prediction_common_neighbors(edges, k=20)
+    return link_prediction_common_neighbors(
+        tp, k=20, wedge_filter=F.col("node") % 10 == 2
+    )
 
 
 def _lpa_sql(iterations: int = 3) -> str:

@@ -4431,6 +4431,48 @@ def test_triangle_count_structures_and_canonicalization(spark):
     assert out == {v: brute[v] for v in touched}
 
 
+def test_kcore_peeling_hand_graphs(spark):
+    """k-core pins: a K4 with a pendant chain peels to exactly the K4
+    at k=3 (the chain cascades away only across MULTIPLE rounds — one
+    round is not enough, pinning the iteration); a cycle IS its own
+    2-core; a tree has an empty 2-core after enough rounds; K4 nodes
+    report in-core degree 3; fixed rounds short of convergence leave
+    the documented prefix; guards raise."""
+    import itertools
+
+    from nibbledb_spark.operators.graph import kcore
+
+    k4 = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    chain = [(3, 4), (4, 5), (5, 6)]  # pendant path off node 3
+    g = spark.createDataFrame(k4 + chain, "src long, dst long")
+
+    out = {r["node"]: r["degree"] for r in kcore(g, 3, rounds=3).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # one round peels only the chain TAIL (node 6; 5 then fails the
+    # final degree filter); node 4 still stands and falls only in
+    # later rounds — the iteration is load-bearing
+    partial = {r["node"] for r in kcore(g, 2, rounds=1).collect()}
+    assert 4 in partial and 5 not in partial and 6 not in partial
+    full = {r["node"] for r in kcore(g, 2, rounds=3).collect()}
+    assert full == {0, 1, 2, 3}
+
+    cycle = [(i, (i + 1) % 6) for i in range(6)]
+    c = spark.createDataFrame(cycle, "src long, dst long")
+    assert {r["node"] for r in kcore(c, 2, rounds=2).collect()} == set(range(6))
+
+    tree = [(0, 1), (0, 2), (1, 3), (1, 4)]
+    t = spark.createDataFrame(tree, "src long, dst long")
+    assert kcore(t, 2, rounds=3).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        kcore(g, 0, rounds=1)
+    with _pytest.raises(ValueError, match="rounds"):
+        kcore(g, 2, rounds=0)
+
+
 def test_link_prediction_common_neighbors_hand_graph(spark):
     """Link prediction pins to a hand graph: in a path a-b-c the open
     pair (a,c) scores cn=1 with jaccard 1/(1+1-1)=1.0... (deg a=1,
