@@ -2229,7 +2229,7 @@ def _kcore_sql(k: int = 70, rounds: int = 4) -> str:
     per round one degree CTE, one keep CTE, one double-semi-join edge
     CTE — identical to the operator's recurrence."""
     ctes = [
-        """e0 AS (
+        """e0 AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -2237,16 +2237,24 @@ def _kcore_sql(k: int = 70, rounds: int = 4) -> str:
     ]
     for i in range(1, rounds + 1):
         p = i - 1
+        # MATERIALIZED: every e{i}/k{i} is referenced more than once
+        # downstream; without the hint DuckDB may re-evaluate the whole
+        # prefix per reference and the unrolled peel goes exponential
+        # (measured: the sf0.1 oracle hung >10 min; materialized it
+        # runs in seconds) — the same recompute-doubling the Spark
+        # side solves with lazy persists
         ctes.append(
-            f"""d{i} AS (
+            f"""d{i} AS MATERIALIZED (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
     SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p}
   ) GROUP BY node
 )"""
         )
-        ctes.append(f"k{i} AS (SELECT node FROM d{i} WHERE degree >= {k})")
         ctes.append(
-            f"""e{i} AS (
+            f"k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE degree >= {k})"
+        )
+        ctes.append(
+            f"""e{i} AS MATERIALIZED (
   SELECT e.u, e.v FROM e{p} e
   WHERE e.u IN (SELECT node FROM k{i}) AND e.v IN (SELECT node FROM k{i})
 )"""

@@ -49,6 +49,10 @@ def main() -> None:
     out: dict = {"metric": "new_ops_r12", "unit": "sec", "queries": {}, "sf": 0.1}
     for name in NAMES:
         fn, sql = QUERIES[name], ORACLE[name]
+        # isolate queries: the graph operators pin persisted frames by
+        # contract; without a clear, later queries measure a
+        # cache-pressured JVM instead of themselves
+        spark.catalog.clearCache()
         fn(spark, SF_DIR).count()  # warm: JIT, parquet footers, broadcasts
         t0 = time.perf_counter()
         n_spark = fn(spark, SF_DIR).count()
