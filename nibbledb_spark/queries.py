@@ -2465,22 +2465,21 @@ def hilbert_layout_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective on BOTH columns at once, and strictly tighter than the
     snapshot log's Z-order (every Hilbert unit step is a spatial unit
     step, so value ranges hit fewer files; why Delta moved its
-    clustering default to Hilbert). The xy2d bit walk unrolls to 6
-    rounds of integer CASE/bitwise expressions — one codegen'd
-    projection, no UDF, no shuffle; the oracle replays the identical
-    recurrence as unrolled CTEs (the pagerank pattern on a per-row bit
-    walk)."""
-    from nibbledb_spark.operators.layout import hilbert_index
+    clustering default to Hilbert). The xy2d bit walk runs as one
+    chained integer projection per bit (`append_hilbert_index`, the
+    LINEAR-plan form — the single-Column form costs seconds of pure
+    Catalyst analysis on its ~3^bits expression tree, measured 5.7 s
+    at bits=6), no UDF, no shuffle; the oracle replays the identical
+    recurrence as unrolled CTEs (the pagerank pattern on a per-row
+    bit walk)."""
+    from nibbledb_spark.operators.layout import append_hilbert_index
 
     p = _t(spark, sf_dir, "part")
     qx = (F.col("p_size").cast("long") % 64).alias("grid_x")
     qy = (F.floor(F.col("p_retailprice")).cast("long") % 64).alias("grid_y")
     base = p.select("p_partkey", qx, qy)
-    return base.select(
-        "p_partkey",
-        "grid_x",
-        "grid_y",
-        hilbert_index(F.col("grid_x"), F.col("grid_y"), bits=6).alias("hilbert_d"),
+    return append_hilbert_index(
+        base, "grid_x", "grid_y", bits=6, out_col="hilbert_d"
     ).orderBy("p_partkey")
 
 
