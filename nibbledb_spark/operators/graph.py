@@ -387,9 +387,20 @@ def kcore(
 
     for _ in range(rounds):
         keep = degrees(e).where(F.col("degree") >= k).select("node")
+        # keep is |nodes|-sized — orders of magnitude under the edge
+        # list — but it hangs off an aggregate, so the size estimator
+        # can't see that and plans SMJ semi joins (measured: 4 rounds
+        # paid 8 edge-list shuffles, 18 s at sf0.1; broadcast semis
+        # drop them). For graphs whose NODE set alone outgrows the
+        # driver (~billions), remove the hints and let the keyed semi
+        # join shuffle — that is the seam, not a tuning knob.
         new_e = (
-            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            e.join(
+                F.broadcast(keep.withColumnRenamed("node", "u")), "u", "left_semi"
+            )
+            .join(
+                F.broadcast(keep.withColumnRenamed("node", "v")), "v", "left_semi"
+            )
             .select("u", "v")
         )
         if lazy:

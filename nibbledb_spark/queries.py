@@ -2143,10 +2143,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flatten(transform(its, (x, i) -> "
         "transform(slice(its, i + 2, size(its)), y -> struct(x AS u, y AS v))))"
     )
-    edges = (
-        items.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.u").alias("src"), F.col("p.v").alias("dst"))
-        .distinct()
+    # no .distinct() here: triangle_count canonicalizes + dedups
+    # internally — a builder-side distinct would double-shuffle the
+    # 3M-pair explode for nothing (measured ~2 s at sf0.1)
+    edges = items.select(F.explode(pairs).alias("p")).select(
+        F.col("p.u").alias("src"), F.col("p.v").alias("dst")
     )
     return triangle_count(edges).orderBy("node")
 
@@ -2287,10 +2288,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flatten(transform(its, (x, i) -> "
         "transform(slice(its, i + 2, size(its)), y -> struct(x AS u, y AS v))))"
     )
-    edges = (
-        items.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.u").alias("src"), F.col("p.v").alias("dst"))
-        .distinct()
+    # no .distinct(): kcore canonicalizes + dedups internally (see
+    # the triangle builder note)
+    edges = items.select(F.explode(pairs).alias("p")).select(
+        F.col("p.u").alias("src"), F.col("p.v").alias("dst")
     )
     return kcore(edges, 70, rounds=4).orderBy("node")
 
@@ -2348,13 +2349,10 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    tp = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("l_suppkey") * 10 + 1).alias("src"),
-            (F.col("o_custkey") * 10 + 2).alias("dst"),
-        )
-        .distinct()
+    # no .distinct(): the operator canonicalizes + dedups internally
+    tp = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.col("l_suppkey") * 10 + 1).alias("src"),
+        (F.col("o_custkey") * 10 + 2).alias("dst"),
     )
     return link_prediction_common_neighbors(
         tp, k=20, wedge_filter=F.col("node") % 10 == 2
