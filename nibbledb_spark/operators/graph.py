@@ -389,18 +389,23 @@ def kcore(
         keep = degrees(e).where(F.col("degree") >= k).select("node")
         # keep is |nodes|-sized — orders of magnitude under the edge
         # list — but it hangs off an aggregate, so the size estimator
-        # can't see that and plans SMJ semi joins (measured: 4 rounds
-        # paid 8 edge-list shuffles, 18 s at sf0.1; broadcast semis
-        # drop them). For graphs whose NODE set alone outgrows the
-        # driver (~billions), remove the hints and let the keyed semi
-        # join shuffle — that is the seam, not a tuning knob.
+        # can't see that and plans SMJ semi joins; the broadcast hints
+        # remove the per-round edge-list shuffles. Both semis reference
+        # the IDENTICAL keep subtree (join conditions, not per-side
+        # renames) so the second broadcast can reuse the first's
+        # exchange. What remains at small scale is irreducible
+        # round-barrier latency (each round's broadcast must
+        # materialize before its semis plan — ~4 sequential AQE
+        # barriers x rounds; measured ~20 s for 4 rounds over a 1.2M
+        # edge graph where DuckDB pipelines the whole peel in <1 s —
+        # the iterative-small-data class, amortized at real edge
+        # counts). For graphs whose NODE set alone outgrows the driver
+        # (~billions), remove the hints and let the keyed semi join
+        # shuffle — that is the seam, not a tuning knob.
+        bk = F.broadcast(keep)
         new_e = (
-            e.join(
-                F.broadcast(keep.withColumnRenamed("node", "u")), "u", "left_semi"
-            )
-            .join(
-                F.broadcast(keep.withColumnRenamed("node", "v")), "v", "left_semi"
-            )
+            e.join(bk, F.col("u") == bk["node"], "left_semi")
+            .join(bk, F.col("v") == bk["node"], "left_semi")
             .select("u", "v")
         )
         if lazy:
