@@ -351,13 +351,16 @@ def kcore(
     final edge set — exact integers.
 
     Per round: one degree aggregate over the symmetrized survivor
-    edges + two semi joins filtering the edge list to kept endpoints.
-    Each round's edge list is referenced twice downstream (degree +
-    filter), so rounds persist lazily — one job for the whole peel
-    (the bfs_hops recompute-doubling lesson); switch to per-round
-    localCheckpoint past ~8 rounds (the iterative-lineage rule).
-    Pins up to ``rounds`` edge-list-sized cache entries (pagerank
-    contract).
+    edges + two semi joins filtering the edge list to kept endpoints,
+    each round eagerly localCheckpointed. Checkpointing (not the lazy
+    persist the other iterative operators use below ~8 rounds) is
+    load-bearing TWICE here: each round references the previous edge
+    list ~5 times (two degree-union arms, the semi-joined edges, and
+    the keep subtree inside both broadcasts), so an un-truncated plan
+    renders ~5^rounds copies of the base subtree — Spark's OWN plan
+    STRING (UI listener, error paths) OOMs a default-memory driver at
+    4 rounds before any data does; and the broadcasts force per-round
+    materialization anyway, so eager checkpoints add no extra pass.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
@@ -370,12 +373,8 @@ def kcore(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    lazy = rounds <= 8
-    if lazy:
-        e = e.persist()
-    else:
-        e = e.localCheckpoint(eager=True)
 
     def degrees(ed: DataFrame) -> DataFrame:
         return (
@@ -407,12 +406,9 @@ def kcore(
             e.join(bk, F.col("u") == bk["node"], "left_semi")
             .join(bk, F.col("v") == bk["node"], "left_semi")
             .select("u", "v")
+            .localCheckpoint(eager=True)
         )
-        if lazy:
-            new_e = new_e.persist()
-        else:
-            new_e = new_e.localCheckpoint(eager=True)
-            e.unpersist()
+        e.unpersist()
         e = new_e
     return degrees(e).where(F.col("degree") >= k)
 
