@@ -60,7 +60,7 @@ def main() -> None:
 
     spark = get_spark("graph_stress", shuffle_partitions=32)
     out: dict = {"metric": "triangle_orientation_stress", "unit": "sec", "runs": {}}
-    for hub_deg in (2_000, 10_000):
+    for hub_deg in (10_000, 30_000):
         ring = spark.range(1, hub_deg).selectExpr("id AS src", "id + 1 AS dst")
         hub = spark.range(1, hub_deg + 1).selectExpr("CAST(0 AS LONG) AS src", "id AS dst")
         edges = ring.unionByName(hub)
@@ -75,15 +75,18 @@ def main() -> None:
 
         t0 = time.perf_counter()
         deg_counts = {
-            r["node"]: r["n_tri"] for r in triangle_count(c).collect()
+            r["node"]: r["n_tri"]
+            for r in triangle_count(c, src="u", dst="v").collect()
         }
         deg_s = time.perf_counter() - t0
 
-        wedges_id, tri_id = id_oriented_triangles(c)
+        _, tri_id = id_oriented_triangles(c)
         t0 = time.perf_counter()
         id_counts = {r["node"]: r["n_tri"] for r in tri_id.collect()}
         id_s = time.perf_counter() - t0
-        n_wedges_id = wedges_id.count()
+        # analytic: the hub is the apex of ALL its neighbor pairs under
+        # id order (node 0 is minimal), plus 1 wedge per interior ring node
+        n_wedges_id = hub_deg * (hub_deg - 1) // 2 + (hub_deg - 2)
 
         assert deg_counts == id_counts, "orientation changed the counts"
         assert deg_counts[0] == hub_deg - 1  # hub closes every ring edge
