@@ -40,6 +40,123 @@ def _mk_engine(spark, rows):
     return eng
 
 
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(raw=edges_strategy)
+def test_graph_family_invariants_random_graphs(spark, raw):
+    """Graph-operator invariants on random ≤10-node graphs, each checked
+    against a sequential Python oracle: triangle counts equal the
+    brute-force enumeration; bounded BFS distances equal BFS from the
+    min node; LPA round-3 labels equal the replayed recurrence; the
+    k-core(2) node set equals iterated peeling; and triangle counts are
+    invariant under edge duplication + reversal (canonicalization)."""
+    import itertools
+
+    from nibbledb_spark.operators.graph import (
+        bfs_hops,
+        kcore,
+        label_propagation,
+        triangle_count,
+    )
+
+    eset = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    if not eset:
+        return
+    edges = sorted(eset)
+    nodes = sorted({v for e in edges for v in e})
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src long, dst long")
+
+    # triangles vs brute force, + canonicalization invariance
+    brute = {v: 0 for v in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            brute[a] += 1
+            brute[b] += 1
+            brute[c] += 1
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert got == brute
+    messy = spark.createDataFrame(
+        sym + edges + [(v, v) for v in nodes[:2]], "src long, dst long"
+    )
+    assert {r["node"]: r["n_tri"] for r in triangle_count(messy).collect()} == brute
+
+    # bounded BFS vs python BFS from the min node
+    seed = nodes[0]
+    adj: dict = {}
+    for a, b in sym:
+        adj.setdefault(a, set()).add(b)
+    dist = {seed: 0}
+    frontier = [seed]
+    for d in range(1, 4):
+        nxt = []
+        for u in frontier:
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = d
+                    nxt.append(w)
+        frontier = nxt
+    seeds = spark.createDataFrame([(seed,)], "node long")
+    got_d = {r["node"]: r["hops"] for r in bfs_hops(df, seeds, 3).collect()}
+    assert got_d == dist
+
+    # LPA vs sequential replay (3 rounds)
+    lab = {n: n for n in nodes}
+    for _ in range(3):
+        cnt: dict = {}
+        for a, b in sym:
+            cnt.setdefault(b, {}).setdefault(lab[a], 0)
+            cnt[b][lab[a]] += 1
+        lab = {
+            n: (
+                min(l for l, c in cnt[n].items() if c == max(cnt[n].values()))
+                if n in cnt
+                else lab[n]
+            )
+            for n in nodes
+        }
+    got_l = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iterations=3).collect()
+    }
+    assert got_l == lab
+
+    # k-core(2) vs iterated peel to fixpoint (10 rounds >= any 10-node peel)
+    cur = set(edges)
+    for _ in range(10):
+        deg: dict = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 2}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    exp_core = {}
+    for a, b in cur:
+        exp_core[a] = exp_core.get(a, 0) + 1
+        exp_core[b] = exp_core.get(b, 0) + 1
+    exp_core = {n: d for n, d in exp_core.items() if d >= 2}
+    got_k = {
+        r["node"]: r["degree"] for r in kcore(df, 2, rounds=10).collect()
+    }
+    assert got_k == exp_core
+
+
 @settings(
     max_examples=8,
     deadline=None,
