@@ -152,6 +152,39 @@ def sample_token_budget_per_group(
     )
 
 
+def bernoulli_importance_resample(
+    weighted: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    kappa: float = 2.0,
+) -> DataFrame:
+    """Deterministic Bernoulli importance resampling: keep each row
+    with probability ``min(1, weight/kappa)`` — the acceptance step
+    that turns importance WEIGHTS (DSIR or any scorer) into a
+    resampled corpus whose composition follows the target
+    distribution. The paper's Gumbel-top-k draws a fixed-size sample;
+    the Bernoulli form keeps expected counts proportional with one
+    row-local predicate and no global ordering state — the shape that
+    composes into a streaming/incremental pipeline. ``kappa`` is the
+    acceptance temperature: rows at weight >= kappa always survive.
+
+    Determinism (the split/temperature-mix playbook): u is the row
+    key's 52-bit md5 fraction, the acceptance test ``u·kappa <
+    weight`` is one IEEE multiply+compare both engines evaluate
+    identically, and a row's fate never changes as the corpus grows.
+    Row-local; adds zero shuffles to whatever produced the weights.
+    """
+    if kappa <= 0:
+        raise ValueError(f"kappa must be positive: {kappa}")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 52))
+    return weighted.where(u * F.lit(kappa) < F.col(weight_col))
+
+
 def weighted_priority_sample(
     df: DataFrame,
     k: int,

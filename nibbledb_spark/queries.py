@@ -6738,6 +6738,42 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "dsir_resample",
+    "WITH dsir AS ("
+    + ORACLE["dsir_importance_weights"]
+    + """)
+SELECT doc_id, n_ngrams, score_scaled, weight FROM (
+  SELECT *,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1 AS DOUBLE)
+           / 4503599627370496.0 AS u
+  FROM dsir
+) WHERE u * 2.0 < weight
+ORDER BY doc_id
+""",
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR selection pass as ONE plan: hashed-bigram
+    importance weights -> deterministic Bernoulli acceptance at
+    p = min(1, weight/2) (operators/sampling.py
+    bernoulli_importance_resample) — the resampled corpus whose
+    mixture follows the English target. The oracle nests the
+    dsir_importance_weights oracle verbatim as a CTE (one definition,
+    no drift) and replays the same 52-bit md5 acceptance; the
+    accept test is one mirrored IEEE multiply+compare, row-local on
+    top of the weights plan."""
+    from nibbledb_spark.operators.sampling import (
+        bernoulli_importance_resample,
+        dsir_hashed_ngram_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_hashed_ngram_weights(
+        docs.where(F.col("lang") != "en"), docs.where(F.col("lang") == "en")
+    )
+    return bernoulli_importance_resample(w).orderBy("doc_id")
+
+
+@declared(
     "split_train_val_test",
     """
 SELECT doc_id,

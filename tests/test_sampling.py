@@ -559,3 +559,38 @@ def test_dsir_weights_shift_mixture_toward_target(spark):
     same = dsir_hashed_ngram_weights(target, target).collect()
     for r in same:
         assert 0.9 < r["weight"] < 1.1, r
+
+
+def test_bernoulli_importance_resample_semantics(spark):
+    """Bernoulli acceptance pins: weight >= kappa always survives,
+    weight 0 never does, and the kept set equals the exact md5-uniform
+    replay (u·kappa < weight per doc) — deterministic across runs and
+    partitionings; kappa guard raises."""
+    import hashlib
+
+    import pytest
+
+    from nibbledb_spark.operators.sampling import bernoulli_importance_resample
+
+    rows = [(i, [2.5, 0.0, 1.0, 0.4, 1.9][i % 5]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    kept = {r["doc_id"] for r in bernoulli_importance_resample(df).collect()}
+
+    def u(i):
+        return (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) + 1) / float(
+            1 << 52
+        )
+
+    exp = {i for i, w in rows if u(i) * 2.0 < w}
+    assert kept == exp
+    assert all(i in kept for i, w in rows if w >= 2.5)  # >= kappa: certain
+    assert all(i not in kept for i, w in rows if w == 0.0)
+    # fates are per-key stable: a repartitioned run keeps the same set
+    kept2 = {
+        r["doc_id"]
+        for r in bernoulli_importance_resample(df.repartition(7)).collect()
+    }
+    assert kept2 == kept
+
+    with pytest.raises(ValueError, match="kappa"):
+        bernoulli_importance_resample(df, kappa=0)
