@@ -3435,6 +3435,72 @@ class TestAudioFingerprint:
         assert not r["decoded"] and r["afp"] is None
 
 
+def test_cross_format_media_dedup_one_family(spark):
+    """The SAME picture stored as PPM, BMP, GIF, and TIFF-LZW decodes
+    pixel-identical through four different codec paths, hashes to ONE
+    dHash, and clean_media collapses all four into a single canonical
+    family (lowest id survives) while a different picture in a fifth
+    format stays its own canonical — cross-format dedup is exactly
+    what the decoder breadth buys the pipeline."""
+    import numpy as np
+
+    from nibbledb_spark.operators.multimodal import clean_media, decode_image
+
+    w, h = 18, 16
+    idx = np.fromfunction(
+        lambda y, x: ((x // 3) ^ (y // 2)) & 1, (h, w), dtype=np.int64
+    ).astype(np.uint8)
+    pal = [(0, 0, 0), (255, 255, 255)]
+    rgb = np.array(pal, np.uint8)[idx]
+    gray = rgb[:, :, 0]
+
+    ppm = _ppm_pattern(w, h, lambda x, y: 255 * (((x // 3) ^ (y // 2)) & 1))
+
+    # array-valued 24-bit BMP (the shared _bmp helper is solid-color):
+    # bottom-up BGR rows padded to 4 bytes
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    body = b"".join(
+        rgb[y, :, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+        for y in range(h - 1, -1, -1)
+    )
+    bmp = (
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+    gif = _gif_bytes([idx], pal)
+    tif = _tiff_bytes(gray, compression=5, predictor=2)
+    other = _ppm_pattern(w, h, lambda x, y: (x * 29 + y * 63) & 0xFF)
+
+    # all four decode byte-identical
+    for payload in (ppm, bmp, gif, tif):
+        assert np.array_equal(decode_image(payload), rgb)
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(ppm)),
+            (2, "image", bytearray(bmp)),
+            (3, "image", bytearray(gif)),
+            (4, "image", bytearray(tif)),
+            (5, "image", bytearray(other)),
+        ],
+        "media_id long, kind string, payload binary",
+    )
+    out = {
+        r["media_id"]: (r["canonical_id"], r["keep"])
+        for r in clean_media(media, image_max_hamming=3).collect()
+    }
+    assert out == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (1, False),
+        5: (5, True),
+    }
+
+
 class TestCleanMedia:
     def test_composed_media_dedup_pipeline(self, spark):
         """clean_media: byte-identical copies collapse exactly, image
