@@ -36,3 +36,55 @@ def test_all_queries_run_in_plain_session():
     assert proc.returncode == 0, f"plain-session harness failed:\n{tail}\n{proc.stderr[-2000:]}"
     fails = [l for l in proc.stdout.splitlines() if l.startswith("FAIL")]
     assert not fails, f"plain-session failures: {fails}"
+
+
+_DRIVER_REPLICA = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as e
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("driver_replica")
+    .getOrCreate()
+)
+try:
+    # the driver's smoke check: entry() runs and yields >= 0 rows
+    rows = e.entry(spark).collect()
+    assert rows is not None
+    q = e.queries()
+    o = e.oracle_sql()
+    names = list(q)
+    # slot 0 (the canary) plus the first front query, exactly as the
+    # driver would evaluate them: call, collect, count
+    for name in names[:2]:
+        assert name in o, f"{name} missing oracle"
+        got = q[name](spark, "%(sf)s").collect()
+        assert len(got) >= 0
+    print("DRIVER_REPLICA_OK", names[0], names[1])
+finally:
+    spark.stop()
+""" % {"sf": SF_DIR}
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata missing")
+def test_driver_entry_sequence_replica():
+    """Replicate the driver's exact entry sequence in a fresh bare JVM:
+    import __spark_entry__, build a plain session, smoke entry(), then
+    run slot-0 (canary) and slot-1 of the rotation (round-12 verdict
+    task 1c — proves the driver contract each round, so an empty
+    CORRECTNESS file indicts the driver environment, not the repo)."""
+    env = dict(os.environ)
+    env.pop("PYSPARK_SUBMIT_ARGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _DRIVER_REPLICA],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "DRIVER_REPLICA_OK" in proc.stdout, proc.stdout[-1000:]

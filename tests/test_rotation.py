@@ -24,11 +24,21 @@ def test_rotation_partitions_registry():
 
     verified = set(entry._DRIVER_VERIFIED)
     no_oracle = [n for n in q if n not in o]
-    n_front = len([n for n in q if n not in verified and n in o])
 
-    # 1. every unverified oracle-paired name precedes every verified one
-    front = q[:n_front]
+    # 0. slot 0 is the fast canary: an empty correctness file is then
+    #    distinguishable from "first real query hung" (round-12 verdict)
+    assert q[0] == entry._CANARY
+    assert entry._CANARY in o, "canary must be hash-matchable"
+
+    n_front = len(
+        [n for n in q if n not in verified and n in o and n != entry._CANARY]
+    )
+    # 1. after the canary, every unverified oracle-paired name precedes
+    #    every verified one, and the front runs cheapest-first
+    front = q[1:1 + n_front]
     assert all(n not in verified and n in o for n in front), front
+    costs = [entry._FRONT_COST.get(n, 1.0) for n in front]
+    assert costs == sorted(costs), "front must be cheapest-first"
     # 2. all no-oracle (APPROX rows-only) entries are at the very back
     #    (slice from the front — q[-0:] would be the whole list)
     assert q[len(q) - len(no_oracle):] == [n for n in q if n in no_oracle]
