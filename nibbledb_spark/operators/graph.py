@@ -350,22 +350,31 @@ def kcore(
     which is small on real graphs). Returns (node, degree) over the
     final edge set — exact integers.
 
-    Per round: one degree aggregate over the symmetrized survivor
-    edges + two semi joins filtering the edge list to kept endpoints,
-    each round eagerly localCheckpointed. Checkpointing (not the lazy
-    persist the other iterative operators use below ~8 rounds) is
-    load-bearing TWICE here: each round references the previous edge
-    list ~5 times (two degree-union arms, the semi-joined edges, and
-    the keep subtree inside both broadcasts), so an un-truncated plan
-    renders ~5^rounds copies of the base subtree — Spark's OWN plan
-    STRING (UI listener, error paths) OOMs a default-memory driver at
-    4 rounds before any data does; and the broadcasts force per-round
-    materialization anyway, so eager checkpoints add no extra pass.
+    Per round: one degree aggregate over the survivor edges (a single
+    explode pass — the edge list is read ONCE for both endpoints, not
+    a two-arm union) + two broadcast semi joins filtering the edge
+    list to kept endpoints. Each round's survivor frame persists
+    LAZILY: the previous edge list is then referenced exactly twice
+    per round (the degree pass + the semi-join probe side), which is
+    the bfs_hops lazy regime — the plan tree stays ~2^rounds copies
+    of a tiny checkpointed base, and the per-round broadcast
+    exchanges (which must materialize ``keep`` anyway) are the only
+    barriers, so the whole peel runs as rounds broadcast-build jobs
+    plus one final aggregate instead of the former
+    checkpoint-per-round job train (the former 5-reference shape —
+    two degree-union arms + probe + keep inside both broadcasts —
+    rendered ~5^rounds plan-string copies and OOM'd a default-memory
+    driver at 4 rounds; the explode degree pass and condition-reused
+    broadcasts cut the fan-out to 2). Past ~8 rounds switch to the
+    iterative-lineage checkpoint discipline. Pins up to ``rounds``
+    |edges|-sized cache entries for the returned frame's lifetime
+    (the pagerank contract).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1: {rounds}")
+    lazy = rounds <= 8
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -373,13 +382,21 @@ def kcore(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # lazy persist, not eager localCheckpoint: the eager form pays a
+    # full extra materialization pass up front (measured 1.4 s on the
+    # 1.2M-edge co-purchase graph — a third of the whole peel), while
+    # the lazy cache fills during round 1's first read for free; the
+    # base subtree then renders 2^rounds times in the plan string,
+    # fine in the lazy regime (see below)
+    e = e.persist() if lazy else e.localCheckpoint(eager=True)
 
     def degrees(ed: DataFrame) -> DataFrame:
+        # explode(array(u, v)) reads the edge list once — halving both
+        # the scan count and (load-bearing for the lazy plan) the
+        # per-round lineage fan-out vs the two-arm union form
         return (
-            ed.select(F.col("u").alias("node"))
-            .unionByName(ed.select(F.col("v").alias("node")))
+            ed.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("degree"))
         )
@@ -391,14 +408,8 @@ def kcore(
         # can't see that and plans SMJ semi joins; the broadcast hints
         # remove the per-round edge-list shuffles. Both semis reference
         # the IDENTICAL keep subtree (join conditions, not per-side
-        # renames) so the second broadcast can reuse the first's
-        # exchange. What remains at small scale is irreducible
-        # round-barrier latency (each round's broadcast must
-        # materialize before its semis plan — ~4 sequential AQE
-        # barriers x rounds; measured ~20 s for 4 rounds over a 1.2M
-        # edge graph where DuckDB pipelines the whole peel in <1 s —
-        # the iterative-small-data class, amortized at real edge
-        # counts). For graphs whose NODE set alone outgrows the driver
+        # renames) so the second broadcast reuses the first's exchange.
+        # For graphs whose NODE set alone outgrows the driver
         # (~billions), remove the hints and let the keyed semi join
         # shuffle — that is the seam, not a tuning knob.
         bk = F.broadcast(keep)
@@ -406,9 +417,12 @@ def kcore(
             e.join(bk, F.col("u") == bk["node"], "left_semi")
             .join(bk, F.col("v") == bk["node"], "left_semi")
             .select("u", "v")
-            .localCheckpoint(eager=True)
         )
-        e.unpersist()
+        if lazy:
+            new_e = new_e.persist()
+        else:
+            new_e = new_e.localCheckpoint(eager=True)
+            e.unpersist()
         e = new_e
     return degrees(e).where(F.col("degree") >= k)
 
@@ -432,50 +446,85 @@ def link_prediction_common_neighbors(
     node_a < node_b, ranked (common_neighbors desc, node_a, node_b) —
     counts exact, jaccard ``cn/(deg_a + deg_b − cn)`` one IEEE divide.
 
-    Shape at scale: wedge generation is one self-join of the
-    symmetrized adjacency on the shared-neighbor key (the triangle
-    wedge shuffle). Hub nodes contribute deg² wedges — the inherent
-    cost of common-neighbor scores, and on a dense graph the thing
-    that kills the job (measured: the sf0.1 co-purchase graph OOMs a
-    default heap unoriented). ``wedge_filter`` is the standard
-    containment: a predicate on the shared-neighbor column restricting
-    which nodes GENERATE wedges — e.g. the bipartite projection
-    (wedges only at the low-degree side's nodes), or a
-    degree-bounded node set computed upstream. Scores keep full
-    degrees; only candidate generation narrows. Then one
-    map-side-combined pair count, one anti join against the canonical
-    edge list to keep NON-edges, two degree joins,
-    TakeOrderedAndProject. The canonical edge list is persisted
-    (three consumers; the pagerank cache-pin contract).
+    Shape at scale — TWO data shuffles total, everything else derives
+    row-locally from one cached adjacency frame:
+
+    1. ``adj``: one keyed aggregate collects every node's sorted
+       distinct neighbor set (``collect_set`` dedups, so the raw edge
+       list needs NO prior distinct shuffle). Degrees are then
+       ``size(ns)`` — a projection, not an aggregate — and the
+       canonical edge list for the non-edge check is a row-local
+       explode of the same frame. Persisted: four consumers (the
+       pagerank cache-pin contract).
+    2. Wedge pair-count: ordered pairs stream out of each generating
+       node's array via a two-level explode (first the neighbor, then
+       the strictly-greater suffix of the array — measured ~40%
+       faster than the nested transform/slice struct build), then ONE
+       map-side-combined (u, v) count shuffle. There is no adjacency
+       self-join anywhere. Hub nodes still contribute deg² wedges —
+       the inherent cost of common-neighbor scores — and
+       ``wedge_filter`` is the containment: a predicate on the
+       generating-node column restricting which nodes EMIT wedges
+       (e.g. the bipartite projection — wedges only at the low-degree
+       side's nodes — or a degree-bounded hub set computed upstream;
+       it also bounds the per-row collected arrays). Unrestricted on
+       a dense graph the wedge volume itself kills the job whatever
+       the plan shape (measured: the sf0.1 co-purchase graph; NOTES
+       gotcha).
+
+    The NON-edge restriction costs no join at all: canonical edge rows
+    ride the SAME count shuffle as the wedges, weighted by a sentinel
+    more negative than any possible wedge count (``-2^40``; a pair's
+    wedge count is bounded by the node count, and a canonical edge
+    appears exactly once) — after the sum, adjacent pairs are the
+    negative ones and one codegen'd filter drops them. Ranking is by
+    exact ``cn`` with the (node_a, node_b) total-order tiebreak —
+    degrees don't rank — so the TakeOrderedAndProject runs BEFORE the
+    degree lookups: the two degree joins touch only the ``k`` winners
+    (broadcast the k-row side) against the projection of the cached
+    adjacency, never the wedge-count frame.
     """
-    c = (
-        edges.select(
-            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
-            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
+    sym = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("peer")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("peer"))
+    ).where(F.col("node") != F.col("peer"))
+    adj = (
+        sym.groupBy("node")
+        .agg(F.sort_array(F.collect_set("peer")).alias("ns"))
         .persist()
     )
-    sym = c.select(F.col("u").alias("node"), F.col("v").alias("peer")).unionByName(
-        c.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+    deg = adj.select("node", F.size("ns").cast("long").alias("d"))
+    hubs = adj if wedge_filter is None else adj.where(wedge_filter)
+    # two-level explode: ns is ascending, so pairing each element with
+    # its strict suffix emits exactly the ordered pairs u < v
+    wedges = (
+        hubs.select(F.posexplode("ns").alias("i", "u"), "ns")
+        .select(
+            "u",
+            F.explode(F.slice("ns", F.col("i") + 2, F.size("ns"))).alias("v"),
+        )
+        .select("u", "v", F.lit(1).cast("long").alias("w"))
     )
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    hubs = sym if wedge_filter is None else sym.where(wedge_filter)
-    l = hubs.select("node", F.col("peer").alias("u"))
-    r = hubs.select("node", F.col("peer").alias("v"))
-    cn = (
-        l.join(r, "node")
+    edge_mark = 1 << 40  # > any wedge count (bounded by |nodes|)
+    edge_rows = (
+        adj.select(F.col("node").alias("u"), F.explode("ns").alias("v"))
         .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("cn"))
+        .select("u", "v", F.lit(-edge_mark).cast("long").alias("w"))
     )
-    non_edges = cn.join(c, ["u", "v"], "left_anti")
+    cn = (
+        wedges.unionByName(edge_rows)
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("cn"))
+        .where(F.col("cn") > 0)
+    )
+    top = cn.orderBy(F.col("cn").desc(), "u", "v").limit(k)
     jac = F.col("cn").cast("double") / (
         F.col("du") + F.col("dv") - F.col("cn")
     ).cast("double")
     return (
-        non_edges.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        F.broadcast(top)
+        .join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
         .select(
             F.col("u").alias("node_a"),
@@ -484,7 +533,6 @@ def link_prediction_common_neighbors(
             jac.alias("jaccard"),
         )
         .orderBy(F.col("common_neighbors").desc(), "node_a", "node_b")
-        .limit(k)
     )
 
 

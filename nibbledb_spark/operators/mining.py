@@ -52,11 +52,20 @@ def basket_pair_lift(
     shuffle), and everything derives from that frame — N is its row
     count, item counts explode it, ordered pairs explode it row-locally
     (baskets are small — never a basket-level self-join of the
-    transaction table) — then map-side-combined pair/item counts, two
-    vocabulary-keyed count joins, a broadcast single-row total, and
-    TakeOrderedAndProject for the top-k; no global sort. The shared
-    basket-sets frame is persisted for its three consumers (one
-    |baskets|-sized cache entry pinned by the returned frame, the
+    transaction table) — then ONE map-side-combined pair-count shuffle.
+    The item-count and total lookups are BROADCAST (the item vocabulary
+    is orders of magnitude under the pair set by construction — pairs
+    are vocab²-bounded and ``min_count``-floored), so the whole scoring
+    tail is a single stage: pair count → two broadcast hash joins →
+    broadcast single-row total → TakeOrderedAndProject; no global sort,
+    no vocabulary-keyed shuffle joins. (Folding the total into the
+    count frame and re-joining one aliased broadcast was measured
+    SLOWER — the self-aliased broadcast defeated exchange reuse and
+    tripled the job count; two independent small broadcasts it is.)
+    For a vocabulary that outgrows the driver (~billions of items),
+    drop the hints and let the count joins shuffle — that is the seam.
+    The shared basket-sets frame is persisted for its three consumers
+    (one |baskets|-sized cache entry pinned by the returned frame, the
     pagerank contract).
     """
     sets = (
@@ -88,8 +97,14 @@ def basket_pair_lift(
         F.col("ca").cast("double") * F.col("cb").cast("double")
     )
     return (
-        pc.join(ci.select(F.col("item").alias("item_a"), F.col("c").alias("ca")), "item_a")
-        .join(ci.select(F.col("item").alias("item_b"), F.col("c").alias("cb")), "item_b")
+        pc.join(
+            F.broadcast(ci.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(ci.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))),
+            "item_b",
+        )
         .crossJoin(F.broadcast(total))
         .select("item_a", "item_b", "n_ab", lift.alias("lift"))
         .orderBy(F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc())
@@ -130,6 +145,12 @@ def fuzzy_match_blocked(
     hottest key; recall is bounded by the blocks (a typo INSIDE the
     blocking key separates the pair — run a second pass under a
     different key for the standard multi-pass recall fix).
+
+    Rows with a NULL in ANY blocking column are dropped before the
+    join: NULL is "no block", not a block — a null-safe join would
+    funnel every unkeyed row into ONE all-pairs block (a skew/
+    cross-join hotspot at scale), and plain SQL equality (what an
+    oracle writes) never matches NULLs anyway (round-12 advice).
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0: {max_dist}")
@@ -141,10 +162,12 @@ def fuzzy_match_blocked(
         F.col(key_col).alias("_key"),
         *[F.col(c) for c in block_cols],
     )
+    for c in block_cols:
+        r = r.where(F.col(c).isNotNull())
     left, right = r.alias("l"), r.alias("r")
     cond = reduce(
         lambda a, b: a & b,
-        [F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in block_cols]
+        [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
         + [F.col("l._id") < F.col("r._id")],
     )
     return (
