@@ -247,8 +247,10 @@ _FRONT_COST = {
     "bm25_topk": 0.8,
     "graph_label_propagation": 0.85,
     "pack_ffd_bound": 0.9,
+    "pq_rerank_full_pool_bound": 1.2,
     "graph_triangle_count": 1.5,
     "hard_negatives_indexed": 1.5,
+    "ivfpq_rerank_indexed_bound": 2.0,
     "decontaminate_semantic": 1.5,
     "semdedup_keep": 1.6,
     "market_basket_lift": 1.65,
