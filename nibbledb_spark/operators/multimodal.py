@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import bisect
 import hashlib
+import os
 from collections.abc import Iterator, Mapping, Sequence
 from struct import error as struct_error
 
@@ -1104,7 +1105,32 @@ def _ppm_bytes(arr: object) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
-def decode_image(payload: bytes) -> object:
+def _decode_image_pil(payload: bytes) -> object:
+    """Library decode path (the 100 TB backend): PIL/libjpeg-turbo via
+    ``Image.open`` -> RGB -> uint8 array. Raises a clear RuntimeError
+    when PIL isn't installed (this container ships no codec libs — the
+    seam is exercised wherever PIL exists; equivalence against the
+    pure decoders is pinned in tests/test_decode_backends.py: exact
+    for lossless formats, tolerance-bounded for JPEG because libjpeg's
+    integer IDCT and our float IDCT legitimately differ in the last
+    couple of levels)."""
+    import io
+
+    import numpy as np
+
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env without PIL
+        raise RuntimeError(
+            "NIBBLEDB_DECODE_BACKEND=pil requires Pillow on every "
+            "executor; install it or unset the flag for the pure-python "
+            "decoders"
+        ) from exc
+    img = Image.open(io.BytesIO(payload))
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def decode_image(payload: bytes, *, backend: str | None = None) -> object:
     """Decode a binary image payload to an HxWx3 uint8 numpy array.
 
     REAL for binary PPM (P6, maxval 255), uncompressed 24-bit BMP,
@@ -1118,9 +1144,25 @@ def decode_image(payload: bytes) -> object:
     genuinely need libraries (arithmetic-coded JPEG, WebP, AVIF, ...)
     still raise — swap in PIL/torchvision decode on a real cluster at
     this exact seam.
+
+    Backend selection (round-12 verdict task 7 — the swap is a flag,
+    not a rewrite): ``backend`` overrides, else the
+    ``NIBBLEDB_DECODE_BACKEND`` env var (``pure`` default, ``pil`` for
+    the library path). The flag is read at call time inside the
+    executor's Python worker, whose env is FIXED at JVM launch
+    (measured: a mid-session ``os.environ`` change in the driver never
+    reaches a worker) — set it before building the session in local
+    mode, or through ``spark.executorEnv.NIBBLEDB_DECODE_BACKEND`` on
+    a cluster. All mapInPandas decode stages (features, dhash,
+    clean_media, video keyframes) route through here unchanged.
     """
     import numpy as np
 
+    backend = backend or os.environ.get("NIBBLEDB_DECODE_BACKEND", "pure")
+    if backend == "pil":
+        return _decode_image_pil(payload)
+    if backend != "pure":
+        raise ValueError(f"unknown decode backend: {backend!r}")
     if payload.startswith(b"BM"):
         return _decode_bmp(payload)
     if payload.startswith(b"\x89PNG"):
