@@ -640,3 +640,136 @@ def test_stateful_v2_env_skip_is_paired_coverage():
 
     doc = ingest.stateful_series_stats_v2.__doc__ or ""
     assert "protobuf" in doc, "operator must document the environmental seam"
+
+
+def test_ingest_out_of_order_replay_never_drops(spark, tmp_path):
+    """Reference late-data contract THROUGH THE REAL INGEST (round-12
+    verdict task 8; src/timeseries.re:119-156 accepts arbitrarily late
+    points): replay micro-batches in REVERSED chronological order —
+    each batch 10h older than the previous — and the store must
+    converge to exactly the batch state: nothing dropped, nothing
+    reordered, and the continuous-aggregate rollup's OLD buckets
+    updated by the late batches, bit-identical to a recompute."""
+    import datetime
+    import json
+    import os
+
+    from nibbledb_spark.streaming.ingest import EVENTS_SCHEMA
+
+    base = datetime.datetime(2023, 11, 14, 22, 13, 20)
+    hour = datetime.timedelta(hours=1)
+
+    def events(batch_i):
+        # batch 0 is the NEWEST; each later-arriving batch is 10h older
+        t = base + (20 - 10 * batch_i) * hour
+        return [
+            (batch_i * 10 + j, t + j * hour / 6, 7, "reads", float(j), json.dumps({"b": str(batch_i)}))
+            for j in range(4)
+        ]
+
+    src = str(tmp_path / "ooo_src")
+    os.makedirs(src)
+    eng = TimeSeriesEngine(spark, str(tmp_path / "ooo_store"), num_buckets=4)
+    eng.enable_rollup(3_600_000_000)
+    ing = StreamingIngest(eng, str(tmp_path / "ooo_ckpt"))
+
+    all_rows = []
+    for i in range(3):
+        rows = events(i)
+        all_rows += rows
+        # the file source doesn't recurse into .write.parquet's output
+        # DIRECTORY — stage each batch and surface its single part-file
+        # as a flat bN.parquet, the SF events.parquet layout
+        stage = str(tmp_path / f"ooo_stage_{i}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        import shutil
+
+        shutil.copy(os.path.join(stage, part), f"{src}/b{i}.parquet")
+    # one file per micro-batch: copy order = mod-time order, so the
+    # replay sees newest data first and batches 2-3 arrive 10h/20h late
+    ing.start_replay(src, glob="b*.parquet", max_files_per_trigger=1)
+    ing.sync()
+
+    assert eng.length() == len(all_rows)  # every late point landed
+    got = _sorted_rows(eng.points())
+    from nibbledb_spark.streaming.ingest import events_to_points
+
+    want = _sorted_rows(
+        events_to_points(spark.createDataFrame(all_rows, EVENTS_SCHEMA))
+    )
+    assert got == want  # reversed arrival converges to batch exactly
+
+    # late batches must have UPDATED the rollup's old buckets, not been
+    # fenced out: the maintained rollup equals a from-scratch recompute
+    got_r = {
+        (r["series"], r["bucket_us"]): (r["n"], r["value_sum"])
+        for r in eng.rollup().collect()
+    }
+    want_r = {
+        (r["series"], r["bucket_us"]): (r["n"], r["value_sum"])
+        for r in eng._rollup_partials(eng.points(), eng.rollup_every_us)
+        .selectExpr(
+            "series", "bucket_us", "n",
+            "CAST(sum_scaled AS DOUBLE) / 1e6 AS value_sum",
+        )
+        .collect()
+    }
+    assert got_r == want_r and len(got_r) >= 3
+
+
+def test_watermark_drop_horizon_is_the_window_end(spark, tmp_path):
+    """The watermarked rollup's DOCUMENTED drop horizon (round-12
+    verdict task 8): with watermark W, a late row is kept iff its
+    window END is above max_event_time - W — late-but-within-horizon
+    rows still update their (old) window; only rows beyond it drop.
+    Complements test_watermark_drops_late_data_but_default_keeps_it,
+    which pins the drop side and the no-watermark default."""
+    import os
+
+    from nibbledb_spark.schema import POINT_SCHEMA
+
+    hour_us = 3_600_000_000
+    t0 = 1_700_000_000_000_000
+    fresh = [("s", t0 + 10 * hour_us + i, None, 1.0) for i in range(3)]
+    within = [("s", t0 + 8 * hour_us + 30 * 60_000_000, None, 1.0)]  # 1.5h late
+    beyond = [("s", t0 + 1 * hour_us + 1, None, 1.0)]  # 9h late
+
+    src = str(tmp_path / "hz_src")
+    os.makedirs(src)
+    spark.createDataFrame(fresh, POINT_SCHEMA).coalesce(1).write.parquet(
+        f"{src}/f1.parquet"
+    )
+    stream = spark.readStream.schema(POINT_SCHEMA).parquet(src + "/*")
+    q = (
+        windowed_counts(stream, "1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("wm_horizon")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hz_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark -> (t0 + 10h) - 2h = t0 + 8h
+        spark.createDataFrame(within + beyond, POINT_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/f2.parquet"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["window_start_us"]: r["n"]
+        for r in spark.sql("SELECT * FROM wm_horizon").collect()
+    }
+
+    def win(x):  # tumbling windows align to the EPOCH, not to t0
+        return x - (x % hour_us)
+
+    # within horizon: the 1.5h-late row's window ends ABOVE the
+    # (t0+10h)-2h watermark -> kept, its old window updated
+    assert got[win(t0 + 8 * hour_us + 30 * 60_000_000)] == 1
+    # beyond horizon: a 9h-late row's window ended long before -> dropped
+    assert win(t0 + 1 * hour_us + 1) not in got
+    assert got[win(t0 + 10 * hour_us)] == 3
