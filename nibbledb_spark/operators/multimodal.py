@@ -887,11 +887,23 @@ def decode_gif(payload: bytes) -> dict:
                 de = np.empty_like(arr)
                 de[order] = arr
                 arr = de
-            if int(arr.max()) >= len(ct):
-                raise ValueError("GIF pixel index beyond color table")
+            oob = arr >= len(ct)
+            if transparent is not None:
+                # out-of-table indices are legal on TRANSPARENT pixels
+                # (common in the wild — the palette is never consulted
+                # for them, and browsers/giflib render such files fine),
+                # so validate only indices that will be looked up and
+                # clamp the rest before the gather (round-12 advice)
+                if bool(oob[arr != transparent].any()):
+                    raise ValueError("GIF pixel index beyond color table")
+                lookup = np.minimum(arr, len(ct) - 1)
+            else:
+                if bool(oob.any()):
+                    raise ValueError("GIF pixel index beyond color table")
+                lookup = arr
             saved = canvas.copy() if disposal == 3 else None
             region = canvas[top : top + fh, left : left + fw]
-            rgb = ct[arr]
+            rgb = ct[lookup]
             if transparent is not None:
                 mask = arr != transparent
                 region[mask] = rgb[mask]

@@ -167,7 +167,12 @@ def bernoulli_importance_resample(
     the Bernoulli form keeps expected counts proportional with one
     row-local predicate and no global ordering state — the shape that
     composes into a streaming/incremental pipeline. ``kappa`` is the
-    acceptance temperature: rows at weight >= kappa always survive.
+    acceptance temperature: rows at weight > kappa always survive
+    (weight == kappa survives unless the row's u lands exactly on 1.0
+    — u spans the half-open (0, 1] because of the +1 below, so the
+    boundary is OPEN with probability 2^-52; documented rather than
+    closed so the operator and the dsir_resample oracle stay the same
+    strict-< expression — round-12 advice).
 
     Determinism (the split/temperature-mix playbook): u is the row
     key's 52-bit md5 fraction, the acceptance test ``u·kappa <

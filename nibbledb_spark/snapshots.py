@@ -1219,6 +1219,13 @@ class SnapshotLog:
         """
         if cluster not in ("zorder", "hilbert"):
             raise ValueError(f"unknown cluster strategy: {cluster!r}")
+        if cluster != "zorder" and not zorder_by:
+            # a non-default curve with no columns would silently fall
+            # through to a plain rewrite — the caller asked for
+            # clustering they wouldn't get (round-12 advice)
+            raise ValueError(
+                f"cluster={cluster!r} requires zorder_by columns"
+            )
         head = self.latest_version()
         if head is None:
             raise ValueError("empty table")

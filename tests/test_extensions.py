@@ -5062,3 +5062,30 @@ def test_semdedup_gate_replay_idempotent_and_cross_batch(spark, tmp_path):
     assert {r["id"] for r in spark.read.parquet(f"{idx}/postings").collect()} == {
         0, 1, 11, 13, 21,
     }
+
+
+def test_gif_out_of_table_index_on_transparent_pixels_decodes():
+    """Real-world GIFs carry out-of-table indices on TRANSPARENT pixels
+    (the palette is never consulted for them; browsers/giflib render
+    such files fine) — the decoder must composite them instead of
+    flagging decode failure. Only a LOOKED-UP index beyond the table is
+    corruption (round-12 advice)."""
+    import numpy as np
+    import pytest
+
+    from nibbledb_spark.operators.multimodal import decode_gif
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    # index 5 is beyond the 4-entry table; min_code_size=3 makes it a
+    # legal LZW literal
+    fr = np.array([[1, 5], [2, 5]], np.uint8)
+    out = decode_gif(_gif_bytes([fr], pal, transparent=5, min_code_size=3))
+    frame = out["frames"][0]
+    assert frame[0, 0].tolist() == [0, 255, 0]
+    assert frame[1, 0].tolist() == [0, 0, 255]
+    # transparent pixels keep the black initial canvas
+    assert frame[0, 1].tolist() == [0, 0, 0]
+    assert frame[1, 1].tolist() == [0, 0, 0]
+    # the same index NOT marked transparent IS corruption
+    with pytest.raises(ValueError, match="beyond color table"):
+        decode_gif(_gif_bytes([fr], pal, transparent=1, min_code_size=3))

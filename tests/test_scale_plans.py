@@ -270,6 +270,10 @@ def test_compact_hilbert_prunes_tighter_than_zorder(spark, tmp_path):
         th.compact(zorder_by=("x", "y"), cluster="peano")
     with _pytest.raises(ValueError, match="exactly 2"):
         th.compact(zorder_by=("x",), cluster="hilbert")
+    # asking for the non-default curve with no columns must error, not
+    # silently degrade to a plain rewrite (round-12 advice)
+    with _pytest.raises(ValueError, match="requires zorder_by"):
+        th.compact(cluster="hilbert")
 
 
 def test_lsh_bucketed_bands_probe_drops_corpus_exchange(spark, tmp_path):
