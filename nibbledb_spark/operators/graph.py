@@ -536,6 +536,91 @@ def link_prediction_common_neighbors(
     )
 
 
+def link_prediction_resource_allocation(
+    edges: DataFrame,
+    *,
+    k: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    wedge_filter=None,
+    scale: int = 9,
+) -> DataFrame:
+    """Top-``k`` missing links by the Resource-Allocation index
+    (Zhou, Lü & Zhang, Eur. Phys. J. B 2009): ``RA(u,v) = Σ 1/deg(w)``
+    over shared neighbors ``w`` — the hub-damped refinement of
+    common-neighbor counting (a 2-degree shared neighbor is strong
+    evidence, a 10^6-degree hub is none; Adamic-Adar's 1/log(deg)
+    makes the same move, but log outputs are never engine-exact).
+
+    Engine-exact trick (the pagerank scaled-long playbook): each
+    wedge contributes the INTEGER ``10^scale DIV deg(w)`` and the
+    score is the exact long sum — order-independent on any
+    partitioning, bit-identical in any engine, and the ranking key is
+    the long itself (the one double, ``ra_score = scaled / 10^scale``,
+    is display only). Truncating division costs < 1 quantum per
+    wedge; int64 headroom requires wedges-per-pair × 10^scale < 2^62
+    (10^9 pairs-per-shared-neighbor at the default — the pagerank
+    bound).
+
+    Same physical shape as :func:`link_prediction_common_neighbors`
+    minus the degree joins (the weight is the GENERATING node's
+    degree, ``size(ns)`` of its own adjacency row — row-local): one
+    cached adjacency aggregate, a two-level explode carrying the
+    per-node weight, canonical-edge rows riding the same count
+    shuffle with a ``-2^62`` sentinel (adjacent pairs sum negative
+    and one filter drops them), TakeOrderedAndProject. ONE data
+    shuffle after the adjacency build. ``wedge_filter`` bounds wedge
+    generation exactly as in the common-neighbors operator.
+
+    Returns (node_a, node_b, ra_score) with node_a < node_b, ranked
+    (ra_scaled desc, node_a, node_b).
+    """
+    q = 10**scale
+    sym = edges.select(
+        F.col(src_col).alias("node"), F.col(dst_col).alias("peer")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("node"), F.col(src_col).alias("peer"))
+    ).where(F.col("node") != F.col("peer"))
+    adj = (
+        sym.groupBy("node")
+        .agg(F.sort_array(F.collect_set("peer")).alias("ns"))
+        .persist()
+    )
+    hubs = adj if wedge_filter is None else adj.where(wedge_filter)
+    wedges = (
+        hubs.select(
+            F.posexplode("ns").alias("i", "u"),
+            "ns",
+            F.expr(f"CAST({q} AS BIGINT) DIV CAST(size(ns) AS BIGINT)").alias("w"),
+        )
+        .select(
+            "u",
+            F.explode(F.slice("ns", F.col("i") + 2, F.size("ns"))).alias("v"),
+            "w",
+        )
+    )
+    edge_rows = (
+        adj.select(F.col("node").alias("u"), F.explode("ns").alias("v"))
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v", F.lit(-(1 << 62)).cast("long").alias("w"))
+    )
+    ra = (
+        wedges.unionByName(edge_rows)
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("ra_scaled"))
+        .where(F.col("ra_scaled") > 0)
+    )
+    return (
+        ra.orderBy(F.col("ra_scaled").desc(), "u", "v")
+        .limit(k)
+        .select(
+            F.col("u").alias("node_a"),
+            F.col("v").alias("node_b"),
+            (F.col("ra_scaled").cast("double") / F.lit(float(q))).alias("ra_score"),
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     *,

@@ -2359,6 +2359,73 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "graph_link_prediction_ra",
+    """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+c AS (
+  SELECT LEAST(s * 10 + 1, c * 10 + 2) AS u,
+         GREATEST(s * 10 + 1, c * 10 + 2) AS v
+  FROM pairs
+),
+sym AS (
+  SELECT u AS node, v AS peer FROM c
+  UNION ALL
+  SELECT v AS node, u AS peer FROM c
+),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY node),
+wed AS (
+  SELECT a.peer AS u, b.peer AS v,
+         CAST(SUM(CAST(1000000000 AS BIGINT) // d.d) AS BIGINT) AS ra_scaled
+  FROM sym a JOIN sym b ON a.node = b.node AND a.peer < b.peer
+  JOIN deg d ON d.node = a.node
+  WHERE a.node % 10 = 2
+  GROUP BY 1, 2
+),
+ne AS (
+  SELECT w.u, w.v, w.ra_scaled
+  FROM wed w LEFT JOIN c ON c.u = w.u AND c.v = w.v
+  WHERE c.u IS NULL
+),
+top AS (
+  SELECT u, v, ra_scaled FROM ne
+  ORDER BY ra_scaled DESC, u ASC, v ASC LIMIT 20
+)
+SELECT u AS node_a, v AS node_b,
+       CAST(ra_scaled AS DOUBLE) / 1000000000 AS ra_score
+FROM top
+""",
+)
+def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (operators/graph.py
+    link_prediction_resource_allocation; Zhou-Lü-Zhang 2009): top-20
+    supplier pairs of the trade graph by hub-damped shared-customer
+    mass Σ 1/deg(customer) — a customer buying from few suppliers ties
+    its suppliers far more strongly than one buying from everyone
+    (common_neighbors' count treats both alike). Engine-exact via the
+    scaled-long reciprocal 10^9 DIV deg summed as a long (the pagerank
+    playbook), which is also the ranking key; the one double is
+    display-only. Wedges generate only at customer nodes (the
+    bipartite containment, as in graph_link_prediction); ranking ties
+    break on the (node_a, node_b) total order."""
+    from nibbledb_spark.operators.graph import (
+        link_prediction_resource_allocation,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    tp = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.col("l_suppkey") * 10 + 1).alias("src"),
+        (F.col("o_custkey") * 10 + 2).alias("dst"),
+    )
+    return link_prediction_resource_allocation(
+        tp, k=20, wedge_filter=F.col("node") % 10 == 2
+    )
+
+
 def _lpa_sql(iterations: int = 3) -> str:
     """Unrolled fixed-iteration sync-LPA oracle (the pagerank pattern):
     per round one (node, label) count CTE, one argmax-window CTE, one
