@@ -156,6 +156,37 @@ def test_graph_family_invariants_random_graphs(spark, raw):
     }
     assert got_k == exp_core
 
+    # link prediction (CN + RA) vs brute force over ALL non-edges
+    # (k=100 > C(10,2), so top-k is the complete scored set)
+    from nibbledb_spark.operators.graph import (
+        link_prediction_common_neighbors,
+        link_prediction_resource_allocation,
+    )
+
+    exp_cn, exp_ra = {}, {}
+    for u, v in itertools.combinations(nodes, 2):
+        if (u, v) in eset:
+            continue
+        shared = adj.get(u, set()) & adj.get(v, set())
+        if not shared:
+            continue
+        cn = len(shared)
+        exp_cn[(u, v)] = (
+            cn,
+            cn / (len(adj[u]) + len(adj[v]) - cn),
+        )
+        exp_ra[(u, v)] = sum(10**9 // len(adj[w]) for w in shared) / 1e9
+    got_cn = {
+        (r["node_a"], r["node_b"]): (r["common_neighbors"], r["jaccard"])
+        for r in link_prediction_common_neighbors(df, k=100).collect()
+    }
+    assert got_cn == exp_cn
+    got_ra = {
+        (r["node_a"], r["node_b"]): r["ra_score"]
+        for r in link_prediction_resource_allocation(df, k=100).collect()
+    }
+    assert got_ra == exp_ra
+
 
 @settings(
     max_examples=8,
