@@ -21,6 +21,7 @@ NAMES = [
     "graph_khop_reach",
     "graph_label_propagation",
     "graph_link_prediction",
+    "graph_link_prediction_ra",
     "graph_kcore",
     "hilbert_layout_index",
     "market_basket_lift",
