@@ -83,6 +83,113 @@ def cosine_topk(
     )
 
 
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    pool_size: int = 20,
+    lam: tuple[int, int] = (7, 10),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-``k`` (Carbonell &
+    Goldstein, SIGIR 1998): greedily select results that are relevant
+    to the query but DISSIMILAR to what's already selected —
+    ``score(c) = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)``. The
+    standard diversification pass over a retrieval pool: a RAG /
+    training-context pipeline that takes plain top-k gets near-
+    duplicate passages burning the context budget; MMR spends each
+    slot on new information.
+
+    Engine-exact determinism: ``lam`` is the rational ``(num, den)``
+    (λ = num/den), the score is computed as the literal double tree
+    ``num·rel − (den−num)·maxsim`` (two exactly-representable integer
+    constants, one subtract — an oracle mirrors it verbatim), rel and
+    sim are the repo's left-fold cosine, maxsim is a MAX over <= k−1
+    doubles (order-free), and every argmax tiebreaks on neighbor id.
+    The first pick has an empty selected set: score = num·rel.
+
+    Shape at scale: ONE corpus-wide stage (the brute-force or any ANN
+    pool generator — here :func:`cosine_topk` with ``pool_size``);
+    everything after runs on |Q|·pool rows: the pool's vectors come
+    from one broadcast-pool hash join against the corpus, the
+    pool×pool pairwise sims are a self-join of that tiny frame, and
+    the ``k``-round greedy is k broadcast-sized argmax windows —
+    per-query work is pool², never corpus². Rounds persist lazily
+    (each round's selected set feeds the anti join, the max-sim join,
+    AND the union — the bfs_hops recompute rule). Returns
+    (query_id, neighbor_id, mmr_rank, mmr_score, cos_sim).
+    """
+    num, den = lam
+    if not 0 < num <= den:
+        raise ValueError(f"lam must be a proper positive fraction: {lam}")
+    if not 1 <= k <= pool_size:
+        raise ValueError(f"need 1 <= k <= pool_size: k={k}, pool={pool_size}")
+    pool = cosine_topk(
+        corpus, queries, pool_size, id_col=id_col, vec_col=vec_col
+    ).persist()
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    pv = cv.join(
+        F.broadcast(pool.select("query_id", "neighbor_id", "cos_sim")),
+        "neighbor_id",
+    ).persist()
+    a, b = pv.alias("a"), pv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("cand"),
+            F.col("b.neighbor_id").alias("sel"),
+            cosine(F.col("a.cv"), F.col("b.cv")).alias("sim"),
+        )
+        .persist()
+    )
+    w_num = F.lit(float(num))
+    w_div = F.lit(float(den - num))
+    sel = pool.where(F.col("rank") == 1).select(
+        "query_id",
+        "neighbor_id",
+        (w_num * F.col("cos_sim")).alias("mmr_score"),
+        F.lit(1).cast("long").alias("mmr_rank"),
+        "cos_sim",
+    ).persist()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    for r in range(2, k + 1):
+        chosen = sel.select("query_id", "neighbor_id")
+        cand = pool.join(chosen, ["query_id", "neighbor_id"], "left_anti")
+        ms = (
+            pairs.join(
+                chosen.withColumnRenamed("neighbor_id", "sel"),
+                ["query_id", "sel"],
+            )
+            .groupBy("query_id", F.col("cand").alias("neighbor_id"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            cand.join(ms, ["query_id", "neighbor_id"])
+            .withColumn("score", w_num * F.col("cos_sim") - w_div * F.col("ms"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        sel = sel.unionByName(
+            pick.select(
+                "query_id",
+                "neighbor_id",
+                F.col("score").alias("mmr_score"),
+                F.lit(r).cast("long").alias("mmr_rank"),
+                "cos_sim",
+            )
+        ).persist()
+    return sel
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2930,6 +2930,96 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "mmr_diversified_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv')} / (SQRT({_dot_sql('qv', 'qv')}) * SQRT({_dot_sql('cv', 'cv')})) AS rel
+  FROM c, q WHERE neighbor_id <> query_id
+),
+pool AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= 20
+),
+pv AS (SELECT p.query_id, p.neighbor_id, p.rel, c.cv FROM pool p JOIN c USING (neighbor_id)),
+sims AS (
+  SELECT a.query_id, a.neighbor_id AS cand, b.neighbor_id AS sel,
+         {_dot_sql('a.cv', 'b.cv')} / (SQRT({_dot_sql('a.cv', 'a.cv')}) * SQRT({_dot_sql('b.cv', 'b.cv')})) AS sim
+  FROM pv a JOIN pv b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+),
+s1 AS (
+  SELECT query_id, neighbor_id, 7.0 * rel AS mmr_score,
+         CAST(1 AS BIGINT) AS mmr_rank, rel AS cos_sim
+  FROM pool WHERE rnk = 1
+),
+p2 AS (
+  SELECT query_id, neighbor_id, score AS mmr_score,
+         CAST(2 AS BIGINT) AS mmr_rank, rel AS cos_sim
+  FROM (
+    SELECT p.query_id, p.neighbor_id, p.rel,
+           7.0 * p.rel - 3.0 * s.sim AS score,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY 7.0 * p.rel - 3.0 * s.sim DESC,
+                                       p.neighbor_id ASC) AS rn
+    FROM pool p
+    JOIN s1 ON s1.query_id = p.query_id AND p.neighbor_id <> s1.neighbor_id
+    JOIN sims s ON s.query_id = p.query_id AND s.cand = p.neighbor_id
+               AND s.sel = s1.neighbor_id
+  ) WHERE rn = 1
+),
+ms3 AS (
+  SELECT s.query_id, s.cand, MAX(s.sim) AS ms
+  FROM sims s
+  JOIN (SELECT query_id, neighbor_id FROM s1
+        UNION ALL SELECT query_id, neighbor_id FROM p2) ss
+    ON ss.query_id = s.query_id AND ss.neighbor_id = s.sel
+  GROUP BY 1, 2
+),
+p3 AS (
+  SELECT query_id, neighbor_id, score AS mmr_score,
+         CAST(3 AS BIGINT) AS mmr_rank, rel AS cos_sim
+  FROM (
+    SELECT p.query_id, p.neighbor_id, p.rel,
+           7.0 * p.rel - 3.0 * m.ms AS score,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY 7.0 * p.rel - 3.0 * m.ms DESC,
+                                       p.neighbor_id ASC) AS rn
+    FROM pool p
+    JOIN s1 ON s1.query_id = p.query_id AND p.neighbor_id <> s1.neighbor_id
+    JOIN p2 ON p2.query_id = p.query_id AND p.neighbor_id <> p2.neighbor_id
+    JOIN ms3 m ON m.query_id = p.query_id AND m.cand = p.neighbor_id
+  ) WHERE rn = 1
+)
+SELECT query_id, neighbor_id, mmr_rank, mmr_score, cos_sim FROM s1
+UNION ALL
+SELECT query_id, neighbor_id, mmr_rank, mmr_score, cos_sim FROM p2
+UNION ALL
+SELECT query_id, neighbor_id, mmr_rank, mmr_score, cos_sim FROM p3
+""",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified retrieval (operators/similarity.py mmr_topk;
+    Carbonell & Goldstein SIGIR'98): top-3 per query from a 20-deep
+    cosine pool with λ = 7/10 — each pick maximizes
+    7·rel − 3·max-sim-to-selected, so the second and third slots avoid
+    near-duplicates of the first (plain top-k burns context slots on
+    them). Engine-exact: the score is a two-constant double tree the
+    oracle mirrors verbatim, cosines are the left-fold dot on both
+    sides, maxsim is an order-free MAX over <= 2 doubles, every argmax
+    tiebreaks on neighbor id; the oracle unrolls the 3 greedy rounds
+    as CTEs."""
+    from nibbledb_spark.operators.similarity import mmr_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mmr_topk(e, e.where(F.col("vec_id") < 5), 3, pool_size=20)
+
+
+@declared(
     "embed_hard_negatives",
     f"""
 WITH q AS (SELECT vec_id AS query_id, label AS query_label, embedding AS qv
