@@ -246,6 +246,7 @@ _FRONT_COST = {
     "graph_khop_reach": 0.65,
     "graph_link_prediction_ra": 0.7,
     "mmr_diversified_topk": 0.75,
+    "retrieval_eval_metrics": 0.75,
     "bm25_topk": 0.8,
     "graph_label_propagation": 0.85,
     "pack_ffd_bound": 0.9,

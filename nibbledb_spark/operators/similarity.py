@@ -190,6 +190,97 @@ def mmr_topk(
     return sel
 
 
+#: nDCG position weights 1/log2(rank+1), quantized to 1e12-scaled longs
+#: (exact integer sums are order-free — a double DCG sum would depend on
+#: aggregation order and never hash-match), for ranks 1..20.
+_NDCG_SCALE = 10**12
+_NDCG_W = [
+    round(_NDCG_SCALE / __import__("math").log2(i + 1)) for i in range(1, 21)
+]
+_NDCG_PREFIX = [0]
+for _w in _NDCG_W:
+    _NDCG_PREFIX.append(_NDCG_PREFIX[-1] + _w)
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rel_doc_col: str = "doc_id",
+) -> DataFrame:
+    """Standard retrieval-evaluation metrics per query over a ranked
+    ``run`` (query, doc, rank) and binary relevance judgments
+    ``qrels`` (query, relevant doc): hits@k, recall@k (hits / n_rel),
+    MRR (1 / first relevant rank), and nDCG@k — the eval harness every
+    retrieval/embedding change in a data pipeline is judged by
+    (TREC-style binary-relevance forms; Järvelin & Kekäläinen 2002 for
+    DCG).
+
+    Engine-exact determinism: the DCG position weights
+    ``1/log2(rank+1)`` are PRE-QUANTIZED 1e12-scaled long literals
+    (log2 never runs in either engine), so DCG is an exact integer sum
+    — order-free on any partitioning — and IDCG is a literal prefix
+    sum indexed by ``min(n_rel, k)``; the three ratios are one IEEE
+    divide each, mirrored verbatim by an oracle. Queries with no
+    relevant docs in the run get mrr = 0 and ndcg = 0; queries absent
+    from ``qrels`` are dropped (undefined recall denominator).
+
+    Shape at scale: one keyed equi-join run⋈qrels (the only data
+    shuffle — both sides are |Q|·k / |Q|·n_rel, orders of magnitude
+    under the corpus), two map-side-combined per-query aggregates, one
+    broadcast-sized join to attach n_rel. ``k <= 20`` (the literal
+    weight table; extend _NDCG_W for deeper cuts).
+    """
+    if not 1 <= k <= len(_NDCG_W):
+        raise ValueError(f"k must be in 1..{len(_NDCG_W)}: {k}")
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _NDCG_W[:k]])
+    prefix_arr = F.array(*[F.lit(p).cast("long") for p in _NDCG_PREFIX[: k + 1]])
+    r = run.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).alias("rank"),
+    ).where(F.col("rank") <= k)
+    rel = qrels.select(
+        F.col(query_col).alias("query_id"), F.col(rel_doc_col).alias("doc_id")
+    ).distinct()
+    n_rel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = r.join(rel, ["query_id", "doc_id"], "left_semi")
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits_at_k"),
+        F.min("rank").alias("first_rel_rank"),
+        F.sum(F.element_at(w_arr, F.col("rank").cast("int"))).alias("dcg_scaled"),
+    )
+    idcg = F.element_at(
+        prefix_arr, F.least(F.col("n_rel"), F.lit(k)).cast("int") + 1
+    )
+    return (
+        n_rel.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
+            F.coalesce("first_rel_rank", F.lit(0)).cast("long").alias("first_rel_rank"),
+            (
+                F.coalesce("hits_at_k", F.lit(0)).cast("double")
+                / F.col("n_rel").cast("double")
+            ).alias("recall_at_k"),
+            F.when(
+                F.col("first_rel_rank").isNull(), F.lit(0.0)
+            ).otherwise(
+                F.lit(1.0) / F.col("first_rel_rank").cast("double")
+            ).alias("mrr"),
+            (
+                F.coalesce("dcg_scaled", F.lit(0)).cast("double")
+                / idcg.cast("double")
+            ).alias("ndcg_at_k"),
+        )
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

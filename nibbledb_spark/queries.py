@@ -3019,6 +3019,89 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(e, e.where(F.col("vec_id") < 5), 3, pool_size=20)
 
 
+from nibbledb_spark.operators.similarity import (  # noqa: E402
+    _NDCG_PREFIX as _NDP,
+    _NDCG_W as _NDW,
+)
+
+_NDW10 = "[" + ", ".join(str(w) for w in _NDW[:10]) + "]"
+_NDP10 = "[" + ", ".join(str(p) for p in _NDP[:11]) + "]"
+
+
+@declared(
+    "retrieval_eval_metrics",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS clabel
+      FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_dot_sql('qv', 'cv')} / (SQRT({_dot_sql('qv', 'qv')}) * SQRT({_dot_sql('cv', 'cv')})) AS cos
+  FROM c, q WHERE neighbor_id <> query_id
+),
+run AS (
+  SELECT * FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= 10
+),
+rel AS (
+  SELECT q.query_id, c.neighbor_id AS doc_id
+  FROM q JOIN c ON c.clabel = q.qlabel AND c.neighbor_id <> q.query_id
+),
+nr AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+hits AS (
+  SELECT r.query_id, r.rnk
+  FROM run r JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.neighbor_id
+),
+pq AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+         CAST(MIN(rnk) AS BIGINT) AS first_rel_rank,
+         CAST(SUM(({_NDW10})[rnk]) AS BIGINT) AS dcg_scaled
+  FROM hits GROUP BY 1
+)
+SELECT nr.query_id, nr.n_rel,
+       CAST(COALESCE(pq.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(COALESCE(pq.first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+       CAST(COALESCE(pq.hits_at_k, 0) AS DOUBLE) / CAST(nr.n_rel AS DOUBLE)
+         AS recall_at_k,
+       CASE WHEN pq.first_rel_rank IS NULL THEN 0.0
+            ELSE 1.0 / CAST(pq.first_rel_rank AS DOUBLE) END AS mrr,
+       CAST(COALESCE(pq.dcg_scaled, 0) AS DOUBLE)
+         / CAST(({_NDP10})[LEAST(nr.n_rel, 10) + 1] AS DOUBLE) AS ndcg_at_k
+FROM nr LEFT JOIN pq USING (query_id)
+""",
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation harness (operators/similarity.py
+    retrieval_metrics): recall@10, MRR, and nDCG@10 per query for the
+    brute-force cosine run judged against same-label relevance — the
+    metrics every embedding/index change in a pipeline is accepted or
+    rejected by. nDCG's 1/log2(rank+1) weights are pre-quantized
+    1e12-scaled long LITERALS shared verbatim with the oracle (log2
+    never executes in either engine; integer DCG sums are order-free),
+    IDCG is a literal prefix sum indexed by min(n_rel, 10), and each
+    ratio is one mirrored IEEE divide."""
+    from nibbledb_spark.operators.similarity import cosine_topk, retrieval_metrics
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    run = cosine_topk(e, q, 10)
+    qrels = (
+        q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+        .join(
+            e.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("qlabel")),
+            "qlabel",
+        )
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+    return retrieval_metrics(run, qrels, k=10)
+
+
 @declared(
     "embed_hard_negatives",
     f"""
