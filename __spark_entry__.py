@@ -239,6 +239,7 @@ _CANARY = "ts_names"
 # declared queries early without starving known-cheap ones.
 _FRONT_COST = {
     "dsir_importance_weights": 0.3,
+    "ts_ewma": 0.4,
     "ts_linreg_trend": 0.4,
     "ts_cusum_changepoints": 0.4,
     "dsir_resample": 0.45,

@@ -456,6 +456,59 @@ def delta(points: DataFrame, *, per_second: bool = False) -> DataFrame:
     return out.where(F.col("delta").isNotNull())
 
 
+def ewma(points: DataFrame, *, window: int = 20, value_scale: int = 6) -> DataFrame:
+    """Per-series exponentially weighted moving average with halving
+    weights (α = 1/2), truncated to the last ``window`` observations —
+    the tsdb smoothing primitive (trend lines, alert damping) in an
+    ENGINE-EXACT form: within each frame the weights are the integer
+    powers ``2^i`` (i = position, oldest = 0), so the weighted sum is
+    ``Σ x_scaled << i`` — exact longs, no float pow, no order
+    sensitivity — and the denominator is ``2^m − 1`` for the m rows
+    actually in the frame (series heads are correctly renormalized,
+    the pandas ``adjust=True`` convention). The one double is the
+    final ``num / den / 10^scale`` divide pair, mirrored verbatim by
+    a SQL oracle (lag weights restated as ``<< (rn_j − rn_i + m − 1)``
+    over a self-window). Truncation at ``window=20`` discards weight
+    2^-20 ≈ 1e-6 of the untruncated recurrence — at or under the
+    value quantum.
+
+    int64 headroom: |x|·10^scale · 2^window · window < 2^63 — the
+    default (1e6 scale, 20 lags) is safe to |value| ≈ 4e8.
+
+    Returns (series, ts, value, ewma). One window shuffle on
+    (series, ts); ties broken by value (Q5 canonical order); the
+    whole weighted fold is row-local codegen over the collected
+    frame array.
+    """
+    if not 1 <= window <= 40:
+        raise ValueError(f"window must be in 1..40: {window}")
+    q = 10**value_scale
+    w = (
+        Window.partitionBy("series")
+        .orderBy(F.col("ts").asc(), F.col("value").asc())
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.collect_list(
+        F.floor(F.col("value") * F.lit(float(q)) + F.lit(0.5)).cast("long")
+    ).over(w)
+    num = F.expr(
+        "aggregate(transform(_arr, (v, i) -> shiftleft(v, i)), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    den = F.expr("shiftleft(CAST(1 AS BIGINT), size(_arr)) - 1")
+    return (
+        points.select("series", "ts", "value", arr.alias("_arr"))
+        .select(
+            "series",
+            "ts",
+            "value",
+            (
+                num.cast("double") / den.cast("double") / F.lit(float(q))
+            ).alias("ewma"),
+        )
+    )
+
+
 def autocorr(points: DataFrame, lag: int = 1, *, value_scale: int = 2) -> DataFrame:
     """Per-series lag-``k`` autocorrelation: Pearson r between the
     series and itself shifted ``lag`` observations forward in ts order

@@ -346,6 +346,44 @@ def ts_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ts_ewma",
+    _POINTS_CTE
+    + """
+, p AS (
+  SELECT series, ts, value,
+         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY series
+                            ORDER BY ts ASC, value ASC) AS rn
+  FROM points
+),
+f AS (
+  SELECT a.series, a.ts, a.value,
+         CAST(SUM(b.x << (b.rn - a.rn + LEAST(a.rn, 20) - 1)) AS BIGINT) AS num,
+         (CAST(1 AS BIGINT) << LEAST(a.rn, 20)) - 1 AS den
+  FROM p a JOIN p b
+    ON b.series = a.series AND b.rn BETWEEN a.rn - 19 AND a.rn
+  GROUP BY a.series, a.ts, a.value, a.rn
+)
+SELECT series, ts, value,
+       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000 AS ewma
+FROM f
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA smoothing (operators/timeseries.py ewma): α=1/2
+    halving weights over the last 20 observations — engine-exact
+    because frame weights are the integer powers 2^i (the weighted sum
+    is Σ x_scaled << i, exact longs, no float pow) and the denominator
+    2^m − 1 renormalizes short series heads; the oracle restates the
+    same shifts over a self-window join. The one double is the final
+    mirrored divide pair."""
+    from nibbledb_spark.operators.timeseries import ewma
+
+    pts = points_from_events(spark, sf_dir).select("series", "ts", "value")
+    return ewma(pts, window=20)
+
+
+@declared(
     "ts_delta",
     _POINTS_CTE
     + """
