@@ -80,14 +80,33 @@ class StreamingIngest:
         glob: str = "events.parquet",
         max_files_per_trigger: int | None = None,
         dedup: bool = False,
+        dedup_within: str | None = None,
     ) -> StreamingQuery:
         """Replay parquet files through the streaming path (availableNow:
         process everything then stop — the A5 'sync' semantics).
 
         ``dedup=True`` enables streaming exact dedup on
         (series, ts, value) — the opt-in extension; the reference never
-        deduplicates (quirk Q6), so default is off.
+        deduplicates (quirk Q6), so default is off. Exact dedup keeps
+        EVERY key ever seen in state — correct, but state grows with
+        the stream forever (the 100 TB killer). ``dedup_within`` (an
+        interval string, e.g. ``"1 hour"``) switches to
+        ``dropDuplicatesWithinWatermark``: state entries are EVICTED
+        once the watermark passes ``event_time + delay``, so state is
+        bounded by the delay window. THE TRADE (probed batch-by-batch,
+        pinned in test_dedup_within_watermark_bounds_state): the
+        operator also DROPS any arriving row — duplicate or not —
+        whose ``event_time + delay`` is already behind the watermark
+        (it could never be dedup-protected, so Spark rejects it), so
+        this mode surrenders the reference's accept-arbitrarily-late
+        contract in exchange for bounded state. Watermark advancement
+        from batch N's data takes effect in batch N+1. Use on
+        transports where re-delivery and disorder are bounded
+        (Kafka-style); pair with the engine's batch dedup + default
+        ingest for the arbitrarily-late tail.
         """
+        if dedup and dedup_within is not None:
+            raise ValueError("dedup and dedup_within are mutually exclusive")
         spark: SparkSession = self.engine.spark
         reader = (
             spark.readStream.schema(EVENTS_SCHEMA)
@@ -98,6 +117,13 @@ class StreamingIngest:
         stream = events_to_points(reader.parquet(source_dir))
         if dedup:
             stream = stream.dropDuplicates(["series", "ts", "value"])
+        elif dedup_within is not None:
+            stream = (
+                stream.withColumn("__ts", F.timestamp_micros(F.col("ts")))
+                .withWatermark("__ts", dedup_within)
+                .dropDuplicatesWithinWatermark(["series", "ts", "value"])
+                .drop("__ts")
+            )
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
             self.engine.append_points(batch_df)

@@ -773,3 +773,83 @@ def test_watermark_drop_horizon_is_the_window_end(spark, tmp_path):
     # beyond horizon: a 9h-late row's window ended long before -> dropped
     assert win(t0 + 1 * hour_us + 1) not in got
     assert got[win(t0 + 10 * hour_us)] == 3
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingest (the bounded-state dedup —
+    exact streaming dedup keeps every key forever, the 100 TB killer).
+    Pinned contract (probed batch by batch via state metrics):
+
+    - a duplicate whose key is still in state is SUPPRESSED;
+    - state is EVICTED once the watermark passes event_time + delay;
+    - any row (duplicate or new) arriving with event_time + delay
+      BEHIND the watermark is dropped by the operator's watermark
+      filter — the trade that bounds state: this mode surrenders the
+      reference's accept-arbitrarily-late contract (the default
+      ingest + batch dedup own that tail);
+    - the watermark from batch N's data takes effect in batch N+1.
+    """
+    import datetime
+    import json
+    import os
+    import shutil
+
+    from nibbledb_spark.streaming.ingest import EVENTS_SCHEMA
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    mins = datetime.timedelta(minutes=1)
+
+    def ev(eid, t, val):
+        return (eid, t, 7, "reads", float(val), json.dumps({}))
+
+    batches = [
+        # originals; effective wm in batch 1 -> (12:30) - 1h = 11:30
+        [ev(1, base, 1.0), ev(2, base + 30 * mins, 2.0)],
+        # dup of A: key in state -> suppressed. C (22:00) advances the
+        # wm that batch 2 will run under to 21:00
+        [ev(4, base, 1.0), ev(3, base + 600 * mins, 3.0)],
+        # wm now 21:00: A and B expire from state (event + 1h < wm)
+        [ev(6, base + 601 * mins, 5.0)],
+        # re-delivery of B: state gone, but 12:30 + 1h is far behind
+        # the watermark -> dropped by the operator's wm filter
+        [ev(5, base + 30 * mins, 2.0)],
+    ]
+
+    src = str(tmp_path / "ddw_src")
+    os.makedirs(src)
+    eng = TimeSeriesEngine(spark, str(tmp_path / "ddw_store"), num_buckets=2)
+    ing = StreamingIngest(eng, str(tmp_path / "ddw_ckpt"))
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"ddw_stage_{i}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(stage, part), f"{src}/b{i}.parquet")
+    ing.start_replay(
+        src, glob="b*.parquet", max_files_per_trigger=1, dedup_within="1 hour"
+    )
+    ing.sync()
+
+    per_val = {
+        r["value"]: r["n"]
+        for r in eng.points().groupBy("value").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_val[1.0] == 1  # within-horizon duplicate suppressed
+    assert per_val[2.0] == 1  # behind-horizon re-delivery dropped
+    assert per_val[3.0] == 1 and per_val[5.0] == 1
+    assert eng.length() == 4
+
+    # the state actually SHRANK (bounded-state evidence): batch 2's
+    # progress reports the two expired originals removed
+    removed = [
+        (p["stateOperators"][0]["numRowsRemoved"] if p["stateOperators"] else 0)
+        for p in ing._query.recentProgress
+    ]
+    assert sum(removed) >= 2, removed
+
+    # exact-dedup and bounded-dedup are mutually exclusive knobs
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        StreamingIngest(eng, str(tmp_path / "x")).start_replay(
+            src, dedup=True, dedup_within="1 hour"
+        )
