@@ -156,6 +156,13 @@ def main() -> int:
             ok, msg = compare(name, spark, queries, oracles, exec_only=exec_only)
         except Exception as exc:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION {type(exc).__name__}: {exc}"
+        # per-query isolation: several operators persist frames by
+        # contract (the pagerank cache-pin); over a 200+-query sweep at
+        # sf0.1 the pinned entries accumulate until a default-memory
+        # bare driver fails broadcast builds (measured round 13, ~80
+        # queries in) — each query must still compute from source, so
+        # clearing between queries weakens nothing
+        spark.catalog.clearCache()
         status = "OK  " if ok else "FAIL"
         print(f"{status} {name}: {msg}")
         if not ok:
