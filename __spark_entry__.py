@@ -36,29 +36,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # `no_oracle`. This list is GENERATED — refresh each round:
 #   python tools/update_rotation.py CORRECTNESS_r*.json
 _DRIVER_VERIFIED = [
-    "profile_documents",
-    "stream_interval_join_fouter",
-    "stateful_series_stats",
-    "cms_event_type_counts",
-    "pack_sequences_512",
-    "prep_training_mix",
-    "embed_near_dup_pairs_srp",
-    "embed_near_dup_pairs_bucketed",
-    "quality_percentile_by_source",
-    "histogram_order_totals",
-    "corr_quantity_price",
-    "chunk_overlap_48_16",
-    "embed_cosine_topk_filtered",
-    "hybrid_retrieval_rrf",
-    "setop_except_all",
-    "rollup_grouping_id",
-    "stringagg_mktsegment_nations",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_waiting",
     "sessionize_events_gaps",
     "embed_quantize_int8",
     "near_dup_keep_best",
@@ -84,7 +61,6 @@ _DRIVER_VERIFIED = [
     "ts_agg_float",
     "ts_filtered_agg",
     "ts_length",
-    "ts_names",
     "ts_delta",
     "ts_quantiles",
     "ts_quantiles_approx_bound",
@@ -220,6 +196,56 @@ _DRIVER_VERIFIED = [
     "udtf_token_counts",
     "tfidf_pair_scores",
     "ts_autocorr_lag1",
+    "ts_names",
+    "ts_ewma",
+    "graph_triangle_count",
+    "graph_khop_reach",
+    "graph_kcore",
+    "graph_link_prediction",
+    "graph_link_prediction_ra",
+    "graph_label_propagation",
+    "hilbert_layout_index",
+    "mmr_diversified_topk",
+    "retrieval_eval_metrics",
+    "hard_negatives_indexed",
+    "semdedup_keep",
+    "semdedup_gate_replay",
+    "pq_rerank_full_pool_bound",
+    "ivfpq_rerank_indexed_bound",
+    "video_near_dup_rollup",
+    "profile_documents",
+    "stream_interval_join_fouter",
+    "stateful_series_stats",
+    "cms_event_type_counts",
+    "pack_sequences_512",
+    "pack_ffd_bound",
+    "bm25_topk",
+    "market_basket_lift",
+    "edit_distance_near_dups",
+    "decontaminate_semantic",
+    "prep_training_mix",
+    "embed_near_dup_pairs_srp",
+    "embed_near_dup_pairs_bucketed",
+    "quality_percentile_by_source",
+    "histogram_order_totals",
+    "corr_quantity_price",
+    "chunk_overlap_48_16",
+    "embed_cosine_topk_filtered",
+    "hybrid_retrieval_rrf",
+    "setop_except_all",
+    "rollup_grouping_id",
+    "stringagg_mktsegment_nations",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "q21_suppliers_kept_waiting",
+    "dsir_importance_weights",
+    "dsir_resample",
+    "ts_cusum_changepoints",
+    "ts_linreg_trend",
+    "lsh_gate_replay",
 ]
 
 
@@ -270,6 +296,14 @@ _FRONT_COST = {
 def _rotated(reg: dict) -> dict:
     from nibbledb_spark.queries import ORACLE
 
+    # _FRONT_COST is free-text name -> cost: a registry rename or a typo
+    # would otherwise silently fall back to the 1.0 default and reorder
+    # the time-boxed cheapest-first front. Fail loudly instead.
+    unknown = sorted(set(_FRONT_COST) - set(reg))
+    if unknown:
+        raise KeyError(
+            f"_FRONT_COST keys not in the query registry: {unknown}"
+        )
     seen = set(_DRIVER_VERIFIED)
     pos = {n: i for i, n in enumerate(reg)}
     front = [

@@ -354,27 +354,30 @@ def kcore(
     explode pass — the edge list is read ONCE for both endpoints, not
     a two-arm union) + two broadcast semi joins filtering the edge
     list to kept endpoints. Each round's survivor frame persists
-    LAZILY: the previous edge list is then referenced exactly twice
-    per round (the degree pass + the semi-join probe side), which is
-    the bfs_hops lazy regime — the plan tree stays ~2^rounds copies
-    of a tiny checkpointed base, and the per-round broadcast
-    exchanges (which must materialize ``keep`` anyway) are the only
-    barriers, so the whole peel runs as rounds broadcast-build jobs
-    plus one final aggregate instead of the former
-    checkpoint-per-round job train (the former 5-reference shape —
-    two degree-union arms + probe + keep inside both broadcasts —
-    rendered ~5^rounds plan-string copies and OOM'd a default-memory
-    driver at 4 rounds; the explode degree pass and condition-reused
-    broadcasts cut the fan-out to 2). Past ~8 rounds switch to the
-    iterative-lineage checkpoint discipline. Pins up to ``rounds``
-    |edges|-sized cache entries for the returned frame's lifetime
-    (the pagerank contract).
+    LAZILY: the previous edge list is then referenced THREE times per
+    round — the semi-join probe side plus the ``keep`` aggregate
+    subtree, which (persist does not truncate the logical plan) is
+    rendered inside BOTH broadcast joins — so the plan tree grows as
+    ~3^rounds copies of the un-truncated base subtree. 3^5 ≈ 243
+    copies stays inside the ~5^4 ≈ 625-copy shape measured safe on a
+    default-memory driver (the former 5-reference form — two
+    degree-union arms + probe + keep in both broadcasts — OOM'd plan
+    RENDERING at 4 rounds ≈ 625 copies), hence the lazy cutoff at
+    rounds <= 5; deeper peels switch to the per-round
+    eager-localCheckpoint discipline, which truncates lineage at the
+    cost of one materialization pass per round. In the lazy regime
+    the per-round broadcast exchanges (which must materialize
+    ``keep`` anyway) are the only barriers, so the whole peel runs as
+    rounds broadcast-build jobs plus one final count, after which
+    every superseded round's cache is dropped — only the final edge
+    list stays pinned for the returned frame's lifetime (the pagerank
+    contract).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1: {rounds}")
-    lazy = rounds <= 8
+    lazy = rounds <= 5
     e = (
         edges.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("u"),
@@ -387,9 +390,10 @@ def kcore(
     # full extra materialization pass up front (measured 1.4 s on the
     # 1.2M-edge co-purchase graph — a third of the whole peel), while
     # the lazy cache fills during round 1's first read for free; the
-    # base subtree then renders 2^rounds times in the plan string,
-    # fine in the lazy regime (see below)
+    # base subtree then renders 3^rounds times in the plan string,
+    # bounded by the rounds <= 5 lazy cutoff (see docstring)
     e = e.persist() if lazy else e.localCheckpoint(eager=True)
+    superseded: list = []
 
     def degrees(ed: DataFrame) -> DataFrame:
         # explode(array(u, v)) reads the edge list once — halving both
@@ -420,10 +424,24 @@ def kcore(
         )
         if lazy:
             new_e = new_e.persist()
+            superseded.append(e)
         else:
             new_e = new_e.localCheckpoint(eager=True)
             e.unpersist()
         e = new_e
+    if lazy:
+        # One count() drives the whole peel now (each round's broadcast
+        # barrier fills its predecessor's cache in sequence), after
+        # which every superseded round's frame is provably dead — the
+        # returned aggregate reads only the final cached edge list.
+        # Unpersisting INSIDE the loop would deregister caches before
+        # any job ran (nothing executes lazily until an action) and
+        # turn the peel into an exponential recompute; freeing after
+        # the single materialization keeps exactly 1 round pinned
+        # instead of rounds+1 for the result's lifetime.
+        e.count()
+        for old in superseded:
+            old.unpersist()
     return degrees(e).where(F.col("degree") >= k)
 
 

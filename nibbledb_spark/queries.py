@@ -3695,20 +3695,28 @@ def ivfpq_rerank_indexed_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"nibbleivfpq_{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
-    build_ivfpq_index(e, path, n_centroids=8)
-    iv = ivfpq_topk_indexed(
-        spark, path, q, 3, nprobe=8, rerank_with=e, n_candidates=1_000_000
-    )
-    exact = cosine_topk(e, q, 3)
-    diff = iv.exceptAll(exact).unionByName(exact.exceptAll(iv))
-    return exact.agg(F.count(F.lit(1)).alias("n_exact_rows")).crossJoin(
-        diff.agg(F.count(F.lit(1)).alias("n_mismatched"))
-    )
+    # mkdtemp gives each invocation its own directory — a fixed
+    # basename+pid key raced rmtree/rebuild between two builds in the
+    # same process (threaded harness, repeated driver runs) while the
+    # first plan could still be reading the path, and leaked the index
+    # into the OS tempdir after every run. The returned frame only
+    # holds two scalar counts, so we can materialize it and clean the
+    # index up before returning.
+    path = tempfile.mkdtemp(prefix="nibbleivfpq_")
+    try:
+        build_ivfpq_index(e, path, n_centroids=8)
+        iv = ivfpq_topk_indexed(
+            spark, path, q, 3, nprobe=8, rerank_with=e, n_candidates=1_000_000
+        )
+        exact = cosine_topk(e, q, 3)
+        diff = iv.exceptAll(exact).unionByName(exact.exceptAll(iv))
+        out = exact.agg(F.count(F.lit(1)).alias("n_exact_rows")).crossJoin(
+            diff.agg(F.count(F.lit(1)).alias("n_mismatched"))
+        )
+        row = out.collect()[0]
+        return spark.createDataFrame([row], schema=out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _cent_dot_sql(a: str, b: str, dim: int = 64) -> str:

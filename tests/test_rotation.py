@@ -50,6 +50,19 @@ def test_rotation_partitions_registry():
     )
 
 
+def test_front_cost_keys_exist_in_registry():
+    """_FRONT_COST is a free-text name->cost map: a registry rename or
+    a typo would silently fall back to the 1.0 default and reorder the
+    time-boxed cheapest-first front (round-13 advice). _rotated raises
+    on unknown keys; pin both the raise and the current map."""
+    import pytest
+
+    bad = [n for n in entry._FRONT_COST if n not in QUERIES]
+    assert not bad, f"_FRONT_COST keys not in registry: {bad}"
+    with pytest.raises(KeyError, match="_FRONT_COST"):
+        entry._rotated({n: None for n in QUERIES if n != "ts_ewma"})
+
+
 def test_registry_fully_oracle_paired():
     """Round-6 invariant: the driver-facing registry holds ONLY
     hash-matchable names — the sketch/ANN-approximate trio lives in
