@@ -264,6 +264,8 @@ _CANARY = "ts_names"
 # verdict task 1b). Unlisted names default to 1.0 (mid), keeping newly
 # declared queries early without starving known-cheap ones.
 _FRONT_COST = {
+    "unigram_learn_vocab": 1.7,
+    "tokenize_unigram": 10.0,
     "dsir_importance_weights": 0.3,
     "ts_ewma": 0.4,
     "ts_linreg_trend": 0.4,

@@ -72,19 +72,23 @@ def sf_of(path: str) -> float:
         return -1.0
 
 
-def time_spark(spark, fn, runs: int = 5) -> float:
+def time_spark(spark, fn, runs: int = 5) -> tuple[float, float, float]:
     # Materialize through Arrow (toPandas) — the engine's result path.
     # Py4J row-at-a-time collect() was the measured bottleneck on
     # wide/tall results (ts_range 0.113s -> 0.050s, window_top3 0.178s
     # -> 0.058s at sf0.1); the DuckDB baseline mirrors with .df() so
     # both sides pay one columnar-to-pandas hop, the same channel the
-    # driver's correctness compare uses.
+    # driver's correctness compare uses. Returns (median, min, max):
+    # the spread rides the JSON so a single capture carries its own
+    # noise band — cross-round ratios drift ±10-20% with the host
+    # (round-13 verdict #2) and a "regression" inside the recorded
+    # band is weather, not a plan change.
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
         fn(spark, SF_DIR).toPandas()
         samples.append(time.perf_counter() - t0)
-    return statistics.median(samples)
+    return statistics.median(samples), min(samples), max(samples)
 
 
 def scale_trend(spark) -> None:
@@ -1532,13 +1536,18 @@ def main() -> int:
         QUERIES[name](spark, SF_DIR).toPandas()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in headline:
         fn = QUERIES[name]
         fn(spark, SF_DIR).toPandas()  # warm the exact plan (codegen compile, footers)
-        timings[name] = round(time_spark(spark, fn), 4)
-        log(f"spark {name}: {timings[name]:.3f}s")
+        med, lo, hi = time_spark(spark, fn)
+        timings[name] = round(med, 4)
+        spread[name] = [round(lo, 4), round(hi, 4)]
+        log(f"spark {name}: {med:.3f}s (min {lo:.3f} max {hi:.3f})")
 
     total = round(sum(timings.values()), 4)
+    total_lo = round(sum(v[0] for v in spread.values()), 4)
+    total_hi = round(sum(v[1] for v in spread.values()), 4)
 
     # Paired DuckDB timings ALWAYS ride the JSON line (round-5 verdict
     # #2): cross-round driver captures see ±15-40% host variance, so a
@@ -1552,6 +1561,7 @@ def main() -> int:
         "documents embeddings"
     ).split()
     duck_timings: dict[str, float] = {}
+    duck_spread: dict[str, list[float]] = {}
     for name in headline:
         if name not in ORACLE:
             continue
@@ -1568,8 +1578,14 @@ def main() -> int:
             con.execute(ORACLE[name]).df()
             samples.append(time.perf_counter() - t0)
         duck_timings[name] = round(statistics.median(samples), 4)
+        duck_spread[name] = [
+            round(min(samples), 4),
+            round(max(samples), 4),
+        ]
         con.close()
     duck_total = round(sum(duck_timings.values()), 4)
+    duck_lo = round(sum(v[0] for v in duck_spread.values()), 4)
+    duck_hi = round(sum(v[1] for v in duck_spread.values()), 4)
 
     if baseline:
         rows = []
@@ -1622,6 +1638,23 @@ def main() -> int:
                 "duckdb_total": duck_total,
                 "ratio_vs_duckdb": round(total / duck_total, 4)
                 if duck_total > 0
+                else None,
+                # Noise band for THIS capture: per-query [min, max] over
+                # the 5 (Spark) / 3 (DuckDB) timed runs, and the ratio
+                # range those extremes imply. Cross-round ratio moves
+                # inside ratio_band are host weather — both engines
+                # drift together ±10-20% between sittings (round-13
+                # verdict #2) — only moves OUTSIDE it suggest a plan
+                # change.
+                "spark_spread": spread,
+                "duckdb_spread": duck_spread,
+                "value_band": [total_lo, total_hi],
+                "duckdb_band": [duck_lo, duck_hi],
+                "ratio_band": [
+                    round(total_lo / duck_hi, 4),
+                    round(total_hi / duck_lo, 4),
+                ]
+                if duck_lo > 0
                 else None,
                 "sf": sf_of(SF_DIR),
             }

@@ -49,24 +49,29 @@ def basket_pair_lift(
 
     Shape at scale: ONE basket-keyed aggregate builds each basket's
     sorted item set (``collect_set`` dedups, so no separate distinct
-    shuffle), and everything derives from that frame — N is its row
-    count, item counts explode it, ordered pairs explode it row-locally
-    (baskets are small — never a basket-level self-join of the
-    transaction table) — then ONE map-side-combined pair-count shuffle.
-    The item-count and total lookups are BROADCAST (the item vocabulary
-    is orders of magnitude under the pair set by construction — pairs
-    are vocab²-bounded and ``min_count``-floored), so the whole scoring
-    tail is a single stage: pair count → two broadcast hash joins →
-    broadcast single-row total → TakeOrderedAndProject; no global sort,
-    no vocabulary-keyed shuffle joins. (Folding the total into the
-    count frame and re-joining one aliased broadcast was measured
-    SLOWER — the self-aliased broadcast defeated exchange reuse and
-    tripled the job count; two independent small broadcasts it is.)
-    For a vocabulary that outgrows the driver (~billions of items),
-    drop the hints and let the count joins shuffle — that is the seam.
-    The shared basket-sets frame is persisted for its three consumers
-    (one |baskets|-sized cache entry pinned by the returned frame, the
-    pagerank contract).
+    shuffle), then ONE combined row-local explode emits, per basket,
+    every ordered pair ``(x, y), x < y`` PLUS a presence marker
+    ``(x, x)`` per item PLUS a single ``(NULL, NULL)`` basket marker —
+    so one map-side-combined (a, b) count shuffle produces the pair
+    counts, the item supports, AND the basket total N in a single
+    pass (``x < y`` is strict and items are non-null, so the three
+    row kinds can never collide). Baskets are small, so pairs stream
+    out row-locally — never a basket-level self-join of the
+    transaction table. The tiny counts frame is the only persisted
+    state (distinct-pairs-sized — far under the former basket-sets
+    cache, whose arrays it replaces; the former shape also re-exploded
+    that cache once per consumer, three full passes where this makes
+    one). Scoring then reads only the counts cache: two independent
+    small BROADCAST projections for the item supports (the item
+    vocabulary is orders of magnitude under the pair set by
+    construction; a self-ALIASED broadcast was measured slower —
+    dedup-attributes gives each alias a distinct subtree and defeats
+    exchange reuse) + a broadcast single-row total +
+    TakeOrderedAndProject; no global sort, no vocabulary-keyed shuffle
+    joins. For a vocabulary that outgrows the driver (~billions of
+    items), drop the hints and let the count joins shuffle — that is
+    the seam. One distinct-pairs-sized cache entry stays pinned by the
+    returned frame (the pagerank contract).
     """
     sets = (
         transactions.select(
@@ -74,24 +79,35 @@ def basket_pair_lift(
         )
         .groupBy("basket")
         .agg(F.sort_array(F.collect_set("item")).alias("its"))
-        .persist()
     )
-    total = sets.agg(F.count(F.lit(1)).alias("n"))
-    ci = (
-        sets.select(F.explode("its").alias("item"))
-        .groupBy("item")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    pairs_expr = F.expr(
+    # nullif(e, e) manufactures a NULL of the element type (a bare NULL
+    # literal would type the marker struct NullType and break concat);
+    # try_element_at keeps an all-NULL-items basket (its = []) alive as
+    # a basket-total marker, matching the former total = sets.count().
+    emit_expr = F.expr(
+        "concat("
+        "array(struct(nullif(try_element_at(its, 1), try_element_at(its, 1)) AS a,"
+        " nullif(try_element_at(its, 1), try_element_at(its, 1)) AS b)),"
+        "transform(its, x -> struct(x AS a, x AS b)),"
         "flatten(transform(its, (x, i) -> "
         "transform(slice(its, i + 2, size(its)), y -> struct(x AS a, y AS b))))"
+        ")"
     )
-    pc = (
-        sets.select(F.explode(pairs_expr).alias("p"))
+    counts = (
+        sets.select(F.explode(emit_expr).alias("p"))
         .select(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= min_count)
+        .persist()
+    )
+    total = counts.where(F.col("item_a").isNull()).select(
+        F.col("n_ab").alias("n")
+    )
+    ci = counts.where(F.col("item_a") == F.col("item_b")).select(
+        F.col("item_a").alias("item"), F.col("n_ab").alias("c")
+    )
+    pc = counts.where(F.col("item_a") < F.col("item_b")).where(
+        F.col("n_ab") >= min_count
     )
     lift = (F.col("n_ab").cast("double") * F.col("n").cast("double")) / (
         F.col("ca").cast("double") * F.col("cb").cast("double")

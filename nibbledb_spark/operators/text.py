@@ -251,9 +251,14 @@ def bm25_topk(
     corpus statistics (N, Σdl, per-term df) are a single
     map-side-combined aggregate broadcast back as one row; scoring is
     a fixed expression tree summed in term-list order; the top-k is
-    TakeOrderedAndProject with the id tiebreak. The documents scan
-    runs twice (stats + scoring) — cache upstream if the source is
-    remote.
+    TakeOrderedAndProject with the id tiebreak. The narrow per-doc
+    (dl, tf_i) projection PERSISTS for its two consumers (stats +
+    scoring) — a handful of longs per document, orders of magnitude
+    under the text it summarizes; without it the regex tokenize pass
+    (which dominates) runs twice (measured ~2x end-to-end at sf0.1 —
+    the DuckDB pair auto-materializes its multi-referenced CTE, this
+    is the same move). One narrow cache entry stays pinned by the
+    returned frame (the pagerank contract).
     """
     if not terms:
         raise ValueError("terms must be non-empty")
@@ -272,7 +277,7 @@ def bm25_topk(
         F.col(id_col).alias("doc_id"),
         F.size(w).cast("long").alias("dl"),
         *tf_cols,
-    )
+    ).persist()
     stats = d.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sum_dl"),

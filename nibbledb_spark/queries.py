@@ -8908,6 +8908,140 @@ def bpe_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_ctes(rounds: int) -> str:
+    """Shared CTE chain of the unigram-LM oracles: word table -> seed
+    vocabulary -> ``rounds`` hard-EM rounds, each a Viterbi pass over
+    the distinct-word table with the previous round's integer scores.
+    Every per-word expression comes from the SAME dialect-switched
+    generator the Spark plan uses (operators/unigram.py segment_expr /
+    q_log2_expr), so the two engines run literally one recurrence."""
+    from nibbledb_spark.operators.unigram import (
+        MAX_PIECE,
+        MAX_WORD,
+        SEED_TOP,
+        q_log2_expr,
+        segment_expr,
+    )
+
+    seg = segment_expr("word", "m", "duck")
+
+    def q(n: str) -> str:
+        return q_log2_expr(n, "duck")
+
+    parts = [
+        f"""uw AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt, word
+  FROM (SELECT unnest(string_split_regex(
+          replace(replace(text, chr(11), ' '), chr(31), ''), '\\s+')) AS word
+        FROM documents) t
+  WHERE word <> '' GROUP BY word),
+ulw AS MATERIALIZED (
+  SELECT cnt, word FROM uw WHERE length(word) <= {MAX_WORD}),
+useed AS (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM (SELECT cnt, substr(word, s, l) AS piece
+        FROM ulw,
+             unnest(generate_series(1, length(word))) AS su(s),
+             unnest(generate_series(1, {MAX_PIECE})) AS lu(l)
+        WHERE s + l - 1 <= length(word)) t
+  GROUP BY piece),
+uv0 AS MATERIALIZED (
+  SELECT piece, c FROM (
+    SELECT piece, c, ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rn
+    FROM useed) t
+  WHERE rn <= {SEED_TOP} OR length(piece) = 1),
+us0 AS MATERIALIZED (
+  SELECT map(list(piece ORDER BY piece),
+             list({q('c')} - {q('t')} ORDER BY piece)) AS m
+  FROM uv0, (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uv0) tt)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""uu{r} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n_uses
+  FROM (SELECT cnt, unnest({seg}) AS piece FROM ulw, us{r - 1}) t
+  GROUP BY piece),
+us{r} AS MATERIALIZED (
+  SELECT map(list(piece ORDER BY piece),
+             list({q('n_uses')} - {q('t')} ORDER BY piece)) AS m
+  FROM uu{r}, (SELECT CAST(SUM(n_uses) AS BIGINT) AS t FROM uu{r}) tt)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+def _unigram_learn_sql(rounds: int) -> str:
+    from nibbledb_spark.operators.unigram import q_log2_expr
+
+    def q(n: str) -> str:
+        return q_log2_expr(n, "duck")
+
+    return f"""{_unigram_ctes(rounds)}
+SELECT piece, n_uses, CAST({q('n_uses')} - {q('t')} AS BIGINT) AS score
+FROM uu{rounds},
+     (SELECT CAST(SUM(n_uses) AS BIGINT) AS t FROM uu{rounds}) tt
+ORDER BY n_uses DESC, piece"""
+
+
+def _unigram_tokenize_sql(rounds: int) -> str:
+    from nibbledb_spark.operators.unigram import segment_expr
+
+    # One segment fold per exploded WORD ROW, re-assembled in word
+    # order — NOT a fold nested inside a per-document list
+    # comprehension, which segfaults DuckDB 1.0. The Spark side keeps
+    # the nested row-local form (same recurrence, same results).
+    seg_w = segment_expr("w", "m", "duck")
+    return f"""{_unigram_ctes(rounds)},
+udw AS (
+  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS wi
+  FROM (SELECT doc_id,
+          [w0 for w0 in string_split_regex(
+             replace(replace(text, chr(11), ' '), chr(31), ''), '\\s+')
+           if w0 <> ''] AS ws
+        FROM documents) dd),
+uperdoc AS (
+  SELECT doc_id, flatten(list(pieces ORDER BY wi)) AS toks
+  FROM (SELECT doc_id, wi, {seg_w} AS pieces FROM udw, us{rounds}) t
+  GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(len(p.toks), 0) AS BIGINT) AS n_tokens,
+       coalesce(array_to_string(p.toks, ' '), '') AS tok_str
+FROM documents d LEFT JOIN uperdoc p USING (doc_id)"""
+
+
+@declared("unigram_learn_vocab", _unigram_learn_sql(2))
+def unigram_learn_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) vocabulary learning
+    (operators/unigram.py learn_unigram; Kudo 2018 hard-EM): seed with
+    all substrings <= 4 chars (top-256 by frequency + every single
+    char), then 2 Viterbi/re-count rounds with SCALED-LONG integer
+    log2 scores (Q(n) = 1024*log2(n) by bitlen + a static 64-entry
+    mantissa table — no libm in either engine, so the DP argmax is
+    engine-exact). The corpus shuffles once into the distinct-word
+    table; each round is a broadcast one-row score map + one
+    vocab-keyed count shuffle. Returns (piece, n_uses, score)."""
+    from nibbledb_spark.operators.unigram import learn_unigram
+
+    return learn_unigram(_t(spark, sf_dir, "documents"), rounds=2)
+
+
+@declared("tokenize_unigram", _unigram_tokenize_sql(2))
+def tokenize_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi-tokenize every document with the learned unigram
+    vocabulary (operators/unigram.py tokenize_unigram): a ZERO-SHUFFLE
+    projection — the one-row piece->score map broadcasts and each
+    word's best segmentation is a row-local integer-DP fold (the
+    apply-side scale contract shared with tokenize_bpe: the part that
+    touches all 100 TB is embarrassingly parallel). Words longer than
+    16 chars or unreachable under the vocabulary pass through as one
+    whole-word token."""
+    from nibbledb_spark.operators.unigram import (
+        learn_unigram,
+        tokenize_unigram as _tok,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return _tok(docs, learn_unigram(docs, rounds=2))
+
+
 @declared(
     "clone_branch_divergence",
     f"""

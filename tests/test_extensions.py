@@ -5089,3 +5089,161 @@ def test_gif_out_of_table_index_on_transparent_pixels_decodes():
     # the same index NOT marked transparent IS corruption
     with pytest.raises(ValueError, match="beyond color table"):
         decode_gif(_gif_bytes([fr], pal, transparent=1, min_code_size=3))
+
+
+# --- unigram-LM tokenizer (round-13 verdict task 5) -------------------
+
+
+def _py_q(n: int) -> int:
+    """Literal reimplementation of q_log2_expr: LOG_SCALE*log2(n) via
+    bitlen + the static 64-entry mantissa table."""
+    from nibbledb_spark.operators.unigram import LOG_SCALE, MANT
+
+    bl = n.bit_length()
+    return LOG_SCALE * (bl - 1) + MANT[(n * 64) // (1 << (bl - 1)) - 64]
+
+
+def _py_segment(word: str, scores: dict) -> list:
+    """Literal Viterbi with the engine tie-break (backward pass picks
+    the SHORTEST matching last piece)."""
+    from nibbledb_spark.operators.unigram import MAX_PIECE, MAX_WORD
+
+    if len(word) > MAX_WORD:
+        return [word]
+    dp = [0] + [None] * len(word)
+    for i in range(1, len(word) + 1):
+        cands = [
+            dp[i - d] + scores[word[i - d:i]]
+            for d in range(1, min(MAX_PIECE, i) + 1)
+            if dp[i - d] is not None and word[i - d:i] in scores
+        ]
+        dp[i] = max(cands) if cands else None
+    if dp[len(word)] is None:
+        return [word]
+    pieces, pos = [], len(word)
+    while pos > 0:
+        for d in range(1, min(MAX_PIECE, pos) + 1):
+            piece = word[pos - d:pos]
+            if (
+                dp[pos - d] is not None
+                and piece in scores
+                and dp[pos - d] + scores[piece] == dp[pos]
+            ):
+                pieces.append(piece)
+                pos -= d
+                break
+    return list(reversed(pieces))
+
+
+def _py_learn(texts: list, rounds: int = 2) -> dict:
+    """Literal hard-EM unigram learn; returns {piece: (n_uses, score)}
+    after the final round."""
+    from collections import Counter
+
+    from nibbledb_spark.operators.unigram import (
+        MAX_PIECE,
+        MAX_WORD,
+        SEED_TOP,
+    )
+
+    words = Counter()
+    for t in texts:
+        for w in t.replace("\x0b", " ").replace("\x1f", "").split():
+            words[w] += 1
+    lw = {w: c for w, c in words.items() if len(w) <= MAX_WORD}
+    seeds = Counter()
+    for w, c in lw.items():
+        for s in range(len(w)):
+            for e in range(s + 1, min(len(w), s + MAX_PIECE) + 1):
+                seeds[w[s:e]] += c
+    ranked = sorted(seeds.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = {
+        p: c
+        for i, (p, c) in enumerate(ranked)
+        if i < SEED_TOP or len(p) == 1
+    }
+    total = sum(vocab.values())
+    scores = {p: _py_q(c) - _py_q(total) for p, c in vocab.items()}
+    usage = None
+    for _ in range(rounds):
+        usage = Counter()
+        for w, c in lw.items():
+            for piece in _py_segment(w, scores):
+                usage[piece] += c
+        total = sum(usage.values())
+        scores = {p: _py_q(c) - _py_q(total) for p, c in usage.items()}
+    return {p: (usage[p], scores[p]) for p in usage}
+
+
+def test_unigram_matches_literal_python(spark):
+    """learn_unigram + tokenize_unigram vs the literal dict-based
+    reimplementation above: same vocabulary, same usage counts, same
+    integer scores, same segmentation of every document — including
+    the >MAX_WORD whole-word fallback and a tie-broken word."""
+    from nibbledb_spark.operators.unigram import (
+        learn_unigram,
+        tokenize_unigram,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on mats",
+        "a mat the cat a hat that",
+        "supercalifragilistic expialidocious again again",
+        "banana bandana cabana banana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    v = learn_unigram(docs)
+    got = {r["piece"]: (r["n_uses"], r["score"]) for r in v.collect()}
+    assert got == _py_learn(texts)
+
+    scores = {p: s for p, (_, s) in _py_learn(texts).items()}
+    tok = {
+        r["doc_id"]: (r["n_tokens"], r["tok_str"])
+        for r in tokenize_unigram(docs, v).collect()
+    }
+    for i, t in enumerate(texts):
+        pieces = [p for w in t.split() for p in _py_segment(w, scores)]
+        assert tok[i] == (len(pieces), " ".join(pieces)), (i, tok[i], pieces)
+    # the long word passed through unsegmented
+    assert "supercalifragilistic" in tok[3][1].split()
+
+
+def test_unigram_foreign_vocab_fallback(spark):
+    """Applying a vocabulary that cannot reach a word's end emits the
+    whole word as one token (the foreign-corpus guard), while covered
+    words still segment."""
+    from nibbledb_spark.operators.unigram import (
+        learn_unigram,
+        tokenize_unigram,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "aa ab aa ab aa")], "doc_id long, text string"
+    )
+    v = learn_unigram(train)
+    apply_docs = spark.createDataFrame(
+        [(0, "aa zz aab")], "doc_id long, text string"
+    )
+    out = tokenize_unigram(apply_docs, v).collect()[0]
+    toks = out["tok_str"].split()
+    assert "zz" in toks  # no z in vocab -> unreachable -> whole word
+    assert out["n_tokens"] == len(toks)
+
+
+def test_unigram_q_log2_is_monotone_and_bounded():
+    """Q(n) must be monotone nondecreasing (DP correctness depends on
+    larger counts never scoring lower) and within 1 unit of true
+    1024*log2(n) at the table granularity."""
+    import math
+
+    ns = list(range(1, 2000)) + [10**6, 10**9, 2**40]
+    qs = [_py_q(n) for n in ns]
+    assert all(a <= b for a, b in zip(qs, qs[1:])), "Q not monotone"
+    # worst case = mantissa truncation: 1024*log2(1 + 1/64) ~ 22.3,
+    # plus the table's 0.5 rounding
+    for n in ns:
+        true = 1024 * math.log2(n)
+        assert abs(_py_q(n) - true) <= 23, (n, _py_q(n), true)
