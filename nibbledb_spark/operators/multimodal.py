@@ -1142,6 +1142,29 @@ def _decode_image_pil(payload: bytes) -> object:
     return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
+#: legal NIBBLEDB_DECODE_BACKEND tokens: media-specific library picks
+#: combine as a comma list ("pil,soundfile,pyav" = libraries
+#: everywhere); "pure" (the default) selects the from-spec decoders.
+_BACKEND_TOKENS = {"pure", "pil", "soundfile", "pyav"}
+
+
+def _backend_set(override: str | None) -> set[str]:
+    """Parse the backend selector (the ``backend=`` kwarg overrides the
+    ``NIBBLEDB_DECODE_BACKEND`` env var) into its token set. Each
+    media kind consumes its own token — ``pil`` images, ``soundfile``
+    audio, ``pyav`` video — so one cluster-wide flag can swap any
+    subset of the decode paths. Read at call time inside the
+    executor's Python worker (whose env is FIXED at JVM launch — set
+    the flag before building the session locally, or via
+    ``spark.executorEnv.*`` on a cluster)."""
+    raw = override or os.environ.get("NIBBLEDB_DECODE_BACKEND", "pure")
+    toks = {t.strip() for t in raw.split(",") if t.strip()}
+    bad = toks - _BACKEND_TOKENS
+    if bad:
+        raise ValueError(f"unknown decode backend: {sorted(bad)!r}")
+    return toks
+
+
 def decode_image(payload: bytes, *, backend: str | None = None) -> object:
     """Decode a binary image payload to an HxWx3 uint8 numpy array.
 
@@ -1159,8 +1182,11 @@ def decode_image(payload: bytes, *, backend: str | None = None) -> object:
 
     Backend selection (round-12 verdict task 7 — the swap is a flag,
     not a rewrite): ``backend`` overrides, else the
-    ``NIBBLEDB_DECODE_BACKEND`` env var (``pure`` default, ``pil`` for
-    the library path). The flag is read at call time inside the
+    ``NIBBLEDB_DECODE_BACKEND`` env var — a comma token set (``pure``
+    default; ``pil`` swaps the image path; ``soundfile`` / ``pyav``
+    swap the audio / video paths of their operators, so
+    ``pil,soundfile,pyav`` is libraries-everywhere). The flag is read
+    at call time inside the
     executor's Python worker, whose env is FIXED at JVM launch
     (measured: a mid-session ``os.environ`` change in the driver never
     reaches a worker) — set it before building the session in local
@@ -1170,11 +1196,8 @@ def decode_image(payload: bytes, *, backend: str | None = None) -> object:
     """
     import numpy as np
 
-    backend = backend or os.environ.get("NIBBLEDB_DECODE_BACKEND", "pure")
-    if backend == "pil":
+    if "pil" in _backend_set(backend):
         return _decode_image_pil(payload)
-    if backend != "pure":
-        raise ValueError(f"unknown decode backend: {backend!r}")
     if payload.startswith(b"BM"):
         return _decode_bmp(payload)
     if payload.startswith(b"\x89PNG"):
@@ -1744,7 +1767,33 @@ def _g711_alaw_to_linear(codes):
     return np.where(codes & 0x80, magnitude, -magnitude).astype(np.int16)
 
 
-def decode_audio(payload: bytes) -> tuple[object, int]:
+def _decode_audio_soundfile(payload: bytes) -> tuple[object, int]:
+    """Library decode path (the 100 TB backend): soundfile/libsndfile,
+    which adds every codec libsndfile ships (FLAC, Ogg/Vorbis, ...) on
+    top of the WAV matrix. float64 frames normalized exactly like the
+    pure path (libsndfile divides PCM by the same 2^(bits-1)), so
+    equivalence on the shared PCM matrix is BIT-EXACT — pinned in
+    tests/test_decode_backends.py wherever the library exists (this
+    container ships none). Raises a clear RuntimeError without it."""
+    import io
+
+    try:
+        import soundfile as sf
+    except ImportError as exc:  # pragma: no cover - env without the lib
+        raise RuntimeError(
+            "NIBBLEDB_DECODE_BACKEND=soundfile requires the soundfile "
+            "package on every executor; install it or unset the flag "
+            "for the pure-python WAV decoders"
+        ) from exc
+    samples, rate = sf.read(
+        io.BytesIO(payload), dtype="float64", always_2d=True
+    )
+    return samples, int(rate)
+
+
+def decode_audio(
+    payload: bytes, *, backend: str | None = None
+) -> tuple[object, int]:
     """Decode a WAV payload to (samples float64 in [-1, 1] shaped
     (n, channels), sample_rate). REAL for RIFF/WAVE linear PCM (16-bit
     AND 24-bit, format 1 — 24-bit via a vectorized sign-extending
@@ -1754,11 +1803,16 @@ def decode_audio(payload: bytes) -> tuple[object, int]:
     arithmetic), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers around
     any of those (real format read from the SubFormat GUID) — header
     walk over chunks, then ``frombuffer``, no audio libraries.
-    Compressed codecs (mp3/aac/opus) raise at this seam."""
+    Compressed codecs (mp3/aac/opus) raise at this seam — or decode
+    for real when the ``soundfile`` backend token is selected
+    (``backend=`` kwarg or the NIBBLEDB_DECODE_BACKEND env set; same
+    call-time worker-env contract as decode_image)."""
     import struct
 
     import numpy as np
 
+    if "soundfile" in _backend_set(backend):
+        return _decode_audio_soundfile(payload)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAVE PCM decodes without codec libs")
     pos, fmt, data = 12, None, None
@@ -2005,7 +2059,46 @@ _KEYFRAMES_SCHEMA = (
 )
 
 
-def video_keyframes(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+def _video_frames_pyav(raw: bytes) -> tuple[list, list, int, int, int]:
+    """Library decode path (the 100 TB backend): PyAV/FFmpeg — every
+    real-world codec (H.264, VP9, AV1, ...) behind the same sampling
+    clock as the pure MJPEG/GIF paths. Returns (ts_ms list, RGB frame
+    list, total_ms, width, height). Decodes the clip into memory (the
+    fixture-scale shape; a long-video production variant would
+    seek-and-decode per sample at this exact seam). Raises a clear
+    RuntimeError when PyAV isn't installed."""
+    import io
+
+    try:
+        import av
+    except ImportError as exc:  # pragma: no cover - env without the lib
+        raise RuntimeError(
+            "NIBBLEDB_DECODE_BACKEND=pyav requires the av package on "
+            "every executor; install it or unset the flag for the "
+            "pure-python MJPEG/GIF paths"
+        ) from exc
+    ts_ms: list[int] = []
+    frames: list = []
+    with av.open(io.BytesIO(raw)) as container:
+        stream = container.streams.video[0]
+        tb = stream.time_base
+        for frame in container.decode(stream):
+            pts = frame.pts if frame.pts is not None else 0
+            ts_ms.append(int(pts * tb * 1000))
+            frames.append(frame.to_ndarray(format="rgb24"))
+    if not frames:
+        raise ValueError("no decodable video frames")
+    # constant-rate containers: total = n * period, matching the pure
+    # AVI clock; fall back to last-ts + median gap for variable rates
+    gaps = [b - a for a, b in zip(ts_ms, ts_ms[1:])] or [40]
+    total = ts_ms[-1] + sorted(gaps)[len(gaps) // 2]
+    h, w = frames[0].shape[:2]
+    return ts_ms, frames, total, w, h
+
+
+def video_keyframes(
+    media: DataFrame, *, every_ms: int = 1000, backend: str | None = None
+) -> DataFrame:
     """Keyframe extraction from MJPEG-in-AVI and animated-GIF
     payloads: the REAL video path behind the :func:`frame_sample`
     metadata plan. AVI: walks the RIFF container (:func:`parse_avi`),
@@ -2024,6 +2117,15 @@ def video_keyframes(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     crawl always contains both, and neither may kill a task. Arrow
     batch shape, schema, and the per-frame row explosion are the parts
     that matter for partition sizing at scale — all real here.
+
+    Backend: the ``pyav`` token (``backend=`` kwarg or
+    NIBBLEDB_DECODE_BACKEND) routes NON-GIF payloads through
+    PyAV/FFmpeg — every real-world codec on the same every_ms
+    sampling clock and output schema (frames re-wrapped as PPM). GIFs
+    keep the pure path either way (their variable-delay compositing
+    clock is pinned there). A MISSING library raises loudly rather
+    than flagging rows — silent decoded=false across a cluster whose
+    image lacks av would read as corrupt data.
     """
     import numpy as np
 
@@ -2079,6 +2181,33 @@ def video_keyframes(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
                             mid, idx, ts[idx], _ppm_bytes(gframes[idx]),
                             gif["width"], gif["height"],
                             np.float32(arr.mean(axis=2).mean() / 255.0), True,
+                        )
+                    continue
+                if "pyav" in _backend_set(backend):
+                    try:
+                        ts, vframes, total, w, h = _video_frames_pyav(raw)
+                    except RuntimeError:
+                        raise  # missing library: fail loudly, never flag
+                    except (ValueError, OSError, IndexError, TypeError):
+                        emit(mid, None, None, None, None, None, None, False)
+                        continue
+                    k = 0
+                    prev_idx = -1
+                    while True:
+                        t_target = k * every_ms
+                        if t_target >= total:
+                            break
+                        idx = bisect.bisect_right(ts, t_target) - 1
+                        k += 1
+                        if idx == prev_idx:
+                            continue
+                        prev_idx = idx
+                        arr = vframes[idx].astype(np.float64)
+                        emit(
+                            mid, idx, ts[idx], _ppm_bytes(vframes[idx]),
+                            w, h,
+                            np.float32(arr.mean(axis=2).mean() / 255.0),
+                            True,
                         )
                     continue
                 try:

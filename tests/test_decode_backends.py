@@ -102,3 +102,105 @@ def test_pil_equivalence_jpeg_tolerance():
         assert pure.shape == lib.shape, name
         assert np.abs(pure - lib).max() <= 2, (
             name, int(np.abs(pure - lib).max()))
+
+
+# --- audio/video backend seam (round-13 verdict task 6) ----------------
+
+from nibbledb_spark.operators.multimodal import (  # noqa: E402
+    _backend_set,
+    decode_audio,
+)
+
+from test_extensions import _avi_mjpeg_bytes, _wav  # noqa: E402
+
+try:
+    import soundfile  # noqa: F401
+
+    HAVE_SOUNDFILE = True
+except ImportError:
+    HAVE_SOUNDFILE = False
+
+try:
+    import av  # noqa: F401
+
+    HAVE_AV = True
+except ImportError:
+    HAVE_AV = False
+
+
+def test_backend_token_set_parsing():
+    """The flag is a comma token set: one cluster-wide value can swap
+    any subset of the decode paths; unknown tokens fail loudly."""
+    assert _backend_set(None) == {"pure"}
+    assert _backend_set("pil,soundfile,pyav") == {"pil", "soundfile", "pyav"}
+    assert _backend_set(" pil , soundfile ") == {"pil", "soundfile"}
+    with pytest.raises(ValueError, match="unknown decode backend"):
+        _backend_set("pil,webgpu")
+
+
+def test_audio_video_tokens_do_not_touch_image_path():
+    """Selecting the audio/video library tokens must leave decode_image
+    on the pure path (per-media routing, not a global switch)."""
+    from test_extensions import _ppm
+
+    arr = decode_image(_ppm(4, 3, (9, 8, 7)), backend="soundfile,pyav")
+    assert arr.shape == (3, 4, 3)
+
+
+def test_image_token_does_not_touch_audio_path():
+    samples, rate = decode_audio(_wav(440), backend="pil")
+    assert rate == 8000 and samples.shape[1] == 1
+
+
+@pytest.mark.skipif(HAVE_SOUNDFILE, reason="soundfile installed")
+def test_audio_soundfile_missing_library_raises():
+    """A missing library must fail loudly (RuntimeError naming the
+    package), never fall back silently — half a cluster decoding pure
+    while the other half uses libsndfile would be a silent skew."""
+    with pytest.raises(RuntimeError, match="soundfile"):
+        decode_audio(_wav(440), backend="soundfile")
+
+
+@pytest.mark.skipif(HAVE_AV, reason="av installed")
+def test_video_pyav_missing_library_raises():
+    from nibbledb_spark.operators.multimodal import _video_frames_pyav
+
+    with pytest.raises(RuntimeError, match="av package"):
+        _video_frames_pyav(b"anything")
+
+
+@pytest.mark.skipif(not HAVE_SOUNDFILE, reason="soundfile not installed")
+def test_audio_backends_equivalent_on_pcm16():
+    """libsndfile normalizes PCM by the same 2^(bits-1) divisor, so
+    the two backends must agree BIT-EXACTLY on the shared PCM matrix."""
+    payload = _wav(440, channels=2)
+    pure, r1 = decode_audio(payload, backend="pure")
+    lib, r2 = decode_audio(payload, backend="soundfile")
+    assert r1 == r2
+    assert pure.shape == lib.shape
+    assert (pure == lib).all()
+
+
+@pytest.mark.skipif(not HAVE_AV, reason="av not installed")
+def test_video_backends_equivalent_on_mjpeg_avi(spark):
+    """Same sampled frame indexes/timestamps on the constant-rate
+    MJPEG AVI clock; pixels tolerance-bounded (libavcodec's integer
+    IDCT vs the pure float IDCT)."""
+    from nibbledb_spark.operators.multimodal import video_keyframes
+
+    frames = [_jpeg_bytes(_gradient(16, 16)) for _ in range(5)]
+    avi = _avi_mjpeg_bytes(frames, rate=2)  # 500 ms per frame
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi))],
+        "media_id long, kind string, payload binary",
+    )
+    pure = video_keyframes(media, every_ms=700, backend="pure").collect()
+    lib = video_keyframes(media, every_ms=700, backend="pyav").collect()
+    assert [(r["frame_idx"], r["frame_ts_ms"]) for r in pure] == [
+        (r["frame_idx"], r["frame_ts_ms"]) for r in lib
+    ]
+    for rp, rl in zip(pure, lib):
+        ap = decode_image(bytes(rp["frame"])).astype(int)
+        al = decode_image(bytes(rl["frame"])).astype(int)
+        assert ap.shape == al.shape
+        assert np.abs(ap - al).max() <= 4
