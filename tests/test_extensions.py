@@ -5247,3 +5247,95 @@ def test_unigram_q_log2_is_monotone_and_bounded():
     for n in ns:
         true = 1024 * math.log2(n)
         assert abs(_py_q(n) - true) <= 23, (n, _py_q(n), true)
+
+
+# --- boilerplate-skew dedup stress pins (round-13 verdict task 7) ------
+
+
+def test_max_doc_freq_cap_bounds_candidates_and_keeps_real_pairs(spark):
+    """A boilerplate line in 50% of docs makes its shingles pair-count
+    quadratic in the corpus; the max_doc_freq stop-shingle cap must
+    (a) bound every surviving shingle's doc frequency — candidate join
+    volume is then sum C(df<=cap, 2), corpus-linear — (b) keep pairs
+    related by GENUINE shared content, and (c) drop pairs related ONLY
+    through the boilerplate (the documented recall trade: those are
+    exactly the matches a dedup pass should not make)."""
+    from nibbledb_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_rows,
+    )
+
+    boiler = "subscribe to our newsletter for updates and offers today"
+    rows = []
+    # 40 docs: evens carry the boilerplate; docs 0/2 share a real near-
+    # dup body; docs 1/3 are boilerplate-free with distinct bodies
+    body = "quick brown foxes jump over lazy dogs near riverbank willow"
+    for i in range(40):
+        text = f"unique marker {i} token{i} filler{i} pad{i} end{i}"
+        if i in (0, 2):
+            text = body + f" tail {i}"
+        if i % 2 == 0:
+            text = boiler + " " + text
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped_sh = shingle_rows(docs)
+    # (a) with the cap, no surviving shingle's df exceeds it
+    from pyspark.sql import functions as F
+
+    uncapped_df = (
+        capped_sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    )
+    assert uncapped_df.agg(F.max("df")).collect()[0][0] >= 20  # skew real
+    capped = ngram_jaccard_pairs(docs, threshold=0.05, max_doc_freq=5)
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.05)
+
+    cp = {(r["id1"], r["id2"]) for r in capped.collect()}
+    up = {(r["id1"], r["id2"]) for r in uncapped.collect()}
+    # (b) the genuine near-dup pair survives the cap
+    assert (0, 2) in cp
+    # (c) boilerplate-only pairs exist uncapped, none survive capped
+    boiler_only = {
+        (a, b) for (a, b) in up if a % 2 == 0 and b % 2 == 0 and (a, b) != (0, 2)
+    }
+    assert boiler_only, "fixture must create boilerplate-only pairs"
+    assert not (boiler_only & cp), (
+        "cap must drop pairs related only through the 50%-df line"
+    )
+    # candidate volume: sum C(df,2) uncapped vs capped — the number the
+    # bench records; capped must be far below the skewed uncapped sum
+    def cand_volume(max_df=None):
+        df = uncapped_df
+        if max_df is not None:
+            df = df.where(F.col("df") <= max_df)
+        return df.agg(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("v")
+        ).collect()[0][0] or 0
+
+    assert cand_volume(5) * 10 < cand_volume(None)
+
+
+def test_strip_frequent_lines_is_the_remediation_path(spark):
+    """strip_frequent_lines removes the 50%-df boilerplate WORD units
+    up front, so an uncapped jaccard over the cleaned text no longer
+    pairs docs through boilerplate — the rewrite-side alternative to
+    the query-side max_doc_freq cap."""
+    from pyspark.sql import functions as F
+
+    from nibbledb_spark.operators.dedup import strip_frequent_lines
+
+    boiler = "subscribefoo newsletterbar offersbaz"
+    rows = [
+        (i, (boiler + " " if i % 2 == 0 else "") + f"unique{i} body{i}")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned = strip_frequent_lines(
+        docs, sep=" ", max_doc_frac=0.4
+    )
+    out = {r["doc_id"]: r for r in cleaned.collect()}
+    for i in range(20):
+        toks = out[i]["cleaned_text"].split()
+        assert f"unique{i}" in toks and f"body{i}" in toks
+        assert not any(t.startswith("subscribefoo") for t in toks)
+        assert out[i]["n_removed"] == (3 if i % 2 == 0 else 0)
