@@ -79,7 +79,14 @@ def main() -> None:
     if os.path.exists("BENCH_scale_r14.json"):
         with open("BENCH_scale_r14.json") as f:
             out["runs"] = json.load(f).get("runs", {})
-    names = [n for n in OPS if only is None or n in only]
+    if only is None:
+        names = list(OPS)
+    else:
+        unknown = sorted(only - set(QUERIES))
+        if unknown:
+            raise SystemExit(f"not in the query registry: {unknown}")
+        # any declared query can ride the same paired protocol
+        names = [n for n in list(QUERIES) if n in only]
 
     def oracle_for(name: str) -> str:
         sql = ORACLE[name]
