@@ -116,17 +116,46 @@ def main() -> None:
                 samples.append(time.perf_counter() - t0)
             spark_t[name][mult] = statistics.median(samples)
             rows_at[name][mult] = n
+            r = out["runs"].setdefault(name, {})
+            r[f"spark_x{mult}_s"] = round(spark_t[name][mult], 3)
+            r[f"rows_x{mult}"] = n
+            with open("BENCH_scale_r14.json", "w") as f:
+                f.write(json.dumps(out) + "\n")
             print(
                 f"spark {name} x{mult}: {spark_t[name][mult]:.3f}s "
                 f"({n:,} rows)",
                 flush=True,
             )
 
+    def flush_json() -> None:
+        with open("BENCH_scale_r14.json", "w") as f:
+            f.write(json.dumps(out) + "\n")
+
+    for name in names:
+        for mult in mults:
+            r = out["runs"].setdefault(name, {})
+            r[f"spark_x{mult}_s"] = round(spark_t[name][mult], 3)
+            r[f"rows_x{mult}"] = rows_at[name][mult]
+    flush_json()
+
     for mult in mults:
-        con = _duck_connect(dirs[mult])
         for name in names:
+            # fresh connection per (op, scale): one op's memory bloat or
+            # OOM must not take down the rest of the pass (an
+            # accumulated shared connection OOM'd mid-x10 on the first
+            # deep sitting)
+            con = _duck_connect(dirs[mult])
             sql = oracle_for(name)
-            n_duck = len(con.execute(sql).df())
+            try:
+                n_duck = len(con.execute(sql).df())
+            except Exception as e:  # noqa: BLE001 — record, continue
+                print(
+                    f"duck  {name} x{mult}: count failed "
+                    f"({type(e).__name__}: {str(e)[:100]})",
+                    flush=True,
+                )
+                con.close()
+                continue
             assert n_duck == rows_at[name][mult], (
                 name,
                 mult,
@@ -134,22 +163,20 @@ def main() -> None:
                 rows_at[name][mult],
             )
             d = _duck_median(con, sql, runs=3 if mult < 100 else 2)
-            r = out["runs"].setdefault(name, {})
-            r[f"spark_x{mult}_s"] = round(spark_t[name][mult], 3)
-            r[f"rows_x{mult}"] = rows_at[name][mult]
+            con.close()
+            r = out["runs"][name]
             if d is not None:
                 r[f"duck_x{mult}_s"] = round(d, 3)
                 r[f"ratio_x{mult}"] = round(spark_t[name][mult] / d, 2)
+            flush_json()
             print(
                 f"duck  {name} x{mult}: "
                 f"{'-' if d is None else f'{d:.3f}s'} "
                 f"(ratio {r.get(f'ratio_x{mult}', '-')})",
                 flush=True,
             )
-        con.close()
 
-    with open("BENCH_scale_r14.json", "w") as f:
-        f.write(json.dumps(out) + "\n")
+    flush_json()
     print(json.dumps(out))
     spark.stop()
 
