@@ -70,9 +70,24 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="ann_table_")
     try:
         for mult in sorted(dirs):
-            emb = spark.read.parquet(
-                os.path.join(dirs[mult], "embeddings.parquet")
-            ).persist()
+            # deterministic per-id direction perturbation: the replica
+            # dirs clone vectors verbatim under offset ids, so without
+            # this every query's top-k is its own exact clones and
+            # recall degenerates to 1.0 for any method at x10/x100
+            emb = (
+                spark.read.parquet(
+                    os.path.join(dirs[mult], "embeddings.parquet")
+                )
+                .select(
+                    "vec_id",
+                    "label",
+                    F.expr(
+                        "transform(embedding, (x, i) -> x + "
+                        "CAST((vec_id * 31 + i) % 17 - 8 AS DOUBLE) / 500.0)"
+                    ).alias("embedding"),
+                )
+                .persist()
+            )
             n_vec = emb.count()
             queries = emb.where(F.col("vec_id") < NQ).persist()
             queries.count()
