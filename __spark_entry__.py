@@ -296,12 +296,15 @@ _FRONT_COST = {
 
 
 def _rotated(reg: dict) -> dict:
-    from nibbledb_spark.queries import ORACLE
+    from nibbledb_spark.queries import ORACLE, QUERIES as _ALL
 
     # _FRONT_COST is free-text name -> cost: a registry rename or a typo
     # would otherwise silently fall back to the 1.0 default and reorder
-    # the time-boxed cheapest-first front. Fail loudly instead.
-    unknown = sorted(set(_FRONT_COST) - set(reg))
+    # the time-boxed cheapest-first front. Fail loudly instead — but
+    # validate against the FULL query registry, not the reg argument:
+    # oracle_sql() passes the (smaller) ORACLE dict, and a cost hint on
+    # a legitimate no-oracle query must not KeyError that path.
+    unknown = sorted(set(_FRONT_COST) - set(_ALL))
     if unknown:
         raise KeyError(
             f"_FRONT_COST keys not in the query registry: {unknown}"

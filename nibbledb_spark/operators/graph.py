@@ -358,12 +358,14 @@ def kcore(
     round — the semi-join probe side plus the ``keep`` aggregate
     subtree, which (persist does not truncate the logical plan) is
     rendered inside BOTH broadcast joins — so the plan tree grows as
-    ~3^rounds copies of the un-truncated base subtree. 3^5 ≈ 243
-    copies stays inside the ~5^4 ≈ 625-copy shape measured safe on a
-    default-memory driver (the former 5-reference form — two
-    degree-union arms + probe + keep in both broadcasts — OOM'd plan
-    RENDERING at 4 rounds ≈ 625 copies), hence the lazy cutoff at
-    rounds <= 5; deeper peels switch to the per-round
+    ~3^rounds copies of the un-truncated base subtree. Measured
+    bounds: 3^5 ≈ 243 copies (this form, 5 rounds) renders fine on a
+    default-memory driver, while 5^4 ≈ 625 copies (the FORMER
+    5-reference form — two degree-union arms + probe + keep in both
+    broadcasts — at only 4 rounds) OOM'd plan RENDERING; the lazy
+    cutoff at rounds <= 5 keeps the copy count at or below the
+    measured-safe 243, well under the measured-fatal 625. Deeper
+    peels switch to the per-round
     eager-localCheckpoint discipline, which truncates lineage at the
     cost of one materialization pass per round. In the lazy regime
     the per-round broadcast exchanges (which must materialize
@@ -430,18 +432,26 @@ def kcore(
             e.unpersist()
         e = new_e
     if lazy:
-        # One count() drives the whole peel now (each round's broadcast
-        # barrier fills its predecessor's cache in sequence), after
-        # which every superseded round's frame is provably dead — the
-        # returned aggregate reads only the final cached edge list.
-        # Unpersisting INSIDE the loop would deregister caches before
-        # any job ran (nothing executes lazily until an action) and
-        # turn the peel into an exponential recompute; freeing after
-        # the single materialization keeps exactly 1 round pinned
-        # instead of rounds+1 for the result's lifetime.
-        e.count()
+        # One eager localCheckpoint drives the whole peel now (each
+        # round's broadcast barrier fills its predecessor's cache in
+        # sequence) AND truncates the ~3^rounds logical plan: the
+        # checkpoint blocks are written straight from the just-filled
+        # final cache, so it costs what the former driving count()
+        # cost — but afterwards an eviction of that cache (memory
+        # pressure, executor loss) re-reads stored blocks instead of
+        # recomputing the exponential lineage with every intermediate
+        # cache already dropped. Unpersisting INSIDE the loop would
+        # deregister caches before any job ran (nothing executes
+        # lazily until an action) and turn the peel into the same
+        # exponential recompute; freeing after the single
+        # materialization keeps exactly 1 round pinned. Note the
+        # operator therefore runs its jobs EAGERLY at call time (it
+        # always did — the peel was count()-driven before).
+        final = e.localCheckpoint(eager=True)
         for old in superseded:
             old.unpersist()
+        e.unpersist()
+        e = final
     return degrees(e).where(F.col("degree") >= k)
 
 

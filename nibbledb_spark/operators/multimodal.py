@@ -2082,9 +2082,20 @@ def _video_frames_pyav(raw: bytes) -> tuple[list, list, int, int, int]:
     with av.open(io.BytesIO(raw)) as container:
         stream = container.streams.video[0]
         tb = stream.time_base
+        # nominal frame period for pts-less frames: the bisect sampler
+        # below assumes nondecreasing ts, so a missing pts synthesizes
+        # as last_ts + period (mapping every pts-less frame to 0 would
+        # break monotonicity as soon as two frames lack pts)
+        rate = stream.average_rate or stream.guessed_rate
+        nominal_ms = max(1, int(1000 / rate)) if rate else 40
         for frame in container.decode(stream):
-            pts = frame.pts if frame.pts is not None else 0
-            ts_ms.append(int(pts * tb * 1000))
+            if frame.pts is None:
+                t = (ts_ms[-1] + nominal_ms) if ts_ms else 0
+            else:
+                t = int(frame.pts * tb * 1000)
+                if ts_ms and t < ts_ms[-1]:  # broken/non-monotonic pts
+                    t = ts_ms[-1] + nominal_ms
+            ts_ms.append(t)
             frames.append(frame.to_ndarray(format="rgb24"))
     if not frames:
         raise ValueError("no decodable video frames")

@@ -203,15 +203,20 @@ def mmr_topk(
             )
         ).persist()
         superseded.append(prev)
-    # one count() drives the greedy chain (each round's window barrier
-    # fills its predecessor's cache), after which every superseded
-    # round's |Q|·r-row frame is dead — only the final selection stays
-    # pinned (the kcore lazy-regime discipline; unpersisting inside the
-    # loop would deregister caches before any job ran)
-    sel.count()
+    # one eager localCheckpoint drives the greedy chain (each round's
+    # window barrier fills its predecessor's cache) AND truncates the
+    # round-deep lineage: blocks are written straight from the
+    # just-filled cache, so a later eviction of the final selection
+    # re-reads stored blocks instead of recomputing the whole chain
+    # with every superseded |Q|·r-row cache already dropped (the kcore
+    # lazy-regime discipline; unpersisting inside the loop would
+    # deregister caches before any job ran). Eager at call time — it
+    # always was, via the former driving count().
+    final = sel.localCheckpoint(eager=True)
     for old in superseded:
         old.unpersist()
-    return sel
+    sel.unpersist()
+    return final
 
 
 #: nDCG position weights 1/log2(rank+1), quantized to 1e12-scaled longs

@@ -312,7 +312,12 @@ def tokenize_unigram(
     return (
         docs.select(
             F.col(id_col),
-            _engine_invariant_text(F.col(text_col)).alias("_norm"),
+            # coalesce NULL text to '' so the Spark side matches the
+            # oracle's LEFT-JOIN shaping (n_tokens 0, tok_str '') —
+            # size(NULL) would otherwise yield NULL/-1 and hash-fail
+            _engine_invariant_text(
+                F.coalesce(F.col(text_col), F.lit(""))
+            ).alias("_norm"),
         )
         .crossJoin(F.broadcast(vmap))
         .select(
