@@ -210,10 +210,17 @@ def triangle_count(
     edges are canonicalized away.
 
     Scale shape: one distinct over the canonical edge list, one
-    degree aggregate, two keyed joins to orient, one self-join keyed
-    on the apex (the wedge shuffle — the big one, bounded by the
-    orientation), one closure equi-join, one explode+count. The
-    canonical edge list is persisted (read by the degree, wedge, and
+    degree aggregate (single explode pass — the edge list is read
+    once for both endpoints), two keyed joins to orient, one keyed
+    aggregate collecting each apex's sorted out-neighbor list, then
+    wedges emit ROW-LOCALLY from that list (posexplode x slice — the
+    measured 3.5x-over-self-join wedge form from link_prediction:
+    ordered pairs x < y come free of the sort, and the apex shuffle
+    moves each out-list ONCE instead of the oriented edge list
+    twice), one closure equi-join, one explode+count. Per-apex
+    out-list length is bounded O(sqrt(m)) by the orientation, so a
+    collected list row stays KBs even on hub nodes. The canonical
+    edge list is persisted (read by the degree, orientation, and
     closure stages); NOTE: that pins one |edges|-sized cache entry
     for the returned frame's lifetime, the pagerank contract.
     """
@@ -227,8 +234,7 @@ def triangle_count(
         .persist()
     )
     deg = (
-        c.select(F.col("u").alias("node"))
-        .unionByName(c.select(F.col("v").alias("node")))
+        c.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -242,9 +248,18 @@ def triangle_count(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
     )
-    w1 = o.select("a", F.col("b").alias("x"))
-    w2 = o.select("a", F.col("b").alias("y"))
-    wedges = w1.join(w2, "a").where(F.col("x") < F.col("y"))
+    # row-local wedge emit: collect each apex's sorted out-list once,
+    # then posexplode x slice yields every ordered pair x < y without
+    # the oriented list's two-sided self-join shuffle (out-lists are
+    # distinct post-`distinct()`, so sort order makes x < y strict)
+    adj = o.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("ns"))
+    wedges = adj.select(
+        "a", "ns", F.posexplode("ns").alias("i", "x")
+    ).select(
+        "a",
+        "x",
+        F.explode(F.slice("ns", F.col("i") + 2, F.size("ns"))).alias("y"),
+    )
     closure = c.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tri = wedges.join(closure, ["x", "y"])
     per_node = (
