@@ -46,6 +46,10 @@ Algorithm (all declarative — no driver-side loops, no collects):
    by word frequency, re-score by Q; unused pieces prune out. Each
    word's own best-path pieces survive by construction, so every word
    stays segmentable round over round.
+3b. Optional prune-to-target (``vocab_size=``, the SentencePiece
+   user contract): keep all single chars + best multi-char pieces up
+   to the target, then one more usage+rescore pass under the pruned
+   set — counts/scores always describe the final vocabulary.
 4. Apply: a ZERO-SHUFFLE projection — per document, segment each word
    with the final scores via the same fold (the BPE apply_bpe scale
    contract: the part that touches all 100 TB is embarrassingly
@@ -99,18 +103,20 @@ def q_log2_expr(n: str, dialect: str) -> str:
     )
 
 
-def _fwd_expr(w: str, m: str, dialect: str) -> str:
+def _fwd_expr(
+    w: str, m: str, dialect: str, *, max_piece: int = MAX_PIECE
+) -> str:
     """Forward Viterbi fold -> dp array (dp[i+1] = best score of
     segmenting the first i chars; NULL = unreachable). Candidate piece
     lengths are filtered to d <= i BEFORE indexing (DuckDB wraps
     negative indexes python-style)."""
-    ds = ", ".join(str(d) for d in range(1, MAX_PIECE + 1))
+    ds = ", ".join(str(d) for d in range(1, max_piece + 1))
     if dialect == "spark":
         return (
             f"aggregate(sequence(1, length({w})), "
             f"CAST(array(0) AS ARRAY<BIGINT>), (acc, i) -> "
             f"array_append(acc, array_max(filter(transform("
-            f"filter(sequence(1, {MAX_PIECE}), d -> d <= i), "
+            f"filter(sequence(1, {max_piece}), d -> d <= i), "
             f"d -> try_element_at(acc, i - d + 1) + "
             f"try_element_at({m}, substr({w}, i - d + 1, d))), "
             f"y -> y IS NOT NULL))))"
@@ -125,15 +131,22 @@ def _fwd_expr(w: str, m: str, dialect: str) -> str:
     )
 
 
-def _bt_expr(w: str, m: str, dialect: str) -> str:
+def _bt_expr(
+    w: str,
+    m: str,
+    dialect: str,
+    *,
+    max_piece: int = MAX_PIECE,
+    max_word: int = MAX_WORD,
+) -> str:
     """Backtrack fold over the (in-scope) ``dp`` array -> flat VARCHAR
     accumulator [cursor, piece_k, ..., piece_1]; ties pick the smallest
-    d (first match ascending). Runs exactly MAX_WORD no-op-padded
+    d (first match ascending). Runs exactly ``max_word`` no-op-padded
     steps."""
-    ds = ", ".join(str(d) for d in range(1, MAX_PIECE + 1))
+    ds = ", ".join(str(d) for d in range(1, max_piece + 1))
     if dialect == "spark":
         d_expr = (
-            f"element_at(filter(filter(sequence(1, {MAX_PIECE}), "
+            f"element_at(filter(filter(sequence(1, {max_piece}), "
             f"d -> d <= pos), d -> "
             f"try_element_at(dp, pos - d + 1) + "
             f"try_element_at({m}, substr({w}, pos - d + 1, d)) = "
@@ -148,7 +161,7 @@ def _bt_expr(w: str, m: str, dialect: str) -> str:
             f"array(substr({w}, pos - d + 1, d)))), 1) END), 1)"
         )
         return (
-            f"aggregate(sequence(1, {MAX_WORD}), "
+            f"aggregate(sequence(1, {max_word}), "
             f"array(CAST(length({w}) AS STRING)), (acc, z_) -> {step})"
         )
     d_expr = (
@@ -165,32 +178,39 @@ def _bt_expr(w: str, m: str, dialect: str) -> str:
     )
     return (
         f"list_reduce([[CAST(length({w}) AS VARCHAR)]] || "
-        f"[CAST([] AS VARCHAR[]) for q_ in range(1, {MAX_WORD} + 1)], "
+        f"[CAST([] AS VARCHAR[]) for q_ in range(1, {max_word} + 1)], "
         f"(acc, x_) -> {step})"
     )
 
 
-def segment_expr(w: str, m: str, dialect: str) -> str:
+def segment_expr(
+    w: str,
+    m: str,
+    dialect: str,
+    *,
+    max_piece: int = MAX_PIECE,
+    max_word: int = MAX_WORD,
+) -> str:
     """Pieces array for one word under piece->score map ``m``:
     over-length words and unreachable DPs (foreign-vocabulary apply)
     fall back to one whole-word token. Let-bindings are single-element
     transforms/comprehensions (both dialects lack LET)."""
-    fwd = _fwd_expr(w, m, dialect)
-    bt = _bt_expr(w, m, dialect)
+    fwd = _fwd_expr(w, m, dialect, max_piece=max_piece)
+    bt = _bt_expr(w, m, dialect, max_piece=max_piece, max_word=max_word)
     if dialect == "spark":
         pieces = (
             f"element_at(transform(array({bt}), b -> "
             f"reverse(slice(b, 2, size(b) - 1))), 1)"
         )
         return (
-            f"CASE WHEN length({w}) > {MAX_WORD} THEN array({w}) ELSE "
+            f"CASE WHEN length({w}) > {max_word} THEN array({w}) ELSE "
             f"element_at(transform(array({fwd}), dp -> "
             f"CASE WHEN try_element_at(dp, length({w}) + 1) IS NULL "
             f"THEN array({w}) ELSE {pieces} END), 1) END"
         )
     pieces = f"[list_reverse(b[2:]) for b in [{bt}]][1]"
     return (
-        f"CASE WHEN length({w}) > {MAX_WORD} THEN [{w}] ELSE "
+        f"CASE WHEN length({w}) > {max_word} THEN [{w}] ELSE "
         f"[CASE WHEN dp[length({w}) + 1] IS NULL THEN [{w}] "
         f"ELSE {pieces} END for dp in [{fwd}]][1] END"
     )
@@ -228,13 +248,18 @@ def _scored_map(vocab: DataFrame, count_col: str) -> DataFrame:
     )
 
 
-def _seed_vocab(lw: DataFrame) -> DataFrame:
-    """Substrings up to MAX_PIECE summed by word frequency: top
-    SEED_TOP by (count DESC, piece) plus ALL single characters (the
-    completeness floor)."""
+def _seed_vocab(
+    lw: DataFrame,
+    *,
+    max_piece: int = MAX_PIECE,
+    seed_top: int = SEED_TOP,
+) -> DataFrame:
+    """Substrings up to ``max_piece`` summed by word frequency: top
+    ``seed_top`` by (count DESC, piece) plus ALL single characters
+    (the completeness floor)."""
     subs = F.expr(
         f"flatten(transform(sequence(1, length(word)), s -> "
-        f"transform(sequence(s, least(length(word), s + {MAX_PIECE - 1})), "
+        f"transform(sequence(s, least(length(word), s + {max_piece - 1})), "
         f"e -> substr(word, s, e - s + 1))))"
     )
     seeds = (
@@ -247,35 +272,118 @@ def _seed_vocab(lw: DataFrame) -> DataFrame:
     )
     return (
         seeds.withColumn("rn", rn)
-        .where((F.col("rn") <= SEED_TOP) | (F.length("piece") == 1))
+        .where((F.col("rn") <= seed_top) | (F.length("piece") == 1))
         .select("piece", "c")
     )
 
 
 def learn_unigram(
-    docs: DataFrame, *, rounds: int = ROUNDS, text_col: str = "text"
+    docs: DataFrame,
+    *,
+    rounds: int = ROUNDS,
+    vocab_size: int | None = None,
+    max_piece: int = MAX_PIECE,
+    max_word: int = MAX_WORD,
+    seed_top: int = SEED_TOP,
+    text_col: str = "text",
 ) -> DataFrame:
     """Learn the unigram vocabulary: (piece, n_uses, score) after
     ``rounds`` hard-EM rounds, ordered (n_uses DESC, piece). Fully
     declarative — each round is one broadcast of the one-row score map
     plus one piece-keyed count shuffle over the DISTINCT-WORD table
-    (corpus-scale data is touched exactly once, by word_table)."""
+    (corpus-scale data is touched exactly once, by word_table).
+
+    ``vocab_size`` is the SentencePiece-style prune-to-target control
+    (its primary user contract): after the EM rounds, keep the FULL
+    single-character alphabet of the word table (required-character
+    coverage — every word stays segmentable; chars EM starved of
+    usage rejoin at the count floor 1) plus the best-used multi-char
+    pieces up to ``vocab_size`` total, then run ONE more usage+rescore
+    pass under the pruned piece set so the returned counts and scores
+    describe the FINAL vocabulary (SentencePiece likewise re-estimates
+    after each prune). Pieces that lose all usage in that final pass
+    drop out, so the result can come in under target — never over
+    (unless the alphabet alone exceeds it). ``None`` keeps the
+    un-pruned EM result (the declared-query/ledger setting).
+    """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1: {rounds}")
+    if vocab_size is not None and vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1: {vocab_size}")
     lw = word_table(docs, text_col=text_col).where(
-        F.length("word") <= MAX_WORD
+        F.length("word") <= max_word
     )
-    seg = segment_expr("word", "m", "spark")
-    usage = None
-    vocab_map = _scored_map(_seed_vocab(lw), "c")
-    for _ in range(rounds):
-        usage = (
-            lw.crossJoin(F.broadcast(vocab_map))
+    seg = segment_expr(
+        "word", "m", "spark", max_piece=max_piece, max_word=max_word
+    )
+    vocab_map = _scored_map(
+        _seed_vocab(lw, max_piece=max_piece, seed_top=seed_top), "c"
+    )
+
+    def em_pass(vmap: DataFrame) -> DataFrame:
+        return (
+            lw.crossJoin(F.broadcast(vmap))
             .select("cnt", F.explode(F.expr(seg)).alias("piece"))
             .groupBy("piece")
             .agg(F.sum("cnt").alias("n_uses"))
         )
+
+    usage = None
+    for _ in range(rounds):
+        usage = em_pass(vocab_map)
         vocab_map = _scored_map(usage, "n_uses")
+    if vocab_size is not None:
+        # prune-to-target with REQUIRED-CHARACTER COVERAGE: the floor
+        # is the full single-char alphabet of the word table — not
+        # just chars still in usage (EM lets a char lose every use to
+        # multi-char pieces; pruning those away would orphan words,
+        # whose whole-word fallbacks then re-enter the count as
+        # rogue "pieces" and blow the target). Chars that lost all
+        # usage rejoin at the count floor 1 (SentencePiece likewise
+        # pins required chars at minimal probability); multi-char
+        # pieces rank (n_uses DESC, piece ASC) into the remaining
+        # budget. Both frames are alphabet/seed_top-bounded, so the
+        # unpartitioned windows are trivial — only the final em_pass
+        # touches the word table again.
+        alpha = (
+            lw.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(word)), "
+                        "i -> substr(word, i, 1))"
+                    )
+                ).alias("piece")
+            )
+            .distinct()
+            .join(usage, "piece", "left")
+            .select(
+                "piece",
+                F.coalesce("n_uses", F.lit(1)).alias("n_uses"),
+                F.lit(1).alias("ic"),
+            )
+        )
+        multi = usage.where(F.length("piece") > 1).select(
+            "piece", "n_uses", F.lit(0).alias("ic")
+        )
+        both = alpha.unionByName(multi)
+        n_chars = F.sum("ic").over(Window.partitionBy())
+        rn = F.row_number().over(
+            Window.partitionBy("ic").orderBy(
+                F.col("n_uses").desc(), F.col("piece").asc()
+            )
+        )
+        kept = (
+            both.withColumn("nc", n_chars)
+            .withColumn("rn", rn)
+            .where(
+                (F.col("ic") == 1)
+                | (F.col("rn") <= F.greatest(
+                    F.lit(vocab_size) - F.col("nc"), F.lit(0)
+                ))
+            )
+            .select("piece", "n_uses")
+        )
+        usage = em_pass(_scored_map(kept, "n_uses"))
     q_c = q_log2_expr("n_uses", "spark")
     q_t = q_log2_expr("t", "spark")
     return (
@@ -293,6 +401,8 @@ def tokenize_unigram(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_piece: int = MAX_PIECE,
+    max_word: int = MAX_WORD,
 ) -> DataFrame:
     """Viterbi-tokenize every document with a learned (piece, score)
     vocabulary: ONE zero-shuffle projection over the corpus (the
@@ -304,7 +414,9 @@ def tokenize_unigram(
             F.collect_list(F.struct("piece", "score"))
         ).alias("m")
     )
-    seg = segment_expr("w", "m", "spark")
+    seg = segment_expr(
+        "w", "m", "spark", max_piece=max_piece, max_word=max_word
+    )
     toks = F.expr(
         f"flatten(transform(filter(split(_norm, '\\\\s+'), "
         f"w0 -> w0 != ''), w -> {seg}))"

@@ -5103,18 +5103,22 @@ def _py_q(n: int) -> int:
     return LOG_SCALE * (bl - 1) + MANT[(n * 64) // (1 << (bl - 1)) - 64]
 
 
-def _py_segment(word: str, scores: dict) -> list:
+def _py_segment(
+    word: str, scores: dict, max_piece: int = None, max_word: int = None
+) -> list:
     """Literal Viterbi with the engine tie-break (backward pass picks
     the SHORTEST matching last piece)."""
     from nibbledb_spark.operators.unigram import MAX_PIECE, MAX_WORD
 
-    if len(word) > MAX_WORD:
+    max_piece = MAX_PIECE if max_piece is None else max_piece
+    max_word = MAX_WORD if max_word is None else max_word
+    if len(word) > max_word:
         return [word]
     dp = [0] + [None] * len(word)
     for i in range(1, len(word) + 1):
         cands = [
             dp[i - d] + scores[word[i - d:i]]
-            for d in range(1, min(MAX_PIECE, i) + 1)
+            for d in range(1, min(max_piece, i) + 1)
             if dp[i - d] is not None and word[i - d:i] in scores
         ]
         dp[i] = max(cands) if cands else None
@@ -5122,7 +5126,7 @@ def _py_segment(word: str, scores: dict) -> list:
         return [word]
     pieces, pos = [], len(word)
     while pos > 0:
-        for d in range(1, min(MAX_PIECE, pos) + 1):
+        for d in range(1, min(max_piece, pos) + 1):
             piece = word[pos - d:pos]
             if (
                 dp[pos - d] is not None
@@ -5135,9 +5139,17 @@ def _py_segment(word: str, scores: dict) -> list:
     return list(reversed(pieces))
 
 
-def _py_learn(texts: list, rounds: int = 2) -> dict:
+def _py_learn(
+    texts: list,
+    rounds: int = 2,
+    vocab_size: int = None,
+    max_piece: int = None,
+    max_word: int = None,
+    seed_top: int = None,
+) -> dict:
     """Literal hard-EM unigram learn; returns {piece: (n_uses, score)}
-    after the final round."""
+    after the final round (and after the prune + re-estimate pass when
+    ``vocab_size`` is set)."""
     from collections import Counter
 
     from nibbledb_spark.operators.unigram import (
@@ -5146,30 +5158,52 @@ def _py_learn(texts: list, rounds: int = 2) -> dict:
         SEED_TOP,
     )
 
+    max_piece = MAX_PIECE if max_piece is None else max_piece
+    max_word = MAX_WORD if max_word is None else max_word
+    seed_top = SEED_TOP if seed_top is None else seed_top
     words = Counter()
     for t in texts:
         for w in t.replace("\x0b", " ").replace("\x1f", "").split():
             words[w] += 1
-    lw = {w: c for w, c in words.items() if len(w) <= MAX_WORD}
+    lw = {w: c for w, c in words.items() if len(w) <= max_word}
     seeds = Counter()
     for w, c in lw.items():
         for s in range(len(w)):
-            for e in range(s + 1, min(len(w), s + MAX_PIECE) + 1):
+            for e in range(s + 1, min(len(w), s + max_piece) + 1):
                 seeds[w[s:e]] += c
     ranked = sorted(seeds.items(), key=lambda kv: (-kv[1], kv[0]))
     vocab = {
         p: c
         for i, (p, c) in enumerate(ranked)
-        if i < SEED_TOP or len(p) == 1
+        if i < seed_top or len(p) == 1
     }
     total = sum(vocab.values())
     scores = {p: _py_q(c) - _py_q(total) for p, c in vocab.items()}
-    usage = None
-    for _ in range(rounds):
+
+    def em_pass(scores: dict) -> Counter:
         usage = Counter()
         for w, c in lw.items():
-            for piece in _py_segment(w, scores):
+            for piece in _py_segment(w, scores, max_piece, max_word):
                 usage[piece] += c
+        return usage
+
+    usage = None
+    for _ in range(rounds):
+        usage = em_pass(scores)
+        total = sum(usage.values())
+        scores = {p: _py_q(c) - _py_q(total) for p, c in usage.items()}
+    if vocab_size is not None:
+        alpha = {ch for w in lw for ch in w}
+        kept = {c: usage.get(c, 1) for c in alpha}
+        multi = sorted(
+            ((p, c) for p, c in usage.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        budget = max(vocab_size - len(alpha), 0)
+        kept.update(dict(multi[:budget]))
+        total = sum(kept.values())
+        scores = {p: _py_q(c) - _py_q(total) for p, c in kept.items()}
+        usage = em_pass(scores)
         total = sum(usage.values())
         scores = {p: _py_q(c) - _py_q(total) for p, c in usage.items()}
     return {p: (usage[p], scores[p]) for p in usage}
@@ -5231,6 +5265,82 @@ def test_unigram_foreign_vocab_fallback(spark):
     toks = out["tok_str"].split()
     assert "zz" in toks  # no z in vocab -> unreachable -> whole word
     assert out["n_tokens"] == len(toks)
+
+
+def test_unigram_vocab_size_prune(spark):
+    """``vocab_size`` prune-to-target (round-14 verdict task 5): single
+    chars always survive, multi-char pieces rank (n_uses DESC, piece)
+    into the remaining budget, counts/scores describe the re-estimated
+    FINAL vocabulary — pinned piece-for-piece against the literal
+    Python model, with every document still segmentable."""
+    from nibbledb_spark.operators.unigram import (
+        learn_unigram,
+        tokenize_unigram,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on mats",
+        "a mat the cat a hat that",
+        "banana bandana cabana banana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    alphabet = {ch for t in texts for w in t.split() for ch in w}
+    for vs in (1, 14, 40):
+        v = learn_unigram(docs, vocab_size=vs)
+        got = {r["piece"]: (r["n_uses"], r["score"]) for r in v.collect()}
+        want = _py_learn(texts, vocab_size=vs)
+        assert got == want, vs
+        # never over target unless the alphabet floor alone exceeds it
+        assert len(got) <= max(vs, len(alphabet)), (vs, len(got))
+    # the tightest target (chars only) still tokenizes everything
+    v1 = learn_unigram(docs, vocab_size=1)
+    tok = tokenize_unigram(docs, v1).collect()
+    assert all(r["n_tokens"] > 0 for r in tok)
+    # chars-only vocab => every token is one char
+    joined = " ".join(r["tok_str"] for r in tok)
+    assert all(len(t) == 1 for t in joined.split())
+
+
+def test_unigram_custom_params_match_literal(spark):
+    """rounds / max_piece / max_word / seed_top thread through learn
+    AND apply identically to the literal model (the hyperparameters
+    were module constants before round 15)."""
+    from nibbledb_spark.operators.unigram import (
+        learn_unigram,
+        tokenize_unigram,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "supercalifragilistic expialidocious again again",
+        "banana bandana cabana banana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    kw = dict(rounds=3, max_piece=3, max_word=8, seed_top=32)
+    v = learn_unigram(docs, **kw)
+    got = {r["piece"]: (r["n_uses"], r["score"]) for r in v.collect()}
+    want = _py_learn(texts, **kw)
+    assert got == want
+    assert all(len(p) <= 3 for p in got)
+    scores = {p: s for p, (_, s) in want.items()}
+    tok = {
+        r["doc_id"]: (r["n_tokens"], r["tok_str"])
+        for r in tokenize_unigram(
+            docs, v, max_piece=3, max_word=8
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        pieces = [
+            p for w in t.split() for p in _py_segment(w, scores, 3, 8)
+        ]
+        assert tok[i] == (len(pieces), " ".join(pieces)), i
+    # max_word=8: the 20-char word passes through whole
+    assert "supercalifragilistic" in tok[1][1].split()
 
 
 def test_unigram_q_log2_is_monotone_and_bounded():

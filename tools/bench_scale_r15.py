@@ -78,17 +78,33 @@ def main() -> None:
     # All Spark timing first, then all DuckDB timing, so neither
     # engine's runs interleave with the other's memory pressure
     # (the stress-sweep protocol).
+    # x100 wedge-heavy ops write ~50-100 GB of shuffle files per run;
+    # Spark only deletes them when the ShuffleDependency is GC'd on
+    # the driver, so without an explicit GC the warm + 2 samples
+    # ACCUMULATE three runs' files and ENOSPC the 77 GB tmp volume
+    # (measured: the first triangle x100 sitting died exactly there).
+    import gc
+
+    def scrub() -> None:
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        time.sleep(3)  # ContextCleaner deletes asynchronously
+
     spark_t: dict[str, dict[int, float]] = {}
     rows_at: dict[str, dict[int, int]] = {}
     for name in names:
         fn = QUERIES[name]
         spark_t[name], rows_at[name] = {}, {}
         for mult in mults:
-            spark.catalog.clearCache()
+            scrub()
             fn(spark, dirs[mult]).toPandas()  # warm (JIT, footers)
             samples = []
             for _ in range(3 if mult < 100 else 2):
-                spark.catalog.clearCache()
+                scrub()
                 t0 = time.perf_counter()
                 n = len(fn(spark, dirs[mult]).toPandas())
                 samples.append(time.perf_counter() - t0)
