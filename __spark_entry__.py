@@ -36,53 +36,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # `no_oracle`. This list is GENERATED — refresh each round:
 #   python tools/update_rotation.py CORRECTNESS_r*.json
 _DRIVER_VERIFIED = [
-    "sessionize_events_gaps",
-    "embed_quantize_int8",
-    "near_dup_keep_best",
-    "schema_evolution_versions",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "ts_rate_counter",
-    "bpe_learn_merges",
-    "tokenize_bpe",
-    "changes_between_feed",
-    "lsh_incremental_near_dups",
-    "bpe_vocab_top",
-    "clone_branch_divergence",
-    "ts_last_n",
-    "ts_first_n",
-    "ts_latest",
-    "ts_since",
-    "ts_range",
-    "ts_tag_equals",
-    "ts_tag_contains",
-    "ts_tag_compound_or",
-    "ts_agg_exact",
-    "ts_agg_float",
-    "ts_filtered_agg",
-    "ts_length",
-    "ts_delta",
-    "ts_quantiles",
-    "ts_quantiles_approx_bound",
-    "interval_overlap_series_days",
-    "ts_resample_linear",
-    "ts_resample_locf",
-    "q1_pricing_summary",
-    "join_orders_customer",
-    "join_anti_customers_without_orders",
-    "top10_orders",
-    "window_top3_per_customer",
-    "window_order_gap_days",
-    "date_trunc_monthly_orders",
-    "distinct_mktsegments",
-    "scan_checksum",
-    "media_banded_near_dup_pairs",
-    "media_clean_canonicals",
-    "ts_downsample_m4",
-    "ts_downsample_lttb",
-    "notin_suppliers_no_returns",
-    "sample_weighted_priority",
-    "split_train_val_test",
     "temperature_mix_rates",
     "temperature_mix_selected",
     "linear_quality_score",
@@ -196,7 +149,6 @@ _DRIVER_VERIFIED = [
     "udtf_token_counts",
     "tfidf_pair_scores",
     "ts_autocorr_lag1",
-    "ts_names",
     "ts_ewma",
     "graph_triangle_count",
     "graph_khop_reach",
@@ -246,6 +198,56 @@ _DRIVER_VERIFIED = [
     "ts_cusum_changepoints",
     "ts_linreg_trend",
     "lsh_gate_replay",
+    "ts_last_n",
+    "ts_first_n",
+    "ts_latest",
+    "ts_since",
+    "ts_range",
+    "ts_tag_equals",
+    "ts_tag_contains",
+    "ts_tag_compound_or",
+    "ts_agg_exact",
+    "ts_agg_float",
+    "ts_filtered_agg",
+    "ts_length",
+    "ts_names",
+    "ts_delta",
+    "ts_quantiles",
+    "ts_quantiles_approx_bound",
+    "interval_overlap_series_days",
+    "ts_resample_linear",
+    "ts_resample_locf",
+    "q1_pricing_summary",
+    "join_orders_customer",
+    "join_anti_customers_without_orders",
+    "top10_orders",
+    "window_top3_per_customer",
+    "window_order_gap_days",
+    "date_trunc_monthly_orders",
+    "distinct_mktsegments",
+    "scan_checksum",
+    "media_banded_near_dup_pairs",
+    "media_clean_canonicals",
+    "sessionize_events_gaps",
+    "embed_quantize_int8",
+    "near_dup_keep_best",
+    "schema_evolution_versions",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "ts_rate_counter",
+    "ts_downsample_m4",
+    "ts_downsample_lttb",
+    "notin_suppliers_no_returns",
+    "sample_weighted_priority",
+    "split_train_val_test",
+    "bpe_learn_merges",
+    "tokenize_bpe",
+    "changes_between_feed",
+    "lsh_incremental_near_dups",
+    "bpe_vocab_top",
+    "unigram_learn_vocab",
+    "tokenize_unigram",
+    "clone_branch_divergence",
 ]
 
 

@@ -1587,6 +1587,53 @@ def main() -> int:
     duck_lo = round(sum(v[0] for v in duck_spread.values()), 4)
     duck_hi = round(sum(v[1] for v in duck_spread.values()), 4)
 
+    # Round-14 verdict task 7: the expensive LLM-pipeline half only
+    # surfaced in one-off BENCH_scale_* files, so a regression there
+    # was invisible to the per-round driver capture. A fixed DEEP pair
+    # — the streaming-gated corpus clean and the LSH gate replay —
+    # now rides every headline capture as separate keys (NOT folded
+    # into `value`: the headline total stays comparable across
+    # rounds). Median-of-3 with clearCache between runs (the
+    # honest-cold protocol — these ops pin caches by contract).
+    DEEP = ["clean_corpus_gated", "lsh_gate_replay"]
+    deep_t: dict[str, float] = {}
+    deep_d: dict[str, float] = {}
+    for name in DEEP:
+        fn = QUERIES[name]
+        spark.catalog.clearCache()
+        fn(spark, SF_DIR).toPandas()  # warm (codegen, footers)
+        samples = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).toPandas()
+            samples.append(time.perf_counter() - t0)
+        deep_t[name] = round(statistics.median(samples), 4)
+        log(f"deep spark {name}: {deep_t[name]:.3f}s")
+    for name in DEEP:
+        if name not in ORACLE:
+            continue
+        con = duckdb.connect()
+        for t in tables:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        con.execute(ORACLE[name]).df()  # warm
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(ORACLE[name]).df()
+            samples.append(time.perf_counter() - t0)
+        deep_d[name] = round(statistics.median(samples), 4)
+        con.close()
+        log(f"deep duckdb {name}: {deep_d[name]:.3f}s")
+    deep_ratio = {
+        n: round(deep_t[n] / deep_d[n], 4)
+        for n in deep_t
+        if deep_d.get(n, 0) > 0
+    }
+
     if baseline:
         rows = []
         for name in headline:
@@ -1648,6 +1695,11 @@ def main() -> int:
                 # change.
                 "spark_spread": spread,
                 "duckdb_spread": duck_spread,
+                # fixed deep set (heavy LLM ops) — tracked per round,
+                # excluded from `value`
+                "deep": deep_t,
+                "deep_duckdb": deep_d,
+                "deep_ratio": deep_ratio,
                 "value_band": [total_lo, total_hi],
                 "duckdb_band": [duck_lo, duck_hi],
                 "ratio_band": [

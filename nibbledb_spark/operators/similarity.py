@@ -554,6 +554,121 @@ def srp_topk(
 
 
 # ---------------------------------------------------------------------------
+# persisted SRP signature tables (build once, probe many)
+# ---------------------------------------------------------------------------
+# srp_topk recomputes EVERY corpus signature per query batch — n_tables
+# x n_planes dot products over the whole corpus before a single
+# candidate emerges. That query-time cost is what made SRP lose every
+# cell of the r14 ANN decision table; the production shape (the
+# lsh_incremental analogue) pays it ONCE: signatures + vectors persist
+# as parquet partitioned by (table, signature), and a probe reads only
+# the nq x n_tables matching bucket directories.
+
+
+def build_srp_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the SRP signature tables: one row per (table, vector)
+    with its bucket signature and the full vector, partitioned by
+    (t, sig) so probes are partition-pruned directory reads — vectors
+    are duplicated ``n_tables`` times, the standard multi-table LSH
+    space-for-recall trade (IVF posting lists make the same choice).
+    Layout: ``path/meta`` (one row: dim, n_planes, n_tables — probes
+    must hash with the SAME frozen planes) and
+    ``path/postings/t=T/sig=S/`` (id, v).
+    """
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(dim, n_planes, n_tables)], "dim int, n_planes int, n_tables int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    per_table = [
+        base.select(
+            F.lit(t).alias("t"),
+            srp_signature(
+                F.col("v"), dim, n_planes, plane_offset=t * n_planes
+            ).alias("sig"),
+            "id",
+            "v",
+        )
+        for t in range(n_tables)
+    ]
+    out = per_table[0]
+    for p in per_table[1:]:
+        out = out.unionByName(p)
+    (
+        out.repartition("t", "sig")
+        .write.mode("overwrite")
+        .partitionBy("t", "sig")
+        .parquet(f"{path}/postings")
+    )
+
+
+def srp_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a persisted SRP index: signature the QUERIES with the
+    index's frozen planes (meta), then join the (t, sig)-partitioned
+    posting tables on the bucket key — the broadcast join on the
+    partition columns prunes every directory outside the query bucket
+    set, so probe cost tracks bucket occupancy, not corpus size.
+    Candidates dedup across tables, self-pairs drop, exact cosine
+    reranks — identical semantics to the in-memory :func:`srp_topk`
+    with the same hyperparameters (pinned test)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    dim, n_planes, n_tables = meta["dim"], meta["n_planes"], meta["n_tables"]
+    post = spark.read.parquet(f"{path}/postings")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    per_table = [
+        q.select(
+            F.lit(t).alias("t"),
+            srp_signature(
+                F.col("qv"), dim, n_planes, plane_offset=t * n_planes
+            ).alias("sig"),
+            "query_id",
+            "qv",
+        )
+        for t in range(n_tables)
+    ]
+    qs = per_table[0]
+    for p in per_table[1:]:
+        qs = qs.unionByName(p)
+    cand = (
+        post.join(F.broadcast(qs), ["t", "sig"])
+        .where(F.col("id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "id"])
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the partition-pruned scale path
 # ---------------------------------------------------------------------------
 # Coarse quantizer: every corpus vector is assigned to its nearest

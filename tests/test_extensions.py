@@ -837,6 +837,46 @@ def test_persisted_ivf_index_roundtrip(spark, clustered_ann, tmp_path):
     assert one.count() > 0
 
 
+def test_persisted_srp_index_roundtrip(spark, clustered_ann, tmp_path):
+    """build_srp_index -> parquet; srp_topk_indexed over the stored
+    signature tables must equal the in-memory srp_topk with the same
+    frozen hyperplanes (round-14 verdict task 4: the production
+    persisted-signature shape), and the posting layout must be
+    (t, sig)-partitioned so probes prune to the query buckets."""
+    from nibbledb_spark.operators.similarity import (
+        build_srp_index,
+        srp_topk,
+        srp_topk_indexed,
+    )
+
+    corpus, queries, _ = clustered_ann
+    path = str(tmp_path / "srp")
+    build_srp_index(corpus, path, dim=8, n_planes=5, n_tables=3)
+
+    got = sorted(
+        tuple(r)
+        for r in srp_topk_indexed(spark, path, queries, 5).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in srp_topk(
+            corpus, queries, 5, dim=8, n_planes=5, n_tables=3
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # layout: n_tables top-level partitions, each split by signature
+    import glob as g
+
+    assert len(g.glob(path + "/postings/t=*")) == 3
+    assert len(g.glob(path + "/postings/t=0/sig=*")) >= 1
+    # every vector appears once per table
+    n = corpus.count()
+    assert (
+        spark.read.parquet(path + "/postings").count() == 3 * n
+    )
+
+
 def test_dedup_lines_global_keeps_first_occurrence(spark):
     """Boilerplate shared across docs survives only in the earliest
     (doc, pos); unique lines always survive; fully-boilerplate docs
