@@ -285,6 +285,7 @@ _FRONT_COST = {
     "graph_triangle_count": 1.5,
     "hard_negatives_indexed": 1.5,
     "ivfpq_rerank_indexed_bound": 2.0,
+    "srp_ann_topk_indexed": 2.0,
     "decontaminate_semantic": 1.5,
     "semdedup_keep": 1.6,
     "market_basket_lift": 1.65,

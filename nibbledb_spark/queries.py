@@ -3368,6 +3368,39 @@ def srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_topk(e, e.where(F.col("vec_id") < 5), 3, dim=64)
 
 
+@declared("srp_ann_topk_indexed", ORACLE["srp_ann_topk"])
+def srp_ann_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-signature form of srp_ann_topk (round-14 verdict
+    task 4: the production shape — signatures computed once at build,
+    probes read only the query buckets): build_srp_index with the same
+    frozen splitmix hyperplanes, srp_topk_indexed probe, identical
+    results to the in-memory path — so it shares srp_ann_topk's
+    hash-matched oracle (the near_dup_components_star pattern: two
+    algorithms, one oracle, the driver proves they agree on real
+    data). The index builds in a private tempdir; the result
+    materializes before cleanup (the ivfpq_rerank_indexed_bound
+    discipline)."""
+    import shutil
+    import tempfile
+
+    from nibbledb_spark.operators.similarity import (
+        build_srp_index,
+        srp_topk_indexed,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="nibblesrp_")
+    try:
+        build_srp_index(e, path, dim=64, n_planes=6, n_tables=2)
+        out = srp_topk_indexed(
+            spark, path, e.where(F.col("vec_id") < 5), 3
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @declared(
     "ivf_ann_topk",
     f"""
