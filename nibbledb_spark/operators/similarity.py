@@ -1348,6 +1348,92 @@ def pq_codebook(
     )
 
 
+def pq_codebook_kmeans(
+    corpus: DataFrame,
+    *,
+    m: int = 8,
+    dsub: int = 8,
+    codewords: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd-TRAINED PQ codebook (j, c, cw) — the FAISS
+    training step the deterministic lowest-id / hash-sampled codebooks
+    stand in for. The r15 natural-distribution ANN table measured why
+    it matters: untrained 16-codeword codebooks collapse recall at
+    scale (quantization error swamps inter-neighbor distances once
+    clusters fill in — BASELINE.md round-15 table); training the
+    codewords on the actual subvector distribution is what FAISS does
+    by default.
+
+    Init: the hash-sampled codebook (deterministic uniform sample);
+    each of ``n_iter`` rounds broadcast-assigns every corpus SUBVECTOR
+    to its nearest codeword by squared L2 (ties to the lowest c) and
+    recomputes codewords as per-(j, c, dim) member means via
+    scaled-long sums — order-independent at 1e-9 resolution, so the
+    trained codebook is identical on any partitioning (the
+    kmeans_centroids discipline, applied per subspace). A codeword
+    that loses every member keeps its previous value. Round cost: one
+    broadcast assign + one (j, c, dim) hash aggregate; the corpus
+    never shuffles vectors — only m x codewords x dsub mean cells
+    (KBs) return to the driver to seed the next round's broadcast,
+    the same driver-side metadata every k-means keeps.
+    """
+    spark = corpus.sparkSession
+    sub = _subvectors(corpus, "id", id_col, vec_col, m, dsub)
+    init = pq_codebook(
+        corpus, m=m, dsub=dsub, codewords=codewords,
+        id_col=id_col, vec_col=vec_col, sampled=True,
+    ).collect()
+    cw_map: dict[tuple[int, int], list[float]] = {
+        (r["j"], r["c"]): [float(x) for x in r["cw"]] for r in init
+    }
+
+    def as_df(mapping):
+        return spark.createDataFrame(
+            [(j, c, v) for (j, c), v in sorted(mapping.items())],
+            "j int, c int, cw array<double>",
+        )
+
+    for _ in range(n_iter):
+        w = Window.partitionBy("id", "j").orderBy(
+            F.col("d").asc(), F.col("c").asc()
+        )
+        best = (
+            sub.join(F.broadcast(as_df(cw_map)), "j")
+            .select(
+                "id", "j", "sv", "c",
+                _l2sq(F.col("sv"), F.col("cw")).alias("d"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        cells = (
+            best.select("j", "c", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("j", "c", "dim")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("val").cast("double") * 1e9 + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / 1e9
+                    / F.count("*")
+                ).alias("mval")
+            )
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in cells:
+            means.setdefault((r["j"], r["c"]), {})[r["dim"]] = r["mval"]
+        for key, dims in means.items():
+            prev = cw_map[key]
+            cw_map[key] = [dims.get(d, prev[d]) for d in range(dsub)]
+    return as_df(cw_map)
+
+
 def _lut_quantize(qsub: DataFrame, cb: DataFrame, mlt: float,
                   keys: tuple[str, ...]) -> DataFrame:
     """(*keys, j, c, dq): subvector-to-codeword distances quantized to
@@ -1585,6 +1671,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     by_residual: bool = False,
+    trained_codebook: bool = False,
 ) -> None:
     """IVF+PQ index (the FAISS IVFPQ shape, Jegou et al. TPAMI 2011):
     a k-means coarse quantizer routes vectors to posting lists, and
@@ -1618,16 +1705,33 @@ def build_ivfpq_index(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
         ).join(inv, "id")
         resid = _residuals(vw, cents)
-        cb = pq_codebook(
-            resid, m=m, dsub=dsub, codewords=codewords,
-            id_col="id", vec_col="res", sampled=True,
-        )
+        # trained_codebook: per-subspace Lloyd on the actual (residual)
+        # subvector distribution — the recall fix the r15
+        # natural-distribution table motivates; default stays the
+        # deterministic sampled/lowest-id convention for oracle and
+        # ledger stability
+        if trained_codebook:
+            cb = pq_codebook_kmeans(
+                resid, m=m, dsub=dsub, codewords=codewords,
+                id_col="id", vec_col="res",
+            )
+        else:
+            cb = pq_codebook(
+                resid, m=m, dsub=dsub, codewords=codewords,
+                id_col="id", vec_col="res", sampled=True,
+            )
         codes = pq_encode(resid, cb, m=m, dsub=dsub, id_col="id", vec_col="res")
     else:
-        cb = pq_codebook(
-            corpus, m=m, dsub=dsub, codewords=codewords,
-            id_col=id_col, vec_col=vec_col,
-        )
+        if trained_codebook:
+            cb = pq_codebook_kmeans(
+                corpus, m=m, dsub=dsub, codewords=codewords,
+                id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            cb = pq_codebook(
+                corpus, m=m, dsub=dsub, codewords=codewords,
+                id_col=id_col, vec_col=vec_col,
+            )
         codes = pq_encode(corpus, cb, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
     cb.write.mode("overwrite").parquet(f"{path}/codebook")
     _write_pq_meta(path, by_residual)  # before postings: readers fail closed

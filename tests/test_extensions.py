@@ -1389,6 +1389,57 @@ def test_pq_adc_cluster_purity(spark, clustered_ann):
     assert ok / len(out) >= 0.95, f"ADC own-cluster purity {ok / len(out):.3f}"
 
 
+def test_pq_codebook_kmeans_trains_and_is_deterministic(spark, clustered_ann):
+    """pq_codebook_kmeans (round-15): the per-subspace Lloyd refinement
+    must strictly reduce mean quantization error vs its hash-sampled
+    init on the clustered fixture (the property k-means optimizes), be
+    deterministic across partitionings (scaled-long means, id-ordered
+    ties), and keep the (j, c, cw) codebook shape every PQ consumer
+    expects. NOTE the r15 decision-table nuance pinned in BASELINE.md:
+    lower MSE does NOT imply better neighbor recall on multimodal data
+    with codewords < modes — training is an option, not a default."""
+    from pyspark.sql import Window
+
+    from nibbledb_spark.operators.similarity import (
+        _l2sq,
+        _subvectors,
+        pq_codebook,
+        pq_codebook_kmeans,
+    )
+
+    corpus, _, _ = clustered_ann
+    sub = _subvectors(corpus, "id", "vec_id", "embedding", 8, 8)
+
+    def mse(cb) -> float:
+        cbd = spark.createDataFrame(
+            cb.collect(), "j int, c long, cw array<double>"
+        )
+        w = Window.partitionBy("id", "j").orderBy(
+            F.col("d").asc(), F.col("c").asc()
+        )
+        best = (
+            sub.join(F.broadcast(cbd), "j")
+            .select("id", "j", "c", _l2sq(F.col("sv"), F.col("cw")).alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+        )
+        return best.agg(F.avg("d")).collect()[0][0]
+
+    init = pq_codebook(corpus, m=8, dsub=8, codewords=16, sampled=True)
+    trained = pq_codebook_kmeans(corpus, m=8, dsub=8, codewords=16, n_iter=3)
+    assert mse(trained) < mse(init)
+
+    rows = sorted(tuple(r) for r in trained.collect())
+    assert len(rows) == 8 * 16  # every (j, c) cell present
+    rows2 = sorted(
+        tuple(r)
+        for r in pq_codebook_kmeans(
+            corpus.repartition(7), m=8, dsub=8, codewords=16, n_iter=3
+        ).collect()
+    )
+    assert rows == rows2  # partitioning-invariant
+
+
 def test_pq_rerank_recall(spark, clustered_ann):
     """The full PQ pipeline (ADC candidates -> exact cosine rerank) must
     average recall@5 >= 0.95 with a 100-candidate pool (~5% of the
