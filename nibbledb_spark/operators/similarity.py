@@ -1693,7 +1693,13 @@ def build_ivfpq_index(
     The residual codebook uses deterministic hash sampling because the
     cluster centers' own residuals are near zero (a lowest-id codebook
     would be degenerate). Partition pruning over cid works exactly as in
-    :func:`build_ivf_index`."""
+    :func:`build_ivf_index`. ``trained_codebook=True`` swaps the
+    deterministic sampled/lowest-id codebook for the per-subspace
+    Lloyd-trained one (:func:`pq_codebook_kmeans`) — lower
+    quantization MSE, but see the r15 decision-table nuance: on
+    multimodal data with codewords < modes it REDUCES neighbor recall
+    (BASELINE.md round-15 PQ-lever addendum); default stays False for
+    oracle and ledger stability."""
     cents = kmeans_centroids(
         corpus, n_centroids, n_iter=kmeans_iters, id_col=id_col, vec_col=vec_col
     )

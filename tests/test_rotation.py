@@ -50,17 +50,26 @@ def test_rotation_partitions_registry():
     )
 
 
-def test_front_cost_keys_exist_in_registry():
+def test_front_cost_keys_exist_in_registry(monkeypatch):
     """_FRONT_COST is a free-text name->cost map: a registry rename or
     a typo would silently fall back to the 1.0 default and reorder the
-    time-boxed cheapest-first front (round-13 advice). _rotated raises
-    on unknown keys; pin both the raise and the current map."""
+    time-boxed cheapest-first front (round-13 advice). Round-14 advice
+    refined the contract: validation runs against the FULL QUERIES
+    registry, NOT the reg argument — oracle_sql() passes the smaller
+    ORACLE dict, and a legitimate cost hint on a no-oracle (APPROX)
+    name must not KeyError that path. Pin the map, the raise, and the
+    smaller-reg tolerance."""
     import pytest
 
     bad = [n for n in entry._FRONT_COST if n not in QUERIES]
     assert not bad, f"_FRONT_COST keys not in registry: {bad}"
+    # a reg argument missing a cost-hinted name is fine (the
+    # oracle_sql() shape)
+    entry._rotated({n: None for n in QUERIES if n != "ts_ewma"})
+    # a cost key absent from the FULL registry still fails loudly
+    monkeypatch.setitem(entry._FRONT_COST, "no_such_query_xyz", 1.0)
     with pytest.raises(KeyError, match="_FRONT_COST"):
-        entry._rotated({n: None for n in QUERIES if n != "ts_ewma"})
+        entry._rotated(dict(QUERIES))
 
 
 def test_registry_fully_oracle_paired():
