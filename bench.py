@@ -1596,6 +1596,8 @@ def main() -> int:
     # rounds). Median-of-3 with clearCache between runs (the
     # honest-cold protocol — these ops pin caches by contract).
     DEEP = ["clean_corpus_gated", "lsh_gate_replay"]
+    if headline is not HEADLINE:
+        DEEP = []  # --names subset runs: skip the fixed deep pair
     deep_t: dict[str, float] = {}
     deep_d: dict[str, float] = {}
     for name in DEEP:
