@@ -301,18 +301,20 @@ def shingle_rows(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    lead_cols = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)]
-    with_leads = toks.select("id", "tok", *lead_cols)
-    not_null = F.lit(True)
-    for j in range(1, n):
-        not_null = not_null & F.col(f"t{j}").isNotNull()
+    # window + predicate + concat built as SQL text: one parser pass
+    # each instead of ~6 py4j driver round trips per lead column
+    # (identical WindowExpression tree — default ASC NULLS FIRST on
+    # both paths; r15 opt, plan-construction profile)
+    lead_cols = [
+        f"lead(tok, {j}) OVER (PARTITION BY id ORDER BY pos) AS t{j}"
+        for j in range(1, n)
+    ]
+    with_leads = toks.selectExpr("id", "tok", *lead_cols)
+    not_null = " AND ".join(f"t{j} IS NOT NULL" for j in range(1, n))
+    shingle = ", ".join(["tok"] + [f"t{j}" for j in range(1, n)])
     return (
         with_leads.where(not_null)
-        .select(
-            "id",
-            F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)]).alias("shingle"),
-        )
+        .selectExpr("id", f"concat_ws(' ', {shingle}) AS shingle")
         .distinct()
     )
 
@@ -323,9 +325,7 @@ def minhash_rows(
     """(id, h0..h{k-1}) wide signature via hash aggregation over shingle
     rows — one shuffle on id, codegen'd md5s."""
     aggs = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))
-        ).alias(f"h{j}")
+        F.expr(f"min(md5(cast(concat('{j}:', shingle) as binary)))").alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return sh_rows.groupBy("id").agg(*aggs)
@@ -351,25 +351,16 @@ def _band_rows(sh: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
     materialize."""
     sig = minhash_rows(sh, num_hashes)
     n_bands = num_hashes // band_size
-    return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[f"h{b * band_size + i}" for i in range(band_size)],
-                            ).cast("binary")
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    structs = ", ".join(
+        "struct({b} AS band, md5(cast(concat_ws('|', {cols}) as binary)) AS bucket)".format(
+            b=b,
+            cols=", ".join(f"h{b * band_size + i}" for i in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+    return sig.selectExpr("id", f"explode(array({structs})) AS bb").select(
+        "id", "bb.band", "bb.bucket"
+    )
 
 
 def _lsh_candidates_from_sh(
@@ -1322,7 +1313,7 @@ def decontaminate_semantic(
         .select(
             "train_id",
             "eval_id",
-            cosine(F.col("tv"), F.col("ev")).alias("cos_sim"),
+            cosine("tv", "ev").alias("cos_sim"),
         )
         .where(F.col("cos_sim") > threshold)
     )

@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nibbledb_spark.operators.dedup import ngram_jaccard_pairs
-from nibbledb_spark.operators.text import STOPWORDS, lang_pred_col, tokens
+from nibbledb_spark.operators.text import (
+    lang_pred_sql,
+    stopword_ratio_sql,
+    tokens,
+    tokens_sql,
+)
 
 # Stop-shingle doc-frequency cap, ON by default. A shingle shared by d
 # documents contributes d*(d-1)/2 rows to the candidate join; boilerplate
@@ -67,17 +72,13 @@ def clean_corpus(
     """
     # quality + language are row-local expressions: ONE projection over
     # the corpus, no joins, no extra scans (exchange budget pinned in
-    # tests/test_plans.py)
-    w = tokens(text_col)
-    n = F.size(w)
-    stop_ratio = (
-        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / n
-    )
+    # tests/test_plans.py); built as one SQL parse — see text.py's
+    # SQL-text twins (r15 opt, plan-construction profile)
     keep0 = (
         docs.where(
-            (n >= min_tokens)
-            & (stop_ratio >= min_stopword_ratio)
-            & (lang_pred_col(text_col) == lang)
+            f"size({tokens_sql(text_col)}) >= {min_tokens}"
+            f" AND ({stopword_ratio_sql(text_col)}) >= {min_stopword_ratio!r}D"
+            f" AND ({lang_pred_sql(text_col)}) = '{lang}'"
         )
         .select(id_col, text_col)
     )

@@ -28,8 +28,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+# The dot/norm/cosine family accepts either Columns or SQL fragments
+# (column names / array literals as text). The string path builds the
+# WHOLE expression as one ``F.expr`` parse — the Column path pays ~1
+# py4j driver round trip per method call, and a single cosine() is ~40
+# calls (two HOF lambdas per dot), which measured as the dominant cost
+# of building the similarity plans (ivf_topk construction 0.53s, ~0.2s
+# of it in these helpers; r15 opt profile). Both paths produce the
+# identical Catalyst tree (same functions, same casts, same 0.0 double
+# init), so results and plan shape are bit-identical.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
     """Left-fold dot product in double precision (deterministic order)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -37,11 +57,17 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(v: Column) -> Column:
+def l2_norm(v: Column | str) -> Column:
+    if isinstance(v, str):
+        return F.expr(f"sqrt({_dot_sql(v, v)})")
     return F.sqrt(_dot(v, v))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+        )
     return _dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
@@ -68,12 +94,12 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        l2_norm(F.col(vec_col)).alias("qn"),
+        l2_norm(vec_col).alias("qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        l2_norm(F.col(vec_col)).alias("cn"),
+        l2_norm(vec_col).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -81,7 +107,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+            (_dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias(
                 "cos_sim"
             ),
         )
@@ -158,7 +184,7 @@ def mmr_topk(
             F.col("a.query_id").alias("query_id"),
             F.col("a.neighbor_id").alias("cand"),
             F.col("b.neighbor_id").alias("sel"),
-            cosine(F.col("a.cv"), F.col("b.cv")).alias("sim"),
+            cosine("a.cv", "b.cv").alias("sim"),
         )
         .persist()
     )
@@ -357,7 +383,7 @@ def hard_negatives(
             "query_label",
             "neighbor_id",
             "neighbor_label",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            cosine("qv", "cv").alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -471,7 +497,7 @@ def near_dup_pairs_cosine(
     b = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos_sim"))
+        .select("id1", "id2", cosine("v1", "v2").alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
@@ -495,9 +521,28 @@ def _hyperplane(dim: int, plane_id: int) -> list[float]:
 
 
 def srp_signature(
-    vec_col: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+    vec_col: Column | str, dim: int, n_planes: int = 8, plane_offset: int = 0
 ) -> Column:
-    """b-bit signed-random-projection signature as an int column."""
+    """b-bit signed-random-projection signature as an int column.
+
+    A string ``vec_col`` builds the whole signature — every hyperplane
+    array literal included — as ONE ``F.expr`` parse; the Column path
+    pays ~(dim + 8) py4j round trips PER PLANE on the driver (measured
+    as the bulk of srp plan construction; r15 opt). Identical tree:
+    double literals print via ``repr`` (shortest round-trip form), and
+    both Python ``float`` transfer and the SQL parser resolve that text
+    to the same IEEE-754 bits."""
+    if isinstance(vec_col, str):
+        terms = ["0"]
+        for b in range(n_planes):
+            arr = ", ".join(
+                f"{x!r}D" for x in _hyperplane(dim, plane_offset + b)
+            )
+            terms.append(
+                f"CASE WHEN {_dot_sql(vec_col, f'array({arr})')} > 0 "
+                f"THEN {2**b} ELSE 0 END"
+            )
+        return F.expr(" + ".join(terms))
     sig = F.lit(0)
     for b in range(n_planes):
         plane = F.array(*[F.lit(x) for x in _hyperplane(dim, plane_offset + b)])
@@ -525,7 +570,7 @@ def srp_topk(
     def with_sigs(df: DataFrame, idc: str, vc: str) -> DataFrame:
         cols = [F.col(id_col).alias(idc), F.col(vec_col).alias(vc)]
         for t in range(n_tables):
-            sig = srp_signature(F.col(vec_col), dim, n_planes, plane_offset=t * n_planes)
+            sig = srp_signature(vec_col, dim, n_planes, plane_offset=t * n_planes)
             cols.append(sig.alias(f"sig{t}"))
         return df.select(*cols)
 
@@ -541,7 +586,7 @@ def srp_topk(
     scored = (
         table_hits.dropDuplicates(["query_id", "neighbor_id"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+        .select("query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -593,7 +638,7 @@ def build_srp_index(
         base.select(
             F.lit(t).alias("t"),
             srp_signature(
-                F.col("v"), dim, n_planes, plane_offset=t * n_planes
+                "v", dim, n_planes, plane_offset=t * n_planes
             ).alias("sig"),
             "id",
             "v",
@@ -638,7 +683,7 @@ def srp_topk_indexed(
         q.select(
             F.lit(t).alias("t"),
             srp_signature(
-                F.col("qv"), dim, n_planes, plane_offset=t * n_planes
+                "qv", dim, n_planes, plane_offset=t * n_planes
             ).alias("sig"),
             "query_id",
             "qv",
@@ -660,7 +705,7 @@ def srp_topk_indexed(
         cand.select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            cosine("qv", "v").alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
@@ -704,7 +749,7 @@ def ivf_assign(
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
-        scored.select("id", "cid", cosine(F.col("v"), F.col("cv")).alias("cos"))
+        scored.select("id", "cid", cosine("v", "cv").alias("cos"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("id", "cid")
@@ -751,7 +796,7 @@ def kmeans_centroids(
         w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("cid").asc())
         best = (
             v.crossJoin(F.broadcast(cdf))
-            .select("id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("cos"))
+            .select("id", "v", "cid", cosine("v", "cv").alias("cos"))
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
         )
@@ -813,7 +858,7 @@ def ivf_topk(
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     qs = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "qv", "cid", cosine(F.col("qv"), F.col("cvec")).alias("cos")
+        "query_id", "qv", "cid", cosine("qv", "cvec").alias("cos")
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     probes = (
@@ -833,7 +878,7 @@ def ivf_topk(
     )
     return (
         cand.select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+            "query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim")
         )
         .withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
@@ -899,7 +944,7 @@ def semdedup(
             b,
             (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")),
         )
-        .where(cosine(F.col("a.v"), F.col("b.v")) > eps)
+        .where(cosine("a.v", "b.v") > eps)
         .select(F.col("b.id").alias("id"))
         .distinct()
     )
@@ -933,7 +978,7 @@ def near_dup_pairs_srp(
     base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     pairs = None
     for t in range(n_tables):
-        sig = srp_signature(F.col("v"), dim, n_planes, plane_offset=t * n_planes)
+        sig = srp_signature("v", dim, n_planes, plane_offset=t * n_planes)
         tagged = base.select("id", "v", sig.alias("sig"))
         a = tagged.select(
             F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("sig").alias("s")
@@ -948,7 +993,7 @@ def near_dup_pairs_srp(
     return (
         pairs.dropDuplicates(["id1", "id2"])
         .select(
-            "id1", "id2", cosine(F.col("v1"), F.col("v2")).alias("cos_sim")
+            "id1", "id2", cosine("v1", "v2").alias("cos_sim")
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -1055,7 +1100,7 @@ def ivf_topk_indexed(
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     qs = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qv", "cid", cosine(F.col("qv"), F.col("cvec")).alias("cos")
+        "query_id", "qv", "cid", cosine("qv", "cvec").alias("cos")
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     probes = (
@@ -1073,7 +1118,7 @@ def ivf_topk_indexed(
         cand.select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            cosine("qv", "v").alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
@@ -1125,7 +1170,7 @@ def hard_negatives_indexed(
     )
     qs = q.crossJoin(F.broadcast(cents)).select(
         "query_id", "query_label", "qv", "cid",
-        cosine(F.col("qv"), F.col("cvec")).alias("cos"),
+        cosine("qv", "cvec").alias("cos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     probes = (
@@ -1152,7 +1197,7 @@ def hard_negatives_indexed(
             "query_label",
             F.col("id").alias("neighbor_id"),
             "neighbor_label",
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            cosine("qv", "v").alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
@@ -1226,7 +1271,7 @@ def semdedup_gate(
                 m.alias("q")
                 .join(post.alias("i"), "cid")
                 .where(F.col("q.id") != F.col("i.id"))
-                .where(cosine(F.col("q.v"), F.col("i.v")) > eps)
+                .where(cosine("q.v", "i.v") > eps)
                 .select(F.col("q.id").alias(id_col))
                 .distinct()
             )
@@ -1237,7 +1282,7 @@ def semdedup_gate(
                     (F.col("a.cid") == F.col("b.cid"))
                     & (F.col("a.id") < F.col("b.id")),
                 )
-                .where(cosine(F.col("a.v"), F.col("b.v")) > eps)
+                .where(cosine("a.v", "b.v") > eps)
                 .select(F.col("b.id").alias(id_col))
                 .distinct()
             )
@@ -1646,7 +1691,7 @@ def pq_topk_rerank(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            cosine("qv", "cv").alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1789,7 +1834,7 @@ def ivfpq_topk_indexed(
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     qs = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qv", "cid", cosine(F.col("qv"), F.col("cvec")).alias("cos")
+        "query_id", "qv", "cid", cosine("qv", "cvec").alias("cos")
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     probes = (
@@ -1840,7 +1885,7 @@ def ivfpq_topk_indexed(
         pool.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+            "query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim")
         )
     )
     wr = Window.partitionBy("query_id").orderBy(

@@ -33,6 +33,31 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.col(col) if isinstance(col, str) else col, TOKEN_RE)
 
 
+# SQL-text twins of the hot row-local builders: one parser pass instead
+# of a py4j driver round trip per Column method call (the measured
+# dominant cost of constructing the text/cleaning plans; r15 opt).
+# Trees are identical to the Column versions — same functions, same
+# casts, same literals — so results and plan shape are unchanged.
+
+
+def tokens_sql(text_frag: str) -> str:
+    """SQL text of :func:`tokens` over a SQL fragment."""
+    return f"split({text_frag}, '\\\\s+')"
+
+
+def _in_list_sql(vals: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+
+def stopword_ratio_sql(text_frag: str) -> str:
+    """SQL text of the stopword-ratio expression (quality gates)."""
+    w = tokens_sql(text_frag)
+    return (
+        f"CAST(size(filter({w}, x -> x IN {_in_list_sql(STOPWORDS)})) AS DOUBLE)"
+        f" / size({w})"
+    )
+
+
 # GPT-2-style pre-tokenizer approximation: contractions, space-prefixed
 # letter runs, digit runs, punctuation runs. Restricted to constructs both
 # Java regex (Spark) and RE2 (DuckDB oracle) support identically — no
@@ -45,15 +70,14 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     counts, mean token length (exact integer ratios -> deterministic
     doubles), and a BPE-ish subword count from the GPT-2-style
     pre-tokenizer regex — the cheap LLM-token-budget estimator."""
-    w = tokens(text_col)
-    n = F.size(w)
+    w = tokens_sql(text_col)
     return docs.select(
         "doc_id",
-        n.alias("n_tokens"),
-        F.size(F.array_distinct(w)).alias("n_uniq_tokens"),
-        (
-            F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
-            / n
+        F.expr(f"size({w})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({w}))").alias("n_uniq_tokens"),
+        F.expr(
+            f"CAST(aggregate({w}, 0, (acc, x) -> acc + length(x)) AS DOUBLE)"
+            f" / size({w})"
         ).alias("mean_token_len"),
         F.regexp_count(F.col(text_col), F.lit(BPE_ISH_RE)).alias("n_bpe_tokens"),
     )
@@ -63,19 +87,35 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality scoring: type-token ratio, stopword ratio, and a
     blended score. The formula is fixed and documented so downstream
     filters are reproducible."""
-    w = tokens(text_col)
-    n = F.size(w)
-    uniq_ratio = F.size(F.array_distinct(w)).cast("double") / n
-    stop_ratio = (
-        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / n
-    )
+    w = tokens_sql(text_col)
+    uniq_ratio = f"CAST(size(array_distinct({w})) AS DOUBLE) / size({w})"
+    stop_ratio = stopword_ratio_sql(text_col)
     return docs.select(
         "doc_id",
-        n.alias("n_tokens"),
-        uniq_ratio.alias("uniq_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        (uniq_ratio * 0.5 + stop_ratio * 0.5).alias("quality_score"),
+        F.expr(f"size({w})").alias("n_tokens"),
+        F.expr(uniq_ratio).alias("uniq_ratio"),
+        F.expr(stop_ratio).alias("stopword_ratio"),
+        F.expr(f"({uniq_ratio}) * 0.5D + ({stop_ratio}) * 0.5D").alias(
+            "quality_score"
+        ),
     )
+
+
+def lang_pred_sql(text_frag: str) -> str:
+    """SQL text of :func:`lang_pred_col` over a SQL fragment — the
+    nested CASE is built as one string and parsed once (~60 py4j round
+    trips on the Column path)."""
+    w = tokens_sql(text_frag)
+    scores = {
+        lang: f"size(filter({w}, x -> x IN {_in_list_sql(m)}))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    best = f"'{LANG_ORDER[-1]}'"
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = [scores[o] for o in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]]
+        cond = " AND ".join(f"{scores[lang]} >= {o}" for o in later)
+        best = f"CASE WHEN {cond} THEN '{lang}' ELSE {best} END"
+    return f"CASE WHEN {text_frag} RLIKE '[一-鿿]' THEN 'zh' ELSE {best} END"
 
 
 def lang_pred_col(text_col: Column | str = "text") -> Column:
@@ -83,7 +123,9 @@ def lang_pred_col(text_col: Column | str = "text") -> Column:
     join). CJK codepoints force ``zh``; otherwise the language with the
     most marker hits wins, ties broken by the fixed LANG_ORDER.
     Deterministic by construction."""
-    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    if isinstance(text_col, str):
+        return F.expr(lang_pred_sql(text_col))
+    text = text_col
     w = tokens(text)
 
     # NB: higher-order-function lambdas must have exactly one parameter —

@@ -2936,7 +2936,7 @@ def embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        l2_norm(F.col("embedding")).alias("l2_norm"),
+        l2_norm("embedding").alias("l2_norm"),
     )
 
 
@@ -3821,7 +3821,7 @@ def embed_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nibbledb_spark.operators.similarity import cosine
 
     scored = e.join(F.broadcast(cent), "label").select(
-        "label", cosine(F.col("embedding"), F.col("centroid")).alias("c")
+        "label", cosine("embedding", "centroid").alias("c")
     )
     return (
         scored.groupBy("label")
@@ -5843,7 +5843,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qv))
         .select(
             F.col("vec_id").alias("doc_id"),
-            cosine(F.col("embedding"), F.col("qv")).alias("cos_sim"),
+            cosine("embedding", "qv").alias("cos_sim"),
         )
     )
     wv = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())

@@ -69,6 +69,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Py4J call-site capture for error context costs ~3 JVM round
+        # trips (incl. a conf.get) per DataFrame METHOD CALL on the
+        # driver — measured 40% of plan-construction time on the
+        # expression-heavy operators (clean_corpus build 0.64s -> 0.38s,
+        # r15 opt). Debug-message metadata only; plans and results are
+        # untouched. Scale-independent: this is driver-side Python API
+        # overhead, the same on local[4] and a 1000-executor cluster.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as raw int64 ns and convert explicitly.

@@ -51,6 +51,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.session.timeZone", "UTC"),
         # Arrow batch transfer for the pandas-UDF operators (mad, stateful).
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # Call-site capture for error context: ~3 driver round trips per
+        # DataFrame method call (see session.py). Must be set before the
+        # first wrapped call — pyspark memoizes the flag globally on
+        # first use — which holds here: every query path loads a table
+        # (and so runs this) before building expressions on it.
+        ("spark.python.sql.dataFrameDebugging.enabled", "false"),
     ):
         try:
             spark.conf.set(key, val)
