@@ -504,6 +504,21 @@ def _lsh_read(spark, path: str, table: str) -> DataFrame:
     return spark.read.parquet(*[_os.path.join(path, table, fn) for fn in m[table]])
 
 
+def _lsh_out_parts(spark, n_shingle_rows: int) -> int:
+    """Output part-file count for the LSH index tables, derived from
+    DATA VOLUME (guide-§6 file sizing), not the shuffle-partition
+    count: a crawl-batch add at 32 shuffle partitions was writing 32
+    tiny part files PER TABLE PER BATCH (~100 files after three
+    batches; every later probe re-lists and re-opens all of them —
+    measured as the bulk of the add+probe cost at sf0.1, r15 opt).
+    Sized at ~2M shingle rows (~128 MB raw) per file, floored at 1 and
+    capped at the session's parallelism so a giant build still writes
+    in parallel."""
+    rows_per_file = 2_000_000
+    cap = spark.sparkContext.defaultParallelism
+    return max(1, min(cap, (n_shingle_rows + rows_per_file - 1) // rows_per_file))
+
+
 def build_lsh_index(
     docs: DataFrame,
     path: str,
@@ -541,23 +556,29 @@ def build_lsh_index(
     # An empty shingle table (empty corpus, or every doc shorter than
     # shingle_n) would publish tables with ZERO part files, and the
     # manifest's empty file list breaks every reader. Reject up front
-    # with a usable message; the limit(1) probe also warms the persist.
-    if not sh.limit(1).count():
+    # with a usable message. The full count (not limit(1)) warms the
+    # whole persist — the three writes below need every row anyway —
+    # and sizes the output file count.
+    n_sh = sh.count()
+    if not n_sh:
         sh.unpersist()
         raise ValueError(
             "build_lsh_index: corpus yields no shingles (empty corpus or "
             f"all documents shorter than shingle_n={shingle_n}) — nothing "
             "to index"
         )
+    k_out = _lsh_out_parts(docs.sparkSession, n_sh)
     try:
         try:
-            _band_rows(sh, num_hashes, band_size).write.mode(
+            _band_rows(sh, num_hashes, band_size).coalesce(k_out).write.mode(
                 "errorifexists"
             ).parquet(_os.path.join(tmp, "bands"))
-            sh.write.mode("errorifexists").parquet(_os.path.join(tmp, "shingles"))
-            sh.groupBy("id").agg(F.count("*").alias("sz")).write.mode(
-                "errorifexists"
-            ).parquet(_os.path.join(tmp, "sizes"))
+            sh.coalesce(k_out).write.mode("errorifexists").parquet(
+                _os.path.join(tmp, "shingles")
+            )
+            sh.groupBy("id").agg(F.count("*").alias("sz")).coalesce(
+                k_out
+            ).write.mode("errorifexists").parquet(_os.path.join(tmp, "sizes"))
             with open(_os.path.join(tmp, "meta.json"), "w") as f:
                 _json.dump(
                     {
@@ -595,13 +616,16 @@ def lsh_index_add(
     id_col: str = "doc_id",
     text_col: str = "text",
     on_duplicate: str = "error",
+    shingles: DataFrame | None = None,
 ) -> None:
     """Incrementally index ``new_docs`` with the index's FROZEN
     parameters (shingle_n / num_hashes / band_size fixed at build, so
     old and new signatures stay comparable — the ivf_index_add
     contract). Appends only the new rows; corpus-side state is never
     recomputed. Equivalent to ``lsh_index_add_many(..., [new_docs])``
-    — see there for the enforcement and crash-safety contract."""
+    — see there for the enforcement and crash-safety contract.
+    ``shingles``: optional precomputed shingle rows of a SUPERSET of
+    ``new_docs`` at the index's shingle_n (see lsh_index_add_many)."""
     lsh_index_add_many(
         spark,
         path,
@@ -609,6 +633,7 @@ def lsh_index_add(
         id_col=id_col,
         text_col=text_col,
         on_duplicate=on_duplicate,
+        shingles=shingles,
     )
 
 
@@ -620,6 +645,7 @@ def lsh_index_add_many(
     id_col: str = "doc_id",
     text_col: str = "text",
     on_duplicate: str = "error",
+    shingles: DataFrame | None = None,
 ) -> None:
     """Index several crawl batches with ONE publish (round-9 verdict
     #4): a loop calling :func:`lsh_index_add` per batch pays a manifest
@@ -700,9 +726,25 @@ def lsh_index_add_many(
             ).where(F.col("__batch") == F.col("__first"))
     docs = docs.drop("__batch")
 
-    sh = shingle_rows(
-        docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
-    ).persist()
+    if shingles is not None:
+        # Precomputed shingle rows of a SUPERSET of the docs (the crawl
+        # gate shingles each batch once and the add's docs are that
+        # batch's survivors): semi-filter to the add's ids instead of
+        # re-shingling the text — identical rows, shingle_rows is a
+        # deterministic per-row projection. Single-batch only: the
+        # cross-batch dedup above rewrites ``docs`` in ways a shared
+        # shingle table cannot mirror.
+        if len(batches) > 1:
+            raise ValueError(
+                "lsh_index_add_many: shingles= is single-batch only"
+            )
+        sh = shingles.join(
+            docs.select(F.col(id_col).alias("id")).distinct(), "id", "semi"
+        ).persist()
+    else:
+        sh = shingle_rows(
+            docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
+        ).persist()
     staging = _os.path.join(path, f".staging-{_uuid.uuid4().hex[:8]}")
     try:
         indexed = _lsh_read(spark, path, "sizes").select("id")
@@ -718,11 +760,16 @@ def lsh_index_add_many(
             sh_new = sh.join(dups, "id", "anti").persist()
             sh.unpersist()
             sh = sh_new
-        _band_rows(sh, meta["num_hashes"], meta["band_size"]).write.mode(
-            "errorifexists"
-        ).parquet(_os.path.join(staging, "bands"))
-        sh.write.mode("errorifexists").parquet(_os.path.join(staging, "shingles"))
-        sh.groupBy("id").agg(F.count("*").alias("sz")).write.mode(
+        # Size the staged part files by volume, not shuffle parallelism
+        # (see _lsh_out_parts); the count doubles as the persist warm.
+        k_out = _lsh_out_parts(spark, sh.count())
+        _band_rows(sh, meta["num_hashes"], meta["band_size"]).coalesce(
+            k_out
+        ).write.mode("errorifexists").parquet(_os.path.join(staging, "bands"))
+        sh.coalesce(k_out).write.mode("errorifexists").parquet(
+            _os.path.join(staging, "shingles")
+        )
+        sh.groupBy("id").agg(F.count("*").alias("sz")).coalesce(k_out).write.mode(
             "errorifexists"
         ).parquet(_os.path.join(staging, "sizes"))
         new_files = {t: _lsh_part_files(_os.path.join(staging, t)) for t in _LSH_TABLES}
@@ -916,6 +963,7 @@ def lsh_query_near_dups(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    query_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dups of ``query_docs`` against the INDEXED corpus:
     query-side shingles/bands are computed on the fly with the frozen
@@ -926,7 +974,12 @@ def lsh_query_near_dups(
     pairs with itself. Corpus-side cost is reads, never recompute —
     and ZERO re-reads when ``path`` is an open :class:`LshIndex`
     handle (the probe-many loop's shape; a bare path re-resolves the
-    manifest per call, which is what a one-shot probe wants)."""
+    manifest per call, which is what a one-shot probe wants).
+
+    ``query_shingles``: optional precomputed ``shingle_rows`` of the
+    probe batch at the index's frozen ``shingle_n`` (caller-owned
+    persistence — the crawl gate computes one shingle table per batch
+    and feeds probe + intra-batch + add from it)."""
     import os as _os
 
     idx = path if isinstance(path, LshIndex) else None
@@ -938,10 +991,15 @@ def lsh_query_near_dups(
     # consumers (bands, intersect join, sizes) recompute the shingle
     # explode — a narrow deterministic projection over the probe batch,
     # which is small by design relative to the indexed corpus. Callers
-    # probing with a LARGE batch should .persist() query_docs
-    # themselves and unpersist after the action.
-    q_sh = shingle_rows(
-        query_docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
+    # probing with a LARGE batch should pass persisted
+    # ``query_shingles`` (or .persist() query_docs) themselves and
+    # unpersist after the action.
+    q_sh = (
+        query_shingles
+        if query_shingles is not None
+        else shingle_rows(
+            query_docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
+        )
     )
     q_bands = _band_rows(q_sh, meta["num_hashes"], meta["band_size"])
     idx_bands = idx.bands if idx else _lsh_read(spark, path, "bands")
@@ -990,6 +1048,7 @@ def ngram_jaccard_pairs(
     n: int = DEFAULT_SHINGLE_N,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every candidate pair.
 
@@ -1001,8 +1060,18 @@ def ngram_jaccard_pairs(
     blocking cap that bounds the join's group sizes at corpus scale
     (NOTE: changes semantics from exact to filtered-exact; leave None
     for oracle-exact results).
+
+    ``shingles`` is an optional precomputed ``shingle_rows(docs)``
+    frame (the crawl-gate shape: one shingle pass per batch feeds the
+    probe, the intra-batch step AND the index add). The CALLER owns its
+    persistence; without it this function persists its own shingle
+    table for the life of the returned plan.
     """
-    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n).persist()
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_rows(docs, id_col=id_col, text_col=text_col, n=n).persist()
+    )
     if max_doc_freq is not None:
         # The hot set (df > cap) is by construction the SMALL side — at
         # corpus scale it is the boilerplate shingles, thousands not
@@ -1974,12 +2043,24 @@ def lsh_dedup_gate(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.persist()
+        # ONE shingle pass per batch: the probe, the intra-batch pair
+        # join and the index add all consume the same persisted
+        # (id, shingle) table instead of each re-running the
+        # tokenize+lead-window+distinct chain over the batch (3x the
+        # batch's corpus pass at crawl scale; measured ~20% off the
+        # per-batch wall clock at sf0.1 — r15 opt). Owning the persist
+        # here also fixes the per-batch cache-entry leak the in-plan
+        # persists created (they could never be unpersisted).
+        batch_sh = shingle_rows(
+            batch, id_col=id_col, text_col=text_col, n=n
+        ).persist()
         survivors = None
         try:
             vs_index = (
                 lsh_query_near_dups(
                     spark, path, batch,
                     threshold=threshold, id_col=id_col, text_col=text_col,
+                    query_shingles=batch_sh,
                 )
                 .select(F.col("query_id").alias(id_col))
                 .distinct()
@@ -1987,7 +2068,7 @@ def lsh_dedup_gate(
             intra = (
                 ngram_jaccard_pairs(
                     batch, id_col=id_col, text_col=text_col,
-                    n=n, threshold=threshold,
+                    n=n, threshold=threshold, shingles=batch_sh,
                 )
                 .select(F.col("id2").alias(id_col))
                 .distinct()
@@ -2000,11 +2081,13 @@ def lsh_dedup_gate(
             lsh_index_add(
                 spark, path, survivors,
                 id_col=id_col, text_col=text_col, on_duplicate="skip",
+                shingles=batch_sh,
             )
             if on_pass is not None:
                 on_pass(survivors, batch_id)
         finally:
             batch.unpersist()
+            batch_sh.unpersist()
             if survivors is not None:
                 survivors.unpersist()
 

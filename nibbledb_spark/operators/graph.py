@@ -320,8 +320,20 @@ def bfs_hops(
         expanded = frontier.select(F.col("node").alias("src")).join(e, "src").select(
             F.col("dst").alias("node"), F.lit(i).cast("long").alias("hops")
         )
-        new_dist = dist.unionByName(expanded).groupBy("node").agg(
-            F.min("hops").alias("hops")
+        # Merge the round via aggregate-then-outer-join instead of
+        # union-then-aggregate: the union form re-shuffles the ENTIRE
+        # accumulated dist table every round, while here only the
+        # round's expansion is aggregated (one exchange) and dist —
+        # already hash-partitioned on node from the previous round —
+        # merges exchange-free (subset-partitioning rule, r15 opt;
+        # shuffled bytes per round drop from |dist|+|expansion| to
+        # |expansion|). Identical results: a node present in dist
+        # always has hops <= i-1 < i, so coalesce(dist, expansion)
+        # IS the min the union form computed.
+        cand = expanded.groupBy("node").agg(F.min("hops").alias("__ch"))
+        new_dist = (
+            dist.join(cand, "node", "full_outer")
+            .select("node", F.coalesce("hops", "__ch").alias("hops"))
         )
         if lazy:
             # each round is referenced TWICE downstream (the next
