@@ -1399,20 +1399,29 @@ def decontaminate_semantic(
     (:func:`~nibbledb_spark.operators.similarity.ivf_topk_indexed`)
     and exact-verify the survivors with this operator's predicate.
     """
-    from .similarity import cosine
+    from .similarity import _dot, l2_norm
 
+    # Norms factor OUT of the pair loop (the cosine_topk r14 lesson,
+    # ported r15): ||t|| once per training row, ||e|| once per broadcast
+    # eval row, so each (train x eval) pair pays ONE interpreted HOF
+    # fold (the dot) instead of three. Bit-identical: same operands,
+    # same dot/(tn*en) IEEE tree as cosine().
     tr = train.select(
-        F.col(id_col).alias("train_id"), F.col(vec_col).alias("tv")
+        F.col(id_col).alias("train_id"),
+        F.col(vec_col).alias("tv"),
+        l2_norm(vec_col).alias("tn"),
     )
     ev = eval_set.select(
-        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("ev"),
+        l2_norm(vec_col).alias("en"),
     )
     return (
         tr.crossJoin(F.broadcast(ev))
         .select(
             "train_id",
             "eval_id",
-            cosine("tv", "ev").alias("cos_sim"),
+            (_dot("tv", "ev") / (F.col("tn") * F.col("en"))).alias("cos_sim"),
         )
         .where(F.col("cos_sim") > threshold)
     )

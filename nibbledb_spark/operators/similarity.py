@@ -493,11 +493,24 @@ def near_dup_pairs_cosine(
                 f"{max_rows}). Use near_dup_pairs_srp (SRP-bucketed "
                 f"candidates + exact verify) for real corpora."
             )
-    a = corpus.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = corpus.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    # norms factor out of the pair loop (bit-identical; r15 opt)
+    a = corpus.select(
+        F.col(id_col).alias("id1"),
+        F.col(vec_col).alias("v1"),
+        l2_norm(vec_col).alias("n1"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id2"),
+        F.col(vec_col).alias("v2"),
+        l2_norm(vec_col).alias("n2"),
+    )
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", cosine("v1", "v2").alias("cos_sim"))
+        .select(
+            "id1",
+            "id2",
+            (_dot("v1", "v2") / (F.col("n1") * F.col("n2"))).alias("cos_sim"),
+        )
         .where(F.col("cos_sim") >= threshold)
     )
 
@@ -935,8 +948,17 @@ def semdedup(
     # shingle-table contract: the returned frame pins one corpus-sized
     # cache entry for its lifetime, callers wanting it released
     # materialize and unpersist via their own handle
+    # ||v|| rides the persisted assignment (one fold per corpus row),
+    # so every intra-cluster pair below pays ONE fold (the dot) instead
+    # of three — the cosine_topk norm-factoring lesson (bit-identical:
+    # same dot/(an*bn) IEEE tree; r15 opt).
     m = asg.join(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            l2_norm(vec_col).alias("vn"),
+        ),
+        "id",
     ).persist()
     a, b = m.alias("a"), m.alias("b")
     drops = (
@@ -944,7 +966,9 @@ def semdedup(
             b,
             (F.col("a.cid") == F.col("b.cid")) & (F.col("a.id") < F.col("b.id")),
         )
-        .where(cosine("a.v", "b.v") > eps)
+        .where(
+            (_dot("a.v", "b.v") / (F.col("a.vn") * F.col("b.vn"))) > eps
+        )
         .select(F.col("b.id").alias("id"))
         .distinct()
     )
@@ -1057,6 +1081,7 @@ def ivf_index_add(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
 ) -> None:
     """Incremental index maintenance: assign ``new_vectors`` to the
     index's EXISTING centroids (broadcast assignment — the corpus never
@@ -1065,10 +1090,24 @@ def ivf_index_add(
     periodic retrains; queries over the index see the new vectors
     immediately and results equal a from-scratch assignment of the
     union corpus to the same centroids (pinned test). Retrain = rebuild
-    with :func:`build_ivf_index` when drift warrants it."""
-    cents = spark.read.parquet(f"{path}/centroids")
-    inv = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col,
-                     cid_col="cid", cvec_col="cvec")
+    with :func:`build_ivf_index` when drift warrants it.
+
+    ``assignments``: optional precomputed (id, cid) rows for a SUPERSET
+    of ``new_vectors`` against THIS index's centroids (the crawl-gate
+    shape — the sink already assigned the whole batch, so the add
+    semi-filters those rows instead of re-running the broadcast sweep +
+    per-id window; assignment is deterministic for frozen centroids, so
+    the rows are identical)."""
+    if assignments is not None:
+        inv = assignments.select("id", "cid").join(
+            new_vectors.select(F.col(id_col).alias("id")).distinct(),
+            "id",
+            "semi",
+        )
+    else:
+        cents = spark.read.parquet(f"{path}/centroids")
+        inv = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col,
+                         cid_col="cid", cvec_col="cvec")
     vecs = new_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     (
         inv.join(vecs, "id")
@@ -1260,18 +1299,27 @@ def semdedup_gate(
             # the per-batch assignment has three consumers (vs-index
             # probe + both intra-join sides) — persist for the sink's
             # lifetime, released in the finally below
+            # norms factor out of both pair loops (one fold per batch
+            # row / per probed posting row instead of three per PAIR —
+            # the cosine_topk lesson, bit-identical; r15 opt)
             m = asg.join(
                 batch.select(
-                    F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("v"),
+                    l2_norm(vec_col).alias("vn"),
                 ),
                 "id",
             ).persist()
-            post = spark.read.parquet(f"{path}/postings")
+            post = spark.read.parquet(f"{path}/postings").select(
+                "cid", "id", "v", l2_norm("v").alias("vn")
+            )
             vs_index = (
                 m.alias("q")
                 .join(post.alias("i"), "cid")
                 .where(F.col("q.id") != F.col("i.id"))
-                .where(cosine("q.v", "i.v") > eps)
+                .where(
+                    (_dot("q.v", "i.v") / (F.col("q.vn") * F.col("i.vn"))) > eps
+                )
                 .select(F.col("q.id").alias(id_col))
                 .distinct()
             )
@@ -1282,7 +1330,9 @@ def semdedup_gate(
                     (F.col("a.cid") == F.col("b.cid"))
                     & (F.col("a.id") < F.col("b.id")),
                 )
-                .where(cosine("a.v", "b.v") > eps)
+                .where(
+                    (_dot("a.v", "b.v") / (F.col("a.vn") * F.col("b.vn"))) > eps
+                )
                 .select(F.col("b.id").alias(id_col))
                 .distinct()
             )
@@ -1298,6 +1348,10 @@ def semdedup_gate(
                 survivors.join(already, id_col, "left_anti"),
                 id_col=id_col,
                 vec_col=vec_col,
+                # the sink already assigned the whole batch (m) — the
+                # add semi-filters those rows instead of re-running the
+                # broadcast sweep + per-id window over the survivors
+                assignments=m.select("id", "cid"),
             )
             if on_pass is not None:
                 on_pass(survivors, batch_id)
