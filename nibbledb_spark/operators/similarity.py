@@ -1061,17 +1061,33 @@ def build_ivf_index(
         cents = kmeans_centroids(
             corpus, n_centroids, n_iter=kmeans_iters, id_col=id_col, vec_col=vec_col
         )
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
     inv = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col,
                      cid_col="cid", cvec_col="cvec")
     vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    (
-        inv.join(vecs, "id")
-        .repartition("cid")
-        .write.mode("overwrite")
-        .partitionBy("cid")
-        .parquet(f"{path}/postings")
-    )
+
+    # the two table writes are independent jobs (the assignment plans
+    # against the in-memory cents frame, not the written parquet) —
+    # overlap them (guide-§2.6, the LSH index-write pattern)
+    def _cents() -> None:
+        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+    def _postings() -> None:
+        (
+            inv.join(vecs, "id")
+            .repartition("cid")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(f"{path}/postings")
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(_cents), pool.submit(_postings)]
+        errs = [f.exception() for f in futures]
+    for err in errs:
+        if err is not None:
+            raise err
 
 
 def ivf_index_add(
@@ -1313,48 +1329,70 @@ def semdedup_gate(
             post = spark.read.parquet(f"{path}/postings").select(
                 "cid", "id", "v", l2_norm("v").alias("vn")
             )
-            vs_index = (
-                m.alias("q")
-                .join(post.alias("i"), "cid")
-                .where(F.col("q.id") != F.col("i.id"))
+            # ONE cluster-bounded reference join covers both drop
+            # rules: an INDEXED same-cluster row drops a batch vector
+            # under the self-id guard (rid != id), a BATCH same-cluster
+            # row drops the HIGHER id of the pair (rid < id). Same drop
+            # set as the former vs-index + intra-batch joins, but one
+            # join instead of two, and no distincts — left_anti is
+            # set-semantics on its right side already (fused r15: each
+            # of the two joins paid its own broadcast + agg stages on a
+            # 500-row batch).
+            ref = post.select(
+                "cid", F.col("id").alias("rid"), F.col("v").alias("rv"),
+                F.col("vn").alias("rvn"), F.lit(True).alias("indexed"),
+            ).unionByName(
+                m.select(
+                    "cid", F.col("id").alias("rid"), F.col("v").alias("rv"),
+                    F.col("vn").alias("rvn"), F.lit(False).alias("indexed"),
+                )
+            )
+            drops = (
+                m.join(ref, "cid")
                 .where(
-                    (_dot("q.v", "i.v") / (F.col("q.vn") * F.col("i.vn"))) > eps
-                )
-                .select(F.col("q.id").alias(id_col))
-                .distinct()
-            )
-            a, b = m.alias("a"), m.alias("b")
-            intra = (
-                a.join(
-                    b,
-                    (F.col("a.cid") == F.col("b.cid"))
-                    & (F.col("a.id") < F.col("b.id")),
+                    (F.col("indexed") & (F.col("rid") != F.col("id")))
+                    | (~F.col("indexed") & (F.col("rid") < F.col("id")))
                 )
                 .where(
-                    (_dot("a.v", "b.v") / (F.col("a.vn") * F.col("b.vn"))) > eps
+                    (_dot("v", "rv") / (F.col("vn") * F.col("rvn"))) > eps
                 )
-                .select(F.col("b.id").alias(id_col))
-                .distinct()
+                .select(F.col("id").alias(id_col))
             )
-            survivors = (
-                batch.join(vs_index, id_col, "left_anti")
-                .join(intra, id_col, "left_anti")
-                .persist()
-            )
-            already = post.select(F.col("id").alias(id_col)).distinct()
-            ivf_index_add(
-                spark,
-                path,
-                survivors.join(already, id_col, "left_anti"),
-                id_col=id_col,
-                vec_col=vec_col,
-                # the sink already assigned the whole batch (m) — the
-                # add semi-filters those rows instead of re-running the
-                # broadcast sweep + per-id window over the survivors
-                assignments=m.select("id", "cid"),
-            )
-            if on_pass is not None:
-                on_pass(survivors, batch_id)
+            survivors = batch.join(drops, id_col, "left_anti").persist()
+            # materialize once so the two independent publishes below
+            # are cache reads, then OVERLAP them (guide-§2.6, the LSH
+            # index-write pattern): the postings append and the caller's
+            # on_pass commit share no state beyond the cached frame.
+            survivors.count()
+            already = post.select(F.col("id").alias(id_col))
+
+            def _add() -> None:
+                ivf_index_add(
+                    spark,
+                    path,
+                    survivors.join(already, id_col, "left_anti"),
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    # the sink already assigned the whole batch (m) —
+                    # the add semi-filters those rows instead of
+                    # re-running the broadcast sweep + per-id window
+                    assignments=m.select("id", "cid"),
+                )
+
+            if on_pass is None:
+                _add()
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    futures = [
+                        pool.submit(_add),
+                        pool.submit(on_pass, survivors, batch_id),
+                    ]
+                    errs = [f.exception() for f in futures]
+                for err in errs:
+                    if err is not None:
+                        raise err
         finally:
             batch.unpersist()
             if m is not None:

@@ -3605,10 +3605,13 @@ def semdedup_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivf_index(seed, idx, centroids=cents)
 
     def on_pass(surv: DataFrame, batch_id: int) -> None:
+        # a few hundred cached rows per batch: one part file, not one
+        # per shuffle partition (guide-§6 output sizing — 32 tiny
+        # files per batch made the final read re-list ~100 files)
         surv.select(
             F.lit(batch_id).cast("long").alias("batch_id"),
             F.col("vec_id").cast("long").alias("vec_id"),
-        ).write.mode("append").parquet(passed)
+        ).coalesce(1).write.mode("append").parquet(passed)
 
     sink = semdedup_gate(spark, idx, eps=0.35, on_pass=on_pass)
     for t_ in (1, 2, 3):
