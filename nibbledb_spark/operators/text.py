@@ -195,67 +195,83 @@ def winnow_fingerprints(
     of positions are kept. Returns (id, pos, fp) — pos is the 0-based
     k-gram index, fp the 40-bit k-gram hash.
 
-    Shape at scale: the whole selection is ROW-LOCAL (array HOFs over
-    the per-doc token array — build k-grams, encode (hash, pos) into
-    one BIGINT, per-window array_min, distinct) so the plan has ZERO
-    exchanges before the final explode; documents are the parallelism
-    unit, exactly what a 100 TB corpus wants. Integer-exact end to end.
-    Docs shorter than ``k`` tokens yield no rows; docs with fewer than
-    ``w`` k-grams yield the single whole-doc window (every doc with
-    content gets at least one fingerprint)."""
+    Shape at scale: k-grams are built RELATIONALLY — posexplode the
+    token array, assemble each gram with ``lead`` over the per-doc
+    position order (the shingle_rows pattern), hash-encode in a
+    codegen'd projection, and take the per-window minimum with a
+    ``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`` frame over the SAME
+    window partitioning (no second exchange). One exchange on doc id
+    plus the distinct — and every stage whole-stage-codegens.
+
+    This REPLACED a zero-exchange array-HOF form, by measurement
+    (r15 opt, sf0.1 corpus): the HOF form re-ran the entire md5 pass
+    per window start (interpreted lambdas get no subexpression
+    elimination — O(n^2) md5s per doc, 232 s); staging the hash array
+    in its own projection fixed the quadratic but the interpreted
+    per-element md5+conv chain still ran at ~30 µs/gram single-digit
+    (8.9 s where this form is 1.9 s and DuckDB 0.9 s). The inverse of
+    the Gopher-bigram negative result: HOF-vs-relational trades need
+    measurement in BOTH directions. Integer-exact end to end; docs
+    shorter than ``k`` tokens yield no rows; docs with fewer than ``w``
+    k-grams yield the single whole-doc window (every doc with content
+    gets at least one fingerprint)."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     if w < 1:
         raise ValueError(f"w must be >= 1: {w}")
     cap = _WINNOW_POS_CAP
-    toks = tokens(text_col)
-    n_kg = F.size(toks) - F.lit(k - 1)
-    idxs = F.when(
-        n_kg > 0, F.sequence(F.lit(0), n_kg - 1)
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    combined = F.transform(
-        idxs,
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)).cast("binary")),
-                1,
-                10,
-            ),
-            16,
-            10,
-        ).cast("long")
-        * F.lit(cap)
-        + (F.lit(cap - 1) - i),
+    tk = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
     )
-    n = F.size(combined)
-    starts = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
-    sel = F.when(
-        n > 0,
-        F.array_distinct(
-            F.transform(starts, lambda i: F.array_min(F.slice(combined, i + 1, w)))
-        ),
-    ).otherwise(F.expr("array()").cast("array<long>"))
+    # gram text via lead() on the per-doc position order — SQL text,
+    # one parser pass per column (the shingle_rows r15 pattern)
+    lead_exprs = [
+        f"lead(tok, {j}) OVER (PARTITION BY id ORDER BY pos) AS t{j}"
+        for j in range(1, k)
+    ]
+    grams = tk.selectExpr("id", "pos", "tok", *lead_exprs)
+    not_null = (
+        " AND ".join(f"t{j} IS NOT NULL" for j in range(1, k))
+        if k > 1
+        else "true"
+    )
+    gram_txt = ", ".join(["tok"] + [f"t{j}" for j in range(1, k)])
+    enc = grams.where(not_null).selectExpr(
+        "id",
+        "pos",
+        f"conv(substring(md5(cast(concat_ws(' ', {gram_txt}) as binary))"
+        f", 1, 10), 16, 10) * CAST({cap} AS BIGINT)"
+        f" + CAST({cap - 1} - pos AS BIGINT) AS enc",
+    )
+    sel = enc.selectExpr(
+        "id",
+        "pos",
+        f"min(enc) OVER (PARTITION BY id ORDER BY pos"
+        f" ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m",
+        "count(*) OVER (PARTITION BY id) AS nk",
+    ).where(f"pos <= greatest(nk - {w}, 0)")
     # The position encoding holds for at most 2^20 k-grams; past that,
-    # (cap-1-i) goes negative and silently corrupts BOTH fp and pos for
-    # the doc. Fail loudly instead: assert_true is row-local and
-    # codegen-friendly (returns NULL when the bound holds, raises with
-    # the offending doc id when it doesn't), so the zero-exchange plan
-    # shape is unchanged.
+    # (cap-1-pos) goes negative and silently corrupts BOTH fp and pos
+    # for the doc. Fail loudly instead: assert_true is row-local
+    # (returns NULL when the bound holds, raises with the offending doc
+    # id when it doesn't), and every over-cap doc has at least the
+    # pos=0 selection row, so the check cannot be filtered away.
     cap_ok = F.assert_true(
-        n_kg <= F.lit(cap),
+        F.col("nk") <= F.lit(cap),
         F.concat(
             F.lit("winnow_fingerprints: document "),
-            F.col(id_col).cast("string"),
+            F.col("id").cast("string"),
             F.lit(f" exceeds {cap} k-grams; chunk longer docs first"),
         ),
     )
-    sel = F.when(cap_ok.isNull(), sel)
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(sel).alias("c"))
+        sel.select("id", F.when(cap_ok.isNull(), F.col("m")).alias("m"))
+        .distinct()
         .select(
             F.col("id").alias(id_col),
-            (F.lit(cap - 1) - F.col("c").bitwiseAND(cap - 1)).alias("pos"),
-            F.shiftright("c", 20).alias("fp"),
+            (F.lit(cap - 1) - F.col("m").bitwiseAND(cap - 1)).alias("pos"),
+            F.shiftright("m", 20).alias("fp"),
         )
     )
 

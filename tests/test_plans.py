@@ -210,6 +210,26 @@ def test_round9_operator_shuffle_budgets(spark):
     assert "BroadcastHashJoin" in buf.getvalue()
 
 
+def test_winnow_relational_plan_shape(spark):
+    """winnow_fingerprints is the RELATIONAL winnowing plan (r15 opt):
+    the md5-encode projection must appear exactly once (the array-HOF
+    ancestor re-ran the whole md5 pass per window start — O(n^2) per
+    doc, 232 s at sf0.1 vs 0.98 s relational), the window min must ride
+    the lead() window's partitioning (one exchange on doc id), and
+    every heavy stage must whole-stage-codegen (the interpreted-HOF
+    penalty was the residual 8 s)."""
+    from nibbledb_spark.plans.scale import exchange_count
+    from nibbledb_spark.queries import QUERIES
+
+    df = QUERIES["fingerprint_winnowing"](spark, SF)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert physical.count("conv(") == 1, "md5 pass must be single-site"
+    assert "transform(" not in physical, "array-HOF form resurfaced"
+    # lead-window + distinct: the min frame shares the lead exchange
+    assert exchange_count(df) <= 2, exchange_count(df)
+    assert "Window" in physical
+
+
 def test_day_partition_prunes_time_ranges(spark, tmp_path_factory):
     """Layout v2: ts bounds derive day-partition predicates that prune
     whole day directories BEFORE any file opens — and unlike row-group
