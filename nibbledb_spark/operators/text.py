@@ -666,19 +666,24 @@ def lm_quality_scores(
     m = 10**scale
 
     def bigrams(df: DataFrame, *keep: str) -> DataFrame:
-        w = tokens(F.col(text_col))
+        # The token array MUST materialize in its own projection before
+        # the pairing lambda indexes it: split() inlined into the
+        # transform re-ran per ELEMENT (two O(|text|) splits per
+        # bigram — quadratic per doc, the winnow_fingerprints lesson;
+        # measured 6.3 s -> 1.0 s at sf0.1, r15 opt). Indexing the
+        # bound column is O(1); rows and order are identical.
+        staged = df.select(*keep, tokens(F.col(text_col)).alias("__lm_toks"))
         pairs = F.when(
-            F.size(w) >= 2,
+            F.size(F.col("__lm_toks")) >= 2,
             F.expr(
                 # Spark arrays are 0-indexed in bracket syntax; the
                 # sequence guard avoids the descending-sequence gotcha
                 # for 1-token docs
-                f"transform(sequence(0, size(split({text_col}, '\\\\s+')) - 2),"
-                " i -> struct(split(" + text_col + ", '\\\\s+')[i] AS w1,"
-                " split(" + text_col + ", '\\\\s+')[i+1] AS w2))"
+                "transform(sequence(0, size(__lm_toks) - 2),"
+                " i -> struct(__lm_toks[i] AS w1, __lm_toks[i+1] AS w2))"
             ),
         ).otherwise(F.array())
-        return df.select(*keep, F.explode(pairs).alias("b")).select(
+        return staged.select(*keep, F.explode(pairs).alias("b")).select(
             *keep, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
         )
 

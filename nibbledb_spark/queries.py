@@ -7433,16 +7433,22 @@ def recursive_month_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders for dense monthly counts — empty months surface as 0 instead
     of silently vanishing, the classic report-calendar shape. The
     recursion itself is driver-cheap (one row per month, ~80 rounds);
-    the order counts stay one hash aggregate over the scan."""
+    the order counts stay one hash aggregate over the scan.
+
+    The stop bound rides the recursion as a COLUMN: the original
+    correlated scalar subquery re-scanned orders for MAX(o_orderdate)
+    on every one of the ~80 recursion rounds (measured 15.8 s at
+    sf0.1; threading the bound through the anchor row reads it once —
+    0.99 s, identical ladder; r15 opt)."""
     _views(spark, sf_dir, "orders")
     return spark.sql(
         """
-        WITH RECURSIVE months(m) AS (
-          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) FROM orders
+        WITH RECURSIVE months(m, mx) AS (
+          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
+                 CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+          FROM orders
           UNION ALL
-          SELECT add_months(m, 1) FROM months
-          WHERE m < (SELECT CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
-                     FROM orders)
+          SELECT add_months(m, 1), mx FROM months WHERE m < mx
         )
         SELECT m AS month, COUNT(o_orderkey) AS n_orders
         FROM months LEFT JOIN orders
