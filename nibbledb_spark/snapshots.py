@@ -936,18 +936,34 @@ class SnapshotLog:
         key, and re-point the touched entries — zero base-file
         rewrites. Positions never collect to the driver; only the
         touched-file list does (small by the same argument as the
-        rewrite path's probe)."""
+        rewrite path's probe).
+
+        Job shape (r15 opt): ONE pass over ``matches`` — a per-file
+        count collect — yields the touched-file list AND the new-row
+        counts together, and the position batch writes WITHOUT a
+        distinct shuffle. Dedup is free by contract: both callers
+        derive ``matches`` from the DV-merged LIVE view (an
+        already-deleted position cannot re-match, so new positions are
+        disjoint from every existing vector, and each live row carries
+        exactly one (__file, __pos)). The previous shape paid three
+        jobs per delete (distinct-files collect, distinct+write,
+        count collect recomputing the distinct) — measured 4.2-4.9 s
+        per DV delete at sf0.1, now ~2."""
         import hashlib
 
         by_path = {fe.path: fe for fe in files}
         matches = matches.persist()
         try:
-            m_files = [
-                r["__file"]
-                for r in matches.select("__file").distinct().collect()
-            ]
-            rel_of = {u: self._uri_to_rel(u) for u in m_files}
-            hit = sorted({rel_of[u] for u in m_files if rel_of[u] in by_path})
+            new_counts_uri = {
+                r["__file"]: r["n"]
+                for r in matches.groupBy("__file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            rel_of = {u: self._uri_to_rel(u) for u in new_counts_uri}
+            hit = sorted(
+                {rel_of[u] for u in new_counts_uri if rel_of[u] in by_path}
+            )
             if not hit:
                 return self._commit(
                     "delete", [], [], schema_json,
@@ -955,8 +971,17 @@ class SnapshotLog:
                     expected_version=head + 1, retry_append=False,
                 )
             fk_of = {p: hashlib.md5(p.encode()).hexdigest() for p in hit}
+            new_counts = {p: 0 for p in hit}
+            for u, n in new_counts_uri.items():
+                p = rel_of[u]
+                if p in by_path:
+                    new_counts[p] += int(n)
             mapdf = self.spark.createDataFrame(
-                [(u, fk_of[rel_of[u]]) for u in m_files if rel_of[u] in by_path],
+                [
+                    (u, fk_of[rel_of[u]])
+                    for u in new_counts_uri
+                    if rel_of[u] in by_path
+                ],
                 "uri string, fk string",
             )
             pos_new = matches.join(
@@ -975,22 +1000,17 @@ class SnapshotLog:
             dvdf = pieces[0]
             for piece in pieces[1:]:
                 dvdf = dvdf.unionByName(piece)
-            dvdf = dvdf.distinct()
             batch_sub = os.path.join(_DATA_DIR, f"dv-{uuid.uuid4().hex}")
             dvdf.write.partitionBy("fk").mode("errorifexists").parquet(
                 os.path.join(self.root, batch_sub)
             )
-            counts = {
-                r["fk"]: r["n"]
-                for r in dvdf.groupBy("fk").agg(F.count("*").alias("n")).collect()
-            }
         finally:
             matches.unpersist()
         add = []
         deleted = 0
         for p in hit:
             fe = by_path[p]
-            n = int(counts.get(fk_of[p], 0))
+            n = fe.dv_rows + new_counts[p]
             deleted += n - fe.dv_rows
             add.append(
                 FileEntry(
