@@ -2125,14 +2125,25 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 10 + 2).alias("c"),
         )
         .distinct()
+        # The symmetrizing union references the expensive join+distinct
+        # twice, and pagerank's setup (nodes distinct, degree join)
+        # evaluates its edge expression ~5x — persist the SMALL distinct
+        # pair set so all of those are cache reads (one lineitem-scale
+        # shuffle total). Only sound together with AQE-coalesced cached
+        # plans (canChangeCachedPlanOutputPartitioning, session.py):
+        # with the default frozen cache layout this measured WORSE —
+        # 32-partition cache, 64-partition union, every iteration
+        # re-reading the blown-up layout (r15 opt).
+        .persist()
     )
     edges = pairs.select(
         F.col("s").alias("src"), F.col("c").alias("dst")
     ).unionByName(pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")))
-    return (
-        pagerank(edges, iterations=5, damping=(85, 100), scale=9)
-        .orderBy("node")
+    out = pagerank(edges, iterations=5, damping=(85, 100), scale=9).orderBy(
+        "node"
     )
+    pairs.unpersist()  # pagerank materialized its loop frames; lineage-only now
+    return out
 
 
 @declared(

@@ -57,6 +57,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
         # first use — which holds here: every query path loads a table
         # (and so runs this) before building expressions on it.
         ("spark.python.sql.dataFrameDebugging.enabled", "false"),
+        # AQE may re-optimize cached plans (coalesce their shuffles):
+        # iterative operators persist per round, and a frozen cache
+        # layout multiplies every later round's task count (see
+        # session.py for the pagerank measurement).
+        ("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"),
     ):
         try:
             spark.conf.set(key, val)
