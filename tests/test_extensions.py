@@ -865,11 +865,27 @@ def test_persisted_srp_index_roundtrip(spark, clustered_ann, tmp_path):
     )
     assert got == want and len(got) > 0
 
-    # layout: n_tables top-level partitions, each split by signature
+    # layout (r15): plain parquet clustered by (t, sig) — no per-bucket
+    # hive directories — with driver-written meta.json; probes prune via
+    # a PUSHED (t, sig) filter against the sorted row groups.
     import glob as g
+    import os as _os
 
-    assert len(g.glob(path + "/postings/t=*")) == 3
-    assert len(g.glob(path + "/postings/t=0/sig=*")) >= 1
+    assert g.glob(path + "/postings/*.parquet")
+    assert not g.glob(path + "/postings/t=*")
+    assert _os.path.exists(path + "/meta.json")
+    probe_plan = srp_topk_indexed(
+        spark, path, queries, 5
+    )._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        ln.split("PushedFilters:", 1)[1]
+        for ln in probe_plan.splitlines()
+        if "PushedFilters" in ln
+    ]
+    # Catalyst prints a 1-element isin as EqualTo(sig,..) (clustered
+    # fixtures collapse all query buckets to one sig); either form
+    # proves the bucket predicate reached the parquet scan.
+    assert any("sig" in p for p in pushed), probe_plan
     # every vector appears once per table
     n = corpus.count()
     assert (
