@@ -25,7 +25,7 @@ convergence counter, never rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -47,11 +47,23 @@ def connected_components(
     Raises ``RuntimeError`` if ``max_iter`` rounds do not converge
     (diameter > max_iter — not a near-dup-shaped graph).
     """
-    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("peer"))
+    # Symmetrize via one explode, not union(e, e.reversed): the union
+    # form evaluates the caller's edge plan twice (often an expensive
+    # pair join — only its exchanges get reused, not the join compute).
     sym = (
-        e.unionByName(
-            e.select(F.col("peer").alias("node"), F.col("node").alias("peer"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("node"), F.col(dst).alias("peer")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("node"), F.col(src).alias("peer")
+                    ),
+                )
+            ).alias("np")
         )
+        .select("np.node", "np.peer")
         .where(F.col("node") != F.col("peer"))
         .distinct()
         .persist()
@@ -59,6 +71,7 @@ def connected_components(
     labels = sym.select("node").distinct().withColumn("label", F.col("node")).persist()
     labels.count()  # materialize so each round starts from a fixed frame
 
+    lbl_t = labels.schema["label"].dataType
     try:
         for _ in range(max_iter):
             msgs = sym.join(labels, "node").select(
@@ -72,18 +85,38 @@ def connected_components(
             # requirement for iterative DataFrame algorithms. (On a
             # cluster with executor loss concerns, swap for reliable
             # checkpoint() against a checkpoint dir.)
+            #
+            # Convergence costs no extra job: the node's old label rides
+            # through the min-aggregate (labels carries exactly one row
+            # per node, so min(__old) recovers it) and the changed count
+            # is an Observation on the checkpoint's own materialization
+            # — one job per round where a join-and-count was a second.
+            obs = Observation()
             new = (
-                labels.unionByName(msgs)
+                labels.withColumn("__old", F.col("label"))
+                .unionByName(
+                    msgs.withColumn("__old", F.lit(None).cast(lbl_t))
+                )
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min("__old").alias("__old"),
+                )
+                .observe(
+                    obs,
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                F.col("label") == F.col("__old"), 0
+                            ).otherwise(1)
+                        ),
+                        F.lit(0),
+                    ).alias("changed"),
+                )
+                .select("node", "label")
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "node")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            changed = obs.get["changed"]
             labels.unpersist()
             labels = new
             if changed == 0:
@@ -119,20 +152,27 @@ def connected_components_star(
     :func:`connected_components`). Fixpoint detection is an
     order-independent (count, xxhash-sum) signature of the edge set.
     """
-    e = (
+    def chk_sig(df: DataFrame) -> tuple[DataFrame, tuple]:
+        """localCheckpoint ``df`` and return it with its fixpoint
+        signature — observed on the checkpoint's own materialization,
+        so signing costs no second job per round."""
+        obs = Observation()
+        chk = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias(
+                "h"
+            ),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return chk, (m["n"], m["h"])
+
+    e, sig = chk_sig(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-
-    def signature(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count("*").alias("n"),
-            # bit_xor: order-independent and overflow-free under ANSI
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
 
     def large_star(df: DataFrame) -> DataFrame:
         sym = df.unionByName(
@@ -162,10 +202,8 @@ def connected_components_star(
             .distinct()
         )
 
-    sig = signature(e)
     for _ in range(max_iter):
-        e2 = small_star(large_star(e)).localCheckpoint(eager=True)
-        sig2 = signature(e2)
+        e2, sig2 = chk_sig(small_star(large_star(e)))
         e.unpersist()
         e = e2
         if sig2 == sig:
