@@ -1070,7 +1070,8 @@ def build_ivf_index(
     index, the same mechanism the points store uses for buckets).
 
     Index layout: ``path/centroids`` (cid, cvec — tiny, broadcast at
-    query time) and ``path/postings/cid=N/`` (id, v).
+    query time) and ``path/postings/cid=N/`` (id, v, vn — the stored
+    L2 norm, so probes never re-fold corpus-side norms).
 
     ``centroids`` (cid, cvec) overrides the k-means quantizer with a
     caller-supplied one — e.g. the lowest-id coarse quantizer when the
@@ -1096,8 +1097,14 @@ def build_ivf_index(
         cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
     def _postings() -> None:
+        # vn (the vector's L2 norm) is corpus-side state: computed ONCE
+        # here, it saves every probe batch a per-row interpreted fold
+        # over the posting lists forever after (r15 opt — the persisted
+        # analogue of the semdedup norm factoring; parquet doubles
+        # round-trip exactly, so stored-vs-recomputed is bit-identical)
         (
             inv.join(vecs, "id")
+            .withColumn("vn", l2_norm("v"))
             .repartition("cid")
             .write.mode("overwrite")
             .partitionBy("cid")
@@ -1151,11 +1158,23 @@ def ivf_index_add(
     vecs = new_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     (
         inv.join(vecs, "id")
+        .withColumn("vn", l2_norm("v"))  # see build_ivf_index
         .repartition("cid")
         .write.mode("append")
         .partitionBy("cid")
         .parquet(f"{path}/postings")
     )
+
+
+def _ivf_postings_with_norms(spark, path: str) -> DataFrame:
+    """Read an IVF posting table with its stored per-vector norm,
+    recomputing ``vn`` only for indexes written before the column
+    existed (bit-identical either way — same fold, and parquet doubles
+    round-trip exactly)."""
+    post = spark.read.parquet(f"{path}/postings")
+    if "vn" not in post.columns:
+        post = post.withColumn("vn", l2_norm("v"))
+    return post
 
 
 def ivf_topk_indexed(
@@ -1173,19 +1192,26 @@ def ivf_topk_indexed(
     partitions (the cid filter is a partition predicate — directories
     outside the probe set are never opened). Results are identical to
     the in-memory :func:`ivf_topk` built with the same centroids
-    (pinned test)."""
+    (pinned test). The rerank pays ONE fold per candidate pair: the
+    query norm is computed once per query row, the corpus norm is the
+    index's stored ``vn`` (r15 opt — same operands and multiply order
+    as ``cosine()``, bit-identical)."""
     cents = spark.read.parquet(f"{path}/centroids")
-    post = spark.read.parquet(f"{path}/postings")
+    post = _ivf_postings_with_norms(spark, path)
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
+    )
     qs = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qv", "cid", cosine("qv", "cvec").alias("cos")
+        "query_id", "qv", "qn", "cid", cosine("qv", "cvec").alias("cos")
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     probes = (
         qs.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cid")
+        .select("query_id", "qv", "qn", "cid")
     )
     cand = post.join(F.broadcast(probes), "cid").where(
         F.col("id") != F.col("query_id")
@@ -1197,7 +1223,7 @@ def ivf_topk_indexed(
         cand.select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            cosine("qv", "v").alias("cos_sim"),
+            (_dot("qv", "v") / (F.col("qn") * F.col("vn"))).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
@@ -1240,22 +1266,23 @@ def hard_negatives_indexed(
     cos_sim), ties on neighbor id.
     """
     cents = spark.read.parquet(f"{path}/centroids")
-    post = spark.read.parquet(f"{path}/postings")
+    post = _ivf_postings_with_norms(spark, path)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
         F.col(vec_col).alias("qv"),
+        l2_norm(vec_col).alias("qn"),
     )
     qs = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "query_label", "qv", "cid",
+        "query_id", "query_label", "qv", "qn", "cid",
         cosine("qv", "cvec").alias("cos"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
     probes = (
         qs.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("query_id", "query_label", "qv", "cid")
+        .select("query_id", "query_label", "qv", "qn", "cid")
     )
     lab = labels.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("neighbor_label")
@@ -1276,7 +1303,9 @@ def hard_negatives_indexed(
             "query_label",
             F.col("id").alias("neighbor_id"),
             "neighbor_label",
-            cosine("qv", "v").alias("cos_sim"),
+            # one fold per pair: query norm from the probe row, corpus
+            # norm from the index (bit-identical to cosine(), r15 opt)
+            (_dot("qv", "v") / (F.col("qn") * F.col("vn"))).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
@@ -1350,8 +1379,10 @@ def semdedup_gate(
                 ),
                 "id",
             ).persist()
-            post = spark.read.parquet(f"{path}/postings").select(
-                "cid", "id", "v", l2_norm("v").alias("vn")
+            # corpus norms come from the index (computed once at
+            # build/add, not re-folded per probe batch — r15 opt)
+            post = _ivf_postings_with_norms(spark, path).select(
+                "cid", "id", "v", "vn"
             )
             # ONE cluster-bounded reference join covers both drop
             # rules: an INDEXED same-cluster row drops a batch vector
