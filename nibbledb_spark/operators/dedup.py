@@ -2117,13 +2117,36 @@ def lsh_dedup_gate(
                 .join(intra, id_col, "left_anti")
                 .persist()
             )
-            lsh_index_add(
-                spark, path, survivors,
-                id_col=id_col, text_col=text_col, on_duplicate="skip",
-                shingles=batch_sh,
-            )
-            if on_pass is not None:
-                on_pass(survivors, batch_id)
+
+            def _add() -> None:
+                lsh_index_add(
+                    spark, path, survivors,
+                    id_col=id_col, text_col=text_col, on_duplicate="skip",
+                    shingles=batch_sh,
+                )
+
+            if on_pass is None:
+                _add()
+            else:
+                # materialize once so the two independent publishes read
+                # the cache, then OVERLAP them (guide-§2.6, the semdedup
+                # gate's pattern): the index add and the caller's commit
+                # share no state beyond the cached survivors, and the
+                # sink only returns once BOTH settle — a crash mid-sink
+                # replays the whole batch (add skips, on_pass idempotent
+                # by batch_id), so exactly-once is unchanged.
+                from concurrent.futures import ThreadPoolExecutor
+
+                survivors.count()
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    futures = [
+                        pool.submit(_add),
+                        pool.submit(on_pass, survivors, batch_id),
+                    ]
+                    errs = [f.exception() for f in futures]
+                for err in errs:
+                    if err is not None:
+                        raise err
         finally:
             batch.unpersist()
             batch_sh.unpersist()
