@@ -319,15 +319,33 @@ def shingle_rows(
     )
 
 
+def _minhash_agg_sql(num_hashes: int) -> list[str]:
+    """One min-md5 aggregate expression per hash slot (shared SQL text
+    source for the Column path and the fused-SQL path)."""
+    return [
+        f"min(md5(cast(concat('{j}:', shingle) as binary))) AS h{j}"
+        for j in range(num_hashes)
+    ]
+
+
+def _band_struct_sql(num_hashes: int, band_size: int) -> str:
+    """The banded-bucket struct array over h0..h{k-1} signature columns."""
+    n_bands = num_hashes // band_size
+    return ", ".join(
+        "struct({b} AS band, md5(cast(concat_ws('|', {cols}) as binary)) AS bucket)".format(
+            b=b,
+            cols=", ".join(f"h{b * band_size + i}" for i in range(band_size)),
+        )
+        for b in range(n_bands)
+    )
+
+
 def minhash_rows(
     sh_rows: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
     """(id, h0..h{k-1}) wide signature via hash aggregation over shingle
     rows — one shuffle on id, codegen'd md5s."""
-    aggs = [
-        F.expr(f"min(md5(cast(concat('{j}:', shingle) as binary)))").alias(f"h{j}")
-        for j in range(num_hashes)
-    ]
+    aggs = [F.expr(s) for s in _minhash_agg_sql(num_hashes)]
     return sh_rows.groupBy("id").agg(*aggs)
 
 
@@ -350,14 +368,7 @@ def _band_rows(sh: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
     signature table both the in-plan pipeline and the persisted index
     materialize."""
     sig = minhash_rows(sh, num_hashes)
-    n_bands = num_hashes // band_size
-    structs = ", ".join(
-        "struct({b} AS band, md5(cast(concat_ws('|', {cols}) as binary)) AS bucket)".format(
-            b=b,
-            cols=", ".join(f"h{b * band_size + i}" for i in range(band_size)),
-        )
-        for b in range(n_bands)
-    )
+    structs = _band_struct_sql(num_hashes, band_size)
     return sig.selectExpr("id", f"explode(array({structs})) AS bb").select(
         "id", "bb.band", "bb.bucket"
     )
@@ -395,33 +406,42 @@ def near_dup_pairs_minhash_fast(
     both sides of the intersection join); Spark recomputes unshared
     branches, so it is persisted for the life of this plan — the in-plan
     analogue of materializing the shingle table once per corpus, which
-    is what a 100 TB dedup run does anyway."""
+    is what a 100 TB dedup run does anyway.
+
+    The post-shingle pipeline (signatures, banding, candidate join,
+    intersection, Jaccard) is ONE ``spark.sql`` call over the persisted
+    shingle table: classic PySpark re-runs the analyzer over the whole
+    deepening tree at every DataFrame method call (~26 ms per join on
+    this chain), so the ~20-call chain cost ~0.4 s of driver time
+    before any job ran; the fused form parses and analyzes the
+    identical tree once (~0.25 s build — r15 opt, plan and results
+    unchanged, oracle-verified)."""
     sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=shingle_n).persist()
-    cands = _lsh_candidates_from_sh(sh, num_hashes, band_size)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col("id").alias("id1"), F.col("shingle").alias("s"))
-    s2 = sh.select(F.col("id").alias("id2"), F.col("shingle").alias("s"))
-    inter = (
-        cands.join(s1, "id1")
-        .join(s2, ["id2", "s"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("inter"))
-    )
-    z1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
-    z2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
-    return (
-        inter.join(z1, "id1")
-        .join(z2, "id2")
-        .select(
-            "id1",
-            "id2",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    hashes = ", ".join(_minhash_agg_sql(num_hashes))
+    structs = _band_struct_sql(num_hashes, band_size)
+    q = f"""
+WITH sig AS (SELECT id, {hashes} FROM {{sh}} GROUP BY id),
+bands AS (SELECT id, bb.band, bb.bucket
+          FROM (SELECT id, explode(array({structs})) AS bb FROM sig)),
+cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+          FROM bands a JOIN bands b USING (band, bucket) WHERE a.id < b.id),
+sizes AS (SELECT id, count(*) AS sz FROM {{sh}} GROUP BY id),
+inter AS (
+  SELECT id1, id2, count(*) AS inter
+  FROM cands
+  JOIN (SELECT id AS id1, shingle AS s FROM {{sh}}) s1 USING (id1)
+  JOIN (SELECT id AS id2, shingle AS s FROM {{sh}}) s2 USING (id2, s)
+  GROUP BY id1, id2)
+SELECT id1, id2, jaccard FROM (
+  SELECT id1, id2, cast(inter AS double) / (z1.sz1 + z2.sz2 - inter) AS jaccard
+  FROM inter
+  JOIN (SELECT id AS id1, sz AS sz1 FROM sizes) z1 USING (id1)
+  JOIN (SELECT id AS id2, sz AS sz2 FROM sizes) z2 USING (id2)
+) WHERE jaccard >= {threshold!r}
+"""
+    from nibbledb_spark.session import sql_over
+
+    return sql_over(docs.sparkSession, q, sh=sh)
 
 
 # --- persisted incremental LSH index ----------------------------------------
@@ -772,16 +792,17 @@ def lsh_index_add_many(
             )
         sh = shingles.join(
             docs.select(F.col(id_col).alias("id")).distinct(), "id", "semi"
-        ).persist()
+        )
     else:
         sh = shingle_rows(
             docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
-        ).persist()
+        )
     staging = _os.path.join(path, f".staging-{_uuid.uuid4().hex[:8]}")
     try:
         indexed = _lsh_read(spark, path, "sizes").select("id")
-        dups = sh.select("id").distinct().join(indexed, "id", "semi")
         if on_duplicate == "error":
+            sh = sh.persist()
+            dups = sh.select("id").distinct().join(indexed, "id", "semi")
             offenders = [r["id"] for r in dups.limit(5).collect()]
             if offenders:
                 raise ValueError(
@@ -789,9 +810,12 @@ def lsh_index_add_many(
                     f"{offenders}; pass on_duplicate='skip' to drop them"
                 )
         else:
-            sh_new = sh.join(dups, "id", "anti").persist()
-            sh.unpersist()
-            sh = sh_new
+            # 'skip' drops already-indexed ids — ONE anti join on the
+            # lazy chain (the distinct+semi probe set exists only to
+            # NAME offenders in the error path), persisted once; the
+            # old shape persisted the pre-filter table too and then
+            # immediately superseded it (r15 opt).
+            sh = sh.join(indexed, "id", "left_anti").persist()
         # Size the staged part files by volume, not shuffle parallelism
         # (see _lsh_out_parts); the count doubles as the persist warm.
         k_out = _lsh_out_parts(spark, sh.count())
@@ -1031,42 +1055,49 @@ def lsh_query_near_dups(
             query_docs, id_col=id_col, text_col=text_col, n=meta["shingle_n"]
         )
     )
-    q_bands = _band_rows(q_sh, meta["num_hashes"], meta["band_size"])
     idx_bands = idx.bands if idx else _lsh_read(spark, path, "bands")
-    cand = (
-        q_bands.alias("q")
-        .join(idx_bands.alias("i"), ["band", "bucket"])
-        .where(F.col("q.id") != F.col("i.id"))
-        .select(F.col("q.id").alias("query_id"), F.col("i.id").alias("index_id"))
-        .distinct()
-    )
     idx_sh = idx.shingles if idx else _lsh_read(spark, path, "shingles")
-    inter = (
-        cand.join(q_sh.select(F.col("id").alias("query_id"), "shingle"), "query_id")
-        .join(
-            idx_sh.select(F.col("id").alias("index_id"), "shingle"),
-            ["index_id", "shingle"],
-        )
-        .groupBy("query_id", "index_id")
-        .agg(F.count("*").alias("inter"))
-    )
-    q_sizes = q_sh.groupBy("id").agg(F.count("*").alias("q_sz"))
     idx_sizes = idx.sizes if idx else _lsh_read(spark, path, "sizes")
-    return (
-        inter.join(q_sizes.select(F.col("id").alias("query_id"), "q_sz"), "query_id")
-        .join(
-            idx_sizes.select(F.col("id").alias("index_id"), F.col("sz").alias("i_sz")),
-            "index_id",
-        )
-        .select(
-            "query_id",
-            "index_id",
-            (
-                F.col("inter").cast("double")
-                / (F.col("q_sz") + F.col("i_sz") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    # One spark.sql call for the whole probe pipeline (query banding,
+    # candidate equi-join, intersection, Jaccard) — the analyzer-once
+    # rationale of near_dup_pairs_minhash_fast. This builder runs once
+    # PER MICRO-BATCH in lsh_dedup_gate, so the ~0.3 s/call of saved
+    # driver time recurs per crawl batch; sql_over keeps the open
+    # handle's persisted index frames cached.
+    hashes = ", ".join(_minhash_agg_sql(meta["num_hashes"]))
+    structs = _band_struct_sql(meta["num_hashes"], meta["band_size"])
+    sql = f"""
+WITH q_bands AS (
+  SELECT id, bb.band, bb.bucket
+  FROM (SELECT id, explode(array({structs})) AS bb
+        FROM (SELECT id, {hashes} FROM {{q_sh}} GROUP BY id))),
+cand AS (
+  SELECT DISTINCT q.id AS query_id, i.id AS index_id
+  FROM q_bands q JOIN {{idx_bands}} i USING (band, bucket) WHERE q.id != i.id),
+inter AS (
+  SELECT query_id, index_id, count(*) AS inter
+  FROM cand
+  JOIN (SELECT id AS query_id, shingle FROM {{q_sh}}) qs USING (query_id)
+  JOIN (SELECT id AS index_id, shingle FROM {{idx_sh}}) ix USING (index_id, shingle)
+  GROUP BY query_id, index_id),
+q_sizes AS (SELECT id AS query_id, count(*) AS q_sz FROM {{q_sh}} GROUP BY id)
+SELECT query_id, index_id, jaccard FROM (
+  SELECT query_id, index_id,
+         cast(inter AS double) / (q_sz + i_sz - inter) AS jaccard
+  FROM inter
+  JOIN q_sizes USING (query_id)
+  JOIN (SELECT id AS index_id, sz AS i_sz FROM {{idx_sizes}}) iz USING (index_id)
+) WHERE jaccard >= {threshold!r}
+"""
+    from nibbledb_spark.session import sql_over
+
+    return sql_over(
+        q_sh.sparkSession,
+        sql,
+        q_sh=q_sh,
+        idx_bands=idx_bands,
+        idx_sh=idx_sh,
+        idx_sizes=idx_sizes,
     )
 
 
@@ -1119,31 +1150,59 @@ def ngram_jaccard_pairs(
         # Persist the CAPPED table as well: three consumers follow
         # (sizes + both join sides) and without this each replays the
         # anti-join probe — measured 2x on clean_corpus end-to-end.
+        #
+        # This branch keeps the incremental DataFrame chain: the capped
+        # persist's analyzed subtree is large, and the fused-SQL form
+        # re-analyzes it from scratch 3x (measured slightly SLOWER than
+        # the chain, whose calls reuse already-analyzed children); the
+        # uncapped path below is where analyzer-once pays (r15 opt A/B).
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    s1 = sh.select(F.col("id").alias("id1"), F.col("shingle").alias("s"))
-    s2 = sh.select(F.col("id").alias("id2"), F.col("shingle").alias("s"))
-    inter = (
-        s1.join(s2, "s")
-        .where(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("inter"))
-    )
-    z1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
-    z2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
-    return (
-        inter.join(z1, "id1")
-        .join(z2, "id2")
-        .select(
-            "id1",
-            "id2",
-            (
-                F.col("inter").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("inter"))
-            ).alias("jaccard"),
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        s1 = sh.select(F.col("id").alias("id1"), F.col("shingle").alias("s"))
+        s2 = sh.select(F.col("id").alias("id2"), F.col("shingle").alias("s"))
+        inter = (
+            s1.join(s2, "s")
+            .where(F.col("id1") < F.col("id2"))
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("inter"))
         )
-        .where(F.col("jaccard") >= threshold)
-    )
+        z1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+        z2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+        return (
+            inter.join(z1, "id1")
+            .join(z2, "id2")
+            .select(
+                "id1",
+                "id2",
+                (
+                    F.col("inter").cast("double")
+                    / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+    # One spark.sql call for the whole post-shingle pipeline — same
+    # analyzer-once rationale as near_dup_pairs_minhash_fast (this
+    # builder also runs once PER MICRO-BATCH inside lsh_dedup_gate, so
+    # the saved driver time recurs per batch).
+    q = f"""
+WITH sizes AS (SELECT id, count(*) AS sz FROM {{sh}} GROUP BY id),
+inter AS (
+  SELECT id1, id2, count(*) AS inter
+  FROM (SELECT id AS id1, shingle AS s FROM {{sh}}) s1
+  JOIN (SELECT id AS id2, shingle AS s FROM {{sh}}) s2 USING (s)
+  WHERE id1 < id2
+  GROUP BY id1, id2)
+SELECT id1, id2, jaccard FROM (
+  SELECT id1, id2, cast(inter AS double) / (z1.sz1 + z2.sz2 - inter) AS jaccard
+  FROM inter
+  JOIN (SELECT id AS id1, sz AS sz1 FROM sizes) z1 USING (id1)
+  JOIN (SELECT id AS id2, sz AS sz2 FROM sizes) z2 USING (id2)
+) WHERE jaccard >= {threshold!r}
+"""
+    from nibbledb_spark.session import sql_over
+
+    return sql_over(sh.sparkSession, q, sh=sh)
 
 
 def winnow_near_dup_pairs(
@@ -1739,8 +1798,6 @@ def substring_dup_spans(
     broadcast-anti-join shape as ngram_jaccard_pairs (None = exact,
     the oracle-checked setting).
     """
-    from pyspark.sql import Window
-
     k = min_tokens
     # persist: the anchor table feeds BOTH sides of the self-join (and
     # the doc-freq cap when enabled); without this the tokenize + lead
@@ -1758,45 +1815,35 @@ def substring_dup_spans(
             .select("h")
         )
         anch = anch.join(F.broadcast(hot), "h", "left_anti")
-    a = anch.select(
-        F.col("id").alias("d1"), F.col("pos").alias("p1"), "h"
-    )
-    b = anch.select(
-        F.col("id").alias("d2"), F.col("pos").alias("p2"), "h"
-    )
-    hits = (
-        a.join(b, "h")
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag"))
-    )
-    wd = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
-    flagged = hits.withColumn(
-        "is_start",
-        F.when(F.lag("p1").over(wd) == F.col("p1") - 1, F.lit(0)).otherwise(
-            F.lit(1)
-        ),
-    )
-    runs = flagged.withColumn(
-        "run_id",
-        F.sum("is_start").over(
-            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    return (
-        runs.groupBy("d1", "d2", "diag", "run_id")
-        .agg(
-            F.min("p1").alias("start1"),
-            F.min("p2").alias("start2"),
-            (F.max("p1") - F.min("p1") + F.lit(k)).alias("len_tokens"),
-        )
-        .select(
-            F.col("d1").alias("doc_id1"),
-            F.col("d2").alias("doc_id2"),
-            F.col("start1").cast("long").alias("start1"),
-            F.col("start2").cast("long").alias("start2"),
-            F.col("len_tokens").cast("long").alias("len_tokens"),
-        )
-    )
+    # One spark.sql call for the whole post-anchor pipeline (self-join,
+    # diagonal run merge, span fold) — same analyzer-once rationale as
+    # near_dup_pairs_minhash_fast.
+    q = f"""
+WITH hits AS (
+  SELECT a.id AS d1, b.id AS d2, a.pos AS p1, b.pos AS p2, a.pos - b.pos AS diag
+  FROM {{anch}} a JOIN {{anch}} b ON a.h = b.h AND a.id < b.id
+),
+flagged AS (
+  SELECT d1, d2, p1, p2, diag,
+         CASE WHEN lag(p1) OVER (PARTITION BY d1, d2, diag ORDER BY p1) = p1 - 1
+              THEN 0 ELSE 1 END AS is_start
+  FROM hits
+),
+runs AS (
+  SELECT d1, d2, p1, p2, diag,
+         sum(is_start) OVER (PARTITION BY d1, d2, diag ORDER BY p1
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+)
+SELECT d1 AS doc_id1, d2 AS doc_id2,
+       cast(min(p1) AS bigint) AS start1,
+       cast(min(p2) AS bigint) AS start2,
+       cast(max(p1) - min(p1) + {k} AS bigint) AS len_tokens
+FROM runs GROUP BY d1, d2, diag, run_id
+"""
+    from nibbledb_spark.session import sql_over
+
+    return sql_over(anch.sparkSession, q, anch=anch)
 
 
 def substring_dup_extent(
