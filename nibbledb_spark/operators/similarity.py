@@ -63,11 +63,13 @@ def l2_norm(v: Column | str) -> Column:
     return F.sqrt(_dot(v, v))
 
 
+def _cos_sql(a: str, b: str) -> str:
+    return f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+
+
 def cosine(a: Column | str, b: Column | str) -> Column:
     if isinstance(a, str) and isinstance(b, str):
-        return F.expr(
-            f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
-        )
+        return F.expr(_cos_sql(a, b))
     return _dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
@@ -884,43 +886,60 @@ def ivf_topk(
     ``centroids`` (cid, cvec) overrides the default lowest-id coarse
     quantizer — pass :func:`kmeans_centroids` output for the
     quality/scale path (the default stays oracle-replicable in SQL).
+
+    The whole probe pipeline (assignment, query probing, candidate
+    join, rerank) is ONE ``spark.sql`` call — the analyzer-once
+    rationale of ``near_dup_pairs_minhash_fast`` (build 0.20 s ->
+    0.10 s, plan and results identical: same broadcast joins, same
+    Exchange count — r15 opt). Broadcasts that were ``F.broadcast``
+    calls are ``/*+ BROADCAST(...) */`` hints.
     """
     if centroids is None:
-        centroids = (
-            corpus.orderBy(F.col(id_col).asc())
-            .limit(n_centroids)
-            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        cent_sql = (
+            f"SELECT {id_col} AS cid, {vec_col} AS cvec FROM {{corpus}} "
+            f"ORDER BY {id_col} ASC LIMIT {n_centroids}"
         )
-    inv = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+        frames = dict(corpus=corpus, queries=queries)
+    else:
+        cent_sql = "SELECT cid, cvec FROM {cents}"
+        frames = dict(corpus=corpus, queries=queries, cents=centroids)
+    q = f"""
+WITH cent AS ({cent_sql}),
+inv AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM (SELECT /*+ BROADCAST(cent) */ c.id, cent.cid,
+                 {_cos_sql('c.v', 'cent.cvec')} AS cos
+          FROM (SELECT {id_col} AS id, {vec_col} AS v FROM {{corpus}}) c
+          CROSS JOIN cent)
+  ) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT query_id, qv, cid,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM (SELECT /*+ BROADCAST(cent) */ q.query_id, q.qv, cent.cid,
+                 {_cos_sql('q.qv', 'cent.cvec')} AS cos
+          FROM (SELECT {id_col} AS query_id, {vec_col} AS qv FROM {{queries}}) q
+          CROSS JOIN cent)
+  ) WHERE rn <= {nprobe}),
+cand AS (
+  SELECT /*+ BROADCAST(probes) */ probes.query_id, probes.qv, inv.id
+  FROM inv JOIN probes USING (cid) WHERE inv.id != probes.query_id)
+SELECT query_id, neighbor_id, rank, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM (SELECT cand.query_id, cv.neighbor_id,
+               {_cos_sql('cand.qv', 'cv.cv')} AS cos_sim
+        FROM cand
+        JOIN (SELECT {id_col} AS neighbor_id, {vec_col} AS cv FROM {{corpus}}) cv
+        ON cand.id = cv.neighbor_id)
+) WHERE rank <= {k}
+"""
+    from nibbledb_spark.session import sql_over
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    qs = q.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "qv", "cid", cosine("qv", "cvec").alias("cos")
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    probes = (
-        qs.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("query_id", "qv", "cid")
-    )
-
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    cand = (
-        inv.join(F.broadcast(probes), "cid")
-        .where(F.col("id") != F.col("query_id"))
-        .join(c, F.col("id") == F.col("neighbor_id"))
-    )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.select(
-            "query_id", "neighbor_id", cosine("qv", "cv").alias("cos_sim")
-        )
-        .withColumn("rank", F.row_number().over(wk))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
-    )
+    return sql_over(corpus.sparkSession, q, **frames)
 
 
 def semdedup(
