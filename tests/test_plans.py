@@ -687,3 +687,53 @@ def test_exchange_count_skips_cache_on_left_branch(spark):
         assert exchange_count(joined) == 0, p
     finally:
         cached.unpersist()
+
+
+def test_staged_text_scores_survive_the_optimizer(spark):
+    """The staged quality/lang score projections (r15 opt,
+    text.quality_lang_keep / lang_id / quality_scores / token_stats)
+    must SURVIVE optimization: each interpreted size(filter(...))
+    marker count evaluates once per row in a projection, not once per
+    CASE comparison re-inlined into the filter. ColumnPruning +
+    PushPredicateThroughNonJoin silently undid a first version of this
+    staging (an unused barrier column got pruned, then the predicate
+    was substituted back); the committed form taints the __n column
+    with `0 * monotonically_increasing_id()`, which is value-neutral
+    but pins the filter above the projection. Measured 0.84 -> 0.39 s
+    per cold corpus pass at sf0.1."""
+    from nibbledb_spark.operators.pipeline import clean_corpus
+    from nibbledb_spark.operators.text import (
+        lang_id,
+        quality_lang_keep,
+        quality_scores,
+        token_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # filter form: exactly one evaluation site for the en marker count
+    # in the optimized single-reference plan (the filter consumes
+    # __s_* attributes, not re-inlined HOFs)
+    opt = (
+        quality_lang_keep(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "__s_en" in opt, "staging was re-inlined by the optimizer"
+    assert opt.count("(the,a,of,and,is)") == 1, opt
+    # and the staging survives inside the composed pipeline too (the
+    # subtree is REFERENCED multiple times there, so count per subtree)
+    pipe = clean_corpus(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "__s_en" in pipe, "staging was re-inlined inside clean_corpus"
+
+    # projection forms: CollapseProject's expensive-expression guard
+    # keeps the staging without any barrier
+    for df, marker in (
+        (lang_id(docs), "(the,a,of,and,is)"),
+        (quality_scores(docs), "(the,a,of,and,is,to,in,that,it,for)"),
+    ):
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        assert p.count(marker) == 1, p
+    p = token_stats(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert p.count("split(text") == 1, p
