@@ -36,6 +36,12 @@ JOIN_OPS = [
 # fingerprint_winnowing registration bug shipped exactly because the
 # audit only reported its 4 surprise exchanges. Update this pin only
 # with a conscious plan change, never to silence a failure.
+# (fingerprint_winnowing left this set in the r15 optimization round:
+# the row-local array-HOF form re-ran the whole md5 pass per window
+# start — O(n^2) interpreted, 232 s at sf0.1 — and was deliberately
+# re-planned as posexplode + lead + doc-keyed window, ONE Exchange,
+# 0.98 s; the new shape is pinned by
+# tests/test_plans.py::test_winnow_relational_plan_shape instead.)
 ZERO_EXCHANGE = frozenset(
     {
         "bpe_learn_merges",  # corpus side; learning aggs are separate jobs
@@ -43,7 +49,6 @@ ZERO_EXCHANGE = frozenset(
         "embed_near_dup_pairs",  # broadcast sweep; corpus never shuffles
         "embed_norms",
         "embed_quantize_int8",
-        "fingerprint_winnowing",  # row-local array HOFs (SURVEY.md §2.5)
         "insert_feed_versions",
         "join_salted_orders_customer",  # broadcast after salting
         "join_theta_nation_region",  # broadcast NL by design
