@@ -1676,6 +1676,18 @@ def main() -> int:
                 f"| {ratio:.2f} | {pratio:.2f} |"
             )
 
+    # Per-query [min, max] spreads are DIAGNOSTICS: they ride stderr as
+    # their own labelled JSON line, NOT the stdout contract line. The
+    # stdout line had grown past the driver's tail-capture window with
+    # them inboard (round 14's BENCH json landed `parsed: null` and the
+    # whole round-over-round table was lost — r15 verdict #2); the
+    # aggregate value_band/duckdb_band/ratio_band keys below summarize
+    # the same noise envelope in ~100 bytes.
+    log(
+        "SPREADS "
+        + json.dumps({"spark_spread": spread, "duckdb_spread": duck_spread})
+    )
+
     print(
         json.dumps(
             {
@@ -1688,20 +1700,17 @@ def main() -> int:
                 "ratio_vs_duckdb": round(total / duck_total, 4)
                 if duck_total > 0
                 else None,
-                # Noise band for THIS capture: per-query [min, max] over
-                # the 5 (Spark) / 3 (DuckDB) timed runs, and the ratio
-                # range those extremes imply. Cross-round ratio moves
-                # inside ratio_band are host weather — both engines
-                # drift together ±10-20% between sittings (round-13
-                # verdict #2) — only moves OUTSIDE it suggest a plan
-                # change.
-                "spark_spread": spread,
-                "duckdb_spread": duck_spread,
                 # fixed deep set (heavy LLM ops) — tracked per round,
                 # excluded from `value`
                 "deep": deep_t,
                 "deep_duckdb": deep_d,
                 "deep_ratio": deep_ratio,
+                # Noise band for THIS capture: totals over the per-run
+                # extremes. Cross-round ratio moves inside ratio_band
+                # are host weather — both engines drift together
+                # ±10-20% between sittings (round-13 verdict #2) — only
+                # moves OUTSIDE it suggest a plan change. Per-query
+                # spreads: the SPREADS line on stderr.
                 "value_band": [total_lo, total_hi],
                 "duckdb_band": [duck_lo, duck_hi],
                 "ratio_band": [
@@ -1710,6 +1719,12 @@ def main() -> int:
                 ]
                 if duck_lo > 0
                 else None,
+                # Effective parallelism, echoed so the driver's scaling
+                # check can verify $SPARK_GRAFT_CPUS is honored (r15
+                # verdict flagged suspect_cpus_ignored as unfalsifiable
+                # without this): master comes from the live context.
+                "cpus": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
                 "sf": sf_of(SF_DIR),
             }
         )

@@ -1762,7 +1762,10 @@ def substring_anchor_rows(
         for j in range(1, k)
     ]
     with_leads = toks.selectExpr("id", "pos0 + 1 AS pos", "tok", *lead_cols)
-    not_null = " AND ".join(f"t{j} IS NOT NULL" for j in range(1, k))
+    # k=1 degenerate case: no leads, so the joined predicate would be
+    # the empty string and where('') raises ParseException — every
+    # single-token window is an anchor then (ADVICE r15)
+    not_null = " AND ".join(f"t{j} IS NOT NULL" for j in range(1, k)) or "true"
     window = ", ".join(["tok"] + [f"t{j}" for j in range(1, k)])
     return with_leads.where(not_null).selectExpr(
         "id",
@@ -2129,7 +2132,14 @@ def lsh_dedup_gate(
     n = int(meta["shingle_n"])
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from nibbledb_spark.session import micro_batch_tuning
+
         batch = batch_df.persist()
+        # one cheap scan: materializes the batch cache AND sizes the
+        # micro-batch scheduler bypass below (r16 opt — AQE's per-stage
+        # materialization jobs cost 39 driver round-trips per 500-row
+        # batch here; the bypass is a no-op above MICRO_BATCH_ROWS)
+        n_rows = batch.count()
         # ONE shingle pass per batch: the probe, the intra-batch pair
         # join and the index add all consume the same persisted
         # (id, shingle) table instead of each re-running the
@@ -2143,28 +2153,69 @@ def lsh_dedup_gate(
         ).persist()
         survivors = None
         try:
-            vs_index = (
-                lsh_query_near_dups(
-                    spark, path, batch,
-                    threshold=threshold, id_col=id_col, text_col=text_col,
-                    query_shingles=batch_sh,
-                )
-                .select(F.col("query_id").alias(id_col))
-                .distinct()
+          with micro_batch_tuning(spark, n_rows):
+            # BOTH drop rules in ONE parsed statement and ONE anti join
+            # (r16 opt): the vs-index probe (lsh_query_near_dups' SQL)
+            # and the intra-batch pair step (ngram_jaccard_pairs' SQL)
+            # union their drop ids — anti join of a union equals the
+            # former two chained anti joins, the .distinct()s drop
+            # (left_anti is set-semantics on its right side), and the
+            # driver parses/analyzes once per batch instead of twice.
+            # Jaccard expressions are byte-identical to the two
+            # operators' own SQL, so the drop set is unchanged.
+            from nibbledb_spark.session import sql_over
+
+            hashes = ", ".join(_minhash_agg_sql(meta["num_hashes"]))
+            structs = _band_struct_sql(meta["num_hashes"], meta["band_size"])
+            drops_sql = f"""
+WITH q_bands AS (
+  SELECT id, bb.band, bb.bucket
+  FROM (SELECT id, explode(array({structs})) AS bb
+        FROM (SELECT id, {hashes} FROM {{q_sh}} GROUP BY id))),
+cand AS (
+  SELECT DISTINCT q.id AS query_id, i.id AS index_id
+  FROM q_bands q JOIN {{idx_bands}} i USING (band, bucket) WHERE q.id != i.id),
+probe_inter AS (
+  SELECT query_id, index_id, count(*) AS inter
+  FROM cand
+  JOIN (SELECT id AS query_id, shingle FROM {{q_sh}}) qs USING (query_id)
+  JOIN (SELECT id AS index_id, shingle FROM {{idx_sh}}) ix USING (index_id, shingle)
+  GROUP BY query_id, index_id),
+q_sizes AS (SELECT id AS query_id, count(*) AS q_sz FROM {{q_sh}} GROUP BY id),
+probe_drops AS (
+  SELECT query_id AS id FROM (
+    SELECT query_id,
+           cast(inter AS double) / (q_sz + i_sz - inter) AS jaccard
+    FROM probe_inter
+    JOIN q_sizes USING (query_id)
+    JOIN (SELECT id AS index_id, sz AS i_sz FROM {{idx_sizes}}) iz USING (index_id)
+  ) WHERE jaccard >= {threshold!r}),
+intra_inter AS (
+  SELECT id1, id2, count(*) AS inter
+  FROM (SELECT id AS id1, shingle AS s FROM {{q_sh}}) s1
+  JOIN (SELECT id AS id2, shingle AS s FROM {{q_sh}}) s2 USING (s)
+  WHERE id1 < id2
+  GROUP BY id1, id2),
+intra_drops AS (
+  SELECT id2 AS id FROM (
+    SELECT id2, cast(inter AS double) / (z1.sz1 + z2.sz2 - inter) AS jaccard
+    FROM intra_inter
+    JOIN (SELECT query_id AS id1, q_sz AS sz1 FROM q_sizes) z1 USING (id1)
+    JOIN (SELECT query_id AS id2, q_sz AS sz2 FROM q_sizes) z2 USING (id2)
+  ) WHERE jaccard >= {threshold!r})
+SELECT id AS {id_col} FROM probe_drops
+UNION ALL
+SELECT id AS {id_col} FROM intra_drops
+"""
+            drops = sql_over(
+                spark,
+                drops_sql,
+                q_sh=batch_sh,
+                idx_bands=_lsh_read(spark, path, "bands"),
+                idx_sh=_lsh_read(spark, path, "shingles"),
+                idx_sizes=_lsh_read(spark, path, "sizes"),
             )
-            intra = (
-                ngram_jaccard_pairs(
-                    batch, id_col=id_col, text_col=text_col,
-                    n=n, threshold=threshold, shingles=batch_sh,
-                )
-                .select(F.col("id2").alias(id_col))
-                .distinct()
-            )
-            survivors = (
-                batch.join(vs_index, id_col, "left_anti")
-                .join(intra, id_col, "left_anti")
-                .persist()
-            )
+            survivors = batch.join(drops, id_col, "left_anti").persist()
 
             def _add() -> None:
                 lsh_index_add(

@@ -63,6 +63,19 @@ def l2_norm(v: Column | str) -> Column:
     return F.sqrt(_dot(v, v))
 
 
+# NEGATIVE RESULT (r16, measured, do not retry): unrolling the dot fold
+# into a 64-term codegen expression ("0.0 + a[0]*b[0] + a[1]*b[1]+...",
+# bit-identical by construction) made the semdedup gate replay 1.7-4x
+# SLOWER (A/B same sitting: 6.5-10 s fold vs 11-40 s unrolled for three
+# batches) — the generated whole-stage method for 64 element_at+cast+fma
+# terms blows the JIT's effective method budget and runs as interpreted
+# bytecode, worse than the HOF fold's CodegenFallback path, plus a
+# multi-second first-plan janino compile. The interpreted
+# aggregate/zip_with fold stays the pair-loop primitive; the cheap win
+# is folding NORMS out of the pair loop (one fold per pair), which
+# cosine_topk/semdedup/IVF all already do.
+
+
 def _cos_sql(a: str, b: str) -> str:
     return f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
 
@@ -1163,22 +1176,37 @@ def ivf_index_add(
     shape — the sink already assigned the whole batch, so the add
     semi-filters those rows instead of re-running the broadcast sweep +
     per-id window; assignment is deterministic for frozen centroids, so
-    the rows are identical)."""
+    the rows are identical). When the frame ALSO carries ``v`` and
+    ``vn`` (the gate's assignment keeps both), those rows are written
+    directly — no vector re-join, no norm re-fold (r16 opt; the values
+    are deterministic projections of the same rows, so the postings are
+    identical either way)."""
     if assignments is not None:
-        inv = assignments.select("id", "cid").join(
-            new_vectors.select(F.col(id_col).alias("id")).distinct(),
-            "id",
-            "semi",
-        )
+        keys = new_vectors.select(F.col(id_col).alias("id")).distinct()
+        if {"v", "vn"} <= set(assignments.columns):
+            staged = assignments.select("id", "cid", "v", "vn").join(
+                keys, "id", "semi"
+            )
+        else:
+            inv = assignments.select("id", "cid").join(keys, "id", "semi")
+            staged = inv.join(
+                new_vectors.select(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+                ),
+                "id",
+            ).withColumn("vn", l2_norm("v"))
     else:
         cents = spark.read.parquet(f"{path}/centroids")
         inv = ivf_assign(new_vectors, cents, id_col=id_col, vec_col=vec_col,
                          cid_col="cid", cvec_col="cvec")
-    vecs = new_vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        staged = inv.join(
+            new_vectors.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+            ),
+            "id",
+        ).withColumn("vn", l2_norm("v"))  # see build_ivf_index
     (
-        inv.join(vecs, "id")
-        .withColumn("vn", l2_norm("v"))  # see build_ivf_index
-        .repartition("cid")
+        staged.repartition("cid")
         .write.mode("append")
         .partitionBy("cid")
         .parquet(f"{path}/postings")
@@ -1379,25 +1407,66 @@ def semdedup_gate(
     cents = spark.read.parquet(f"{path}/centroids")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from nibbledb_spark.session import micro_batch_tuning
+
         batch = batch_df.persist()
-        survivors = None
+        # one cheap scan: materializes the batch cache AND sizes the
+        # micro-batch scheduler bypass below (r16 opt)
+        n_rows = batch.count()
+        flagged = None
         m = None
         try:
-            asg = ivf_assign(batch, cents, id_col=id_col, vec_col=vec_col)
-            # the per-batch assignment has three consumers (vs-index
-            # probe + both intra-join sides) — persist for the sink's
-            # lifetime, released in the finally below
-            # norms factor out of both pair loops (one fold per batch
-            # row / per probed posting row instead of three per PAIR —
-            # the cosine_topk lesson, bit-identical; r15 opt)
-            m = asg.join(
-                batch.select(
-                    F.col(id_col).alias("id"),
-                    F.col(vec_col).alias("v"),
-                    l2_norm(vec_col).alias("vn"),
-                ),
-                "id",
-            ).persist()
+          with micro_batch_tuning(spark, n_rows):
+            # Fused coarse assignment (r16 opt): ONE hash aggregate
+            # replaces ivf_assign's id-window (Exchange + sort) PLUS the
+            # re-join that attached (v, vn) to the winner — max over
+            # struct(cos, -cid) picks exactly the window's ORDER BY
+            # cos DESC, cid ASC head (ties: max -cid = min cid; Spark
+            # orders NaN greatest on both paths), and v/vn ride the
+            # struct instead of a second join. vn is computed BELOW the
+            # broadcast cross join, once per batch row (the r15 norm
+            # factoring, preserved). Measured on the replay: 23 -> 14
+            # jobs/batch with the rest of this batch's changes.
+            scored = batch.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                l2_norm(vec_col).alias("vn"),
+            ).crossJoin(
+                F.broadcast(
+                    cents.select(
+                        "cid",
+                        F.col("cvec").alias("cv"),
+                        # centroid norms fold once per centroid on the
+                        # 8-row broadcast side; the per-pair cosine then
+                        # pays ONE (unrolled) dot — same dot/(vn*cvn)
+                        # IEEE tree as cosine(), bit-identical
+                        l2_norm("cvec").alias("cvn"),
+                    )
+                )
+            )
+            m = (
+                scored.groupBy("id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            (
+                                _dot("v", "cv")
+                                / (F.col("vn") * F.col("cvn"))
+                            ).alias("cos"),
+                            (-F.col("cid")).alias("ncid"),
+                            F.col("v").alias("v"),
+                            F.col("vn").alias("vn"),
+                        )
+                    ).alias("b")
+                )
+                .select(
+                    "id",
+                    (-F.col("b.ncid")).alias("cid"),
+                    F.col("b.v").alias("v"),
+                    F.col("b.vn").alias("vn"),
+                )
+                .persist()
+            )
             # corpus norms come from the index (computed once at
             # build/add, not re-folded per probe batch — r15 opt)
             post = _ivf_postings_with_norms(spark, path).select(
@@ -1432,25 +1501,49 @@ def semdedup_gate(
                 )
                 .select(F.col("id").alias(id_col))
             )
-            survivors = batch.join(drops, id_col, "left_anti").persist()
+            # the replay guard (a crash-replayed batch must not re-add
+            # ids the index already holds) rides the SAME materialization
+            # as the survivors themselves: a left join against the
+            # posting ids flags already-indexed rows, so the add below
+            # is a cache filter instead of its own postings re-read +
+            # anti-join stages (r16 opt — postings ids are unique by
+            # construction, one row per vector, so the join never
+            # multiplies rows)
+            flagged = (
+                batch.join(drops, id_col, "left_anti")
+                .join(
+                    post.select(
+                        F.col("id").alias(id_col),
+                        F.lit(True).alias("__in_index"),
+                    ),
+                    id_col,
+                    "left",
+                )
+                .persist()
+            )
+            # on_pass sees the caller's own columns (the flag stays
+            # internal); both views below are reads of the one cache
+            survivors = flagged.drop("__in_index")
             # materialize once so the two independent publishes below
             # are cache reads, then OVERLAP them (guide-§2.6, the LSH
             # index-write pattern): the postings append and the caller's
             # on_pass commit share no state beyond the cached frame.
-            survivors.count()
-            already = post.select(F.col("id").alias(id_col))
+            flagged.count()
 
             def _add() -> None:
                 ivf_index_add(
                     spark,
                     path,
-                    survivors.join(already, id_col, "left_anti"),
+                    flagged.where(F.col("__in_index").isNull()).drop(
+                        "__in_index"
+                    ),
                     id_col=id_col,
                     vec_col=vec_col,
-                    # the sink already assigned the whole batch (m) —
-                    # the add semi-filters those rows instead of
-                    # re-running the broadcast sweep + per-id window
-                    assignments=m.select("id", "cid"),
+                    # the sink already assigned the whole batch (m), and
+                    # m carries (v, vn) — the add semi-filters those rows
+                    # and writes them directly: no broadcast sweep, no
+                    # vector re-join, no norm re-fold
+                    assignments=m,
                 )
 
             if on_pass is None:
@@ -1471,8 +1564,8 @@ def semdedup_gate(
             batch.unpersist()
             if m is not None:
                 m.unpersist()
-            if survivors is not None:
-                survivors.unpersist()
+            if flagged is not None:
+                flagged.unpersist()
 
     return sink
 

@@ -238,6 +238,13 @@ def quality_lang_keep(
     flips; the trade is that no future predicate can push through this
     projection to the scan either — acceptable because the quality
     filter is the first thing the cleaning pipelines do.
+
+    Reserved names: the staging injects ``__``-prefixed helper columns
+    (``__w``, ``__n``, ``__r``, ``__s_<lang>``) into the projection —
+    same contract as ``lang_id``/``quality_scores``/``token_stats``
+    (ADVICE r15): input frames must not already carry columns with
+    those names or the analyzer raises an ambiguous-reference error.
+    The declared pipelines all feed raw (id, text) corpora.
     """
     score_cols = [
         f"size(filter(__w, x -> x IN {_in_list_sql(m)})) AS __s_{lang_}"

@@ -653,7 +653,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Built as ONE parsed statement (the r15 analyzer-once pattern): the
     Column form cost ~240 py4j round trips (~0.17 s) per construction.
-    Same tree: the scaled longs pre-project once, the aggregation runs
+    Value-identical tree (the SQL parser prints ``1 + l_tax`` where the
+    Column chain built ``l_tax + 1`` — IEEE addition is commutative, so
+    results are bit-identical; oracle hash-matched): the scaled longs
+    pre-project once, the aggregation runs
     plain long sums inside whole-stage codegen (one round per row per
     measure, not per aggregate); double literals carry the ``D`` suffix
     so they parse to DoubleType exactly as ``F.lit(100.0)`` did."""
